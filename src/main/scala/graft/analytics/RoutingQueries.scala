@@ -1,0 +1,197 @@
+package graft.analytics
+
+import graft.{QuerySuite, Tables}
+import graft.protocol.Frames
+import graft.route.Router
+import graft.state.{Membership, MembershipSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's pub/sub computations (SURVEY §2.1 O1-O15, O41) as
+  * oracle-checkable batch queries over the driver testdata. The `events`
+  * table is the message log (`event_type` ≈ channel, `user_id` ≈ cid);
+  * membership is derived deterministically (see [[graft.state.Membership]])
+  * so DuckDB can rebuild identical state from the same parquet.
+  *
+  * Scale stance: membership (channels × users) is tiny relative to the
+  * event log, so every routing join broadcasts the membership side —
+  * at 100 TB the event stream never shuffles for routing.
+  */
+object RoutingQueries extends QuerySuite {
+
+  private val ccSql = MembershipSql.clientChannels
+  private val ncSql = MembershipSql.nodeChannels
+  private val nodesSql = MembershipSql.allNodes
+
+  private def cc(s: SparkSession, d: String): DataFrame =
+    Membership.clientChannels(Tables.events(s, d))
+
+  /** Message subset used by fan-out queries (keeps outputs bounded). */
+  private def purchases(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("event_type").as("channel"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3/O8 — the derived membership state itself.
+    "member_client_channels" -> ((s, d) =>
+      cc(s, d).orderBy("channel", "cid")),
+
+    // Implicit node-subscribe (lib/ChannelHub.js:144).
+    "member_node_channels" -> ((s, d) =>
+      Membership.nodeChannels(cc(s, d)).orderBy("channel", "sid")),
+
+    // O14 — distinct union of channel names across both maps
+    // (lib/ChannelHub.js:33-51), the reference's one genuine set-op.
+    "member_channels_union" -> ((s, d) => {
+      val c = cc(s, d)
+      Membership.channels(Membership.nodeChannels(c), c).orderBy("channel")
+    }),
+
+    // O6/O12 — subscriptions per node: channel count + client count.
+    "member_subs_per_node" -> ((s, d) =>
+      cc(s, d).groupBy("sid")
+        .agg(countDistinct("channel").as("n_channels"),
+             countDistinct("cid").as("n_clients"))
+        .orderBy("sid")),
+
+    // Per-channel membership census.
+    "member_channel_census" -> ((s, d) =>
+      cc(s, d).groupBy("channel")
+        .agg(countDistinct("cid").as("n_clients"),
+             countDistinct("sid").as("n_nodes"))
+        .orderBy("channel")),
+
+    // O15 client fan-out — THE core router (lib/ChannelHub.js:267-273):
+    // one delivery row per (message, subscribed client). Flagship slice.
+    "route_client_fanout" -> ((s, d) =>
+      Router.clientFanout(purchases(s, d), cc(s, d))
+        .select("event_id", "channel", "cid", "sid")
+        .orderBy("event_id", "cid")),
+
+    // O15 node fan-out + unknown-channel broadcast fallback
+    // (lib/ChannelHub.js:255-266): known channel -> subscribed sids only
+    // (b=false); unknown -> ALL nodes with b=true.
+    "route_node_fanout" -> ((s, d) => {
+      val msgs = purchases(s, d)
+        .filter(col("event_id") % 7 === 0)
+        .unionByName(s.range(1).select(
+          lit(-1L).as("event_id"), lit("mystery").as("channel")))
+      val c = cc(s, d)
+      Router.nodeFanout(msgs, Membership.nodeChannels(c), Membership.allNodes(c))
+        .select("event_id", "channel", "sid", "b")
+        .orderBy("event_id", "channel", "sid")
+    }),
+
+    // O41 delivery gate (example/engine-io.server.js:51-64): after a
+    // partial unsubscribe (cid % 5 == 0 left), only still-subscribed
+    // clients receive.
+    "route_delivery_gate" -> ((s, d) => {
+      val full = cc(s, d)
+      val deliveries = Router.clientFanout(purchases(s, d), full)
+        .select("event_id", "channel", "cid")
+      val remaining = full.filter(col("cid") % 5 =!= 0)
+      Router.deliveryGate(deliveries, remaining)
+        .orderBy("event_id", "cid")
+    }),
+
+    // O9→O13 cascade (lib/ChannelHub.js:168-172, 221-238): tearing all
+    // clients out of channel 'error' drops it from the node map too.
+    "member_cascade" -> ((s, d) => {
+      val c = cc(s, d)
+      val survivors = c.filter(col("channel") =!= "error")
+      Membership.cascadeEmptyChannels(Membership.nodeChannels(c), survivors)
+        .orderBy("channel", "sid")
+    }),
+
+    // O1/O2 protocol codec round-trip: serialize each message to the
+    // wire frame "{op}|{json with _q}" then parse it back; the oracle
+    // computes the expected envelope directly (never sees frames), so a
+    // hash match proves the round-trip is lossless.
+    "route_frame_roundtrip" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      val framed = Tables.events(s, d)
+        .withColumn("seqno", row_number().over(w) % 100)
+        .select(col("event_id"),
+          Frames.serializeFrame(
+            lit("M"), col("event_type"), col("props"),
+            concat(lit("node-"), col("user_id") % Membership.NumNodes),
+            col("seqno")).as("frame"))
+      framed.select(col("event_id"), Frames.parseFrame(col("frame")).as("p"))
+        .select(col("event_id"),
+          col("p.op").as("op"), col("p.seq").cast("long").as("seq"),
+          col("p.channel").as("channel"), col("p.message").as("message"),
+          col("p.sender").as("sender"))
+        .orderBy("event_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "member_client_channels" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT channel, cid, sid FROM cc ORDER BY channel, cid""".stripMargin,
+
+    "member_node_channels" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT DISTINCT channel, sid FROM cc ORDER BY channel, sid""".stripMargin,
+
+    "member_channels_union" ->
+      s"""WITH cc AS ($ccSql), nc AS (SELECT DISTINCT channel, sid FROM cc)
+         |SELECT DISTINCT channel FROM
+         |  (SELECT channel FROM nc UNION ALL SELECT channel FROM cc)
+         |ORDER BY channel""".stripMargin,
+
+    "member_subs_per_node" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT sid, count(DISTINCT channel) AS n_channels,
+         |       count(DISTINCT cid) AS n_clients
+         |FROM cc GROUP BY sid ORDER BY sid""".stripMargin,
+
+    "member_channel_census" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT channel, count(DISTINCT cid) AS n_clients,
+         |       count(DISTINCT sid) AS n_nodes
+         |FROM cc GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "route_client_fanout" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT e.event_id, e.event_type AS channel, cc.cid, cc.sid
+         |FROM events e JOIN cc ON e.event_type = cc.channel
+         |WHERE e.event_type = 'purchase'
+         |ORDER BY e.event_id, cc.cid""".stripMargin,
+
+    "route_node_fanout" ->
+      s"""WITH cc AS ($ccSql), nc AS (SELECT DISTINCT channel, sid FROM cc),
+         |nodes AS (SELECT DISTINCT sid FROM cc),
+         |msgs AS (
+         |  SELECT event_id, event_type AS channel FROM events
+         |  WHERE event_type = 'purchase' AND event_id % 7 = 0
+         |  UNION ALL SELECT -1, 'mystery')
+         |SELECT m.event_id, m.channel, nc.sid, false AS b
+         |FROM msgs m JOIN nc ON m.channel = nc.channel
+         |UNION ALL
+         |SELECT m.event_id, m.channel, n.sid, true AS b
+         |FROM msgs m CROSS JOIN nodes n
+         |WHERE m.channel NOT IN (SELECT channel FROM nc)
+         |ORDER BY event_id, channel, sid""".stripMargin,
+
+    "route_delivery_gate" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT e.event_id, e.event_type AS channel, cc.cid
+         |FROM events e JOIN cc ON e.event_type = cc.channel
+         |WHERE e.event_type = 'purchase' AND cc.cid % 5 <> 0
+         |ORDER BY e.event_id, cc.cid""".stripMargin,
+
+    "member_cascade" ->
+      s"""WITH cc AS ($ccSql), nc AS (SELECT DISTINCT channel, sid FROM cc)
+         |SELECT nc.channel, nc.sid FROM nc
+         |WHERE nc.channel IN
+         |  (SELECT DISTINCT channel FROM cc WHERE channel <> 'error')
+         |ORDER BY channel, sid""".stripMargin,
+
+    "route_frame_roundtrip" ->
+      s"""SELECT event_id, 'M' AS op,
+         |  (row_number() OVER (PARTITION BY event_type ORDER BY event_id) % 100) AS seq,
+         |  event_type AS channel, props AS message,
+         |  'node-' || (user_id % 4) AS sender
+         |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,147 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Channel-membership state, the reference's only "tables"
+  * (`lib/ChannelHub.js:28-29`: `nodeChannels {channel:[sid]}`,
+  * `clientChannels {channel:[cid]}`), re-expressed as two DataFrames:
+  *
+  *   client_channels(channel STRING, cid BIGINT, sid STRING)
+  *   node_channels(channel STRING, sid STRING)
+  *
+  * `sid` on client rows models the implicit node-subscribe that
+  * `subscribeClient` performs (`lib/ChannelHub.js:143-154`: a client
+  * subscribe always subscribes the owning node first).
+  *
+  * For oracle-differential testing the membership is DERIVED
+  * deterministically from the `events` table (a user "subscribes" to an
+  * event_type-channel once they have >= 3 events of that type; the owning
+  * node is `node-{cid % 4}`), so DuckDB can rebuild the exact same state
+  * from the same parquet. The point-wise operations (O3-O13,
+  * `lib/ChannelHub.js:60-238`) are pure transforms over these frames.
+  */
+object Membership {
+
+  /** Minimum events of a type before a user counts as subscribed. */
+  val SubscribeThreshold = 3
+
+  /** Number of synthetic cluster nodes clients are sharded onto. */
+  val NumNodes = 4
+
+  /** client_channels derived from the events log.
+    * SQL twin (keep in sync with [[MembershipSql.clientChannels]]):
+    * group events by (event_type, user_id), HAVING count >= 3.
+    */
+  def clientChannels(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type").as("channel"), col("user_id").as("cid"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= SubscribeThreshold)
+      .select(
+        col("channel"),
+        col("cid"),
+        concat(lit("node-"), col("cid") % NumNodes).as("sid"))
+
+  /** node_channels = distinct projection of client ownership — the
+    * implicit node subscribe of `lib/ChannelHub.js:144`. */
+  def nodeChannels(clientChannels: DataFrame): DataFrame =
+    clientChannels.select("channel", "sid").distinct()
+
+  /** All known cluster nodes (the `nodes` registry,
+    * `lib/QutyCluster.js:49`). */
+  def allNodes(clientChannels: DataFrame): DataFrame =
+    clientChannels.select("sid").distinct()
+
+  // ---- point-wise state transitions (O3-O13) as pure transforms ----
+
+  /** O3 subscribeNode (`lib/ChannelHub.js:60-70`): idempotent add —
+    * duplicate join is a no-op (`:65-69`). */
+  def subscribeNode(nc: DataFrame, sid: String, channel: String): DataFrame = {
+    val one = nc.sparkSession
+      .createDataFrame(Seq((channel, sid)))
+      .toDF("channel", "sid")
+    nc.unionByName(one).dropDuplicates("channel", "sid")
+  }
+
+  /** O4 unsubscribeNode (`lib/ChannelHub.js:78-89`): remove one (sid,
+    * channel) pair; empty channels disappear for free (no group row). */
+  def unsubscribeNode(nc: DataFrame, sid: String, channel: String): DataFrame =
+    nc.filter(!(col("sid") === sid && col("channel") === channel))
+
+  /** O5 isNodeSubscribed (`lib/ChannelHub.js:97-101`). */
+  def isNodeSubscribed(nc: DataFrame, sid: String, channel: String): Boolean =
+    !nc.filter(col("sid") === sid && col("channel") === channel).isEmpty
+
+  /** O6 getNodeSubscriptions (`lib/ChannelHub.js:108-118`). */
+  def nodeSubscriptions(nc: DataFrame, sid: String): DataFrame =
+    nc.filter(col("sid") === sid).select("channel")
+
+  /** O7 removeNode (`lib/ChannelHub.js:125-132`): drop sid everywhere. */
+  def removeNode(nc: DataFrame, sid: String): DataFrame =
+    nc.filter(col("sid") =!= sid)
+
+  /** O8 subscribeClient (`lib/ChannelHub.js:143-154`): add client row
+    * (idempotent) — node row is implied by the sid column. */
+  def subscribeClient(cc: DataFrame, sid: String, cid: Long, channel: String): DataFrame = {
+    val one = cc.sparkSession
+      .createDataFrame(Seq((channel, cid, sid)))
+      .toDF("channel", "cid", "sid")
+    cc.unionByName(one).dropDuplicates("channel", "cid")
+  }
+
+  /** O9 unsubscribeClient (`lib/ChannelHub.js:162-173`): remove the
+    * client row. The cascade (channel with zero clients is torn down
+    * from the NODE map too, `:168-172` -> `removeChannel` `:221-238`)
+    * is [[cascadeEmptyChannels]]. */
+  def unsubscribeClient(cc: DataFrame, cid: Long, channel: String): DataFrame =
+    cc.filter(!(col("cid") === cid && col("channel") === channel))
+
+  /** O10 isClientSubscribed (`lib/ChannelHub.js:181-185`). */
+  def isClientSubscribed(cc: DataFrame, cid: Long, channel: String): Boolean =
+    !cc.filter(col("cid") === cid && col("channel") === channel).isEmpty
+
+  /** O11 removeClient (`lib/ChannelHub.js:192-199`): kick — drop cid
+    * from every channel. */
+  def removeClient(cc: DataFrame, cid: Long): DataFrame =
+    cc.filter(col("cid") =!= cid)
+
+  /** O12 getClientSubscriptions (`lib/ChannelHub.js:206-216`). */
+  def clientSubscriptions(cc: DataFrame, cid: Long): DataFrame =
+    cc.filter(col("cid") === cid).select("channel")
+
+  /** O13 removeChannel (`lib/ChannelHub.js:221-238`): tear a channel out
+    * of both maps. */
+  def removeChannel(nc: DataFrame, cc: DataFrame, channel: String): (DataFrame, DataFrame) =
+    (nc.filter(col("channel") =!= channel), cc.filter(col("channel") =!= channel))
+
+  /** The cascade of `unsubscribeClient` (`lib/ChannelHub.js:168-172`):
+    * node subscriptions survive only for channels that still have at
+    * least one client. Implemented as a left-semi join (no shuffle of
+    * the node side when the surviving-channel set is small/broadcast). */
+  def cascadeEmptyChannels(nc: DataFrame, cc: DataFrame): DataFrame =
+    nc.join(broadcast(cc.select("channel").distinct()), Seq("channel"), "left_semi")
+
+  /** O14 `channels` getter (`lib/ChannelHub.js:33-51`): distinct union
+    * of channel names across both maps — the one genuine set-op in the
+    * reference. */
+  def channels(nc: DataFrame, cc: DataFrame): DataFrame =
+    nc.select("channel").union(cc.select("channel")).distinct()
+}
+
+/** SQL twins of the derived membership, spliced into oracle queries so
+  * DuckDB rebuilds identical state from the same parquet. */
+object MembershipSql {
+  /** Must stay in lockstep with [[Membership.clientChannels]]. */
+  val clientChannels: String =
+    """SELECT event_type AS channel, user_id AS cid,
+      |       'node-' || (user_id % 4) AS sid
+      |FROM events GROUP BY event_type, user_id
+      |HAVING COUNT(*) >= 3""".stripMargin
+
+  val nodeChannels: String =
+    s"SELECT DISTINCT channel, sid FROM ($clientChannels)"
+
+  val allNodes: String =
+    s"SELECT DISTINCT sid FROM ($clientChannels)"
+}
