@@ -12,7 +12,9 @@ object SparkEntry {
 
   private def suites: Seq[QuerySuite] = Seq(
     analytics.RoutingQueries,
-    analytics.RelationalQueries)
+    analytics.RelationalQueries,
+    analytics.WindowQueries,
+    analytics.ScalarQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's core computation (SURVEY §3.1): the exact

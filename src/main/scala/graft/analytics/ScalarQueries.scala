@@ -1,0 +1,190 @@
+package graft.analytics
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.2): the string / JSON / array /
+  * date / math / hash / conditional function families the reference
+  * touches implicitly (protocol parsing `lib/util.js:226-229`, base64
+  * `lib/util.js:29-31`, JSON everywhere, `Date.now()` arithmetic).
+  *
+  * All expressions are Catalyst built-ins — whole-stage-codegen'd,
+  * no UDFs — and every one has bit-identical DuckDB semantics
+  * (functions with engine-divergent semantics, e.g. `round(double, n)`
+  * half-up-on-decimal-string vs half-on-binary, are deliberately
+  * excluded; see Exact.scala for how money math avoids them).
+  */
+object ScalarQueries extends QuerySuite {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // String family over part (protocol-parse analogs: split at a
+    // delimiter = substring_index, membership probes = instr/contains).
+    "scalar_string_suite" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 5, "0").as("size_padded"),
+        substring_index(col("p_type"), " ", 1).as("type_first_word"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        col("p_name").contains("red").as("has_red"),
+        reverse(col("p_brand")).as("brand_rev"))
+        .orderBy("p_partkey")),
+
+    // JSON family over events.props (the reference's dynamic payloads,
+    // lib/util.js:234-240).
+    "scalar_json_suite" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+        get_json_object(col("props"), "$.missing").isNotNull.as("has_missing"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .orderBy("event_id")),
+
+    // Array family over tokenized documents (membership-array analogs
+    // of lib/ChannelHub.js:65-82 push/splice/indexOf).
+    "scalar_array_suite" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        array_contains(words, "spark").as("has_spark"),
+        array_join(slice(words, 1, 3), " ").as("first3"),
+        element_at(words, -1).as("last_word"),
+        array_join(array_sort(array_distinct(words)), ",").as("vocab"))
+        .orderBy("doc_id")
+    }),
+
+    // Date/time family over orders (reference only has Date.now()
+    // millis, lib/token.js:43).
+    "scalar_date_suite" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch_start"))
+        .orderBy("o_orderkey")),
+
+    // Math family over lineitem (only functions with IEEE-identical
+    // cross-engine results).
+    "scalar_math_suite" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("price_k_floor"),
+        ceil(col("l_extendedprice") / 1000).cast("long").as("price_k_ceil"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        signum(col("l_quantity") - 25).cast("long").as("qty_sign"),
+        greatest(col("l_quantity"), col("l_linenumber").cast("double")).as("gst"),
+        least(col("l_discount"), col("l_tax")).as("lst"),
+        sqrt(col("l_quantity")).as("qty_sqrt"))
+        .orderBy("l_orderkey", "ln")),
+
+    // Hash/encoding family (token HMAC machinery analog,
+    // lib/token.js:52, lib/util.js:29-31).
+    "scalar_hash_suite" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("name_md5"),
+        sha2(col("c_name").cast("binary"), 256).as("name_sha256"),
+        base64(col("c_name").cast("binary")).as("name_b64"))
+        .orderBy("c_custkey")),
+
+    // Conditional family: CASE/coalesce/nullif bucketization.
+    "scalar_conditional_suite" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
+          lit("OTHER")).as("segment_masked"),
+        (col("c_acctbal") > 0).as("in_credit"))
+        .orderBy("c_custkey")))
+
+  def oracles: Map[String, String] = Map(
+    "scalar_string_suite" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_name, 1, 12) AS name_prefix,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+        |  split_part(p_type, ' ', 1) AS type_first_word,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  contains(p_name, 'red') AS has_red,
+        |  reverse(p_brand) AS brand_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "scalar_json_suite" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "scalar_array_suite" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+        |  (string_split(text, ' '))[-1] AS last_word,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scalar_date_suite" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS days_since_epoch_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_math_suite" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  abs(l_quantity - 25) AS qty_dev,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  l_orderkey % 7 AS key_mod,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign,
+        |  greatest(l_quantity, CAST(l_linenumber AS DOUBLE)) AS gst,
+        |  least(l_discount, l_tax) AS lst,
+        |  sqrt(l_quantity) AS qty_sqrt
+        |FROM lineitem ORDER BY l_orderkey, ln""".stripMargin,
+
+    "scalar_hash_suite" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS name_md5,
+        |  sha256(c_name) AS name_sha256,
+        |  base64(CAST(c_name AS BLOB)) AS name_b64
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_conditional_suite" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+        |  c_acctbal > 0 AS in_credit
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+}

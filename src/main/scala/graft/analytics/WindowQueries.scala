@@ -1,0 +1,184 @@
+package graft.analytics
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Window-function surface (SURVEY §2.2 — absent from the reference,
+  * which only has the mod-100 `_q` counter; proper per-channel/per-user
+  * sequencing is modeled here with `Window` specs).
+  *
+  * Scale stance: every window partitions by a high-cardinality key
+  * (user_id / channel) — one shuffle on the partition key, then
+  * per-partition sort; no global sort, no driver collect. Frames are
+  * explicit ROWS frames (deterministic under unique ordering keys).
+  */
+object WindowQueries extends QuerySuite {
+
+  /** Per-user event ordering: unique (ts, event_id) tiebreak. */
+  private def perUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** unix seconds, floored — matches CAST(floor(epoch(ts)) AS BIGINT). */
+  private def epochS(c: String) = unix_timestamp(col(c))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // row_number + running sum + lag over per-user event streams (the
+    // principled version of the reference's `_q` sequence counter,
+    // lib/util.js:186-197).
+    "window_running_totals" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        row_number().over(perUser).cast("long").as("rn"),
+        (sum(cents(col("value")))
+          .over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / 100.0).as("running_value"),
+        (lag(cents(col("value")), 1).over(perUser) / 100.0).as("prev_value"))
+        .orderBy("event_id")),
+
+    // Per-channel top-3 users by exact total spend (top-k via window
+    // rank — executes as shuffle + per-partition sort, no global sort).
+    "window_topk_users" -> ((s, d) => {
+      val totals = Tables.events(s, d)
+        .groupBy(col("event_type").as("channel"), col("user_id"))
+        .agg((sum(cents(col("value"))) / 100.0).as("total_value"))
+      totals.withColumn("rk",
+          row_number().over(Window.partitionBy(col("channel"))
+            .orderBy(col("total_value").desc, col("user_id"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("channel", "rk")
+    }),
+
+    // lead/lag: inter-event gap seconds per user.
+    "window_event_gaps" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (epochS("ts") - lag(epochS("ts"), 1)
+          .over(perUser)).as("gap_s"))
+        .orderBy("event_id")),
+
+    // Moving aggregate: trailing-5-rows average value per user.
+    "window_moving_avg" -> ((s, d) => {
+      val frame = perUser.rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (sum(cents(col("value"))).over(frame) / 100.0 /
+          count(lit(1)).over(frame)).as("trailing_avg"))
+        .orderBy("event_id")
+    }),
+
+    // first/last value with explicit full-partition frame.
+    "window_first_last" -> ((s, d) => {
+      val full = perUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"))
+        .orderBy("event_id")
+    }),
+
+    // ntile quartiles + percent_rank over order values (unique
+    // ordering => deterministic tiles).
+    "window_ntile_orders" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Sessionization via gap-islands (the batch twin of
+    // session_window; >30-minute silence starts a new session).
+    "window_sessionize" -> ((s, d) => {
+      val gap = epochS("ts") - lag(epochS("ts"), 1).over(perUser)
+      Tables.events(s, d)
+        .withColumn("new_session",
+          when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session"))
+            .over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(epochS("ts")).as("start_s"),
+          max(epochS("ts")).as("end_s"))
+        .orderBy("user_id", "session_id")
+    }))
+
+  private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  def oracles: Map[String, String] = Map(
+    "window_running_totals" ->
+      s"""SELECT event_id, user_id,
+         |  row_number() OVER w AS rn,
+         |  sum(${centsSql("value")}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW)/100.0 AS running_value,
+         |  lag(${centsSql("value")}, 1) OVER w / 100.0 AS prev_value
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin,
+
+    "window_topk_users" ->
+      s"""WITH totals AS (
+         |  SELECT event_type AS channel, user_id,
+         |    sum(${centsSql("value")})/100.0 AS total_value
+         |  FROM events GROUP BY event_type, user_id)
+         |SELECT * FROM (
+         |  SELECT channel, user_id, total_value,
+         |    row_number() OVER (PARTITION BY channel
+         |      ORDER BY total_value DESC, user_id) AS rk
+         |  FROM totals)
+         |WHERE rk <= 3 ORDER BY channel, rk""".stripMargin,
+
+    "window_event_gaps" ->
+      s"""SELECT event_id, user_id,
+         |  $epochSql - lag($epochSql, 1) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_moving_avg" ->
+      s"""SELECT event_id, user_id,
+         |  sum(${centsSql("value")}) OVER w / 100.0 /
+         |  count(*) OVER w AS trailing_avg
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "window_ntile_orders" ->
+      """SELECT o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "window_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag($epochSql, 1) OVER w IS NULL
+         |           OR $epochSql - lag($epochSql, 1) OVER w > 1800
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min($epochSql) AS start_s, max($epochSql) AS end_s
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin)
+}
