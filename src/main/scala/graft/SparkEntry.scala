@@ -14,7 +14,12 @@ object SparkEntry {
     analytics.RoutingQueries,
     analytics.RelationalQueries,
     analytics.WindowQueries,
-    analytics.ScalarQueries)
+    analytics.ScalarQueries,
+    llm.DedupQueries,
+    llm.TextQueries,
+    llm.SimilarityQueries,
+    llm.Multimodal,
+    auth.AuthQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's core computation (SURVEY §3.1): the exact

@@ -1,0 +1,82 @@
+package graft.auth
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** Auth-token create/verify (SURVEY §2.1 O35) mirroring the reference's
+  * HMAC-SHA256 token scheme (`lib/token.js:35-56` create,
+  * `lib/token.js:70-99` verify): token = `{b64(json)}-{b64(hmac)}` with
+  * claims `_e` expiry epoch-millis, `_v` version, `_t` type
+  * (1=HUB, 2=CLUSTER, 3=CLUSTER_CLIENT), `_i` id.
+  *
+  * Validation order replicates the reference: shape (exactly one dash,
+  * both parts non-empty) → signature → JSON parse → version → type →
+  * expiry. Exposed both as plain Scala (driver/ingress use) and as
+  * Spark UDFs for ingress-time filtering (`authorizeClient` analog,
+  * `lib/QutyCluster.js:344-373`).
+  */
+object Tokens {
+
+  val Version = 1
+  val TypeHub = 1
+  val TypeCluster = 2
+  val TypeClusterClient = 3
+
+  private def hmac(data: String, secret: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(secret.getBytes(UTF_8), "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** STANDARD base64 (alphabet A-Za-z0-9+/): its alphabet never
+    * contains '-', so the token's dash separator splits unambiguously.
+    * (URL-safe base64 would put '-' inside the parts and break the
+    * 2-part shape check.) */
+  private def b64(b: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(b)
+
+  /** Minimal JSON for the fixed claim set (no library dependency). */
+  private def claimsJson(id: String, tokenType: Int, expiryMillis: Long): String =
+    s"""{"_e":$expiryMillis,"_v":$Version,"_t":$tokenType,"_i":"$id"}"""
+
+  def create(id: String, tokenType: Int, expiryMillis: Long,
+      secret: String): String = {
+    val payload = claimsJson(id, tokenType, expiryMillis)
+    val body = b64(payload.getBytes(UTF_8))
+    s"$body-${b64(hmac(body, secret))}"
+  }
+
+  /** Verify → Some(id) or None; `now` injected for determinism. */
+  def verify(token: String, tokenType: Int, secret: String,
+      now: Long): Option[String] = {
+    val parts = token.split("-", -1)
+    if (parts.length != 2 || parts(0).isEmpty || parts(1).isEmpty) return None
+    val (body, sig) = (parts(0), parts(1))
+    if (b64(hmac(body, secret)) != sig) return None
+    val json = try new String(Base64.getDecoder.decode(body), UTF_8)
+      catch { case _: IllegalArgumentException => return None }
+    def field(k: String): Option[String] =
+      s""""$k":"?([^,}"]+)"?""".r.findFirstMatchIn(json).map(_.group(1))
+    val ok = for {
+      v <- field("_v") if v.toLong == Version
+      t <- field("_t") if t.toLong == tokenType
+      e <- field("_e") if e.toLong > now
+      i <- field("_i")
+    } yield i
+    ok
+  }
+
+  /** UDF pair for ingress-time filtering in a dataflow. */
+  def createUdf: UserDefinedFunction =
+    udf((id: String, tokenType: Int, expiry: Long, secret: String) =>
+      create(id, tokenType, expiry, secret))
+
+  def verifyUdf: UserDefinedFunction =
+    udf((token: String, tokenType: Int, secret: String, now: Long) =>
+      verify(token, tokenType, secret, now))
+}

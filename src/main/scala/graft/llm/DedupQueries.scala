@@ -1,0 +1,172 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Deduplication operators over the `documents` table — the dedup
+  * family a large-scale training-data pipeline needs (north star):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every variant is shuffle-on-key, no pairwise O(n²)
+  * stage at scale —
+  *  - exact: hash-groupBy on a text digest (one shuffle of digests,
+  *    never full text);
+  *  - MinHash+LSH: per-row signature (map-only) → explode bands →
+  *    groupBy bucket → pairs only within buckets (candidate set is
+  *    ~linear for realistic dup rates, vs n² brute force);
+  *  - SimHash: per-row 64-bit fingerprint; near-dup = same fingerprint
+  *    bucket (or small Hamming radius probing);
+  *  - the brute-force same-source Jaccard query exists as the
+  *    oracle-checkable ground truth at test scale only.
+  */
+object DedupQueries extends QuerySuite {
+
+  val Shingle = 3
+  val K = 32      // minhash signature length
+  val Bands = 8   // 8 bands × 4 rows
+  val R = 4
+
+  private def docsWithWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= Shingle)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content digest, keep the lowest doc_id.
+    // Only the 16-byte digest shuffles, not the document text.
+    "dedup_exact_groups" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .orderBy("digest")),
+
+    // Exact dedup, survivor set: one row per distinct text.
+    "dedup_exact_survivors" -> ((s, d) => {
+      val keepers = Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Tables.documents(s, d)
+        .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Ground-truth n-gram Jaccard near-dup pairs (same-source blocking
+    // keeps it oracle-checkable; the LSH query below is the scale path).
+    "dedup_ngram_jaccard_pairs" -> ((s, d) => {
+      val docs = docsWithWords(s, d)
+        .select(col("doc_id"), col("source"),
+          shingles(col("w"), Shingle).as("sh"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("source"),
+        col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("source"),
+        col("sh").as("sh_b"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= 0.2)
+        .select("source", "doc_a", "doc_b", "jac")
+        .orderBy("source", "doc_a", "doc_b")
+    }),
+
+    // MinHash signatures (first 4 components surfaced for inspection) —
+    // deterministic, so rows-only check + ScalaTest cover it.
+    "dedup_minhash_signatures" -> ((s, d) =>
+      docsWithWords(s, d)
+        .withColumn("sig", minHashSignature(shingles(col("w"), Shingle), K))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("h1"),
+          element_at(col("sig"), 2).as("h2"),
+          element_at(col("sig"), 3).as("h3"),
+          element_at(col("sig"), 4).as("h4"))
+        .orderBy("doc_id")),
+
+    // MinHash+LSH candidate pairs: explode band buckets, self-join
+    // within buckets only, verify with exact Jaccard. The verify join
+    // re-reads shingles for candidates only — at scale that is a
+    // key-lookup join on a small candidate set.
+    "dedup_lsh_candidates" -> ((s, d) => {
+      val docs = docsWithWords(s, d)
+        .select(col("doc_id"), shingles(col("w"), Shingle).as("sh"))
+        .withColumn("sig", minHashSignature(col("sh"), K))
+      val bands = docs.select(col("doc_id"),
+          explode(lshBands(col("sig"), Bands, R)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_hash").as("band_hash"))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash fingerprints + exact-bucket near-dups.
+    "dedup_simhash" -> ((s, d) =>
+      docsWithWords(s, d)
+        .withColumn("simhash", simHash(col("w")))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")),
+
+    // Embedding-cosine near-dup pairs (same-label blocking), exact
+    // arithmetic — see Vectors determinism contract.
+    "dedup_embedding_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        col("embedding").as("emb_b"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", Vectors.cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos") >= 0.9)
+        .select("label", "vec_a", "vec_b", "cos")
+        .orderBy("label", "vec_a", "vec_b")
+    }))
+
+  private val shingleSql =
+    "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
+  private def jaccardSql(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS digest, count(*) AS n_copies,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "dedup_exact_survivors" ->
+      """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id
+        |           FROM documents GROUP BY md5(text))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM k)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingleSql AS s
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |        FROM documents)
+         |  WHERE len(w) >= 3)
+         |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${jaccardSql("a.s", "b.s")} AS jac
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
+         |ORDER BY a.source, doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= 0.9
+         |ORDER BY a.label, vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north star): image/audio/video travel as
+  * opaque `BINARY` columns with typed metadata; decode / feature
+  * extraction runs as a partition-wise batch map (`mapPartitions` on a
+  * typed Dataset — the Scala analog of `mapInPandas`: one batch per
+  * partition, vectorizable inside, schema declared up front).
+  *
+  * The decode step itself is a clearly-marked DETERMINISTIC STUB
+  * (no codec libraries in this container); the Spark-side plumbing —
+  * binary column, metadata struct, partitioning, batch map signature,
+  * output schema — is real and driver-checked.
+  */
+object Multimodal extends QuerySuite {
+
+  /** Envelope for an opaque media blob. */
+  case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
+      n_bytes: Long)
+
+  /** Decoded-feature schema a real decoder would emit. */
+  case class DecodedRow(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, brightness: Double)
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic
+    * pure function of the bytes so results are reproducible; a real
+    * implementation would decode `media` (e.g. libjpeg/ffmpeg) in the
+    * same batched per-partition shape. */
+  private def stubDecode(m: MediaRow): DecodedRow = {
+    val len = m.media.length
+    val checksum = m.media.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffff)
+    DecodedRow(
+      doc_id = m.doc_id,
+      width = 64 + (checksum % 512).toInt,
+      height = 64 + ((checksum / 512) % 512).toInt,
+      n_frames = 1 + (len % 16),
+      brightness = (checksum % 256) / 255.0)
+  }
+
+  /** documents.text reinterpreted as the media payload (UTF-8 bytes). */
+  private def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      concat(lit("application/x-"), col("source")).as("mime"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata over the binary column — byte length + content digest,
+    // all computed on the BINARY representation.
+    "multimodal_meta" -> ((s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          md5(col("media")).as("digest"))
+        .orderBy("doc_id")),
+
+    // Partition-wise batched decode (STUB) — the mapPartitions shape a
+    // real codec would use; deterministic, so rows-only driver check +
+    // ScalaTest pin the values.
+    "multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      mediaTable(s, d).as[MediaRow]
+        .mapPartitions(batch => batch.map(stubDecode))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Downstream agg over decoded features: per-mime feature stats
+    // (exercises decode output flowing back into relational ops).
+    "multimodal_feature_stats" -> ((s, d) => {
+      import s.implicits._
+      val decoded = mediaTable(s, d).as[MediaRow]
+        .mapPartitions(batch => batch.map(stubDecode))
+        .toDF()
+      decoded.join(mediaTable(s, d).select("doc_id", "mime"), "doc_id")
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_media"),
+          min("width").as("min_w"), max("width").as("max_w"),
+          sum("n_frames").as("total_frames"))
+        .orderBy("mime")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id, 'application/x-' || source AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * table (north star): brute-force cosine top-k as the correctness
+  * baseline, plus an IVF (inverted-file) variant as the scale path.
+  *
+  * Scale design: brute force is O(queries × corpus) — fine when the
+  * query set is small and broadcast (corpus never shuffles; one pass,
+  * per-partition top-k before the final merge). IVF cuts the scanned
+  * fraction to ~1/nlist by routing each query to its nearest centroid
+  * partition — the standard trade at billion-vector scale; centroids
+  * here are deterministic samples so the oracle can replicate exactly
+  * (a k-means refinement would drop in without changing the dataflow).
+  */
+object SimilarityQueries extends QuerySuite {
+
+  val TopK = 5
+  /** Deterministic centroid rule: every 50th vector. */
+  val CentroidStride = 50
+
+  private def queriesSet(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k: broadcast the query set, scan the
+    // corpus once, rank per query.
+    "sim_bruteforce_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val scored = e.crossJoin(broadcast(queriesSet(e)))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Vectors.cosine(col("q_emb"), col("embedding")))
+      scored.withColumn("rk",
+          row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select("q_id", "rk", "vec_id", "cos")
+        .orderBy("q_id", "rk")
+    }),
+
+    // IVF ANN: assign every vector to its nearest deterministic
+    // centroid (broadcast centroids, argmin per row), then search only
+    // the query's own cluster.
+    "sim_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id") % CentroidStride === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // nearest centroid per vector (cosine argmax, c_id tiebreak)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", Vectors.cosine(col("embedding"), col("c_emb")))
+        .withColumn("c_rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("c_rk") === 1)
+        .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"))
+      val qs = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cluster"),
+          col("embedding").as("q_emb"))
+      qs.join(assigned, Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Vectors.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select("q_id", "cluster", "rk", "vec_id", "cos")
+        .orderBy("q_id", "rk")
+    }),
+
+    // Per-label centroid similarity matrix: exact mean-free pairwise
+    // cosine between label centroids built with exact component sums.
+    "sim_label_centroid_norms" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      e.select(col("label"), col("vec_id"),
+          Vectors.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          min("nrm").as("min_norm"), max("nrm").as("max_norm"))
+        .orderBy("label")
+    }))
+
+  private def cosSql(a: String, b: String) = Vectors.cosineSql(a, b)
+
+  def oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |           FROM embeddings WHERE vec_id % $CentroidStride = 0),
+         |assigned AS (
+         |  SELECT vec_id, cluster, embedding FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS c_rk
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE c_rk = 1),
+         |q AS (SELECT vec_id AS q_id, cluster, embedding AS q_emb
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, q.cluster, a.vec_id,
+         |    ${cosSql("q.q_emb", "a.embedding")} AS cos
+         |  FROM q JOIN assigned a ON q.cluster = a.cluster
+         |  WHERE a.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, cluster, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, cluster, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "sim_label_centroid_norms" ->
+      s"""SELECT label, count(*) AS n_vectors,
+         |  min(${Vectors.normSql("embedding")}) AS min_norm,
+         |  max(${Vectors.normSql("embedding")}) AS max_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+}

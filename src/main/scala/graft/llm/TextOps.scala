@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators:
+  * shingling, MinHash signatures, SimHash fingerprints, token stats.
+  * Everything is Catalyst built-ins (higher-order array functions +
+  * xxhash64) — whole-stage-codegen'd, linear per row, no driver loops —
+  * so each primitive scales to 100 TB as an embarrassingly-parallel map.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: word runs or single non-space symbols. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0))
+
+  /** Distinct word n-gram shingles ("a b c" 3-grams). Caller must
+    * guarantee size(words) >= n (filter or guard). */
+  def shingles(ws: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " ")))
+
+  /** Count-only Jaccard over two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  // ---- MinHash ----------------------------------------------------
+
+  /** Large prime for the universal-hash family (fits comfortably in
+    * a long; products stay within Long range after pmod). */
+  val MinHashPrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a,b) parameter pairs for k hash functions. */
+  def minHashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => (2L * i + 1, 7919L * i))
+
+  /** k-element MinHash signature of a shingle array.
+    * h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p; sig_i = min over
+    * shingles. Pure column expression (transform × array_min). */
+  def minHashSignature(shingleArr: Column, k: Int): Column = {
+    val base = (s: Column) => pmod(xxhash64(s), lit(MinHashPrime))
+    val hs = minHashParams(k).map { case (a, b) =>
+      array_min(transform(shingleArr,
+        s => pmod(base(s) * a + b, lit(MinHashPrime))))
+    }
+    array(hs: _*)
+  }
+
+  /** LSH band keys: signature split into `bands` rows of `r` each,
+    * hashed to a bucket id. Explode the result and group by
+    * (band_idx, band_hash) to find candidate buckets. */
+  def lshBands(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band_idx"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * r + 1, lit(r)), _.cast("string")))).as("band_hash")))
+
+  // ---- SimHash ----------------------------------------------------
+
+  /** 64-bit SimHash of a token array: per-bit majority vote over
+    * xxhash64(token). Returns a signed long. Array-state fold — one
+    * pass over tokens, 64-wide vector state. */
+  def simHash(tokens: Column): Column = {
+    val bitCounts = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => call_function("shiftright", xxhash64(w), b).bitwiseAND(1L)),
+        (a, x) => a + x))
+    val n = size(tokens)
+    aggregate(
+      zip_with(bitCounts, sequence(lit(0), lit(63)),
+        (c, b) => when(c * 2 > n, call_function("shiftleft", lit(1L), b))
+          .otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- Fingerprint / quality / language ---------------------------
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct
+    * vocabulary (detects shuffled/near-identical docs). */
+  def vocabFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(lower(text)))), " ")
+      .cast("binary"))
+
+  /** Stopword-family counts used by the language-ID heuristic. */
+  val EnMarkers = Seq("the", "a", "of", "and", "to")
+  val DeMarkers = Seq("der", "die", "das", "und", "ist")
+  val EsMarkers = Seq("el", "la", "de", "y", "es")
+
+  def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => markers.foldLeft(lit(false))((acc, m) => acc || w === m)))
+      .cast("long")
+}

@@ -1,0 +1,145 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Text-analysis operators over `documents` (north star): token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * per-row column expressions — map-only, no shuffle, scale-free.
+  */
+object TextQueries extends QuerySuite {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + BPE-ish regex tokens +
+    // exact mean token length.
+    "text_token_stats" -> ((s, d) => {
+      val ws = words(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(regexTokens(col("text"))).cast("long").as("n_regex_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_vocab"),
+        (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+          / size(ws)).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/punctuation/stopword/repetition ratios
+    // combined into one deterministic score.
+    "text_quality_scores" -> ((s, d) => {
+      val ws = words(col("text"))
+      val nWords = size(ws).cast("double")
+      val stopRatio = markerCount(ws, EnMarkers).cast("double") / nWords
+      val vocabRatio = size(array_distinct(ws)).cast("double") / nWords
+      val punct = size(regexp_extract_all(col("text"), lit("""[^\w\s]"""), lit(0)))
+        .cast("double") / col("n_chars").cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        stopRatio.as("stop_ratio"),
+        vocabRatio.as("vocab_ratio"),
+        punct.as("punct_ratio"),
+        (vocabRatio * 0.5 + stopRatio * 0.3 + (lit(1.0) - punct) * 0.2)
+          .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: n-gram/stopword-marker heuristic — argmax of
+    // marker-family hit counts with 'und' (undetermined) fallback.
+    "text_lang_id" -> ((s, d) => {
+      val ws = words(lower(col("text")))
+      val en = markerCount(ws, EnMarkers)
+      val de = markerCount(ws, DeMarkers)
+      val es = markerCount(ws, EsMarkers)
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("en_hits"), de.as("de_hits"), es.as("es_hits"),
+        when(greatest(en, de, es) === 0, "und")
+          .when(en >= de && en >= es, "en")
+          .when(de >= es, "de")
+          .otherwise("es").as("guessed_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: md5 over the sorted distinct vocabulary
+    // (order-insensitive content identity).
+    "text_fingerprints" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        vocabFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Corpus rollup: per (lang, source) token/char totals — the
+    // "how big is my training set" query.
+    "text_corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("nw", size(words(col("text"))).cast("long"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("total_words"),
+          sum("n_chars").as("total_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang", "source")))
+
+  private val enSetSql = EnMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
+  private val deSetSql = DeMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
+  private val esSetSql = EsMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
+  private def hitsSql(wsExpr: String, set: String): String =
+    s"CAST(len(list_filter($wsExpr, x -> list_contains($set, x))) AS BIGINT)"
+
+  def oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        |    AS n_regex_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(length(w) AS BIGINT))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_scores" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(${hitsSql("string_split(text, ' ')", enSetSql)} AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS vocab_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |      / CAST(n_chars AS DOUBLE) AS punct_ratio
+         |  FROM documents)
+         |SELECT doc_id, stop_ratio, vocab_ratio, punct_ratio,
+         |  vocab_ratio * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2
+         |    AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    ${hitsSql("string_split(lower(text), ' ')", enSetSql)} AS en_hits,
+         |    ${hitsSql("string_split(lower(text), ' ')", deSetSql)} AS de_hits,
+         |    ${hitsSql("string_split(lower(text), ' ')", esSetSql)} AS es_hits
+         |  FROM documents)
+         |SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits,
+         |  CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
+         |       WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+         |       WHEN de_hits >= es_hits THEN 'de'
+         |       ELSE 'es' END AS guessed_lang
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprints" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin)
+}

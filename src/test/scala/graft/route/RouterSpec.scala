@@ -1,0 +1,63 @@
+package graft.route
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Router truth table from `lib/ChannelHub.js:251-279` (targeted send
+  * vs broadcast fallback) and the delivery gate
+  * (`example/engine-io.server.js:51-64`).
+  */
+class RouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nodeChannels = Seq(("news", "n1"), ("news", "n2"))
+    .toDF("channel", "sid")
+  private val allNodes = Seq("n1", "n2", "n3").toDF("sid")
+  private val clientChannels = Seq(("news", 1L, "n1"), ("news", 2L, "n2"))
+    .toDF("channel", "cid", "sid")
+
+  test("known channel fans out only to subscribed nodes, b=false") {
+    val msgs = Seq((100L, "news")).toDF("event_id", "channel")
+    val out = Router.nodeFanout(msgs, nodeChannels, allNodes).collect()
+    assert(out.length == 2)
+    assert(out.forall(!_.getAs[Boolean]("b")))
+    assert(out.map(_.getAs[String]("sid")).toSet == Set("n1", "n2"))
+  }
+
+  test("unknown channel broadcasts to ALL nodes with b=true") {
+    val msgs = Seq((101L, "mystery")).toDF("event_id", "channel")
+    val out = Router.nodeFanout(msgs, nodeChannels, allNodes).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Boolean]("b")))
+  }
+
+  test("client fanout delivers one row per subscribed client") {
+    val msgs = Seq((102L, "news")).toDF("event_id", "channel")
+    val out = Router.clientFanout(msgs, clientChannels).collect()
+    assert(out.map(_.getAs[Long]("cid")).toSet == Set(1L, 2L))
+  }
+
+  test("delivery gate drops clients no longer subscribed") {
+    val msgs = Seq((103L, "news")).toDF("event_id", "channel")
+    val deliveries = Router.clientFanout(msgs, clientChannels)
+      .select("event_id", "channel", "cid")
+    val remaining = clientChannels.filter(col("cid") =!= 1L)
+    val out = Router.deliveryGate(deliveries, remaining).collect()
+    assert(out.map(_.getAs[Long]("cid")).toSeq == Seq(2L))
+  }
+
+  test("excludeSelf removes only the sender node") {
+    val msgs = Seq((104L, "news")).toDF("event_id", "channel")
+    val out = Router.excludeSelf(
+      Router.nodeFanout(msgs, nodeChannels, allNodes), "n1").collect()
+    assert(out.map(_.getAs[String]("sid")).toSet == Set("n2"))
+  }
+
+  test("provenance split: node-originated messages skip node fan-out") {
+    val msgs = Seq((1L, "news", "publisher"), (2L, "news", "node"))
+      .toDF("event_id", "channel", "origin")
+    val (pub, node) = Router.withProvenance(msgs)
+    assert(pub.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(node.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}

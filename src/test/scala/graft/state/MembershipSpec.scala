@@ -1,0 +1,60 @@
+package graft.state
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Membership semantics replicated from `lib/ChannelHub.js`:
+  * idempotent subscribe (`:65-69`), removal cascade (`:168-172` →
+  * `:221-238`), distinct-union channels getter (`:33-51`).
+  */
+class MembershipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nc(rows: (String, String)*): DataFrame =
+    rows.toDF("channel", "sid")
+  private def cc(rows: (String, Long, String)*): DataFrame =
+    rows.toDF("channel", "cid", "sid")
+
+  test("subscribeNode is idempotent (duplicate join is a no-op)") {
+    val base = nc("news" -> "n1")
+    val twice = Membership.subscribeNode(
+      Membership.subscribeNode(base, "n1", "news"), "n1", "news")
+    assert(twice.count() == 1)
+  }
+
+  test("unsubscribeNode removes exactly the one pair") {
+    val base = nc("news" -> "n1", "news" -> "n2", "sport" -> "n1")
+    val after = Membership.unsubscribeNode(base, "n1", "news")
+    assert(after.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("news", "n2"), ("sport", "n1")))
+  }
+
+  test("removeNode drops the sid from every channel") {
+    val base = nc("news" -> "n1", "sport" -> "n1", "news" -> "n2")
+    assert(Membership.removeNode(base, "n1").count() == 1)
+  }
+
+  test("cascade: channels with zero clients lose their node rows") {
+    val nodes = nc("news" -> "n1", "ghost" -> "n1")
+    val clients = cc(("news", 1L, "n1"))
+    val surviving = Membership.cascadeEmptyChannels(nodes, clients)
+    assert(surviving.collect().map(_.getString(0)).toSeq == Seq("news"))
+  }
+
+  test("channels getter = distinct union of both maps") {
+    val nodes = nc("news" -> "n1", "internal" -> "n1")
+    val clients = cc(("news", 1L, "n1"), ("chat", 2L, "n1"))
+    val all = Membership.channels(nodes, clients).collect().map(_.getString(0))
+    assert(all.toSet == Set("news", "internal", "chat"))
+    assert(all.length == 3) // distinct
+  }
+
+  test("isClientSubscribed / isNodeSubscribed membership probes") {
+    val clients = cc(("news", 1L, "n1"))
+    assert(Membership.isClientSubscribed(clients, 1L, "news"))
+    assert(!Membership.isClientSubscribed(clients, 2L, "news"))
+    val nodes = nc("news" -> "n1")
+    assert(Membership.isNodeSubscribed(nodes, "n1", "news"))
+    assert(!Membership.isNodeSubscribed(nodes, "n1", "sport"))
+  }
+}
