@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.protocol.Frames
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming ingestion with Kafka semantics (north star:
+  * "Structured Streaming ingestion + Kafka semantics").
+  *
+  * The transforms consume the KAFKA WIRE SHAPE — (key BINARY,
+  * value BINARY, topic STRING, partition INT, offset LONG,
+  * timestamp TIMESTAMP) — which is exactly what
+  * `spark.readStream.format("kafka")` yields, so with the
+  * spark-sql-kafka connector on the classpath a real broker plugs in
+  * unchanged:
+  *
+  * {{{
+  * val raw = spark.readStream.format("kafka")
+  *   .option("kafka.bootstrap.servers", brokers)
+  *   .option("subscribe", "quty-frames")
+  *   .option("startingOffsets", "earliest").load()
+  * ChannelStream.deliveries(Ingest.channelEvents(Ingest.parseFrames(raw)))
+  * }}}
+  *
+  * (The connector jar isn't in this container, so specs drive the same
+  * shape through MemoryStream — semantics, not transport, are what the
+  * pipeline owns.)
+  *
+  * Delivery guarantees: source offsets + checkpointed state give
+  * at-least-once; [[dedupeByOffset]] upgrades re-delivered micro-batches
+  * to effectively-once, the strictly-stronger replacement for the
+  * reference's fire-and-forget (`lib/ChannelHub.js:274`).
+  */
+object Ingest {
+
+  /** Decode the wire frame ("{op}|{json}" per `lib/util.js:176-246`)
+    * out of the Kafka value bytes; keep source provenance columns. */
+  def parseFrames(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped.select(
+      col("topic"), col("partition"), col("offset"),
+      col("timestamp").as("kafka_ts"),
+      col("key").cast("string").as("key"),
+      Frames.parseFrame(col("value").cast("string")).as("frame"))
+      .select(col("topic"), col("partition"), col("offset"),
+        col("kafka_ts"), col("key"),
+        col("frame.op").as("op"), col("frame.seq").as("seq"),
+        col("frame.channel").as("channel"),
+        col("frame.message").as("message"),
+        col("frame.sender").as("sender"),
+        col("frame.cid").as("cid"))
+
+  /** Drop frames the broker re-delivered: (topic, partition, offset) is
+    * the Kafka identity of a record. Watermark bounds the dedup state. */
+  def dedupeByOffset(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("kafka_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("topic", "partition", "offset")
+
+  /** Narrow to the stateful router's input type. Malformed frames
+    * (null op — the reference's `false` return) are filtered here, the
+    * streaming analog of the parse guard at `lib/Server.js:396-401`. */
+  def channelEvents(parsed: DataFrame): Dataset[ChannelStream.ChannelEvent] = {
+    import parsed.sparkSession.implicits._
+    parsed
+      .filter(col("op").isNotNull && col("channel").isNotNull)
+      .select(
+        unix_millis(col("kafka_ts")).as("tsMillis"),
+        col("op"),
+        col("channel"),
+        coalesce(col("cid").cast("long"), lit(-1L)).as("cid"),
+        coalesce(col("sender"), lit("")).as("sid"),
+        // publisher-originated unless the sender field names a node —
+        // the provenance split of lib/QutyCluster.js:600-616
+        when(col("sender").startsWith("node-"), "node")
+          .otherwise("publisher").as("origin"),
+        coalesce(col("message"), lit("")).as("message"))
+      .as[ChannelStream.ChannelEvent]
+  }
+
+  /** Sink: deliveries → parquet partitioned by channel (the fan-out
+    * write a downstream consumer tails), via foreachBatch so a batch
+    * writer (with dynamic partition overwrite) handles the files. */
+  def deliverToParquet(deliveries: Dataset[ChannelStream.Delivery],
+      path: String, checkpoint: String) =
+    deliveries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[ChannelStream.Delivery], _: Long) =>
+        batch.write.mode("append").partitionBy("channel").parquet(path)
+      }
+}

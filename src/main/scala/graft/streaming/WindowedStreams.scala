@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming window transforms (SURVEY §2.2 streaming rows): tumbling /
+  * sliding / session windows with watermarked late-data handling — the
+  * time semantics the reference lacks entirely (its only timers are
+  * heartbeats).
+  *
+  * Each takes an unbounded DataFrame with (ts TIMESTAMP, event_type,
+  * user_id, value) — the shape of both the `events` testdata table and
+  * a parsed Kafka stream — and works identically in batch mode (used by
+  * the batch-equivalence specs).
+  */
+object WindowedStreams {
+
+  /** Tumbling per-channel throughput: the "messages per channel per
+    * 10 minutes" operational query. Watermark bounds state: windows
+    * older than 30 minutes of event time finalize and evict. */
+  def tumblingThroughput(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("approx_users"))
+
+  /** Sliding window: 10-minute window sliding every 5. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  /** Per-user session reconstruction (join→leave spans of the example
+    * hub, `example/engine-io.server.js:72-124`): 30-minute inactivity
+    * gap closes a session. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+}
