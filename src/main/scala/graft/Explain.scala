@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the named
+  * queries (or a default headline set) so scan pushdown, broadcast
+  * joins, and whole-stage-codegen coverage can be inspected.
+  *
+  * Usage: graft.Explain [sfDir] [queryName ...]
+  */
+object Explain {
+  val Headline = Seq("q1_pricing_summary", "q5_region_revenue",
+    "route_client_fanout", "window_running_totals",
+    "dedup_lsh_candidates", "sim_bruteforce_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Headline
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names; fn <- SparkEntry.queries.get(n)) {
+      println(s"\n========== $n ==========")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

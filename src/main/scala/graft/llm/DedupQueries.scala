@@ -28,8 +28,12 @@ object DedupQueries extends QuerySuite {
   val Bands = 8   // 8 bands × 4 rows
   val R = 4
 
+  /** Documents spread across all cores: the table is one parquet split
+    * and every downstream op here does heavy per-row array/hash work,
+    * so parallelism, not data size, is the constraint locally. */
   private def docsWithWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= Shingle)
 
@@ -63,10 +67,15 @@ object DedupQueries extends QuerySuite {
         col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("source"),
         col("sh").as("sh_b"))
+      // Threshold as integer arithmetic on ONE intersect evaluation:
+      // jac >= 0.2  <=>  6*|inter| >= |A|+|B|  — the expensive
+      // array_intersect runs once per pair in the filter; the jac
+      // projection only runs on surviving pairs.
       a.join(b, Seq("source"))
         .filter(col("doc_a") < col("doc_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 6 >=
+          size(col("sh_a")) + size(col("sh_b")))
         .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jac") >= 0.2)
         .select("source", "doc_a", "doc_b", "jac")
         .orderBy("source", "doc_a", "doc_b")
     }),
@@ -119,14 +128,19 @@ object DedupQueries extends QuerySuite {
     // Embedding-cosine near-dup pairs (same-label blocking), exact
     // arithmetic — see Vectors determinism contract.
     "dedup_embedding_pairs" -> ((s, d) => {
+      // norms precomputed once per vector (not once per pair) — same
+      // deterministic fold, O(n) instead of O(pairs) norm work.
       val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", Vectors.norm(col("embedding")))
       val a = e.select(col("vec_id").as("vec_a"), col("label"),
-        col("embedding").as("emb_a"))
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("label"),
-        col("embedding").as("emb_b"))
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos", Vectors.cosine(col("emb_a"), col("emb_b")))
+        .withColumn("cos",
+          Vectors.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
         .filter(col("cos") >= 0.9)
         .select("label", "vec_a", "vec_b", "cos")
         .orderBy("label", "vec_a", "vec_b")

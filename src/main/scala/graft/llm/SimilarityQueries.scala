@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   * partition — the standard trade at billion-vector scale; centroids
   * here are deterministic samples so the oracle can replicate exactly
   * (a k-means refinement would drop in without changing the dataflow).
+  * Norms are computed once per vector, never per pair.
   */
 object SimilarityQueries extends QuerySuite {
 
@@ -23,18 +24,29 @@ object SimilarityQueries extends QuerySuite {
   /** Deterministic centroid rule: every 50th vector. */
   val CentroidStride = 50
 
-  private def queriesSet(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+  /** Corpus with per-vector norm, spread across cores (single-split
+    * local file; at scale the source is already partitioned). */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("nrm", Vectors.norm(col("embedding")))
+
+  private def cosPre(qEmb: Column_, qNrm: Column_, emb: Column_, nrm: Column_) =
+    Vectors.dot(qEmb, emb) / (qNrm * nrm)
+  private type Column_ = org.apache.spark.sql.Column
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: broadcast the query set, scan the
     // corpus once, rank per query.
     "sim_bruteforce_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val scored = e.crossJoin(broadcast(queriesSet(e)))
+      val e = corpus(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val scored = e.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", Vectors.cosine(col("q_emb"), col("embedding")))
+        .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
       scored.withColumn("rk",
           row_number().over(Window.partitionBy(col("q_id"))
             .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
@@ -44,26 +56,29 @@ object SimilarityQueries extends QuerySuite {
     }),
 
     // IVF ANN: assign every vector to its nearest deterministic
-    // centroid (broadcast centroids, argmin per row), then search only
+    // centroid (broadcast centroids, argmax per row), then search only
     // the query's own cluster.
     "sim_ivf_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = corpus(s, d)
       val centroids = e.filter(col("vec_id") % CentroidStride === 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // nearest centroid per vector (cosine argmax, c_id tiebreak)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
       val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", Vectors.cosine(col("embedding"), col("c_emb")))
+        .withColumn("c_cos", cosPre(col("c_emb"), col("c_nrm"),
+          col("embedding"), col("nrm")))
         .withColumn("c_rk", row_number().over(
           Window.partitionBy(col("vec_id"))
             .orderBy(col("c_cos").desc, col("c_id"))))
         .filter(col("c_rk") === 1)
-        .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"))
+        .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"),
+          col("nrm"))
       val qs = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("cluster"),
-          col("embedding").as("q_emb"))
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       qs.join(assigned, Seq("cluster"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", Vectors.cosine(col("q_emb"), col("embedding")))
+        .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_id"))
             .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
@@ -72,17 +87,13 @@ object SimilarityQueries extends QuerySuite {
         .orderBy("q_id", "rk")
     }),
 
-    // Per-label centroid similarity matrix: exact mean-free pairwise
-    // cosine between label centroids built with exact component sums.
-    "sim_label_centroid_norms" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      e.select(col("label"), col("vec_id"),
-          Vectors.norm(col("embedding")).as("nrm"))
+    // Per-label norm stats (exact component folds).
+    "sim_label_centroid_norms" -> ((s, d) =>
+      corpus(s, d)
         .groupBy("label")
         .agg(count(lit(1)).as("n_vectors"),
           min("nrm").as("min_norm"), max("nrm").as("max_norm"))
-        .orderBy("label")
-    }))
+        .orderBy("label")))
 
   private def cosSql(a: String, b: String) = Vectors.cosineSql(a, b)
 

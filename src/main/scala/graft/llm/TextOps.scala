@@ -68,12 +68,15 @@ object TextOps {
     * xxhash64(token). Returns a signed long. Array-state fold — one
     * pass over tokens, 64-wide vector state. */
   def simHash(tokens: Column): Column = {
+    // hash each token ONCE, then fold bit-vectors over the hash array
+    // (folding over raw tokens would re-hash every token per bit).
+    val hashes = transform(tokens, w => xxhash64(w))
     val bitCounts = aggregate(
-      tokens,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          b => call_function("shiftright", xxhash64(w), b).bitwiseAND(1L)),
+          b => call_function("shiftright", h, b).bitwiseAND(1L)),
         (a, x) => a + x))
     val n = size(tokens)
     aggregate(

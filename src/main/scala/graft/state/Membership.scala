@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *
   * For oracle-differential testing the membership is DERIVED
   * deterministically from the `events` table (a user "subscribes" to an
-  * event_type-channel once they have >= 3 events of that type; the owning
+  * event_type-channel once they have >= 15 events of that type — heavy
+  * users only, giving a realistic subscriber density; the owning
   * node is `node-{cid % 4}`), so DuckDB can rebuild the exact same state
   * from the same parquet. The point-wise operations (O3-O13,
   * `lib/ChannelHub.js:60-238`) are pure transforms over these frames.
@@ -24,14 +25,14 @@ import org.apache.spark.sql.functions._
 object Membership {
 
   /** Minimum events of a type before a user counts as subscribed. */
-  val SubscribeThreshold = 3
+  val SubscribeThreshold = 15
 
   /** Number of synthetic cluster nodes clients are sharded onto. */
   val NumNodes = 4
 
   /** client_channels derived from the events log.
     * SQL twin (keep in sync with [[MembershipSql.clientChannels]]):
-    * group events by (event_type, user_id), HAVING count >= 3.
+    * group events by (event_type, user_id), HAVING count >= 15.
     */
   def clientChannels(events: DataFrame): DataFrame =
     events
@@ -137,7 +138,7 @@ object MembershipSql {
     """SELECT event_type AS channel, user_id AS cid,
       |       'node-' || (user_id % 4) AS sid
       |FROM events GROUP BY event_type, user_id
-      |HAVING COUNT(*) >= 3""".stripMargin
+      |HAVING COUNT(*) >= 15""".stripMargin
 
   val nodeChannels: String =
     s"SELECT DISTINCT channel, sid FROM ($clientChannels)"
