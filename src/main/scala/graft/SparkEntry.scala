@@ -15,6 +15,7 @@ object SparkEntry {
     analytics.RelationalQueries,
     analytics.WindowQueries,
     analytics.ScalarQueries,
+    analytics.ExtendedQueries,
     llm.DedupQueries,
     llm.TextQueries,
     llm.SimilarityQueries,

@@ -1,0 +1,142 @@
+package graft.analytics
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Second relational wave: pivot, generators (explode), the SQL entry
+  * point (scalar subqueries through `spark.sql`), and a custom typed
+  * `Aggregator` UDAF — the extension surface beyond built-ins.
+  */
+object ExtendedQueries extends QuerySuite {
+
+  /** Exact quantity-weighted mean price as a typed Aggregator:
+    * buffer = (Σ cents(price)·qty, Σ qty) — both exact integers-in-long
+    * /integral-double, so the single final division is deterministic.
+    * Demonstrates the UDAF path (partial merge comes from Catalyst). */
+  object WeightedPriceAvg extends Aggregator[(Double, Double), (Long, Double), Double] {
+    def zero: (Long, Double) = (0L, 0.0)
+    def reduce(b: (Long, Double), in: (Double, Double)): (Long, Double) = {
+      val cents = math.round(in._1 * 100)
+      (b._1 + cents * math.round(in._2), b._2 + in._2)
+    }
+    def merge(a: (Long, Double), b: (Long, Double)): (Long, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Long, Double)): Double =
+      if (b._2 == 0) 0.0 else b._1 / 100.0 / b._2
+    def bufferEncoder = Encoders.product[(Long, Double)]
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pivot: customer count per (nation × market segment) — one column
+    // per segment, stable column set pinned explicitly.
+    "pivot_segment_counts" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("n_name")),
+
+    // Generator / lateral view: explode document words (posexplode
+    // exercises the positional generator), then corpus-wide top-20
+    // word frequencies.
+    "explode_word_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "word")))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
+
+    // SQL entry point + scalar subquery: parts above the global exact
+    // mean price, through spark.sql (the engine's SQL API surface).
+    "sql_scalar_subquery" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql(s"""
+        SELECT p_partkey, p_retailprice
+        FROM part_v
+        WHERE p_retailprice >
+          (SELECT sum(cast(round(p_retailprice*100) as bigint))/100.0/count(*)
+           FROM part_v)
+        ORDER BY p_partkey""")
+    }),
+
+    // IN / NOT IN subqueries through SQL.
+    "sql_in_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_v
+        WHERE c_custkey IN (SELECT o_custkey FROM orders_v
+                            WHERE o_orderpriority = '1-URGENT')
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders_v
+                                WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }),
+
+    // Custom typed Aggregator UDAF: exact weighted mean price per brand.
+    "udaf_weighted_price" -> ((s, d) => {
+      val wavg = udaf(WeightedPriceAvg)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "pivot_segment_counts" ->
+      """SELECT n_name,
+        |  CAST(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+        |  CAST(sum(CASE WHEN c_mktsegment='BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+        |  CAST(sum(CASE WHEN c_mktsegment='FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+        |  CAST(sum(CASE WHEN c_mktsegment='HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+        |  CAST(sum(CASE WHEN c_mktsegment='MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "explode_word_freq" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM words GROUP BY word
+        |ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "sql_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice >
+        |  (SELECT sum(cast(round(p_retailprice*100) as bigint))/100.0/count(*)
+        |   FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "sql_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "udaf_weighted_price" ->
+      s"""SELECT p_brand,
+         |  CASE WHEN sum(l_quantity) = 0 THEN 0.0
+         |       ELSE sum(${centsSql("l_extendedprice")}
+         |                * CAST(round(l_quantity) AS BIGINT))/100.0/sum(l_quantity)
+         |  END AS wavg_price,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+}
