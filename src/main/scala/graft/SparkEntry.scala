@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.WindowQueries,
     analytics.ScalarQueries,
     analytics.ExtendedQueries,
+    analytics.ScaleQueries,
     llm.DedupQueries,
     llm.TextQueries,
     llm.SimilarityQueries,

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{ChannelStream, Ingest}
+import graft.streaming.{ChannelProcessor, ChannelStream, Ingest}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
@@ -12,7 +12,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * With the spark-sql-kafka connector on the classpath, swap the
   * MemoryStream for `readStream.format("kafka")` (see Ingest docs).
   *
-  * Usage: graft.StreamDemo <outDir>
+  * Usage: graft.StreamDemo <outDir> [--tws]
+  * (--tws routes through the Spark-4 transformWithState processor on
+  * the RocksDB state store instead of flatMapGroupsWithState.)
   */
 object StreamDemo {
   case class KafkaRecord(key: Array[Byte], value: Array[Byte],
@@ -20,18 +22,23 @@ object StreamDemo {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/stream_demo")
-    val spark = SparkSession.builder().master("local[4]")
+    val useTws = args.contains("--tws")
+    val builder = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (useTws) builder.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KafkaRecord]
-    val deliveries = ChannelStream.deliveries(
-      Ingest.channelEvents(Ingest.parseFrames(input.toDF())))
+    val events = Ingest.channelEvents(Ingest.parseFrames(input.toDF()))
+    val deliveries =
+      if (useTws) ChannelProcessor.deliveries(events)
+      else ChannelStream.deliveries(events)
 
     val query = Ingest.deliverToParquet(deliveries, s"$out/deliveries",
       s"$out/checkpoint").outputMode(OutputMode.Append).start()

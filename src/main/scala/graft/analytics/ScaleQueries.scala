@@ -1,0 +1,68 @@
+package graft.analytics
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Scale-technique demonstrations with oracle-verified equivalence:
+  * the point of each query is that the OPTIMIZED dataflow produces
+  * bit-identical results to the naive one the oracle computes.
+  */
+object ScaleQueries extends QuerySuite {
+
+  val Salts = 16
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Skew-safe aggregation by salting: a hot key (every event lands in
+    // one of 5 channels; 'purchase'-like keys dominate) is pre-split
+    // into `Salts` shards, partially aggregated, then merged — the
+    // two-stage pattern for keys too hot for one reducer. The oracle is
+    // the naive single-stage groupBy: results must match exactly, which
+    // the integer-cents sums guarantee.
+    "agg_salted_hot_key" -> ((s, d) => {
+      val salted = Tables.events(s, d)
+        .withColumn("salt", col("event_id") % Salts)
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v"))
+      salted.groupBy("event_type")
+        .agg(sum("n").as("n_events"), (sum("v") / 100.0).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // Sketch-based distinct counting (HLL++): approximate per-channel
+    // user counts next to the exact answer. Rows-only driver check
+    // (sketch estimates are engine-specific); the exactness bound is
+    // asserted in ScaleSpec.
+    "sketch_hll_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id", 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
+    // Map-side (partial) aggregation visibility: pre-aggregate per
+    // input partition before the shuffle, then merge — what Catalyst
+    // does automatically for sum/count, expressed explicitly over the
+    // high-cardinality (user, day) key so the shuffle carries partial
+    // rows, not raw events.
+    "agg_two_stage_user_day" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v"))
+        .orderBy("user_id", "day"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "agg_salted_hot_key" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_two_stage_user_day" ->
+      s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+         |  ${moneySumSql("value")} AS v
+         |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+         |ORDER BY user_id, day""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+import ChannelStream.{ChannelEvent, ChannelState, Delivery}
+
+/** Spark-4-native variant of [[ChannelStream]] on the
+  * `transformWithState` API (SURVEY §7.4: "use transformWithState
+  * (Spark 4) / RocksDB state store; key by channel; TTL for empty
+  * channels"): same transition semantics, but state lives in a
+  * RocksDB-backed `ValueState` — the production path at 100 TB, where
+  * membership state must survive executor loss and exceed heap.
+  *
+  * Semantics are shared with the flatMapGroupsWithState path through
+  * the same ordered-replay logic, so both implementations are covered
+  * by the same expectations (see ChannelProcessorSpec).
+  */
+class ChannelProcessor extends StatefulProcessor[String, ChannelEvent, Delivery] {
+  import ChannelProcessor.TwsState
+
+  @transient private var members: ValueState[TwsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getValueState[TwsState](
+      "members", Encoders.product[TwsState], TTLConfig.NONE)
+
+  override def handleInputRows(channel: String, rows: Iterator[ChannelEvent],
+      timers: TimerValues): Iterator[Delivery] = {
+    var m: Map[Long, String] =
+      if (members.exists()) members.get().entries.toMap else Map.empty
+    val out = Seq.newBuilder[Delivery]
+    for (e <- rows.toSeq.sortBy(ev => (ev.tsMillis, ev.op, ev.cid))) e.op match {
+      case "J" => m = m.updated(e.cid, e.sid)
+      case "L" | "U" | "K" => m = m - e.cid
+      case "M" =>
+        out ++= m.toSeq.sortBy(_._1).map { case (cid, sid) =>
+          Delivery(channel, cid, sid, e.message, e.tsMillis, e.origin)
+        }
+      case _ =>
+    }
+    if (m.isEmpty) members.clear()         // channel auto-destroy
+    else members.update(TwsState(m.toSeq.sortBy(_._1)))
+    out.result().iterator
+  }
+}
+
+object ChannelProcessor {
+  /** State row for the Avro state encoder, which supports arrays of
+    * structs but not MapType — membership as sorted (cid, sid) pairs. */
+  case class TwsState(entries: Seq[(Long, String)])
+
+  /** Wire the processor onto an event stream. Requires the RocksDB
+    * state store provider (set in the session conf; see spec). */
+  def deliveries(events: Dataset[ChannelEvent]): Dataset[Delivery] = {
+    implicit val outEnc = Encoders.product[Delivery]
+    events
+      .groupByKey(_.channel)(Encoders.STRING)
+      .transformWithState(new ChannelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}
