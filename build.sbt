@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~70 codegen'd queries in one JVM generate a lot of janino classes;
+  // the 240m default code cache can fill and silently disable the JIT
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -2,17 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: Bench with per-query progress on stderr (find the hogs). */
+/** Dev-only: Bench with per-query progress on stderr (find the hogs).
+  * BP_THREADS / BP_SPLIT env vars mirror Bench's session config. */
 object BenchProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val threads = sys.env.getOrElse("BP_THREADS", "8")
+    val b = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (sys.env.get("BP_SPLIT").contains("1"))
+      b.config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
