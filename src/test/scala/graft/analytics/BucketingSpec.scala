@@ -1,0 +1,43 @@
+package graft.analytics
+
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join (the 100 TB fact⋈fact answer, SURVEY §2.2
+  * joins row): both sides bucketed on the join key join WITHOUT a
+  * shuffle exchange — the physical plan proof that the partitioning
+  * strategy holds.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join of two tables bucketed on the key plans no shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+    val orders = (1L to 1000L).map(k => (k, s"O$k")).toDF("o_orderkey", "o_tag")
+    val lineitem = (1L to 1000L).flatMap(k => Seq((k, k * 2.0), (k, k * 3.0)))
+      .toDF("l_orderkey", "l_val")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+
+    // disable broadcast so the join must pick sort-merge — the point is
+    // that bucketing removes the Exchange, not that broadcast hides it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 2000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
