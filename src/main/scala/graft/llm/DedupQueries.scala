@@ -125,14 +125,18 @@ object DedupQueries extends QuerySuite {
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
-    // Embedding-cosine near-dup pairs (same-label blocking), exact
+    // Embedding-cosine near-dup pairs (same-label blocking), exact;
+    // threshold 0.35 sits in the top tail of this synthetic corpus
+    // (random embeddings peak near cosine 0.47) so the check is
+    // non-vacuous — a real corpus would use ~0.9.
     // arithmetic — see Vectors determinism contract.
     "dedup_embedding_pairs" -> ((s, d) => {
       // norms precomputed once per vector (not once per pair) — same
       // deterministic fold, O(n) instead of O(pairs) norm work.
+      graft.plans.FloatVectorDot.register(s)
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("nrm", Vectors.norm(col("embedding")))
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
       val a = e.select(col("vec_id").as("vec_a"), col("label"),
         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("label"),
@@ -140,8 +144,8 @@ object DedupQueries extends QuerySuite {
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("cos",
-          Vectors.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-        .filter(col("cos") >= 0.9)
+          Vectors.dotNative(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= 0.35)
         .select("label", "vec_a", "vec_b", "cos")
         .orderBy("label", "vec_a", "vec_b")
     }))
@@ -181,6 +185,6 @@ object DedupQueries extends QuerySuite {
          |  ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= 0.9
+         |WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY a.label, vec_a, vec_b""".stripMargin)
 }

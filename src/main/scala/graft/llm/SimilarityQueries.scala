@@ -26,13 +26,15 @@ object SimilarityQueries extends QuerySuite {
 
   /** Corpus with per-vector norm, spread across cores (single-split
     * local file; at scale the source is already partitioned). */
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.plans.FloatVectorDot.register(s)
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("nrm", Vectors.norm(col("embedding")))
+      .withColumn("nrm", Vectors.normNative(col("embedding")))
+  }
 
   private def cosPre(qEmb: Column_, qNrm: Column_, emb: Column_, nrm: Column_) =
-    Vectors.dot(qEmb, emb) / (qNrm * nrm)
+    Vectors.dotNative(qEmb, emb) / (qNrm * nrm)
   private type Column_ = org.apache.spark.sql.Column
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -15,7 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-fold double dot product. */
+  /** Codegen'd native dot product ([[graft.plans.FloatVectorDot]]) —
+    * call [[graft.plans.FloatVectorDot.register]] on the session first.
+    * Bit-identical to [[dot]]; ~10x faster (tight primitive loop vs
+    * interpreted HOFs). */
+  def dotNative(a: Column, b: Column): Column =
+    call_function(graft.plans.FloatVectorDot.Name, a, b)
+
+  /** Codegen'd native norm. */
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  /** Sequential-fold double dot product (built-ins-only reference
+    * implementation; the spec pins dotNative == dot bit-exactly). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
