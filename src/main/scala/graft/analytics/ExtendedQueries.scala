@@ -83,6 +83,33 @@ object ExtendedQueries extends QuerySuite {
         ORDER BY c_custkey""")
     }),
 
+    // Explicit GROUPING SETS with grouping indicators (beyond
+    // rollup/cube): per-(status,priority), per-status, grand total.
+    "sql_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST, g_status, g_prio""")
+    }),
+
+    // Edit-distance + translation string functions (fuzzy-matching
+    // family the dedup pipeline leans on for short fields).
+    "string_distance_suite" -> ((s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey").cast("long").as("nationkey"),
+        levenshtein(col("n_name"), lit("NATION_1")).cast("long").as("lev_to_n1"),
+        translate(col("n_name"), "_0123456789", "-").as("name_dashed"),
+        concat(col("n_name"), lit(":"), repeat(lit("*"), 3)).as("starred"),
+        ascii(col("n_name")).cast("long").as("first_byte"))
+        .orderBy("nationkey")),
+
     // Custom typed Aggregator UDAF: exact weighted mean price per brand.
     "udaf_weighted_price" -> ((s, d) => {
       val wavg = udaf(WeightedPriceAvg)
@@ -129,6 +156,25 @@ object ExtendedQueries extends QuerySuite {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST, g_status, g_prio""".stripMargin,
+
+    "string_distance_suite" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+        |  CAST(levenshtein(n_name, 'NATION_1') AS BIGINT) AS lev_to_n1,
+        |  translate(n_name, '_0123456789', '-') AS name_dashed,
+        |  n_name || ':' || repeat('*', 3) AS starred,
+        |  CAST(ascii(n_name) AS BIGINT) AS first_byte
+        |FROM nation ORDER BY nationkey""".stripMargin,
 
     "udaf_weighted_price" ->
       s"""SELECT p_brand,
