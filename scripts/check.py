@@ -42,14 +42,15 @@ for name in sorted(os.listdir(out_dir)):
     w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     diff_cols = []
     for c in got.columns:
-        gv, wv = g[c], w[c].astype(g[c].dtype, errors="ignore") if hasattr(w[c], "astype") else w[c]
+        gv = g[c]
+        wv = w[c].astype(gv.dtype, errors="ignore") if hasattr(w[c], "astype") else w[c]
         try:
-            eq = (gv.values == w[c].values) | (gv.isna().values & w[c].isna().values)
+            eq = (gv.values == wv.values) | (gv.isna().values & wv.isna().values)
         except Exception:
-            eq = gv.astype(str).values == w[c].astype(str).values
+            eq = gv.astype(str).values == wv.astype(str).values
         if not eq.all():
             i = int((~eq).argmax())
-            diff_cols.append(f"{c}[row{i}]: got={gv.iloc[i]!r} want={w[c].iloc[i]!r}")
+            diff_cols.append(f"{c}[row{i}]: got={gv.iloc[i]!r} want={wv.iloc[i]!r}")
     if diff_cols:
         fails.append((name, "; ".join(diff_cols[:3])))
     else:

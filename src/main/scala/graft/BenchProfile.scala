@@ -18,7 +18,11 @@ object BenchProfile {
       b.config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // BP_ONLY: comma-separated name prefixes to restrict the run.
+    val only = sys.env.get("BP_ONLY").map(_.split(",").toSeq)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"$name ERROR ${e.getMessage.take(80)}") }

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextOps._
 
@@ -27,15 +28,103 @@ object DedupQueries extends QuerySuite {
   val K = 32      // minhash signature length
   val Bands = 8   // 8 bands × 4 rows
   val R = 4
+  /** Hot-bucket guard: band buckets holding more than this many docs
+    * are dropped from candidate generation (quadratic-pair risk — one
+    * boilerplate-heavy band value would otherwise explode; the dropped
+    * mass is surfaced by `dedup_lsh_bucket_stats`). Docs sharing a
+    * giant bucket are overwhelmingly exact/near-exact dups, which the
+    * exact-dedup pass upstream already catches. */
+  val MaxBucket = 64
 
   /** Documents spread across all cores: the table is one parquet split
     * and every downstream op here does heavy per-row array/hash work,
-    * so parallelism, not data size, is the constraint locally. */
-  private def docsWithWords(s: SparkSession, d: String): DataFrame =
+    * so parallelism, not data size, is the constraint locally. Also
+    * registers the native text kernels the dedup family uses. */
+  private def docsWithWords(s: SparkSession, d: String): DataFrame = {
+    graft.plans.NGramShingles.register(s)
+    graft.plans.MinHashSig.register(s)
+    graft.plans.SimHash64.register(s)
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= Shingle)
+  }
+
+  /** Exploded (doc_id, band_idx, band_hash) bucket rows from a frame
+    * with a `sig` signature column. */
+  private[llm] def bandBuckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(lshBands(col("sig"), Bands, R)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+
+  /** Candidate pairs within band buckets, hot buckets (> [[MaxBucket]]
+    * docs) excluded before the self-join so one degenerate band value
+    * cannot go quadratic. The bucket-size count shuffles only the slim
+    * (doc_id, band) tuples, never text or signatures. */
+  private[llm] def cappedBandPairs(docs: DataFrame): DataFrame = {
+    val capped = bandBuckets(docs)
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= MaxBucket)
+      .select("doc_id", "band_idx", "band_hash")
+    capped.as("x").join(capped.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact all-pairs Jaccard (t = 0.2) with prefix filtering. Input
+    * needs `doc_id`, `source`, `w` columns. Every stage is a linear
+    * shuffle: explode tokens, count document frequency, rank tokens
+    * rarest-first per doc, keep the |S|-ceil(t|S|)+1 prefix, equi-join
+    * prefixes on (source, shingle), then ONE exact intersect per
+    * surviving candidate. Threshold as integer arithmetic:
+    * jac >= 0.2 <=> 6*|inter| >= |A|+|B|. */
+  private[llm] def ngramJaccardPairs(dw: DataFrame): DataFrame = {
+    graft.plans.NGramShingles.register(dw.sparkSession)
+    // Shingle arrays feed four consumers (token explode, df counts and
+    // both verify-join sides); one materialization beats four compiled
+    // recomputes — and at full scale this is the tokenized corpus you
+    // would land on disk once anyway.
+    val docs = dw.select(col("doc_id"), col("source"),
+      shinglesNative(col("w"), Shingle).as("sh"))
+      .persist()
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    // The prefix index feeds BOTH sides of the candidate self-join;
+    // without materialization Spark would recompute the explode + df
+    // join + window for each side. Persisting the slim (doc_id, source,
+    // t) frame is the classic inverted-index build — at full scale this
+    // is the one intermediate worth a disk-backed materialization.
+    val prefix = tok.join(freq, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+      .filter(col("pos") <=
+        col("sz") - ceil(col("sz") * lit(0.2)).cast("int") + 1)
+      .select(col("doc_id"), col("source"), col("t"))
+      .persist()
+    // Materialize NOW: both join sides otherwise race to compute the
+    // same uncached partitions (block-lock contention). One count does
+    // the index build once; the join below reads only cached blocks.
+    prefix.count()
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.source") === col("y.source") && col("x.t") === col("y.t") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.source").as("source"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 6 >=
+        size(col("sh_a")) + size(col("sh_b")))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .select("source", "doc_a", "doc_b", "jac")
+      .orderBy("source", "doc_a", "doc_b")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content digest, keep the lowest doc_id.
@@ -57,59 +146,46 @@ object DedupQueries extends QuerySuite {
         .orderBy("doc_id")
     }),
 
-    // Ground-truth n-gram Jaccard near-dup pairs (same-source blocking
-    // keeps it oracle-checkable; the LSH query below is the scale path).
-    "dedup_ngram_jaccard_pairs" -> ((s, d) => {
-      val docs = docsWithWords(s, d)
-        .select(col("doc_id"), col("source"),
-          shingles(col("w"), Shingle).as("sh"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("source"),
-        col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("source"),
-        col("sh").as("sh_b"))
-      // Threshold as integer arithmetic on ONE intersect evaluation:
-      // jac >= 0.2  <=>  6*|inter| >= |A|+|B|  — the expensive
-      // array_intersect runs once per pair in the filter; the jac
-      // projection only runs on surviving pairs.
-      a.join(b, Seq("source"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 6 >=
-          size(col("sh_a")) + size(col("sh_b")))
-        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-        .select("source", "doc_a", "doc_b", "jac")
-        .orderBy("source", "doc_a", "doc_b")
-    }),
+    // EXACT n-gram Jaccard near-dup pairs via prefix-filtering set-
+    // similarity join (Bayardo et al., WWW'07 "Scaling Up All Pairs
+    // Similarity Search" — public algorithm): a pair with jac >= t MUST
+    // share at least one shingle inside both docs' rarest-first
+    // prefixes of length |S| - ceil(t*|S|) + 1, so candidate generation
+    // is an equi-join on (source, prefix-shingle) — near-linear for
+    // real corpora — and the exact jaccard check runs only on
+    // candidates. Result set is IDENTICAL to the brute-force all-pairs
+    // form (same DuckDB oracle; equivalence also spec-pinned at
+    // sf0.001), replacing the round-1 quadratic-within-block plan.
+    "dedup_ngram_jaccard_pairs" -> ((s, d) =>
+      ngramJaccardPairs(docsWithWords(s, d))),
 
     // MinHash signatures (first 4 components surfaced for inspection) —
-    // deterministic, so rows-only check + ScalaTest cover it.
-    "dedup_minhash_signatures" -> ((s, d) =>
+    // deterministic, so rows-only check + ScalaTest cover it. Native
+    // single-pass kernel (plans/MinHashSig): each shingle hashed ONCE
+    // in compiled code, spec-pinned bit-identical to the HOF twin.
+    "dedup_minhash_signatures" -> ((s, d) => {
+      graft.plans.MinHashSig.register(s)
       docsWithWords(s, d)
-        .withColumn("sig", minHashSignature(shingles(col("w"), Shingle), K))
+        .withColumn("sig", minHashNative(shinglesNative(col("w"), Shingle), K))
         .select(col("doc_id"),
           element_at(col("sig"), 1).as("h1"),
           element_at(col("sig"), 2).as("h2"),
           element_at(col("sig"), 3).as("h3"),
           element_at(col("sig"), 4).as("h4"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // MinHash+LSH candidate pairs: explode band buckets, self-join
-    // within buckets only, verify with exact Jaccard. The verify join
+    // within buckets only (buckets above MaxBucket dropped — the
+    // hot-bucket guard), verify with exact Jaccard. The verify join
     // re-reads shingles for candidates only — at scale that is a
     // key-lookup join on a small candidate set.
     "dedup_lsh_candidates" -> ((s, d) => {
+      graft.plans.MinHashSig.register(s)
       val docs = docsWithWords(s, d)
-        .select(col("doc_id"), shingles(col("w"), Shingle).as("sh"))
-        .withColumn("sig", minHashSignature(col("sh"), K))
-      val bands = docs.select(col("doc_id"),
-          explode(lshBands(col("sig"), Bands, R)).as("band"))
-        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-          col("band.band_hash").as("band_hash"))
-      val pairs = bands.as("x").join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+        .select(col("doc_id"), shinglesNative(col("w"), Shingle).as("sh"))
+        .withColumn("sig", minHashNative(col("sh"), K))
+      val pairs = cappedBandPairs(docs)
       pairs
         .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -118,12 +194,34 @@ object DedupQueries extends QuerySuite {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash fingerprints + exact-bucket near-dups.
-    "dedup_simhash" -> ((s, d) =>
+    // LSH band-bucket census: bucket-size distribution per band plus
+    // the mass the hot-bucket guard drops — the operational view a
+    // 100 TB dedup run watches (a skewed band shows up here first).
+    "dedup_lsh_bucket_stats" -> ((s, d) => {
+      graft.plans.MinHashSig.register(s)
+      val docs = docsWithWords(s, d)
+        .select(col("doc_id"),
+          minHashNative(shinglesNative(col("w"), Shingle), K).as("sig"))
+      bandBuckets(docs)
+        .groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("bucket_n"))
+        .groupBy("band_idx")
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("bucket_n")).as("max_bucket"),
+          sum(when(col("bucket_n") > MaxBucket, col("bucket_n"))
+            .otherwise(0L)).as("dropped_docs"))
+        .orderBy("band_idx")
+    }),
+
+    // SimHash fingerprints + exact-bucket near-dups. Native one-pass
+    // kernel (plans/SimHash64), spec-pinned to the HOF twin.
+    "dedup_simhash" -> ((s, d) => {
+      graft.plans.SimHash64.register(s)
       docsWithWords(s, d)
-        .withColumn("simhash", simHash(col("w")))
+        .withColumn("simhash", simHashNative(col("w")))
         .select("doc_id", "simhash")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Embedding-cosine near-dup pairs (same-label blocking), exact;
     // threshold 0.35 sits in the top tail of this synthetic corpus

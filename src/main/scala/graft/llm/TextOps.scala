@@ -25,6 +25,13 @@ object TextOps {
       sequence(lit(1), size(ws) - (n - 1)),
       i => array_join(slice(ws, i, lit(n)), " ")))
 
+  /** Native single-pass shingles ([[graft.plans.NGramShingles]]) — call
+    * [[graft.plans.NGramShingles.register]] first. Bit-identical to
+    * [[shingles]] under its `size(ws) >= n` guard (spec-pinned);
+    * additionally returns an empty array below the guard. */
+  def shinglesNative(ws: Column, n: Int): Column =
+    call_function(graft.plans.NGramShingles.Name, ws, lit(n))
+
   /** Count-only Jaccard over two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -41,17 +48,41 @@ object TextOps {
   def minHashParams(k: Int): Seq[(Long, Long)] =
     (1 to k).map(i => (2L * i + 1, 7919L * i))
 
+  /** Base hashes for MinHash: xxhash64(s) mod p, computed ONCE per
+    * shingle. Materialize this as its own column before fanning out to
+    * the k affine transforms — hashing is the expensive step and must
+    * not be re-evaluated per hash function (it used to run k=32×). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(xxhash64(s), lit(MinHashPrime)))
+
+  /** k-element MinHash signature over PRE-HASHED shingles
+    * ([[shingleHashes]]): sig_i = min over h of (a_i*h + b_i) mod p.
+    * Only cheap long arithmetic per (shingle, i) — the string hash is
+    * paid once, the same fold-over-prehashed pattern [[simHash]] uses. */
+  def minHashFromHashes(hashArr: Column, k: Int): Column =
+    array(minHashParams(k).map { case (a, b) =>
+      array_min(transform(hashArr, h => pmod(h * a + b, lit(MinHashPrime))))
+    }: _*)
+
   /** k-element MinHash signature of a shingle array.
     * h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p; sig_i = min over
-    * shingles. Pure column expression (transform × array_min). */
-  def minHashSignature(shingleArr: Column, k: Int): Column = {
-    val base = (s: Column) => pmod(xxhash64(s), lit(MinHashPrime))
-    val hs = minHashParams(k).map { case (a, b) =>
-      array_min(transform(shingleArr,
-        s => pmod(base(s) * a + b, lit(MinHashPrime))))
-    }
-    array(hs: _*)
-  }
+    * shingles. Prefer materializing [[shingleHashes]] as a column first
+    * (see [[minHashFromHashes]]) so the hash runs once, not k times. */
+  def minHashSignature(shingleArr: Column, k: Int): Column =
+    minHashFromHashes(shingleHashes(shingleArr), k)
+
+  /** Native single-pass MinHash ([[graft.plans.MinHashSig]]) — call
+    * [[graft.plans.MinHashSig.register]] on the session first.
+    * Bit-identical to [[minHashSignature]] (spec-pinned); hashes each
+    * shingle exactly once in compiled code. */
+  def minHashNative(shingleArr: Column, k: Int): Column =
+    call_function(graft.plans.MinHashSig.Name, shingleArr, lit(k))
+
+  /** Native single-pass SimHash ([[graft.plans.SimHash64]]) — call
+    * [[graft.plans.SimHash64.register]] first. Bit-identical to
+    * [[simHash]] (spec-pinned). */
+  def simHashNative(tokens: Column): Column =
+    call_function(graft.plans.SimHash64.Name, tokens)
 
   /** LSH band keys: signature split into `bands` rows of `r` each,
     * hashed to a bucket id. Explode the result and group by

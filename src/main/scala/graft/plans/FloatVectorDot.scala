@@ -93,6 +93,10 @@ object FloatVectorDot {
   * native functions in every session of the cluster.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(FloatVectorDot.functionDescription)
+    ext.injectFunction(MinHashSig.functionDescription)
+    ext.injectFunction(SimHash64.functionDescription)
+    ext.injectFunction(NGramShingles.functionDescription)
+  }
 }

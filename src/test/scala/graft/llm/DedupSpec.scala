@@ -75,6 +75,76 @@ class DedupSpec extends SparkSpec {
       s"near-dup hamming $nearDist should be < unrelated $farDist")
   }
 
+  test("prefix-filter jaccard join == brute force (planted corpus + real table)") {
+    // Planted corpus: deterministic near-dup pairs of varying sizes and
+    // unrelated filler, across two sources.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 80).map(i => s"w$i")
+    def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    var id = 0L
+    for (src <- Seq("s1", "s2"); _ <- 1 to 10) {
+      val base = doc(10 + rnd.nextInt(30))
+      id += 1; rows += ((id, src, base))
+      if (rnd.nextBoolean()) { // planted near-dup: perturb a few words
+        val ws = base.split(" ")
+        val mutIdx = rnd.nextInt(ws.length)
+        id += 1; rows += ((id, src, ws.updated(mutIdx, "zz").mkString(" ")))
+      }
+    }
+    val dw = rows.toSeq.toDF("doc_id", "source", "text")
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    val fast = DedupQueries.ngramJaccardPairs(dw).collect().map(key).toSeq
+    // brute force twin (the round-1 all-pairs form)
+    val sh = dw.select(col("doc_id"), col("source"), shingles(col("w"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .filter(size(array_intersect(col("a.sh"), col("b.sh"))) * 6 >=
+        size(col("a.sh")) + size(col("b.sh")))
+      .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .orderBy("source", "doc_a", "doc_b")
+      .collect().map(key).toSeq
+    assert(brute.nonEmpty, "fixture must plant at least one qualifying pair")
+    assert(fast == brute)
+  }
+
+  test("hot-bucket cap keeps LSH candidates linear on 1k identical docs") {
+    graft.plans.MinHashSig.register(spark)
+    // pathological fixture: 1000 byte-identical docs (one degenerate
+    // band value per band) + one small near-dup pair outside the blob.
+    val clones = spark.range(1, 1001)
+      .select(col("id").as("doc_id"), lit(docA).as("text"))
+    val extras = Seq((2001L, docD), (2002L, docD)).toDF("doc_id", "text")
+    val sigs = clones.unionByName(extras)
+      .withColumn("w", words(col("text")))
+      .withColumn("sh", shingles(col("w"), 3))
+      .select(col("doc_id"), minHashNative(col("sh"), 32).as("sig"))
+    // Without the cap the clone blob alone yields 999*1000/2 ≈ 5e5 pairs.
+    val pairs = DedupQueries.cappedBandPairs(sigs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.size <= 10, s"cap failed: ${pairs.size} candidate pairs")
+    assert(pairs.contains((2001L, 2002L)),
+      "small-bucket dup must survive the cap")
+    assert(!pairs.exists(p => p._1 < 2000L && p._2 < 2000L),
+      "hot-bucket clones must be dropped from candidate generation")
+    // The dropped mass is visible, not silent: every band has one
+    // 1000-doc bucket above the cap.
+    val stats = DedupQueries.bandBuckets(sigs)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .groupBy("band_idx")
+      .agg(sum(when(col("bucket_n") > DedupQueries.MaxBucket,
+        col("bucket_n")).otherwise(0L)).as("dropped"))
+      .as[(Int, Long)].collect().toMap
+    assert(stats.size == DedupQueries.Bands)
+    assert(stats.values.forall(_ == 1000L), s"dropped mass per band: $stats")
+  }
+
   test("vocab fingerprint is word-order insensitive") {
     val fp = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
         (3L, "alpha beta delta"))
