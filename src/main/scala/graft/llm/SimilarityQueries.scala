@@ -58,26 +58,33 @@ object SimilarityQueries extends QuerySuite {
     }),
 
     // IVF ANN: assign every vector to its nearest deterministic
-    // centroid (broadcast centroids, argmax per row), then search only
-    // the query's own cluster.
+    // centroid, then search only the query's own cluster.
+    //
+    // Assignment is MAP-SIDE: the centroid set is folded into a single
+    // broadcast array row and the argmax runs as an array fold per
+    // corpus row — the corpus never shuffles for assignment (the
+    // round-1 plan ranked a corpus × centroids cross product through a
+    // Window.partitionBy(vec_id), i.e. shuffled the corpus nlist×).
+    // Tie-break matches the old rank(c_cos DESC, c_id ASC): the struct
+    // max compares cos first, then -c_id, so equal-cos ties pick the
+    // smallest centroid id — and the DuckDB oracle's row_number twin.
     "sim_ivf_topk" -> ((s, d) => {
       val e = corpus(s, d)
-      val centroids = e.filter(col("vec_id") % CentroidStride === 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", cosPre(col("c_emb"), col("c_nrm"),
-          col("embedding"), col("nrm")))
-        .withColumn("c_rk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("c_cos").desc, col("c_id"))))
-        .filter(col("c_rk") === 1)
-        .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"),
-          col("nrm"))
+      val centArr = e.filter(col("vec_id") % CentroidStride === 0)
+        .agg(collect_list(struct(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(centArr))
+        .withColumn("best", array_max(transform(col("cents"), c =>
+          struct(
+            cosPre(c.getField("c_emb"), c.getField("c_nrm"),
+              col("embedding"), col("nrm")).as("c_cos"),
+            (-c.getField("c_id")).as("neg_id")))))
+        .select(col("vec_id"), (-col("best.neg_id")).as("cluster"),
+          col("embedding"), col("nrm"))
       val qs = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("cluster"),
           col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      qs.join(assigned, Seq("cluster"))
+      broadcast(qs).join(assigned, Seq("cluster"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
           col("embedding"), col("nrm")))
