@@ -110,6 +110,50 @@ object RoutingQueries extends QuerySuite {
         .orderBy("channel", "sid")
     }),
 
+    // O28 status snapshot (lib/QutyCluster.js:641-658: `/_status` ->
+    // {ready, nodes, channels}; routing lib/Server.js:230-286): ONE
+    // operational row — ready flag + distinct node/channel/client
+    // counts — the query every deployment hits daily. The streaming
+    // twin (query progress) is graft.streaming.StatusSnapshot.
+    "status_snapshot" -> ((s, d) =>
+      cc(s, d).agg(
+        countDistinct("sid").as("n_nodes"),
+        countDistinct("channel").as("n_channels"),
+        countDistinct("cid").as("n_clients"))
+        .withColumn("ready", lit(true))),
+
+    // Sender echo (lib/ChannelHub.js:275-277): the hub echoes
+    // channel.message to the sender iff the sender is STILL subscribed.
+    // Senders with cid % 3 == 0 unsubscribed before delivery -> no echo.
+    "route_sender_echo" -> ((s, d) => {
+      val msgs = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type").as("channel"),
+          col("user_id").as("cid"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val remaining = cc(s, d).filter(col("cid") % 3 =!= 0)
+      Router.senderEcho(msgs, remaining)
+        .orderBy("event_id", "cid")
+    }),
+
+    // O40 system join/leave enrichment (example/engine-io.server.js:
+    // 75-80, 117-122): the hub SYNTHESIZES system rows — a welcome
+    // message to each joiner — and unions them into the same delivery
+    // stream as ordinary messages: the reference's only
+    // data-generating transform. Streaming twin: ChannelStream with
+    // systemMessages = true.
+    "route_enriched_deliveries" -> ((s, d) => {
+      val c = cc(s, d)
+      val fan = Router.clientFanout(purchases(s, d), c)
+        .select(col("channel"), col("cid"), col("event_id"),
+          concat(lit("msg:"), col("event_id")).as("message"))
+      val welcomes = c.select(col("channel"), col("cid"),
+        lit(-1L).as("event_id"),
+        concat(lit("system:welcome:"), col("cid")).as("message"))
+      fan.unionByName(welcomes)
+        .orderBy("channel", "cid", "event_id")
+    }),
+
     // O1/O2 protocol codec round-trip: serialize each message to the
     // wire frame "{op}|{json with _q}" then parse it back; the oracle
     // computes the expected envelope directly (never sees frames), so a
@@ -193,6 +237,36 @@ object RoutingQueries extends QuerySuite {
          |WHERE nc.channel IN
          |  (SELECT DISTINCT channel FROM cc WHERE channel <> 'error')
          |ORDER BY channel, sid""".stripMargin,
+
+    "status_snapshot" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT count(DISTINCT sid) AS n_nodes,
+         |       count(DISTINCT channel) AS n_channels,
+         |       count(DISTINCT cid) AS n_clients,
+         |       true AS ready
+         |FROM cc""".stripMargin,
+
+    "route_sender_echo" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT e.event_id, e.event_type AS channel, e.user_id AS cid
+         |FROM events e
+         |WHERE e.event_type = 'purchase' AND e.event_id % 2 = 0
+         |  AND EXISTS (SELECT 1 FROM cc
+         |              WHERE cc.channel = e.event_type
+         |                AND cc.cid = e.user_id AND cc.cid % 3 <> 0)
+         |ORDER BY event_id, cid""".stripMargin,
+
+    "route_enriched_deliveries" ->
+      s"""WITH cc AS ($ccSql)
+         |SELECT e.event_type AS channel, cc.cid, e.event_id,
+         |       'msg:' || e.event_id AS message
+         |FROM events e JOIN cc ON e.event_type = cc.channel
+         |WHERE e.event_type = 'purchase' AND e.event_id % 2 = 0
+         |UNION ALL
+         |SELECT channel, cid, -1 AS event_id,
+         |       'system:welcome:' || cid AS message
+         |FROM cc
+         |ORDER BY channel, cid, event_id""".stripMargin,
 
     "route_frame_roundtrip" ->
       s"""SELECT event_id, 'M' AS op,

@@ -54,6 +54,16 @@ object Router {
     known.unionByName(unknown)
   }
 
+  /** Sender echo (`lib/ChannelHub.js:275-277`): after the fan-out, the
+    * hub emits `channel.message` back to the SENDER — but only if the
+    * sender is still subscribed to the channel at delivery time. Input
+    * messages carry (channel, cid=sender); output is the echo set — a
+    * broadcast left-semi membership probe, no row multiplication. */
+  def senderEcho(messages: DataFrame, clientChannels: DataFrame): DataFrame =
+    messages.join(
+      broadcast(clientChannels.select("channel", "cid")),
+      Seq("channel", "cid"), "left_semi")
+
   /** Self-exclusion of `Cluster.broadcast(event, data, excludeSelf)`
     * (`lib/QutyCluster.js:95-102`). */
   def excludeSelf(fanout: DataFrame, selfSid: String): DataFrame =

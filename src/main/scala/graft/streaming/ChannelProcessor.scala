@@ -27,21 +27,16 @@ class ChannelProcessor extends StatefulProcessor[String, ChannelEvent, Delivery]
 
   override def handleInputRows(channel: String, rows: Iterator[ChannelEvent],
       timers: TimerValues): Iterator[Delivery] = {
-    var m: Map[Long, String] =
+    val initial: Map[Long, String] =
       if (members.exists()) members.get().entries.toMap else Map.empty
-    val out = Seq.newBuilder[Delivery]
-    for (e <- rows.toSeq.sortBy(ev => (ev.tsMillis, ev.op, ev.cid))) e.op match {
-      case "J" => m = m.updated(e.cid, e.sid)
-      case "L" | "U" | "K" => m = m - e.cid
-      case "M" =>
-        out ++= m.toSeq.sortBy(_._1).map { case (cid, sid) =>
-          Delivery(channel, cid, sid, e.message, e.tsMillis, e.origin)
-        }
-      case _ =>
-    }
+    // Same transition core as the flatMapGroupsWithState path — shared
+    // so the two state backends cannot drift (incl. the explicit S/I
+    // gossip-frame ignore and the O40 system-message enrichment).
+    val (m, out) = ChannelStream.applyEvents(channel, initial, rows,
+      systemMessages = false)
     if (m.isEmpty) members.clear()         // channel auto-destroy
     else members.update(TwsState(m.toSeq.sortBy(_._1)))
-    out.result().iterator
+    out.iterator
   }
 }
 

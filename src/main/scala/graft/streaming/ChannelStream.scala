@@ -49,38 +49,84 @@ object ChannelStream {
   private def ordered(events: Iterator[ChannelEvent]): Seq[ChannelEvent] =
     events.toSeq.sortBy(e => (e.tsMillis, e.op, e.cid))
 
-  /** The per-group transition function. */
-  def processChannel(channel: String, events: Iterator[ChannelEvent],
-      state: GroupState[ChannelState]): Iterator[Delivery] = {
-    var members: Map[Long, String] =
-      state.getOption.map(_.members).getOrElse(Map.empty)
+  /** The shared transition core, used by BOTH stateful operators (this
+    * class's `flatMapGroupsWithState` path and [[ChannelProcessor]]'s
+    * Spark-4 `transformWithState` path) so their semantics cannot
+    * drift. Pure: (members, events) -> (members', deliveries).
+    *
+    * With `systemMessages` on, the hub's enrichment (O40,
+    * `example/engine-io.server.js:75-80, 117-122`) is applied: a join
+    * synthesizes a welcome delivery to the joiner plus a join notice to
+    * the other members, and a leave/kick synthesizes a leave notice to
+    * the remaining members — system rows unioned into the same delivery
+    * stream as ordinary messages, the reference's one data-GENERATING
+    * transform. Notices fire only on actual state changes (duplicate
+    * join / unknown leave emit nothing, matching the hub's idempotent
+    * membership ops).
+    */
+  def applyEvents(channel: String, initial: Map[Long, String],
+      events: Iterator[ChannelEvent], systemMessages: Boolean)
+      : (Map[Long, String], Seq[Delivery]) = {
+    var members = initial
     val out = Seq.newBuilder[Delivery]
+    def notice(msg: String, ts: Long, except: Long): Unit = if (systemMessages)
+      out ++= members.toSeq.sortBy(_._1).collect { case (cid, sid) if cid != except =>
+        Delivery(channel, cid, sid, msg, ts, "system")
+      }
     for (e <- ordered(events)) e.op match {
       case "J" =>
+        val isNew = !members.contains(e.cid)
         // idempotent add (duplicate join is a no-op, lib/ChannelHub.js:65-69)
         members = members.updated(e.cid, e.sid)
+        if (isNew && systemMessages) {
+          // welcome to the joiner (engine-io.server.js:75-80) ...
+          out += Delivery(channel, e.cid, e.sid,
+            s"system:welcome:${e.cid}", e.tsMillis, "system")
+          // ... and a join notice to everyone else (:117-122)
+          notice(s"system:join:${e.cid}", e.tsMillis, except = e.cid)
+        }
       case "L" | "U" | "K" =>
+        val wasMember = members.contains(e.cid)
         members = members - e.cid
+        if (wasMember) notice(s"system:leave:${e.cid}", e.tsMillis, except = e.cid)
       case "M" =>
         // fan-out to current members; sender echo included iff sender
         // subscribed — matches channel.message emit (lib/ChannelHub.js:275-277)
         out ++= members.toSeq.sortBy(_._1).map { case (cid, sid) =>
           Delivery(channel, cid, sid, e.message, e.tsMillis, e.origin)
         }
+      case "S" | "I" =>
+        // NODE_STATE merge (lib/QutyCluster.js:557-577) and NODE_INFO
+        // adopt (:252-272) are gossip-replication frames. This engine
+        // replaces gossip with Spark's checkpointed StateStore (see
+        // class scaladoc), so S/I are EXPLICITLY ignored: no delivery,
+        // no membership change. Spec-asserted in ChannelStreamSpec.
       case _ => // unknown opcode: ignored (defensive, like the handlers)
     }
-    if (members.isEmpty) state.remove()           // channel auto-destroy
-    else state.update(ChannelState(members))
-    out.result().iterator
+    (members, out.result())
   }
 
-  /** Wire the operator onto a stream of [[ChannelEvent]]. */
-  def deliveries(events: Dataset[ChannelEvent]): Dataset[Delivery] = {
+  /** The per-group transition function (flatMapGroupsWithState). */
+  def processChannel(systemMessages: Boolean)(
+      channel: String, events: Iterator[ChannelEvent],
+      state: GroupState[ChannelState]): Iterator[Delivery] = {
+    val (members, out) = applyEvents(channel,
+      state.getOption.map(_.members).getOrElse(Map.empty),
+      events, systemMessages)
+    if (members.isEmpty) state.remove()           // channel auto-destroy
+    else state.update(ChannelState(members))
+    out.iterator
+  }
+
+  /** Wire the operator onto a stream of [[ChannelEvent]].
+    * `systemMessages` switches on the O40 join/leave enrichment. */
+  def deliveries(events: Dataset[ChannelEvent],
+      systemMessages: Boolean = false): Dataset[Delivery] = {
     implicit val stateEnc = Encoders.product[ChannelState]
     implicit val outEnc = Encoders.product[Delivery]
     events
       .groupByKey(_.channel)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(processChannel)
+        GroupStateTimeout.NoTimeout)(processChannel(systemMessages))
   }
 }

@@ -46,6 +46,23 @@ class RouterSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cid")).toSeq == Seq(2L))
   }
 
+  test("sender echo truth table: echo iff sender still subscribed") {
+    // lib/ChannelHub.js:275-277 — channel.message back to the sender
+    // only while the sender remains in the membership map.
+    val msgs = Seq(
+      (200L, "news", 1L),   // sender subscribed -> echo
+      (201L, "news", 2L),   // sender subscribed -> echo
+      (202L, "news", 9L),   // sender never subscribed -> no echo
+      (203L, "ghost", 1L))  // channel unknown to cc -> no echo
+      .toDF("event_id", "channel", "cid")
+    val out = Router.senderEcho(msgs, clientChannels).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSet == Set(200L, 201L))
+    // sender unsubscribed between send and delivery -> echo disappears
+    val afterLeave = clientChannels.filter(col("cid") =!= 1L)
+    val out2 = Router.senderEcho(msgs, afterLeave).collect()
+    assert(out2.map(_.getAs[Long]("event_id")).toSet == Set(201L))
+  }
+
   test("excludeSelf removes only the sender node") {
     val msgs = Seq((104L, "news")).toDF("event_id", "channel")
     val out = Router.excludeSelf(

@@ -37,7 +37,7 @@ class ChannelPropertySpec extends AnyFunSuite {
     val st = TestGroupState.create[ChannelState](
       Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
       Optional.empty[Long](), hasTimedOut = false)
-    val out = processChannel("ch", events.iterator, st).toSeq
+    val out = processChannel(systemMessages = false)("ch", events.iterator, st).toSeq
     (out, if (st.exists) Some(st.get) else None)
   }
 
