@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object AsofQueries extends QuerySuite {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_prev_click" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+  /** The composed as-of dataflow, extracted so specs can drive it with
+    * fixture frames (tie coverage: two clicks in the purchase's own
+    * second must resolve to the max event_id on BOTH engines). Input
+    * needs event_id, user_id, event_type, ts(timestamp) columns. */
+  private[analytics] def prevClickAsof(ev: DataFrame): DataFrame = {
       // at most one click per (user, second): deterministic tiebreak on
       // both engines (ASOF is ambiguous across equal timestamps)
       val clicks = ev.filter(col("event_type") === "click")
@@ -52,7 +54,10 @@ object AsofQueries extends QuerySuite {
         .filter(col("side") === 1)
         .select(col("event_id"), col("user_id"), col("prev_click_id"))
         .orderBy("event_id")
-    }),
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_prev_click" -> ((s, d) => prevClickAsof(Tables.events(s, d))),
 
     // Multiset difference: EXCEPT ALL keeps duplicate cardinality
     // (set_except_nations is the distinct variant).

@@ -40,9 +40,41 @@ object Tokens {
   private def b64(b: Array[Byte]): String =
     Base64.getEncoder.encodeToString(b)
 
+  /** JSON string escaping for the id claim — the reference serializes
+    * with an escaping stringify (`util.safeStringify`), so an id
+    * containing '"' or '\' must not produce malformed JSON here. */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 5
+          case e => sb.append(e); i += 1
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Minimal JSON for the fixed claim set (no library dependency). */
   private def claimsJson(id: String, tokenType: Int, expiryMillis: Long): String =
-    s"""{"_e":$expiryMillis,"_v":$Version,"_t":$tokenType,"_i":"$id"}"""
+    s"""{"_e":$expiryMillis,"_v":$Version,"_t":$tokenType,"_i":"${jsonEscape(id)}"}"""
 
   def create(id: String, tokenType: Int, expiryMillis: Long,
       secret: String): String = {
@@ -57,16 +89,29 @@ object Tokens {
     val parts = token.split("-", -1)
     if (parts.length != 2 || parts(0).isEmpty || parts(1).isEmpty) return None
     val (body, sig) = (parts(0), parts(1))
-    if (b64(hmac(body, secret)) != sig) return None
+    // Constant-time comparison on the raw MAC bytes (the JVM gives this
+    // for free via MessageDigest.isEqual; the reference's != is not).
+    val sigBytes = try Base64.getDecoder.decode(sig)
+      catch { case _: IllegalArgumentException => return None }
+    if (!java.security.MessageDigest.isEqual(hmac(body, secret), sigBytes))
+      return None
     val json = try new String(Base64.getDecoder.decode(body), UTF_8)
       catch { case _: IllegalArgumentException => return None }
     def field(k: String): Option[String] =
       s""""$k":"?([^,}"]+)"?""".r.findFirstMatchIn(json).map(_.group(1))
+    // the id claim is a JSON string that may contain escapes — match
+    // escape-aware and unescape (the numeric claims stay on the simple
+    // pattern above).
+    def idField: Option[String] =
+      """"_i":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+        .map(m => jsonUnescape(m.group(1)))
     val ok = for {
       v <- field("_v") if v.toLong == Version
       t <- field("_t") if t.toLong == tokenType
-      e <- field("_e") if e.toLong > now
-      i <- field("_i")
+      // reference boundary (lib/token.js: `_e < now` rejects): a token
+      // expiring exactly AT `now` is still valid.
+      e <- field("_e") if e.toLong >= now
+      i <- idField
     } yield i
     ok
   }

@@ -15,11 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * call and boxed lambda variable per element), while this expression
   * generates a tight primitive loop inside whole-stage codegen.
   *
-  * Determinism contract is IDENTICAL to the HOF version and the DuckDB
-  * oracle twin ([[graft.llm.Vectors.dotSql]]): each float widened to
-  * double BEFORE the multiply, sequential left-to-right accumulation —
-  * so swapping implementations cannot change a single bit of any
-  * oracle-checked result.
+  * Contract is IDENTICAL to the HOF version and the DuckDB oracle twin
+  * ([[graft.llm.Vectors.dotSql]]) on EVERY input, edge cases included:
+  *   - each float widened to double BEFORE the multiply, sequential
+  *     left-to-right accumulation (bit-identical sums);
+  *   - mismatched array lengths -> NULL (zip_with null-pads the short
+  *     side, the null product poisons the fold);
+  *   - any NULL element -> NULL (same poisoning);
+  *   - NULL array -> NULL.
+  * Swapping implementations therefore cannot change a single bit of
+  * any oracle-checked result — pinned by FloatVectorDotSpec.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,15 +38,19 @@ case class FloatVectorDot(left: Expression, right: Expression)
     }
 
   override def dataType: DataType = DoubleType
+  // null also on mismatched lengths / null elements, not just null input
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -54,12 +63,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

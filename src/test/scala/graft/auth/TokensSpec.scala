@@ -36,6 +36,21 @@ class TokensSpec extends AnyFunSuite {
     assert(Tokens.verify(t, Tokens.TypeCluster, "other", now).isEmpty)
   }
 
+  test("expiry boundary: token expiring exactly at `now` is still valid") {
+    // lib/token.js rejects with `_e < now` — equality passes.
+    val t = Tokens.create("edge", Tokens.TypeCluster, now, secret)
+    assert(Tokens.verify(t, Tokens.TypeCluster, secret, now).contains("edge"))
+  }
+
+  test("ids with quotes, backslashes and control chars round-trip") {
+    for (id <- Seq("""he said "hi"""", """back\slash""", "tab\there", "a,b}c"))
+      {
+        val t = Tokens.create(id, Tokens.TypeCluster, now + 1000, secret)
+        assert(Tokens.verify(t, Tokens.TypeCluster, secret, now).contains(id),
+          s"id '$id' must round-trip")
+      }
+  }
+
   test("malformed shapes are rejected") {
     for (bad <- Seq("", "justonepart", "a-b-c", "-b", "a-"))
       assert(Tokens.verify(bad, Tokens.TypeCluster, secret, now).isEmpty,

@@ -25,16 +25,22 @@ class FloatVectorDotSpec extends SparkSpec {
     }
   }
 
-  test("null array yields null, mismatched lengths use the shorter") {
+  test("edge contract matches the HOF twin: null on mismatch/null-element/null-array") {
     FloatVectorDot.register(spark)
     val df = Seq(
-      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 99.0f))),
-      (None, Some(Seq(1.0f)))
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f)))), // clean
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f), Some(9.0f)))), // length mismatch
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(3.0f), Some(4.0f)))), // null element
+      (None, Some(Seq(Some(1.0f)))) // null array
     ).toDF("a", "b")
-    val out = df.select(Vectors.dotNative(col("a"), col("b")).as("d"))
-      .collect()
+    val out = df.select(
+      Vectors.dotNative(col("a"), col("b")).as("native"),
+      Vectors.dot(col("a"), col("b")).as("hof")).collect()
     assert(out(0).getDouble(0) == 1.0 * 3.0 + 2.0 * 4.0)
-    assert(out(1).isNullAt(0))
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+    // every edge case agrees with the higher-order-function twin
+    out.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1)) }
+    assert(out(0).getDouble(0) == out(0).getDouble(1))
   }
 
   test("wrong argument types fail analysis with a clear message") {
