@@ -162,6 +162,11 @@ object RoutingQueries extends QuerySuite {
       val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
       val framed = Tables.events(s, d)
         .withColumn("seqno", row_number().over(w) % 100)
+        // The seqno window is inherently per-channel sequential (5
+        // partitions here), but the expensive JSON serde is
+        // embarrassingly parallel — spread it across all cores rather
+        // than inheriting the window's channel-count parallelism.
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"),
           Frames.serializeFrame(
             lit("M"), col("event_type"), col("props"),

@@ -126,6 +126,51 @@ object DedupQueries extends QuerySuite {
       .orderBy("source", "doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected edge list (doc_a, doc_b)
+    * by iterative min-label propagation to a fixpoint — the step a real
+    * dedup pipeline runs AFTER pair generation: transitive near-dup
+    * groups, from which one canonical doc per component survives.
+    *
+    * Each round is one shuffle (symmetrized edges joined to current
+    * labels, min per node); rounds needed = graph diameter, which for
+    * near-dup clusters is tiny (dup groups are dense blobs, not long
+    * chains — a pathological chain converges in diameter rounds, and a
+    * production run at 10^9+ nodes would switch to the O(log n)
+    * large-star/small-star variant of the same dataflow). The driver
+    * loop holds only a convergence COUNT, never data.
+    */
+  private[llm] def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var changed = 1L
+    var lastSum = labels.agg(sum("comp")).head().getLong(0)
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbor = sym
+        .join(labels.select(col("doc_id").as("v"), col("comp")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("comp").as("neighbor_comp"))
+      val next = labels
+        .join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
+        .persist()
+      // Convergence via a monotone invariant: labels only ever
+      // decrease, so sum(comp) is strictly smaller while anything
+      // changed — one aggregate instead of a join per round.
+      val nextSum = next.agg(sum("comp")).head().getLong(0)
+      changed = if (nextSum == lastSum) 0L else 1L
+      lastSum = nextSum
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content digest, keep the lowest doc_id.
     // Only the 16-byte digest shuffles, not the document text.
@@ -158,6 +203,20 @@ object DedupQueries extends QuerySuite {
     // sf0.001), replacing the round-1 quadratic-within-block plan.
     "dedup_ngram_jaccard_pairs" -> ((s, d) =>
       ngramJaccardPairs(docsWithWords(s, d))),
+
+    // Transitive near-dup groups: connected components over the exact
+    // jaccard pairs, then one row per component with its canonical
+    // (minimum) doc and member count — what a dedup pipeline actually
+    // keeps. Oracle: DuckDB recursive CTE over the same edge set.
+    "dedup_components" -> ((s, d) => {
+      val dw = docsWithWords(s, d)
+      val edges = ngramJaccardPairs(dw).select("doc_a", "doc_b")
+      connectedComponents(dw.select("doc_id"), edges)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), min("doc_id").as("canonical"))
+        .filter(col("n_members") > 1)   // singletons are just "no dup"
+        .orderBy("comp")
+    }),
 
     // MinHash signatures (first 4 components surfaced for inspection) —
     // deterministic, so rows-only check + ScalaTest cover it. Native
@@ -277,6 +336,29 @@ object DedupQueries extends QuerySuite {
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
          |ORDER BY a.source, doc_a, doc_b""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, source, $shingleSql AS s
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |        FROM documents)
+         |  WHERE len(w) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.2),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, comp) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(comp) AS comp FROM reach GROUP BY doc_id)
+         |SELECT comp, count(*) AS n_members, min(doc_id) AS canonical
+         |FROM labels GROUP BY comp HAVING count(*) > 1
+         |ORDER BY comp""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,

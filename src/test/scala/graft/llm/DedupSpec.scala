@@ -145,6 +145,21 @@ class DedupSpec extends SparkSpec {
     assert(stats.values.forall(_ == 1000L), s"dropped mass per band: $stats")
   }
 
+  test("connected components: chain, blob and singletons resolve transitively") {
+    val nodes = (1L to 10L).toDF("doc_id")
+    // chain 1-2-3-4 (worst-case diameter), blob 5-6-7 (triangle), pair
+    // 8-9, singleton 10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+        (5L, 7L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val comps = DedupQueries.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(comps) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(5L, 6L, 7L).map(comps) == Seq(5L, 5L, 5L))
+    assert(comps(8L) == 8L && comps(9L) == 8L)
+    assert(comps(10L) == 10L)
+  }
+
   test("vocab fingerprint is word-order insensitive") {
     val fp = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
         (3L, "alpha beta delta"))
