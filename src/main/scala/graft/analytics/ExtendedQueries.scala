@@ -110,6 +110,31 @@ object ExtendedQueries extends QuerySuite {
         ascii(col("n_name")).cast("long").as("first_byte"))
         .orderBy("nationkey")),
 
+    // Exact discrete percentiles (p50/p90/p99) of order value per
+    // status, via the explicit rank-selection formula — element
+    // SELECTION from the sorted multiset involves no float
+    // interpolation, so both engines agree bit-exactly (interpolating
+    // percentile_cont would race engine-specific float math; the
+    // approximate scale path at 100 TB is a t-digest/approx_percentile
+    // sketch, same dataflow). One shuffle for both windows.
+    "agg_percentiles_disc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(
+        col("o_orderstatus").as("status"),
+        cents(col("o_totalprice")).as("tp"))
+      val ranked = o
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("status").orderBy(col("tp"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("status")))
+      def pick(p: Double, name: String) =
+        (min(when(col("rn") ===
+          greatest(lit(1L), ceil(col("cnt") * p)), col("tp"))) / 100.0).as(name)
+      ranked.groupBy("status")
+        .agg(max("cnt").as("n_orders"),
+          pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+        .orderBy("status")
+    }),
+
     // Custom typed Aggregator UDAF: exact weighted mean price per brand.
     "udaf_weighted_price" -> ((s, d) => {
       val wavg = udaf(WeightedPriceAvg)
@@ -123,6 +148,25 @@ object ExtendedQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "agg_percentiles_disc" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS tp
+        |  FROM orders),
+        |r AS (
+        |  SELECT status, tp,
+        |    row_number() OVER (PARTITION BY status ORDER BY tp) AS rn,
+        |    count(*) OVER (PARTITION BY status) AS cnt
+        |  FROM o)
+        |SELECT status, max(cnt) AS n_orders,
+        |  min(CASE WHEN rn = greatest(1, CAST(ceil(cnt * 0.5) AS BIGINT))
+        |      THEN tp END)/100.0 AS p50,
+        |  min(CASE WHEN rn = greatest(1, CAST(ceil(cnt * 0.9) AS BIGINT))
+        |      THEN tp END)/100.0 AS p90,
+        |  min(CASE WHEN rn = greatest(1, CAST(ceil(cnt * 0.99) AS BIGINT))
+        |      THEN tp END)/100.0 AS p99
+        |FROM r GROUP BY status ORDER BY status""".stripMargin,
+
     "pivot_segment_counts" ->
       """SELECT n_name,
         |  CAST(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",

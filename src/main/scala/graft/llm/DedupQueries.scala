@@ -253,6 +253,27 @@ object DedupQueries extends QuerySuite {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Estimator calibration: signature-agreement jaccard estimate vs
+    // the exact value on every LSH candidate pair — the view that
+    // tells you whether K/Bands/R fit the corpus before a 100 TB run.
+    // Deterministic (hash-based), pinned rows-only + DedupSpec.
+    "dedup_minhash_est_vs_exact" -> ((s, d) => {
+      val docs = docsWithWords(s, d)
+        .select(col("doc_id"), shinglesNative(col("w"), Shingle).as("sh"))
+        .withColumn("sig", minHashNative(col("sh"), K))
+      cappedBandPairs(docs)
+        .join(docs.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("sig").as("sig_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("est_jac",
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), b => b)).cast("double") / K)
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .select("doc_a", "doc_b", "est_jac", "jac")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // LSH band-bucket census: bucket-size distribution per band plus
     // the mass the hot-bucket guard drops — the operational view a
     // 100 TB dedup run watches (a skewed band shows up here first).

@@ -96,6 +96,27 @@ object SimilarityQueries extends QuerySuite {
         .orderBy("q_id", "rk")
     }),
 
+    // Scalar int8 quantization — the compression step an embedding
+    // store runs before indexing: per-vector symmetric scale
+    // (127/max|x|), q_i = floor(x*scale + 0.5). Map-only; all float
+    // steps are single IEEE ops identical on both engines (abs, one
+    // divide, one multiply, floor) so the oracle hash-matches. The
+    // quantized vector is surfaced via integer stats (min/max/sum).
+    "sim_quantize_int8" -> ((s, d) => {
+      val absd = transform(col("embedding"), x => abs(x.cast("double")))
+      val scale = lit(127.0) / array_max(absd)
+      val q = transform(col("embedding"),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        scale.as("scale"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"),
+        aggregate(q, lit(0L), (a, v) => a + v).as("q_sum"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label norm stats (exact component folds).
     "sim_label_centroid_norms" -> ((s, d) =>
       corpus(s, d)
@@ -143,6 +164,23 @@ object SimilarityQueries extends QuerySuite {
          |  FROM scored)
          |SELECT q_id, cluster, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
          |ORDER BY q_id, rk""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qs
+        |  FROM t)
+        |SELECT vec_id, n_dims, scale,
+        |  list_min(qs) AS q_min, list_max(qs) AS q_max,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "sim_label_centroid_norms" ->
       s"""SELECT label, count(*) AS n_vectors,

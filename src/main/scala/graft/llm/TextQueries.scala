@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextOps._
 
@@ -70,6 +71,24 @@ object TextQueries extends QuerySuite {
         vocabFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Vocabulary audit: top-5 terms per source by document frequency
+    // (distinct per doc, so one vote per document). Integer counts +
+    // lexicographic tiebreak keep it bit-deterministic cross-engine.
+    // Scale shape: explode -> two-level agg -> per-source top-k window
+    // over the (source, term) count table, never the corpus.
+    "text_top_terms" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"),
+          explode(array_distinct(words(lower(col("text"))))).as("term"))
+      tok.groupBy("source", "term").agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("df").desc, col("term"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "term", "df")
+        .orderBy("source", "rk")
+    }),
+
     // Corpus rollup: per (lang, source) token/char totals — the
     // "how big is my training set" query.
     "text_corpus_stats" -> ((s, d) =>
@@ -134,6 +153,18 @@ object TextQueries extends QuerySuite {
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_top_terms" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, count(*) AS df FROM tok GROUP BY source, term),
+        |r AS (SELECT source, term, df,
+        |  row_number() OVER (PARTITION BY source ORDER BY df DESC, term) AS rk
+        |  FROM c)
+        |SELECT source, rk, term, df FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
 
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
