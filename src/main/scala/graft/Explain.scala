@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   val Headline = Seq("q1_pricing_summary", "q5_region_revenue",
     "route_client_fanout", "window_running_totals",
-    "dedup_lsh_candidates", "sim_bruteforce_topk")
+    "dedup_lsh_candidates", "dedup_ngram_jaccard_pairs",
+    "sim_bruteforce_topk", "sim_ivf_topk", "sim_quantize_int8",
+    "text_top_terms", "agg_percentiles_disc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
