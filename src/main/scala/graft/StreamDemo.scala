@@ -12,17 +12,21 @@ import org.apache.spark.sql.streaming.OutputMode
   * With the spark-sql-kafka connector on the classpath, swap the
   * MemoryStream for `readStream.format("kafka")` (see Ingest docs).
   *
-  * Usage: graft.StreamDemo <outDir> [--tws]
+  * Usage: graft.StreamDemo <outDir> [--tws] [--system-messages]
   * (--tws routes through the Spark-4 transformWithState processor on
-  * the RocksDB state store instead of flatMapGroupsWithState.)
+  * the RocksDB state store instead of flatMapGroupsWithState;
+  * --system-messages switches on the O40 join/leave enrichment so the
+  * delivery stream carries synthesized welcome/join/leave rows.)
   */
 object StreamDemo {
   case class KafkaRecord(key: Array[Byte], value: Array[Byte],
       topic: String, partition: Int, offset: Long, timestamp: Timestamp)
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/stream_demo")
+    val out = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/tmp/stream_demo")
     val useTws = args.contains("--tws")
+    val sysMsgs = args.contains("--system-messages")
     val builder = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -38,7 +42,7 @@ object StreamDemo {
     val events = Ingest.channelEvents(Ingest.parseFrames(input.toDF()))
     val deliveries =
       if (useTws) ChannelProcessor.deliveries(events)
-      else ChannelStream.deliveries(events)
+      else ChannelStream.deliveries(events, systemMessages = sysMsgs)
 
     val query = Ingest.deliverToParquet(deliveries, s"$out/deliveries",
       s"$out/checkpoint").outputMode(OutputMode.Append).start()
