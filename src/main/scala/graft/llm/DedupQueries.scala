@@ -75,6 +75,66 @@ object DedupQueries extends QuerySuite {
       .distinct()
   }
 
+  // ---- SRP-LSH (random-hyperplane) embedding near-dup -------------
+  // Sign-random-projection LSH (Charikar, STOC'02 — public algorithm):
+  // bit b = sign(<v, h_b>) for a FIXED pseudo-random hyperplane h_b, so
+  // P(bits agree) = 1 - angle/pi. Planes are integer-valued doubles
+  // derived from a splitmix64 mix of (b, i) — deterministic, exactly
+  // representable as SQL literals, hence the ENTIRE pipeline (bits,
+  // bands, candidates, verified pairs) is replicated by the DuckDB
+  // oracle and hash-checked, unusual for an LSH operator.
+  val SrpBits = 64
+  val SrpBands = 8
+  val SrpR = 8
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4b7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Integer plane component in [-128, 127] for (plane b, dim i). */
+  private[llm] def planeInt(b: Int, i: Int): Long =
+    ((mix64(b * 4096L + i) % 256) + 256) % 256 - 128
+
+  private def plane(b: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => planeInt(b, i).toDouble)
+
+  /** The SRP-LSH pipeline over an embeddings frame (vec_id, embedding,
+    * nrm): map-only band signatures -> bucket self-join -> exact
+    * cosine verify on candidates only. Extracted so specs can plant
+    * fixtures. */
+  private[llm] def srpPairs(e: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val dots = (0 until SrpBits).map(b =>
+      Vectors.dot(col("embedding"), typedLit(plane(b, dim))))
+    def bandVal(k: Int) = (0 until SrpR).map(j =>
+      when(dots(k * SrpR + j) > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val bands = e.select(col("vec_id"),
+        explode(array((0 until SrpBands).map(k =>
+          struct(lit(k).as("band_idx"), bandVal(k).as("band_val"))): _*))
+          .as("band"))
+      .select(col("vec_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .withColumn("cos",
+        Vectors.dotNative(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Exact all-pairs Jaccard (t = 0.2) with prefix filtering. Input
     * needs `doc_id`, `source`, `w` columns. Every stage is a linear
     * shuffle: explode tokens, count document frequency, rank tokens
@@ -303,6 +363,21 @@ object DedupQueries extends QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // Embedding near-dup at SCALE: SRP-LSH bands route each vector to
+    // 8 × 8-bit buckets (map-only signatures), candidates are pairs
+    // sharing any band bucket, and only candidates pay the exact
+    // cosine verify — the unblocked scale path next to the label-
+    // blocked exact ground truth below. Threshold 0.4 sits in the top
+    // tail of this corpus; a production near-dup run at cos >= 0.95
+    // gets ~99% recall from these same (8,8) parameters.
+    "dedup_embedding_lsh" -> ((s, d) => {
+      graft.plans.FloatVectorDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+      srpPairs(e, dim = 64, threshold = 0.4)
+    }),
+
     // Embedding-cosine near-dup pairs (same-label blocking), exact;
     // threshold 0.35 sits in the top tail of this synthetic corpus
     // (random embeddings peak near cosine 0.47) so the check is
@@ -332,6 +407,18 @@ object DedupQueries extends QuerySuite {
     "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
   private def jaccardSql(a: String, b: String): String =
     s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
+
+  /** SQL twins of the SRP planes/bands — the identical integer planes
+    * inlined as list literals, dot as the standard sequential fold. */
+  private def planeSqlList(b: Int): String =
+    (0 until 64).map(i => planeInt(b, i)).mkString("[", ", ", "]")
+  private def dotPlaneSql(b: Int): String =
+    s"list_sum(list_transform(list_zip(embedding, ${planeSqlList(b)}), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def bandValSql(k: Int): String =
+    (0 until SrpR).map(j =>
+      s"(CASE WHEN ${dotPlaneSql(k * SrpR + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -380,6 +467,29 @@ object DedupQueries extends QuerySuite {
          |SELECT comp, count(*) AS n_members, min(doc_id) AS canonical
          |FROM labels GROUP BY comp HAVING count(*) > 1
          |ORDER BY comp""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |${(0 until SrpBands).map(k => s"    ${bandValSql(k)} AS band$k").mkString(",\n")}
+         |  FROM embeddings),
+         |bands AS (
+         |${(0 until SrpBands).map(k =>
+             s"  SELECT vec_id, $k AS band_idx, band$k AS band_val FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |    ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.vec_a
+         |  JOIN embeddings b ON b.vec_id = c.vec_b)
+         |WHERE cos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,

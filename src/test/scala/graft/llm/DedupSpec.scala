@@ -145,6 +145,24 @@ class DedupSpec extends SparkSpec {
     assert(stats.values.forall(_ == 1000L), s"dropped mass per band: $stats")
   }
 
+  test("SRP-LSH finds planted high-cosine near-dups, skips unrelated vectors") {
+    graft.plans.FloatVectorDot.register(spark)
+    val rnd = new scala.util.Random(7)
+    def randVec(): Seq[Float] = Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = randVec()
+    // near-dup: tiny perturbation -> cos ~0.999 -> identical sign
+    // pattern on (virtually) every plane -> collides in all bands
+    val nearDup = base.map(x => x + 0.001f)
+    val fixture = (Seq((1L, base), (2L, nearDup)) ++
+      (3L to 30L).map(i => (i, randVec())))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", Vectors.normNative(col("embedding")))
+    val pairs = DedupQueries.srpPairs(fixture, dim = 64, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup must survive LSH + verify")
+    assert(pairs.size == 1, s"only the planted pair passes cos >= 0.9: $pairs")
+  }
+
   test("connected components: chain, blob and singletons resolve transitively") {
     val nodes = (1L to 10L).toDF("doc_id")
     // chain 1-2-3-4 (worst-case diameter), blob 5-6-7 (triangle), pair
