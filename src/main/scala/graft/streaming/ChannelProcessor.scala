@@ -16,14 +16,20 @@ import ChannelStream.{ChannelEvent, ChannelState, Delivery}
   * the same ordered-replay logic, so both implementations are covered
   * by the same expectations (see ChannelProcessorSpec).
   */
-class ChannelProcessor extends StatefulProcessor[String, ChannelEvent, Delivery] {
+class ChannelProcessor(ttl: Option[java.time.Duration] = None)
+    extends StatefulProcessor[String, ChannelEvent, Delivery] {
   import ChannelProcessor.TwsState
 
   @transient private var members: ValueState[TwsState] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     members = getHandle.getValueState[TwsState](
-      "members", Encoders.product[TwsState], TTLConfig.NONE)
+      "members", Encoders.product[TwsState],
+      // TTL (SURVEY §7.4): an idle channel's membership expires from
+      // the store without an explicit teardown frame — the state-store
+      // analog of the reference's channel auto-destroy, and the
+      // mechanism that bounds state size under churn at 100 TB.
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
   override def handleInputRows(channel: String, rows: Iterator[ChannelEvent],
       timers: TimerValues): Iterator[Delivery] = {
@@ -46,12 +52,15 @@ object ChannelProcessor {
   case class TwsState(entries: Seq[(Long, String)])
 
   /** Wire the processor onto an event stream. Requires the RocksDB
-    * state store provider (set in the session conf; see spec). */
-  def deliveries(events: Dataset[ChannelEvent]): Dataset[Delivery] = {
+    * state store provider (set in the session conf; see spec).
+    * A `ttl` expires idle channel state (needs processing-time mode). */
+  def deliveries(events: Dataset[ChannelEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[Delivery] = {
     implicit val outEnc = Encoders.product[Delivery]
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .groupByKey(_.channel)(Encoders.STRING)
-      .transformWithState(new ChannelProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new ChannelProcessor(ttl),
+        timeMode, OutputMode.Append())
   }
 }

@@ -54,4 +54,64 @@ class ChannelProcessorSpec extends SparkSpec {
       Seq(ev(3, "M", "ch", msg = "nobody"))))
     assert(out.isEmpty)
   }
+
+  /** TTL needs TimeMode.ProcessingTime, under which neither
+    * processAllAvailable nor Trigger.AvailableNow ever settles (timer
+    * batches keep the stream "busy") — so TTL runs use a file source
+    * with a restart per batch and a bounded progress-watch: wait until
+    * the run has PROVABLY ingested its rows (recentProgress
+    * numInputRows), then stop. */
+  private def runTtlBatches(ttl: java.time.Duration, sleepBetweenMs: Long,
+      batches: Seq[Seq[ChannelEvent]]): Seq[Delivery] = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("tws_ttl").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[ChannelEvent]].schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      for ((b, i) <- batches.zipWithIndex) {
+        if (i > 0) Thread.sleep(sleepBetweenMs)
+        b.toDS().repartition(1).write.mode("append").json(s"$root/in")
+        val src = spark.readStream.schema(schema).json(s"$root/in")
+          .as[ChannelEvent]
+        val q = ChannelProcessor.deliveries(src, Some(ttl))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode(OutputMode.Append)
+          .start()
+        try {
+          val deadline = System.currentTimeMillis() + 120000
+          def ingested: Long = q.recentProgress.map(_.numInputRows).sum
+          while (ingested < b.size && System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+          assert(ingested >= b.size,
+            s"run $i never ingested its ${b.size} rows (not a vacuous pass)")
+        } finally q.stop()
+      }
+      try spark.read.parquet(s"$root/out").as[Delivery].collect().toSeq
+      catch { case _: Exception => Seq.empty }
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("TTL expires idle channel state (the auto-destroy analog)") {
+    // Only the SAFE direction is asserted: after sleeping well past the
+    // TTL, the membership must be gone — scheduler delays can only make
+    // the sleep longer, never resurrect state, so this cannot flake.
+    val out = runTtlBatches(java.time.Duration.ofMillis(500), sleepBetweenMs = 3000,
+      Seq(Seq(ev(1, "J", "ttlch", 1, "n1")),
+        Seq(ev(2, "M", "ttlch", msg = "after-expiry"))))
+    assert(out.isEmpty, s"state should have expired, got $out")
+  }
+
+  test("long TTL retains state across immediate restarts") {
+    val out = runTtlBatches(java.time.Duration.ofHours(1), sleepBetweenMs = 0,
+      Seq(Seq(ev(1, "J", "keepch", 1, "n1")),
+        Seq(ev(2, "M", "keepch", msg = "kept"))))
+    assert(out.map(d => (d.cid, d.message)) == Seq((1L, "kept")))
+  }
 }
