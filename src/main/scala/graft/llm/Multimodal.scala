@@ -68,6 +68,32 @@ object Multimodal extends QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling (the video-ish path of the north star): the
+    // payload modeled as fixed-size windows ("frames"), every 4th
+    // frame sampled, each sampled frame sliced out and digested —
+    // real slice-and-hash work, fully oracle-checked (unlike the
+    // stubbed codec). The slice is also the crop/resize analog: a
+    // real pipeline hands each frame slice to the batched decoder
+    // above. Windows are CHARACTER-based because both engines slice
+    // VARCHAR by character (DuckDB has no BLOB substring).
+    "multimodal_frame_sample" -> ((s, d) => {
+      val frameSize = 256L
+      val stride = 4L
+      val nFrames = ceil(length(col("text")).cast("double") / frameSize)
+        .cast("long")
+      val frame = expr(
+        s"substring(text, cast(frame_idx * $frameSize + 1 as int), $frameSize)")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("application/x-"), col("source")).as("mime"),
+          col("text"), nFrames.as("n_frames"),
+          explode(sequence(lit(0L), nFrames - 1, lit(stride))).as("frame_idx"))
+        .select(col("doc_id"), col("mime"), col("n_frames"), col("frame_idx"),
+          octet_length(frame).cast("long").as("frame_bytes"),
+          md5(frame.cast("binary")).as("frame_digest"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Downstream agg over decoded features: per-mime feature stats
     // (exercises decode output flowing back into relational ops).
     "multimodal_feature_stats" -> ((s, d) => {
@@ -88,5 +114,21 @@ object Multimodal extends QuerySuite {
       """SELECT doc_id, 'application/x-' || source AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, 'application/x-' || source AS mime, text,
+        |    CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, mime, text, n_frames,
+        |    unnest(range(0, n_frames, 4)) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, mime, n_frames, frame_idx,
+        |  CAST(octet_length(encode(substring(text,
+        |    CAST(frame_idx * 256 + 1 AS BIGINT), 256))) AS BIGINT) AS frame_bytes,
+        |  md5(substring(text,
+        |    CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_digest
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -89,6 +89,23 @@ object TextQueries extends QuerySuite {
         .orderBy("source", "rk")
     }),
 
+    // Deterministic train/val/test split — the reproducibility
+    // primitive every training pipeline needs: assignment is a pure
+    // function of the stable doc_id (first md5 hex byte: 00-bf train
+    // ~75%, c0-e5 val ~15%, else test ~10%), so re-runs, engines and
+    // backfills all agree; no RNG, no seed drift, map-only.
+    "text_dataset_split" -> ((s, d) => {
+      val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val split = when(bucket < "c0", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+      Tables.documents(s, d)
+        .select(col("lang"), split.as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
+
     // Corpus rollup: per (lang, source) token/char totals — the
     // "how big is my training set" query.
     "text_corpus_stats" -> ((s, d) =>
@@ -165,6 +182,18 @@ object TextQueries extends QuerySuite {
         |  FROM c)
         |SELECT source, rk, term, df FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
+
+    "text_dataset_split" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+        |         THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs
+        |FROM t GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
