@@ -69,6 +69,21 @@ object WindowQueries extends QuerySuite {
         .orderBy("event_id")
     }),
 
+    // RANGE frame (value-based, not row-based): per-user activity in
+    // the trailing hour — peers at the same second enter the frame
+    // together, so the aggregated SET is deterministic even under ts
+    // ties (unlike a ROWS frame, which would depend on tie order).
+    "window_range_trailing_hour" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_s", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          (sum(cents(col("value"))).over(w) / 100.0).as("value_last_hour"))
+        .orderBy("event_id")
+    }),
+
     // first/last value with explicit full-partition frame.
     "window_first_last" -> ((s, d) => {
       val full = perUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -145,6 +160,17 @@ object WindowQueries extends QuerySuite {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    "window_range_trailing_hour" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         |  count(*) OVER w AS n_last_hour,
+         |  sum(${centsSql("value")}) OVER w / 100.0 AS value_last_hour
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id
+         |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
 
     "window_first_last" ->
