@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // ~70 codegen'd queries in one JVM generate a lot of janino classes;
+  // 82 codegen'd queries in one JVM generate a lot of janino classes;
   // the 240m default code cache can fill and silently disable the JIT
-  "-XX:ReservedCodeCacheSize=512m",
+  // (a plain `java` run without this flag shows exactly that: late
+  // queries 10-40x slower, fast again standalone)
+  "-XX:ReservedCodeCacheSize=1g",
 )
