@@ -60,26 +60,25 @@ object SimilarityQueries extends QuerySuite {
     // IVF ANN: assign every vector to its nearest deterministic
     // centroid, then search only the query's own cluster.
     //
-    // Assignment is MAP-SIDE: the centroid set is folded into a single
-    // broadcast array row and the argmax runs as an array fold per
-    // corpus row — the corpus never shuffles for assignment (the
-    // round-1 plan ranked a corpus × centroids cross product through a
+    // Assignment is MAP-SIDE and NATIVE: the centroid set is folded
+    // into a single broadcast array row and the argmax runs as one
+    // compiled pass per corpus row (plans/NearestCentroid) — the
+    // corpus never shuffles for assignment (the round-1 plan ranked a
+    // corpus × centroids cross product through a
     // Window.partitionBy(vec_id), i.e. shuffled the corpus nlist×).
-    // Tie-break matches the old rank(c_cos DESC, c_id ASC): the struct
-    // max compares cos first, then -c_id, so equal-cos ties pick the
-    // smallest centroid id — and the DuckDB oracle's row_number twin.
+    // Tie-break (max cos, then min c_id) matches the DuckDB oracle's
+    // row_number twin; pinned against the HOF struct-max in
+    // NearestCentroidSpec.
     "sim_ivf_topk" -> ((s, d) => {
+      graft.plans.NearestCentroid.register(s)
       val e = corpus(s, d)
       val centArr = e.filter(col("vec_id") % CentroidStride === 0)
         .agg(collect_list(struct(col("vec_id").as("c_id"),
           col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
       val assigned = e.crossJoin(broadcast(centArr))
-        .withColumn("best", array_max(transform(col("cents"), c =>
-          struct(
-            cosPre(c.getField("c_emb"), c.getField("c_nrm"),
-              col("embedding"), col("nrm")).as("c_cos"),
-            (-c.getField("c_id")).as("neg_id")))))
-        .select(col("vec_id"), (-col("best.neg_id")).as("cluster"),
+        .select(col("vec_id"),
+          call_function(graft.plans.NearestCentroid.Name,
+            col("embedding"), col("nrm"), col("cents")).as("cluster"),
           col("embedding"), col("nrm"))
       val qs = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("cluster"),

@@ -112,5 +112,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(MinHashSig.functionDescription)
     ext.injectFunction(SimHash64.functionDescription)
     ext.injectFunction(NGramShingles.functionDescription)
+    ext.injectFunction(NearestCentroid.functionDescription)
   }
 }
