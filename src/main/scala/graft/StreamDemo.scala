@@ -41,7 +41,7 @@ object StreamDemo {
     val input = MemoryStream[KafkaRecord]
     val events = Ingest.channelEvents(Ingest.parseFrames(input.toDF()))
     val deliveries =
-      if (useTws) ChannelProcessor.deliveries(events)
+      if (useTws) ChannelProcessor.deliveries(events, systemMessages = sysMsgs)
       else ChannelStream.deliveries(events, systemMessages = sysMsgs)
 
     val query = Ingest.deliverToParquet(deliveries, s"$out/deliveries",

@@ -199,7 +199,8 @@ object DedupQueries extends QuerySuite {
     * large-star/small-star variant of the same dataflow). The driver
     * loop holds only a convergence COUNT, never data.
     */
-  private[llm] def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  private[llm] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
@@ -207,7 +208,7 @@ object DedupQueries extends QuerySuite {
     var changed = 1L
     var lastSum = labels.agg(sum("comp")).head().getLong(0)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = sym
         .join(labels.select(col("doc_id").as("v"), col("comp")), "v")
         .groupBy(col("u").as("doc_id"))
@@ -228,6 +229,15 @@ object DedupQueries extends QuerySuite {
       rounds += 1
     }
     sym.unpersist()
+    // A silent exit at the round cap would return UNCONVERGED labels —
+    // wrong components that still look plausible (and diverge from the
+    // recursive-CTE oracle with no signal). Fail loudly instead; a
+    // component diameter beyond the cap means this corpus needs the
+    // O(log n) large-star/small-star variant, not more rounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(component diameter exceeds the cap)")
     labels
   }
 

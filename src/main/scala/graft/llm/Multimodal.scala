@@ -83,11 +83,16 @@ object Multimodal extends QuerySuite {
         .cast("long")
       val frame = expr(
         s"substring(text, cast(frame_idx * $frameSize + 1 as int), $frameSize)")
+      // An empty document has n_frames = 0; sequence(0, -1, 4) throws
+      // in Spark while the oracle's range(0, 0, 4) is simply empty, so
+      // the sequence is gated on n_frames > 0 — the null branch makes
+      // explode drop the row, exactly matching DuckDB's empty unnest.
       Tables.documents(s, d)
         .select(col("doc_id"),
           concat(lit("application/x-"), col("source")).as("mime"),
           col("text"), nFrames.as("n_frames"),
-          explode(sequence(lit(0L), nFrames - 1, lit(stride))).as("frame_idx"))
+          explode(when(nFrames > 0,
+            sequence(lit(0L), nFrames - 1, lit(stride)))).as("frame_idx"))
         .select(col("doc_id"), col("mime"), col("n_frames"), col("frame_idx"),
           octet_length(frame).cast("long").as("frame_bytes"),
           md5(frame.cast("binary")).as("frame_digest"))

@@ -101,9 +101,13 @@ object SimilarityQueries extends QuerySuite {
     // steps are single IEEE ops identical on both engines (abs, one
     // divide, one multiply, floor) so the oracle hash-matches. The
     // quantized vector is surfaced via integer stats (min/max/sum).
+    // A zero vector has no symmetric scale: the max|x| denominator is
+    // nulled (not 0 → Inf → NaN, where Spark's long-cast yields 0 but
+    // DuckDB errors), so both engines emit NULL stats for it.
     "sim_quantize_int8" -> ((s, d) => {
       val absd = transform(col("embedding"), x => abs(x.cast("double")))
-      val scale = lit(127.0) / array_max(absd)
+      val maxAbs = array_max(absd)
+      val scale = lit(127.0) / when(maxAbs =!= 0.0, maxAbs)
       val q = transform(col("embedding"),
         x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
       Tables.embeddings(s, d).select(
@@ -167,8 +171,8 @@ object SimilarityQueries extends QuerySuite {
     "sim_quantize_int8" ->
       """WITH t AS (
         |  SELECT vec_id, embedding,
-        |    127.0 / list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |    127.0 / nullif(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
         |  FROM embeddings),
         |q AS (
         |  SELECT vec_id, scale,

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types._
   * IEEE divide — bit-identical across implementations, pinned in
   * NearestCentroidSpec. Inputs are trusted same-dimension vectors
   * (both sides of the comparison come from the same table); NaN
-  * cosines (zero norms) are never selected.
+  * cosines (zero norms) are never selected, and if NO centroid is
+  * selectable (empty centroid array, or every cosine NaN) the result
+  * is NULL rather than a bogus sentinel id.
   */
 case class NearestCentroid(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -41,14 +43,19 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
     }
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = NearestCentroid.Name
 
-  def computeCluster(embAny: Any, nrm: Double, centsAny: Any): Long = {
+  /** Boxed so "no centroid selectable" is representable: null when the
+    * centroid array is empty or every cosine is NaN (zero norms) — a
+    * sentinel id here would silently route rows to a fake cluster. */
+  def computeCluster(embAny: Any, nrm: Double, centsAny: Any): java.lang.Long = {
     val emb = embAny.asInstanceOf[ArrayData]
     val cents = centsAny.asInstanceOf[ArrayData]
     val d = emb.numElements()
     var bestCos = Double.NegativeInfinity
     var bestId = Long.MaxValue
+    var found = false
     var i = 0
     val n = cents.numElements()
     while (i < n) {
@@ -63,13 +70,14 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
         j += 1
       }
       val cos = acc / (cnrm * nrm)
-      if (cos > bestCos || (cos == bestCos && cid < bestId)) {
+      if (cos > bestCos || (cos == bestCos && (!found || cid < bestId))) {
         bestCos = cos
         bestId = cid
+        found = true
       }
       i += 1
     }
-    bestId
+    if (found) java.lang.Long.valueOf(bestId) else null
   }
 
   override protected def nullSafeEval(emb: Any, nrm: Any, cents: Any): Any =
@@ -79,7 +87,12 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
     val self = ctx.addReferenceObj("nearestCentroid", this,
       classOf[NearestCentroid].getName)
     nullSafeCodeGen(ctx, ev, (e, m, c) =>
-      s"${ev.value} = $self.computeCluster($e, $m, $c);")
+      s"""java.lang.Long ${ev.value}Boxed = $self.computeCluster($e, $m, $c);
+         |if (${ev.value}Boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Boxed.longValue();
+         |}""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

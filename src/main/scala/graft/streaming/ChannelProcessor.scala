@@ -16,7 +16,8 @@ import ChannelStream.{ChannelEvent, ChannelState, Delivery}
   * the same ordered-replay logic, so both implementations are covered
   * by the same expectations (see ChannelProcessorSpec).
   */
-class ChannelProcessor(ttl: Option[java.time.Duration] = None)
+class ChannelProcessor(ttl: Option[java.time.Duration] = None,
+    systemMessages: Boolean = false)
     extends StatefulProcessor[String, ChannelEvent, Delivery] {
   import ChannelProcessor.TwsState
 
@@ -39,7 +40,7 @@ class ChannelProcessor(ttl: Option[java.time.Duration] = None)
     // so the two state backends cannot drift (incl. the explicit S/I
     // gossip-frame ignore and the O40 system-message enrichment).
     val (m, out) = ChannelStream.applyEvents(channel, initial, rows,
-      systemMessages = false)
+      systemMessages)
     if (m.isEmpty) members.clear()         // channel auto-destroy
     else members.update(TwsState(m.toSeq.sortBy(_._1)))
     out.iterator
@@ -53,14 +54,17 @@ object ChannelProcessor {
 
   /** Wire the processor onto an event stream. Requires the RocksDB
     * state store provider (set in the session conf; see spec).
-    * A `ttl` expires idle channel state (needs processing-time mode). */
+    * A `ttl` expires idle channel state (needs processing-time mode);
+    * `systemMessages` switches on the O40 join/leave enrichment, same
+    * as the flatMapGroupsWithState path. */
   def deliveries(events: Dataset[ChannelEvent],
-      ttl: Option[java.time.Duration] = None): Dataset[Delivery] = {
+      ttl: Option[java.time.Duration] = None,
+      systemMessages: Boolean = false): Dataset[Delivery] = {
     implicit val outEnc = Encoders.product[Delivery]
     val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .groupByKey(_.channel)(Encoders.STRING)
-      .transformWithState(new ChannelProcessor(ttl),
+      .transformWithState(new ChannelProcessor(ttl, systemMessages),
         timeMode, OutputMode.Append())
   }
 }

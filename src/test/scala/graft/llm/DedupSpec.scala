@@ -178,6 +178,18 @@ class DedupSpec extends SparkSpec {
     assert(comps(10L) == 10L)
   }
 
+  test("connected components fail loudly when the round cap is hit") {
+    // chain 1-2-3-4-5 has diameter 4: min-label propagation cannot
+    // converge in 2 rounds, and an unconverged result must throw
+    // rather than silently return wrong components.
+    val nodes = (1L to 5L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      DedupQueries.connectedComponents(nodes, edges, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("vocab fingerprint is word-order insensitive") {
     val fp = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
         (3L, "alpha beta delta"))

@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of queries whose driver checks only see
+  * well-formed rows: an empty document (n_frames = 0) and an all-zero
+  * embedding (no symmetric quantization scale). Fixtures are written
+  * as table-shaped parquet dirs so the real `SparkEntry.queries`
+  * entries run unmodified.
+  */
+class QueryEdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_edge").toString
+
+  test("multimodal_frame_sample: empty document emits no frames, no crash") {
+    val dir = fixtureDir()
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "x" * 300, "en", "web", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("multimodal_frame_sample")(spark, dir)
+      .select("doc_id", "frame_idx").as[(Long, Long)].collect()
+    // doc 1 (empty -> sequence would be (0,-1)) contributes nothing,
+    // matching DuckDB's empty range(0, 0, 4); doc 2 has 2 frames,
+    // stride 4 samples only frame 0.
+    assert(out.toSeq == Seq((2L, 0L)))
+  }
+
+  test("sim_quantize_int8: zero vector quantizes to NULL stats") {
+    val dir = fixtureDir()
+    Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, -2.0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("sim_quantize_int8")(spark, dir)
+      .orderBy("vec_id").collect()
+    val zero = rows(0)
+    assert(zero.getLong(0) == 1L)
+    assert(zero.isNullAt(rows(0).fieldIndex("scale")), "zero vector: NULL scale")
+    assert(zero.isNullAt(rows(0).fieldIndex("q_min")))
+    assert(zero.isNullAt(rows(0).fieldIndex("q_max")))
+    assert(zero.isNullAt(rows(0).fieldIndex("q_sum")), "0*Inf=NaN must not cast to 0")
+    val live = rows(1)
+    // max-|x| component is -2.0 -> floor(-127 + 0.5) = -127
+    assert(live.getLong(live.fieldIndex("q_min")) == -127L,
+      "max-|x| component quantizes to exactly +/-127")
+  }
+}

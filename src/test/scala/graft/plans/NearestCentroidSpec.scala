@@ -35,6 +35,31 @@ class NearestCentroidSpec extends SparkSpec {
     }
   }
 
+  test("no selectable centroid -> NULL (empty set and all-NaN cosines)") {
+    FloatVectorDot.register(spark)
+    NearestCentroid.register(spark)
+    import spark.implicits._
+    val centsType = "array<struct<c_id:bigint,c_emb:array<float>,c_nrm:double>>"
+    // empty centroid array
+    val empty = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("nrm", Vectors.normNative(col("embedding")))
+      .withColumn("cents", array().cast(centsType))
+      .select(call_function(NearestCentroid.Name,
+        col("embedding"), col("nrm"), col("cents")).as("c"))
+      .head()
+    assert(empty.isNullAt(0), "empty centroid set must assign NULL")
+    // zero-norm centroid -> cosine NaN for every candidate
+    val allNaN = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("nrm", Vectors.normNative(col("embedding")))
+      .withColumn("cents", array(
+        struct(lit(5L).as("c_id"),
+          typedLit(Seq(0.0f, 0.0f)).as("c_emb"), lit(0.0).as("c_nrm"))))
+      .select(call_function(NearestCentroid.Name,
+        col("embedding"), col("nrm"), col("cents")).as("c"))
+      .head()
+    assert(allNaN.isNullAt(0), "all-NaN cosines must assign NULL, not a fake id")
+  }
+
   test("tie-break picks the smallest centroid id") {
     FloatVectorDot.register(spark)
     NearestCentroid.register(spark)

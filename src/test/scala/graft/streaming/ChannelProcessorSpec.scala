@@ -11,7 +11,8 @@ class ChannelProcessorSpec extends SparkSpec {
   import spark.implicits._
 
   private var n = 0
-  private def runBatches(batches: Seq[Seq[ChannelEvent]]): Seq[Delivery] = {
+  private def runBatches(batches: Seq[Seq[ChannelEvent]],
+      systemMessages: Boolean = false): Seq[Delivery] = {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -20,7 +21,8 @@ class ChannelProcessorSpec extends SparkSpec {
       val input = MemoryStream[ChannelEvent]
       n += 1
       val name = s"tws_$n"
-      val q = ChannelProcessor.deliveries(input.toDS())
+      val q = ChannelProcessor.deliveries(input.toDS(),
+          systemMessages = systemMessages)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
       try {
@@ -45,6 +47,22 @@ class ChannelProcessorSpec extends SparkSpec {
       Seq(ev(5, "M", "news", msg = "again"))))
     assert(out.map(d => (d.cid, d.message)).toSet ==
       Set((1L, "hello"), (2L, "hello"), (2L, "again")))
+  }
+
+  test("system-message enrichment (O40) matches the flatMapGroupsWithState path") {
+    val out = runBatches(Seq(
+      Seq(ev(1, "J", "hub", 1, "n1")),
+      Seq(ev(2, "J", "hub", 2, "n2")),
+      Seq(ev(3, "M", "hub", msg = "hello")),
+      Seq(ev(4, "L", "hub", 1))),
+      systemMessages = true)
+    assert(out.map(d => (d.cid, d.message, d.origin)) == Seq(
+      (1L, "system:welcome:1", "system"),
+      (2L, "system:welcome:2", "system"),
+      (1L, "system:join:2", "system"),
+      (1L, "hello", "publisher"),
+      (2L, "hello", "publisher"),
+      (2L, "system:leave:1", "system")))
   }
 
   test("state persists across micro-batches and channel empties cleanly") {
