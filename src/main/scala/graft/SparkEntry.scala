@@ -20,6 +20,7 @@ object SparkEntry {
     analytics.AsofQueries,
     llm.DedupQueries,
     llm.TextQueries,
+    llm.CurationQueries,
     llm.SimilarityQueries,
     llm.Multimodal,
     auth.AuthQueries)

@@ -1,0 +1,229 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Corpus-curation operators (north star): the filter/transform layer a
+  * training-data pipeline runs between raw ingest and tokenization —
+  * repetition metrics, a Gopher-style quality gate (Rae et al. 2021,
+  * public paper — thresholds re-tuned for this synthetic corpus),
+  * regex scrubbing, and token-budget sequence packing.
+  *
+  * Scale shapes: repetition metrics shuffle (doc_id, gram) pairs —
+  * linear in corpus tokens with map-side partial aggregation, never
+  * quadratic. Scrubbing is map-only. Packing is the two-stage offset
+  * pattern: per-shard window cumsum + a broadcast base-offset table —
+  * the only global ordering is over the tiny shard list, never rows.
+  */
+object CurationQueries extends QuerySuite {
+
+  /** Fixed token budget per packed training sequence. */
+  val SeqLen = 512L
+
+  /** documents with the split word array (and lowered twin). */
+  private def withWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      words(col("text")).as("ws"), words(lower(col("text"))).as("lws"))
+
+  /** Per-doc unigram stats: total words, max single-word count,
+    * distinct words. Explode -> two-level agg (partial map-side). */
+  private def wordRepetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("ws")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        max("c").as("top_w"),
+        count(lit(1)).as("d_w"))
+
+  /** Per-doc bigram stats (docs with >= 2 words only). */
+  private def bigramRepetition(docs: DataFrame): DataFrame =
+    docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_b"),
+        count(lit(1)).as("d_b"))
+
+  private def frac(num: Column, den: Column): Column =
+    num.cast("double") / den.cast("double")
+
+  /** Tokens scrubbed by `text_scrub` (word-boundary alternation — same
+    * semantics in Java regex and DuckDB's RE2 for ASCII words). */
+  val ScrubPattern = """\b(key|hash|scan)\b"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Repetition metrics (the Gopher repetition signals, adapted to
+    // single-line docs): top/duplicate fractions over unigrams and
+    // bigrams. A doc with one word has no bigrams -> NULL bigram
+    // fracs on both engines (left join).
+    "text_repetition" -> ((s, d) => {
+      val docs = withWords(s, d)
+      wordRepetition(docs).join(bigramRepetition(docs), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          frac(col("top_w"), col("n_words")).as("top_word_frac"),
+          frac(col("n_words") - col("d_w"), col("n_words")).as("dup_word_frac"),
+          frac(col("top_b"), col("n_bigrams")).as("top_bigram_frac"),
+          frac(col("n_bigrams") - col("d_b"), col("n_bigrams")).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style quality gate: each doc gets 0/1 flags for word
+    // count, mean word length, top-word fraction, duplicate-word
+    // fraction and language-marker presence, and keep = AND of all
+    // five. Thresholds sit at this corpus's quartiles so both keep
+    // outcomes are exercised. All comparisons run on values both
+    // engines compute bit-identically (integer counts, one divide).
+    "text_gopher_filter" -> ((s, d) => {
+      val docs = withWords(s, d)
+      val rep = wordRepetition(docs)
+      val perDoc = docs.select(col("doc_id"),
+        (aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).cast("double")
+          / size(col("ws")).cast("double")).as("mean_word_len"),
+        (markerCount(col("lws"), EnMarkers) + markerCount(col("lws"), DeMarkers)
+          + markerCount(col("lws"), EsMarkers)).as("marker_hits"))
+      rep.join(perDoc, "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          col("n_words").between(20, 90).cast("long").as("ok_words"),
+          (col("mean_word_len") > 4.0 && col("mean_word_len") < 5.0)
+            .cast("long").as("ok_mean_len"),
+          (frac(col("top_w"), col("n_words")) <= 0.12)
+            .cast("long").as("ok_top_word"),
+          (frac(col("n_words") - col("d_w"), col("n_words")) <= 0.55)
+            .cast("long").as("ok_dup_word"),
+          (col("marker_hits") >= 1).cast("long").as("ok_lang"))
+        .withColumn("keep", least(col("ok_words"), col("ok_mean_len"),
+          col("ok_top_word"), col("ok_dup_word"), col("ok_lang")))
+        .orderBy("doc_id")
+    }),
+
+    // Regex scrub (PII-redaction shape): replace a token family,
+    // report hit counts and the digest of the scrubbed text. Map-only.
+    "text_scrub" -> ((s, d) => {
+      val clean = regexp_replace(col("text"), ScrubPattern, "<X>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
+          .cast("long").as("n_hits"),
+        length(clean).cast("long").as("n_chars_clean"),
+        md5(clean.cast("binary")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget sequence packing: concatenate the corpus in
+    // (source, doc_id) order and chunk into SeqLen-token training
+    // sequences; each doc reports its global token offset and the
+    // sequence ids it lands in. Offsets are two-stage: a window cumsum
+    // WITHIN each source shard plus a broadcast per-shard base — no
+    // global row ordering ever materializes, so the plan survives any
+    // corpus size (the oracle's single global window is the semantic
+    // twin, not the physical plan).
+    "text_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      val local = docs.withColumn("local_off",
+        coalesce(sum("n_tokens").over(Window.partitionBy("source")
+          .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val bases = docs.groupBy("source").agg(sum("n_tokens").as("tot"))
+        .withColumn("base", coalesce(sum("tot").over(Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "base")
+      local.join(broadcast(bases), "source")
+        .withColumn("start_off", col("base") + col("local_off"))
+        .withColumn("first_seq", expr(s"start_off DIV $SeqLen"))
+        .withColumn("last_seq", expr(s"(start_off + n_tokens - 1) DIV $SeqLen"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+          col("first_seq"), col("last_seq"),
+          (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+        .orderBy("doc_id")
+    }))
+
+  private val markerSetSql =
+    (EnMarkers ++ DeMarkers ++ EsMarkers).distinct
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+
+  private val repetitionCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wc AS (SELECT doc_id, g, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY doc_id, g),
+      |wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |         max(c) AS top_w, count(*) AS d_w FROM wc GROUP BY doc_id)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH $repetitionCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i+1])) AS g
+         |       FROM w WHERE len(ws) >= 2),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         |bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |         max(c) AS top_b, count(*) AS d_b FROM bc GROUP BY doc_id)
+         |SELECT wagg.doc_id, n_words,
+         |  CAST(top_w AS DOUBLE) / n_words AS top_word_frac,
+         |  CAST(n_words - d_w AS DOUBLE) / n_words AS dup_word_frac,
+         |  CAST(top_b AS DOUBLE) / n_bigrams AS top_bigram_frac,
+         |  CAST(n_bigrams - d_b AS DOUBLE) / n_bigrams AS dup_bigram_frac
+         |FROM wagg LEFT JOIN bagg ON wagg.doc_id = bagg.doc_id
+         |ORDER BY wagg.doc_id""".stripMargin,
+
+    "text_gopher_filter" ->
+      s"""WITH $repetitionCte,
+         |m AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))
+         |    AS DOUBLE) / len(ws) AS mean_word_len,
+         |  len(list_filter(string_split(lower(text), ' '),
+         |    x -> list_contains($markerSetSql, x))) AS marker_hits
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |        FROM documents)),
+         |f AS (
+         |  SELECT wagg.doc_id, n_words,
+         |    CAST(n_words BETWEEN 20 AND 90 AS BIGINT) AS ok_words,
+         |    CAST(mean_word_len > 4.0 AND mean_word_len < 5.0 AS BIGINT)
+         |      AS ok_mean_len,
+         |    CAST(CAST(top_w AS DOUBLE) / n_words <= 0.12 AS BIGINT)
+         |      AS ok_top_word,
+         |    CAST(CAST(n_words - d_w AS DOUBLE) / n_words <= 0.55 AS BIGINT)
+         |      AS ok_dup_word,
+         |    CAST(marker_hits >= 1 AS BIGINT) AS ok_lang
+         |  FROM wagg JOIN m ON wagg.doc_id = m.doc_id)
+         |SELECT doc_id, n_words, ok_words, ok_mean_len, ok_top_word,
+         |  ok_dup_word, ok_lang,
+         |  least(ok_words, ok_mean_len, ok_top_word, ok_dup_word, ok_lang)
+         |    AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(key|hash|scan)\b'))
+        |    AS BIGINT) AS n_hits,
+        |  CAST(length(regexp_replace(text, '\b(key|hash|scan)\b', '<X>', 'g'))
+        |    AS BIGINT) AS n_chars_clean,
+        |  md5(regexp_replace(text, '\b(key|hash|scan)\b', '<X>', 'g'))
+        |    AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY source, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, start_off,
+         |  start_off // $SeqLen AS first_seq,
+         |  (start_off + n_tokens - 1) // $SeqLen AS last_seq,
+         |  (start_off + n_tokens - 1) // $SeqLen - start_off // $SeqLen + 1
+         |    AS n_seqs
+         |FROM o ORDER BY doc_id""".stripMargin)
+}
