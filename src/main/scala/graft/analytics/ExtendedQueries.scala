@@ -83,6 +83,23 @@ object ExtendedQueries extends QuerySuite {
         ORDER BY c_custkey""")
     }),
 
+    // EXISTS / NOT EXISTS correlated subqueries through SQL — the
+    // remaining subquery flavor next to scalar and IN; Catalyst
+    // rewrites both to semi/anti joins.
+    "sql_exists_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        ORDER BY c_custkey""")
+    }),
+
     // Explicit GROUPING SETS with grouping indicators (beyond
     // rollup/cube): per-(status,priority), per-status, grand total.
     "sql_grouping_sets" -> ((s, d) => {
@@ -199,6 +216,16 @@ object ExtendedQueries extends QuerySuite {
         |                    WHERE o_orderpriority = '1-URGENT')
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sql_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
         |ORDER BY c_custkey""".stripMargin,
 
     "sql_grouping_sets" ->

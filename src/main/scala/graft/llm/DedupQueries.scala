@@ -101,22 +101,29 @@ object DedupQueries extends QuerySuite {
   private def plane(b: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i => planeInt(b, i).toDouble)
 
-  /** The SRP-LSH pipeline over an embeddings frame (vec_id, embedding,
-    * nrm): map-only band signatures -> bucket self-join -> exact
-    * cosine verify on candidates only. Extracted so specs can plant
-    * fixtures. */
-  private[llm] def srpPairs(e: DataFrame, dim: Int, threshold: Double): DataFrame = {
+  /** Exploded (vec_id, band_idx, band_val) band signatures for an
+    * embeddings frame — the map-only SRP routing step, shared with the
+    * similarity suite's LSH ANN search. */
+  private[llm] def srpBands(e: DataFrame, dim: Int): DataFrame = {
     val dots = (0 until SrpBits).map(b =>
       Vectors.dot(col("embedding"), typedLit(plane(b, dim))))
     def bandVal(k: Int) = (0 until SrpR).map(j =>
       when(dots(k * SrpR + j) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    val bands = e.select(col("vec_id"),
+    e.select(col("vec_id"),
         explode(array((0 until SrpBands).map(k =>
           struct(lit(k).as("band_idx"), bandVal(k).as("band_val"))): _*))
           .as("band"))
       .select(col("vec_id"), col("band.band_idx").as("band_idx"),
         col("band.band_val").as("band_val"))
+  }
+
+  /** The SRP-LSH pipeline over an embeddings frame (vec_id, embedding,
+    * nrm): map-only band signatures -> bucket self-join -> exact
+    * cosine verify on candidates only. Extracted so specs can plant
+    * fixtures. */
+  private[llm] def srpPairs(e: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val bands = srpBands(e, dim)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -430,6 +437,18 @@ object DedupQueries extends QuerySuite {
       s"(CASE WHEN ${dotPlaneSql(k * SrpR + j)} > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** The `sig`/`bands` CTE bodies of the SRP oracle — the SQL twin of
+    * [[srpBands]], shared with the similarity suite's LSH ANN oracle. */
+  private[llm] def srpBandsSqlCte: String =
+    s"""sig AS (
+       |  SELECT vec_id, embedding,
+       |${(0 until SrpBands).map(k => s"    ${bandValSql(k)} AS band$k").mkString(",\n")}
+       |  FROM embeddings),
+       |bands AS (
+       |${(0 until SrpBands).map(k =>
+           s"  SELECT vec_id, $k AS band_idx, band$k AS band_val FROM sig")
+           .mkString("\n  UNION ALL\n")})""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_exact_groups" ->
       """SELECT md5(text) AS digest, count(*) AS n_copies,
@@ -479,14 +498,7 @@ object DedupQueries extends QuerySuite {
          |ORDER BY comp""".stripMargin,
 
     "dedup_embedding_lsh" ->
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding,
-         |${(0 until SrpBands).map(k => s"    ${bandValSql(k)} AS band$k").mkString(",\n")}
-         |  FROM embeddings),
-         |bands AS (
-         |${(0 until SrpBands).map(k =>
-             s"  SELECT vec_id, $k AS band_idx, band$k AS band_val FROM sig")
-             .mkString("\n  UNION ALL\n")}),
+      s"""WITH $srpBandsSqlCte,
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM bands x JOIN bands y

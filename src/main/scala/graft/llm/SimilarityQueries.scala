@@ -37,24 +37,77 @@ object SimilarityQueries extends QuerySuite {
     Vectors.dotNative(qEmb, emb) / (qNrm * nrm)
   private type Column_ = org.apache.spark.sql.Column
 
+  /** Brute-force cosine top-k: broadcast the query set, scan the
+    * corpus once, rank per query. */
+  private def bruteTopk(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
+        col("embedding"), col("nrm")))
+    scored.withColumn("rk",
+        row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** SRP-LSH ANN top-k: candidates are corpus vectors sharing any of
+    * the query's 8 band buckets (the dedup suite's SRP routing,
+    * reused); only candidates pay the exact-cosine re-rank. The corpus
+    * is touched twice map-only (banding, gather) and the per-band
+    * bucket join is linear — no corpus × query cross product, the
+    * property that makes ANN viable at 10^9 vectors where brute force
+    * scans everything per query. */
+  private def lshTopk(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d)
+    val bands = DedupQueries.srpBands(e, dim = 64)
+    val qb = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band_idx"), col("band_val"))
+    val cands = broadcast(qb).join(bands, Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val qe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    cands.join(broadcast(qe), "q_id")
+      .join(e, "vec_id")
+      .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
+        col("embedding"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-k: broadcast the query set, scan the
-    // corpus once, rank per query.
-    "sim_bruteforce_topk" -> ((s, d) => {
-      val e = corpus(s, d)
-      val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      val scored = e.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
-          col("embedding"), col("nrm")))
-      scored.withColumn("rk",
-          row_number().over(Window.partitionBy(col("q_id"))
-            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .filter(col("rk") <= TopK)
-        .select("q_id", "rk", "vec_id", "cos")
-        .orderBy("q_id", "rk")
+    "sim_bruteforce_topk" -> (bruteTopk _),
+
+    "sim_lsh_topk" -> (lshTopk _),
+
+    // Recall@k audit — the acceptance gate every ANN rollout needs:
+    // per query, how many of the exact top-k the LSH index recovered.
+    // Joins the two pipelines' outputs; a query whose candidate set
+    // came up short simply scores lower (LEFT JOIN keeps the truth
+    // side). At scale the truth side is a small evaluation sample, so
+    // the brute-force leg stays bounded.
+    "sim_recall_audit" -> ((s, d) => {
+      val bf = bruteTopk(s, d).select(col("q_id"), col("vec_id"))
+      val lsh = lshTopk(s, d)
+        .select(col("q_id").as("lq"), col("vec_id").as("lv"))
+      bf.join(lsh, col("q_id") === col("lq") && col("vec_id") === col("lv"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_truth"), count(col("lv")).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_truth").cast("double"))
+        .orderBy("q_id")
     }),
 
     // IVF ANN: assign every vector to its nearest deterministic
@@ -130,19 +183,54 @@ object SimilarityQueries extends QuerySuite {
 
   private def cosSql(a: String, b: String) = Vectors.cosineSql(a, b)
 
+  private def bruteTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
+  private def lshTopkSql: String =
+    s"""WITH ${DedupQueries.srpBandsSqlCte},
+       |qb AS (SELECT vec_id AS q_id, band_idx, band_val
+       |       FROM bands WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, b.vec_id
+       |  FROM qb JOIN bands b
+       |    ON qb.band_idx = b.band_idx AND qb.band_val = b.band_val
+       |  WHERE b.vec_id <> qb.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id, ${cosSql("qe.embedding", "e.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings e ON e.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "sim_bruteforce_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |           FROM embeddings WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
-         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
-         |  FROM scored)
-         |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
-         |ORDER BY q_id, rk""".stripMargin,
+    "sim_bruteforce_topk" -> bruteTopkSql,
+
+    "sim_lsh_topk" -> lshTopkSql,
+
+    "sim_recall_audit" ->
+      s"""WITH bf AS ($bruteTopkSql),
+         |lsh AS ($lshTopkSql)
+         |SELECT bf.q_id, count(*) AS n_truth,
+         |  count(lsh.vec_id) AS n_hit,
+         |  CAST(count(lsh.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM bf LEFT JOIN lsh
+         |  ON bf.q_id = lsh.q_id AND bf.vec_id = lsh.vec_id
+         |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb

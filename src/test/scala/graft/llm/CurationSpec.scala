@@ -1,0 +1,105 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins the curation operators' semantics on hand-computable fixtures,
+  * plus invariants of the packing and ANN-recall pipelines on the
+  * sf0.001 testdata.
+  */
+class CurationSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def byDoc(name: String): Map[Long, Row] =
+    CurationQueries.queries(name)(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+
+  test("text_repetition: fractions match hand counts on a real doc") {
+    import spark.implicits._
+    val doc0 = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" === 0L).select("text").head.getString(0)
+    val ws = doc0.split(" ", -1).toSeq
+    val bigrams = ws.sliding(2).map(_.mkString(" ")).toSeq
+    val r = byDoc("text_repetition")(0L)
+    assert(r.getLong(r.fieldIndex("n_words")) === ws.size)
+    assert(r.getDouble(r.fieldIndex("top_word_frac")) ===
+      ws.groupBy(identity).values.map(_.size).max.toDouble / ws.size)
+    assert(r.getDouble(r.fieldIndex("dup_word_frac")) ===
+      (ws.size - ws.distinct.size).toDouble / ws.size)
+    assert(r.getDouble(r.fieldIndex("top_bigram_frac")) ===
+      bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size)
+  }
+
+  test("text_gopher_filter: keep is the conjunction of the five flags") {
+    val rows = CurationQueries.queries("text_gopher_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flags = Seq("ok_words", "ok_mean_len", "ok_top_word",
+      "ok_dup_word", "ok_lang")
+    rows.foreach { r =>
+      val vals = flags.map(f => r.getLong(r.fieldIndex(f)))
+      assert(vals.forall(v => v == 0L || v == 1L))
+      assert(r.getLong(r.fieldIndex("keep")) === vals.min)
+    }
+    // thresholds must actually split this corpus, else the gate is vacuous
+    val kept = rows.count(_.getLong(rows.head.fieldIndex("keep")) == 1L)
+    assert(kept > 0 && kept < rows.length)
+  }
+
+  test("text_scrub: redaction replaces every hit and only hits") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val pat = CurationQueries.ScrubPattern.r
+    byDoc("text_scrub").foreach { case (id, r) =>
+      val hits = pat.findAllIn(docs(id)).toSeq
+      assert(r.getLong(r.fieldIndex("n_hits")) === hits.size)
+      assert(r.getLong(r.fieldIndex("n_chars_clean")) ===
+        docs(id).length - hits.map(_.length).sum + 3 * hits.size)
+    }
+  }
+
+  test("text_pack_sequences: offsets tile the corpus with no gaps") {
+    val rows = CurationQueries.queries("text_pack_sequences")(spark, sf)
+      .collect().sortBy(r => (r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("doc_id"))))
+    // contiguity: each doc starts where the previous one ended
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(a.fieldIndex("start_off"))
+          + a.getLong(a.fieldIndex("n_tokens")) ===
+          b.getLong(b.fieldIndex("start_off")))
+      case _ =>
+    }
+    assert(rows.head.getLong(rows.head.fieldIndex("start_off")) === 0L)
+    rows.foreach { r =>
+      val first = r.getLong(r.fieldIndex("first_seq"))
+      val last = r.getLong(r.fieldIndex("last_seq"))
+      val start = r.getLong(r.fieldIndex("start_off"))
+      val n = r.getLong(r.fieldIndex("n_tokens"))
+      assert(first === start / CurationQueries.SeqLen)
+      assert(last === (start + n - 1) / CurationQueries.SeqLen)
+      assert(r.getLong(r.fieldIndex("n_seqs")) === last - first + 1)
+    }
+  }
+
+  test("sim_recall_audit: truth side is always full top-k, recall in [0,1]") {
+    val rows = SimilarityQueries.queries("sim_recall_audit")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_truth")) === SimilarityQueries.TopK.toLong)
+      val rec = r.getDouble(r.fieldIndex("recall"))
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_hit")) <= SimilarityQueries.TopK.toLong)
+    }
+  }
+
+  test("sim_lsh_topk: every hit is a true corpus vector with exact rank order") {
+    val rows = SimilarityQueries.queries("sim_lsh_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cosines = rs.sortBy(_.getLong(rs.head.fieldIndex("rk")))
+        .map(_.getDouble(rs.head.fieldIndex("cos")))
+      assert(cosines.sameElements(cosines.sortBy(-_)), "ranked by cosine desc")
+    }
+  }
+}
