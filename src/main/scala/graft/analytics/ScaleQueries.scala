@@ -41,6 +41,43 @@ object ScaleQueries extends QuerySuite {
           approx_count_distinct("user_id", 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // Bloom-filter pre-join gate: build a bloom filter over the SMALL
+    // side's keys (rich customers — same cost class as a broadcast),
+    // prefilter the fact scan map-side with might-contain, then run
+    // the exact semi-join on the survivors. False positives are
+    // removed by the exact join, so the result is bit-identical to
+    // the plain semi-join the oracle computes — while at 100 TB the
+    // prefilter cuts the fact rows entering the shuffle to roughly
+    // the join's selectivity (the hand-rolled twin of Spark's own
+    // runtime row-level filtering, here made explicit and testable).
+    "sketch_bloom_prejoin" -> ((s, d) => {
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9000).select("c_custkey")
+      val bloom = rich.stat.bloomFilter("c_custkey", 10000L, 0.01)
+      val mightContain = udf((k: Long) => bloom.mightContain(k))
+      Tables.orders(s, d)
+        .filter(mightContain(col("o_custkey")))
+        .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("total_value"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Approximate quantiles (KLL-style percentile_approx sketch): the
+    // mergeable one-pass scale path next to the exact rank-selection
+    // percentiles of agg_percentiles_disc. Rows-only driver check
+    // (sketch internals are engine-specific); the error bound vs the
+    // exact percentiles is asserted in ScaleSpec.
+    "sketch_approx_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+          .as("approx_pcts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // Map-side (partial) aggregation visibility: pre-aggregate per
     // input partition before the shuffle, then merge — what Catalyst
     // does automatically for sum/count, expressed explicitly over the
@@ -59,6 +96,13 @@ object ScaleQueries extends QuerySuite {
       s"""SELECT event_type, count(*) AS n_events,
          |  ${moneySumSql("value")} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_bloom_prejoin" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${moneySumSql("o_totalprice")} AS total_value
+         |FROM orders WHERE o_custkey IN
+         |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_two_stage_user_day" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,

@@ -20,6 +20,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloom pre-join gate equals the plain semi-join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val gated = ScaleQueries.queries("sketch_bloom_prejoin")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val rich = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val naive = graft.Tables.orders(spark, sf)
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(Exact.cents(col("o_totalprice"))) / 100.0).as("total_value"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(gated.toSeq == naive.toSeq)
+    assert(gated.map(_._2).sum > 0, "gate must pass the true matches")
+  }
+
+  test("approx quantiles within 1% of exact per return flag") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val approx = ScaleQueries.queries("sketch_approx_quantiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+        .as("pcts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((flag, as) <- approx; (a, e) <- as.zip(exact(flag)))
+      assert(math.abs(a - e) / e <= 0.01, s"$flag: approx=$a exact=$e")
+  }
+
   test("salted aggregation equals naive aggregation") {
     val salted = ScaleQueries.queries("agg_salted_hot_key")(
       spark, "/root/testdata/sf0.001").collect()
