@@ -13,7 +13,8 @@ object Explain {
     "route_client_fanout", "window_running_totals",
     "dedup_lsh_candidates", "dedup_ngram_jaccard_pairs",
     "sim_bruteforce_topk", "sim_ivf_topk", "sim_quantize_int8",
-    "text_top_terms", "agg_percentiles_disc")
+    "sim_lsh_topk", "text_top_terms", "agg_percentiles_disc",
+    "text_repetition", "text_pack_sequences", "sketch_bloom_prejoin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -116,6 +116,32 @@ object CurationQueries extends QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // Mixture-rebalance planner: per-source token shares and the
+    // sampling rate that flattens the mixture to the uniform
+    // per-source target — the source-weighting step of training-data
+    // prep. Float work is one divide / one multiply over exact
+    // integer sums, so both engines agree bit-for-bit. The totals
+    // side is a 1-row broadcast; the plan is two linear aggregations.
+    "text_mixture_plan" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .withColumn("nw", size(words(col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+      val tot = bySrc.agg(sum("tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      bySrc.crossJoin(broadcast(tot))
+        .withColumn("nat_frac",
+          col("tokens").cast("double") / col("total_tokens").cast("double"))
+        .withColumn("rate", least(lit(1.0),
+          expr(s"total_tokens DIV n_sources").cast("double")
+            / col("tokens").cast("double")))
+        .withColumn("planned_tokens",
+          floor(col("rate") * col("tokens").cast("double")).cast("long"))
+        .select("source", "n_docs", "tokens", "nat_frac", "rate",
+          "planned_tokens")
+        .orderBy("source")
+    }),
+
     // Token-budget sequence packing: concatenate the corpus in
     // (source, doc_id) order and chunk into SeqLen-token training
     // sequences; each doc reports its global token offset and the
@@ -208,6 +234,22 @@ object CurationQueries extends QuerySuite {
         |  md5(regexp_replace(text, '\b(key|hash|scan)\b', '<X>', 'g'))
         |    AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_mixture_plan" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |             count(*) AS n_sources FROM s)
+        |SELECT source, n_docs, tokens,
+        |  CAST(tokens AS DOUBLE) / total_tokens AS nat_frac,
+        |  least(1.0, CAST(total_tokens // n_sources AS DOUBLE) / tokens)
+        |    AS rate,
+        |  CAST(floor(least(1.0,
+        |      CAST(total_tokens // n_sources AS DOUBLE) / tokens) * tokens)
+        |    AS BIGINT) AS planned_tokens
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
 
     "text_pack_sequences" ->
       s"""WITH t AS (

@@ -82,6 +82,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("text_mixture_plan: rates cap at 1 and flatten oversized sources") {
+    val rows = CurationQueries.queries("text_mixture_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(rows.head.fieldIndex("tokens"))).sum
+    val target = totalTokens / rows.length
+    rows.foreach { r =>
+      val tokens = r.getLong(r.fieldIndex("tokens"))
+      val rate = r.getDouble(r.fieldIndex("rate"))
+      val planned = r.getLong(r.fieldIndex("planned_tokens"))
+      assert(rate > 0.0 && rate <= 1.0)
+      if (tokens <= target) assert(rate === 1.0 && planned === tokens)
+      else assert(planned <= target)
+    }
+    val fracs = rows.map(_.getDouble(rows.head.fieldIndex("nat_frac"))).sum
+    assert(math.abs(fracs - 1.0) < 1e-9)
+  }
+
   test("sim_recall_audit: truth side is always full top-k, recall in [0,1]") {
     val rows = SimilarityQueries.queries("sim_recall_audit")(spark, sf).collect()
     assert(rows.length === 10)
