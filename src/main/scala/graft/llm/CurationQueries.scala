@@ -58,6 +58,26 @@ object CurationQueries extends QuerySuite {
     * semantics in Java regex and DuckDB's RE2 for ASCII words). */
   val ScrubPattern = """\b(key|hash|scan)\b"""
 
+  /** Per-ROW quality gate: the text_gopher_filter thresholds computed
+    * without any aggregation (top/dup word stats come from a
+    * sort+run-length fold over the row's own token array), so the
+    * identical expression drops into a streaming ingest as a map-only
+    * filter — batch and stream cannot disagree on what "keep" means.
+    * Spec-pinned equal to the explode→agg pipeline in CurationSpec. */
+  def rowQualityKeep(text: Column): Column = {
+    val ws = words(text)
+    val lws = words(lower(text))
+    val n = size(ws).cast("long")
+    val meanLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
+      .cast("double") / n.cast("double")
+    val topFrac = maxRepeatCount(ws).cast("double") / n.cast("double")
+    val dupFrac = (n - size(array_distinct(ws))).cast("double") / n.cast("double")
+    val markers = markerCount(lws, EnMarkers) + markerCount(lws, DeMarkers) +
+      markerCount(lws, EsMarkers)
+    n.between(20, 90) && meanLen > 4.0 && meanLen < 5.0 &&
+      topFrac <= 0.12 && dupFrac <= 0.55 && markers >= 1
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Repetition metrics (the Gopher repetition signals, adapted to
     // single-line docs): top/duplicate fractions over unigrams and

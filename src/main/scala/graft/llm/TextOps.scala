@@ -136,4 +136,20 @@ object TextOps {
   def markerCount(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => markers.foldLeft(lit(false))((acc, m) => acc || w === m)))
       .cast("long")
+
+  /** Max multiplicity of any single token in the array, computed
+    * per row (sort + run-length fold) — no explode/aggregation, so it
+    * runs map-only inside a streaming ingest. Spec-pinned equal to the
+    * explode→groupBy top-count of the batch repetition pipeline. */
+  def maxRepeatCount(ws: Column): Column =
+    aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 }

@@ -99,6 +99,42 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(fracs - 1.0) < 1e-9)
   }
 
+  test("rowQualityKeep matches the explode-pipeline gopher gate doc-for-doc") {
+    import org.apache.spark.sql.functions.col
+    val aggKept = CurationQueries.queries("text_gopher_filter")(spark, sf)
+      .collect().filter(_.getAs[Long]("keep") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val rowKept = graft.Tables.documents(spark, sf)
+      .filter(CurationQueries.rowQualityKeep(col("text")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rowKept === aggKept)
+    assert(rowKept.nonEmpty)
+  }
+
+  test("the quality gate runs map-only inside a streaming ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(CurationQueries.rowQualityKeep(col("text")))
+      .writeStream.format("memory").queryName("curation_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_gate")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val batch = graft.Tables.documents(spark, sf)
+        .filter(CurationQueries.rowQualityKeep(col("text")))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sim_recall_audit: truth side is always full top-k, recall in [0,1]") {
     val rows = SimilarityQueries.queries("sim_recall_audit")(spark, sf).collect()
     assert(rows.length === 10)
