@@ -61,6 +61,30 @@ object ScalarQueries extends QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // Map-function family: build word -> first-position maps per doc
+    // and exercise lookup, keys/values, filter and value-transform.
+    // The DuckDB oracle computes the same semantics from the arrays
+    // (no MAP type needed — value(k) = list_position(ws, k)); lookups
+    // use try_element_at so a missing key is NULL on both engines.
+    "scalar_map_suite" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("ks", array_distinct(col("ws")))
+        .withColumn("m",
+          expr("map_from_arrays(ks, transform(ks, k -> array_position(ws, k)))"))
+        .select(
+          col("doc_id"),
+          size(col("m")).cast("long").as("n_keys"),
+          expr("try_element_at(m, 'the')").as("pos_the"),
+          expr("element_at(m, element_at(ws, -1))").as("pos_last_word"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          expr("aggregate(map_values(m), 0L, (a, v) -> a + v)").as("sum_pos"),
+          expr("CAST(size(map_filter(m, (k, v) -> v <= 3)) AS BIGINT)")
+            .as("n_early"),
+          expr("try_element_at(transform_values(m, (k, v) -> v * 10), 'the')")
+            .as("pos_the_x10"))
+        .orderBy("doc_id")),
+
     // Date/time family over orders (reference only has Date.now()
     // millis, lib/token.js:43).
     "scalar_date_suite" -> ((s, d) =>
@@ -147,6 +171,26 @@ object ScalarQueries extends QuerySuite {
         |  (string_split(text, ' '))[-1] AS last_word,
         |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scalar_map_suite" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    list_distinct(string_split(text, ' ')) AS ks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ks) AS BIGINT) AS n_keys,
+        |  CASE WHEN list_contains(ks, 'the')
+        |       THEN CAST(list_position(ws, 'the') AS BIGINT) END AS pos_the,
+        |  CAST(list_position(ws, ws[-1]) AS BIGINT) AS pos_last_word,
+        |  array_to_string(list_sort(ks), ',') AS keys_csv,
+        |  CAST(list_sum(list_transform(ks,
+        |    k -> CAST(list_position(ws, k) AS BIGINT))) AS BIGINT) AS sum_pos,
+        |  CAST(len(list_filter(ks, k -> list_position(ws, k) <= 3))
+        |    AS BIGINT) AS n_early,
+        |  CASE WHEN list_contains(ks, 'the')
+        |       THEN CAST(list_position(ws, 'the') * 10 AS BIGINT) END
+        |    AS pos_the_x10
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "scalar_date_suite" ->
       """SELECT o_orderkey,

@@ -25,6 +25,33 @@ object WindowQueries extends QuerySuite {
   private def epochS(c: String) = unix_timestamp(col(c))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Calendar gap-fill + forward-fill — the time-series densification
+    // every metrics pipeline needs: build each user's full day spine
+    // with sequence()/explode (no calendar table, no cross join against
+    // a global range), left-join the real daily aggregates, zero-fill
+    // counts and carry the last seen daily value forward with
+    // last(ignoreNulls) over an explicit ROWS frame. One shuffle on
+    // user_id; spine size is bounded by each user's own active range.
+    "window_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("mn"), max("day").as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("v"), ignoreNulls = true)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("carried_value"))
+        .orderBy("user_id", "day")
+    }),
+
     // row_number + running sum + lag over per-user event streams (the
     // principled version of the reference's `_q` sequence counter,
     // lib/util.js:186-197).
@@ -125,6 +152,27 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "window_gap_fill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+         |    ${moneySumSql("value")} AS v
+         |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         |spine AS (
+         |  SELECT user_id,
+         |    CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+         |      AS day
+         |  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+         |        FROM daily GROUP BY user_id))
+         |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+         |  coalesce(d.n, 0) AS n_events,
+         |  last_value(d.v IGNORE NULLS) OVER (
+         |    PARTITION BY s.user_id ORDER BY s.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS carried_value
+         |FROM spine s LEFT JOIN daily d
+         |  ON s.user_id = d.user_id AND s.day = d.day
+         |ORDER BY s.user_id, day""".stripMargin,
+
     "window_running_totals" ->
       s"""SELECT event_id, user_id,
          |  row_number() OVER w AS rn,
