@@ -136,6 +136,28 @@ object CurationQueries extends QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // The curation funnel end-to-end: split assignment (the
+    // text_dataset_split hash rule), the per-row quality gate, and
+    // token accounting rolled into one pass — the report a dataset
+    // build publishes. Entirely map-side until the final small
+    // aggregation; at 100 TB this is one linear scan.
+    "curation_funnel" -> ((s, d) => {
+      val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val split = when(bucket < "c0", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+      Tables.documents(s, d)
+        .withColumn("split", split)
+        .withColumn("keep", rowQualityKeep(col("text")).cast("long"))
+        .withColumn("nw", size(words(col("text"))).cast("long"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum("keep").as("n_kept"),
+          sum(when(col("keep") === 1L, col("nw")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("split", "source")
+    }),
+
     // Mixture-rebalance planner: per-source token shares and the
     // sampling rate that flattens the mixture to the uniform
     // per-source target — the source-weighting step of training-data
@@ -202,6 +224,27 @@ object CurationQueries extends QuerySuite {
       |wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
       |         max(c) AS top_w, count(*) AS d_w FROM wc GROUP BY doc_id)""".stripMargin
 
+  /** Shared CTE chain ending in `f` = per-doc gopher flags. */
+  private def gopherFlagsCtes = s"""$repetitionCte,
+    |m AS (SELECT doc_id,
+    |  CAST(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))
+    |    AS DOUBLE) / len(ws) AS mean_word_len,
+    |  len(list_filter(string_split(lower(text), ' '),
+    |    x -> list_contains($markerSetSql, x))) AS marker_hits
+    |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+    |        FROM documents)),
+    |f AS (
+    |  SELECT wagg.doc_id, n_words,
+    |    CAST(n_words BETWEEN 20 AND 90 AS BIGINT) AS ok_words,
+    |    CAST(mean_word_len > 4.0 AND mean_word_len < 5.0 AS BIGINT)
+    |      AS ok_mean_len,
+    |    CAST(CAST(top_w AS DOUBLE) / n_words <= 0.12 AS BIGINT)
+    |      AS ok_top_word,
+    |    CAST(CAST(n_words - d_w AS DOUBLE) / n_words <= 0.55 AS BIGINT)
+    |      AS ok_dup_word,
+    |    CAST(marker_hits >= 1 AS BIGINT) AS ok_lang
+    |  FROM wagg JOIN m ON wagg.doc_id = m.doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "text_repetition" ->
       s"""WITH $repetitionCte,
@@ -220,25 +263,7 @@ object CurationQueries extends QuerySuite {
          |ORDER BY wagg.doc_id""".stripMargin,
 
     "text_gopher_filter" ->
-      s"""WITH $repetitionCte,
-         |m AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))
-         |    AS DOUBLE) / len(ws) AS mean_word_len,
-         |  len(list_filter(string_split(lower(text), ' '),
-         |    x -> list_contains($markerSetSql, x))) AS marker_hits
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-         |        FROM documents)),
-         |f AS (
-         |  SELECT wagg.doc_id, n_words,
-         |    CAST(n_words BETWEEN 20 AND 90 AS BIGINT) AS ok_words,
-         |    CAST(mean_word_len > 4.0 AND mean_word_len < 5.0 AS BIGINT)
-         |      AS ok_mean_len,
-         |    CAST(CAST(top_w AS DOUBLE) / n_words <= 0.12 AS BIGINT)
-         |      AS ok_top_word,
-         |    CAST(CAST(n_words - d_w AS DOUBLE) / n_words <= 0.55 AS BIGINT)
-         |      AS ok_dup_word,
-         |    CAST(marker_hits >= 1 AS BIGINT) AS ok_lang
-         |  FROM wagg JOIN m ON wagg.doc_id = m.doc_id)
+      s"""WITH $gopherFlagsCtes
          |SELECT doc_id, n_words, ok_words, ok_mean_len, ok_top_word,
          |  ok_dup_word, ok_lang,
          |  least(ok_words, ok_mean_len, ok_top_word, ok_dup_word, ok_lang)
@@ -254,6 +279,27 @@ object CurationQueries extends QuerySuite {
         |  md5(regexp_replace(text, '\b(key|hash|scan)\b', '<X>', 'g'))
         |    AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curation_funnel" ->
+      s"""WITH $gopherFlagsCtes,
+         |k AS (SELECT doc_id, n_words,
+         |        least(ok_words, ok_mean_len, ok_top_word, ok_dup_word,
+         |              ok_lang) AS keep
+         |      FROM f),
+         |d2 AS (SELECT doc_id, source,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+         |       THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         |       THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT d2.split, d2.source, count(*) AS n_raw,
+         |  CAST(sum(k.keep) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN k.keep = 1 THEN k.n_words ELSE 0 END)
+         |    AS BIGINT) AS tokens_kept
+         |FROM d2 JOIN k ON d2.doc_id = k.doc_id
+         |GROUP BY d2.split, d2.source
+         |ORDER BY d2.split, d2.source""".stripMargin,
 
     "text_mixture_plan" ->
       """WITH s AS (

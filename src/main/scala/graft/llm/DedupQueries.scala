@@ -40,15 +40,18 @@ object DedupQueries extends QuerySuite {
     * and every downstream op here does heavy per-row array/hash work,
     * so parallelism, not data size, is the constraint locally. Also
     * registers the native text kernels the dedup family uses. */
-  private def docsWithWords(s: SparkSession, d: String): DataFrame = {
+  private def withWordsFrame(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.plans.NGramShingles.register(s)
     graft.plans.MinHashSig.register(s)
     graft.plans.SimHash64.register(s)
-    Tables.documents(s, d)
+    docs
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= Shingle)
   }
+
+  private def docsWithWords(s: SparkSession, d: String): DataFrame =
+    withWordsFrame(s, Tables.documents(s, d))
 
   /** Exploded (doc_id, band_idx, band_hash) bucket rows from a frame
     * with a `sig` signature column. */
@@ -295,6 +298,33 @@ object DedupQueries extends QuerySuite {
         .orderBy("comp")
     }),
 
+    // The WHOLE dedup pipeline as one call — what a user actually
+    // runs: exact dedup first (16-byte digest shuffle shrinks the
+    // input), then the prefix-filtered near-dup join + connected
+    // components over the exact survivors only, keeping each
+    // component's canonical doc. Every stage is the already-verified
+    // building block; the composition order (cheap exact pass before
+    // the expensive similarity join) is the part that matters at
+    // 100 TB. Docs too short to shingle bypass the near-dup stage and
+    // survive on their digest alone.
+    "dedup_pipeline_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = docs
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val dw = withWordsFrame(s, kept)
+      val labels = connectedComponents(dw.select("doc_id"),
+        ngramJaccardPairs(dw).select("doc_a", "doc_b"))
+      val dropped = labels
+        .join(labels.groupBy("comp").agg(min("doc_id").as("keep_id")), "comp")
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select("doc_id")
+      kept.join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // MinHash signatures (first 4 components surfaced for inspection) —
     // deterministic, so rows-only check + ScalaTest cover it. Native
     // single-pass kernel (plans/MinHashSig): each shingle hashed ONCE
@@ -496,6 +526,39 @@ object DedupQueries extends QuerySuite {
          |SELECT comp, count(*) AS n_members, min(doc_id) AS canonical
          |FROM labels GROUP BY comp HAVING count(*) > 1
          |ORDER BY comp""".stripMargin,
+
+    "dedup_pipeline_survivors" ->
+      s"""WITH RECURSIVE k AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kd AS (SELECT d.* FROM documents d
+         |       WHERE d.doc_id IN (SELECT doc_id FROM k)),
+         |sh AS (
+         |  SELECT doc_id, source, $shingleSql AS s
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |        FROM kd)
+         |  WHERE len(w) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.2),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, comp) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(comp) AS comp FROM reach GROUP BY doc_id),
+         |dropped AS (
+         |  SELECT l.doc_id
+         |  FROM labels l JOIN (SELECT comp, min(doc_id) AS keep_id
+         |                      FROM labels GROUP BY comp) c
+         |    ON l.comp = c.comp
+         |  WHERE l.doc_id <> c.keep_id)
+         |SELECT doc_id, lang, source, n_chars FROM kd
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_lsh" ->
       s"""WITH $srpBandsSqlCte,

@@ -163,6 +163,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size == 1, s"only the planted pair passes cos >= 0.9: $pairs")
   }
 
+  test("pipeline survivors match an independent brute-force Scala oracle") {
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // stage 1: exact dedup (min doc_id per text)
+    val exact = raw.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    // stage 2: jaccard >= 0.2 over 3-shingles, same-source, exact
+    // survivors only; union-find; keep each component's min doc
+    val sh = raw.filter(d => exact(d._1))
+      .map { case (id, src, text) =>
+        val w = text.split(" ", -1)
+        (id, src, if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+                  else Set.empty[String])
+      }
+    val parent = scala.collection.mutable.Map(sh.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (group <- sh.filter(_._3.nonEmpty).groupBy(_._2).values;
+         pair <- group.toSeq.combinations(2)) {
+      val (a, b) = (pair(0), pair(1))
+      val inter = (a._3 & b._3).size
+      if (inter * 5 >= a._3.size + b._3.size - inter)  // jac >= 0.2 exactly
+        parent(find(a._1)) = find(b._1)
+    }
+    val expected = sh.map(_._1).groupBy(find).values.map(_.min).toSet
+    val survivors = DedupQueries.queries("dedup_pipeline_survivors")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs too short to shingle bypass stage 2 and always survive
+    val shortDocs = exact -- sh.map(_._1).toSet
+    assert(survivors === expected ++ shortDocs)
+    assert(survivors.size < exact.size, "near-dup stage must drop something")
+  }
+
   test("connected components: chain, blob and singletons resolve transitively") {
     val nodes = (1L to 10L).toDF("doc_id")
     // chain 1-2-3-4 (worst-case diameter), blob 5-6-7 (triangle), pair
