@@ -83,6 +83,25 @@ object ExtendedQueries extends QuerySuite {
         ORDER BY c_custkey""")
     }),
 
+    // Upsert compaction (CDC latest-state snapshot): collapse each
+    // user's event stream to its most recent row — the keep-last
+    // MERGE/compaction semantics of a mutable-table sync, expressed as
+    // one window rank. One shuffle on the key; at 100 TB this is the
+    // standard periodic compaction job over a change log.
+    "cdc_latest_state" -> ((s, d) => {
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rk", row_number().over(latest))
+        .filter(col("rk") === 1)
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).as("last_ts"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    }),
+
     // EXISTS / NOT EXISTS correlated subqueries through SQL — the
     // remaining subquery flavor next to scalar and IN; Catalyst
     // rewrites both to semi/anti joins.
@@ -217,6 +236,15 @@ object ExtendedQueries extends QuerySuite {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "cdc_latest_state" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+        |  event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rk
+        |      FROM events)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "sql_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

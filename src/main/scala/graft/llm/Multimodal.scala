@@ -76,6 +76,28 @@ object Multimodal extends QuerySuite {
     // real pipeline hands each frame slice to the batched decoder
     // above. Windows are CHARACTER-based because both engines slice
     // VARCHAR by character (DuckDB has no BLOB substring).
+    // Aspect-preserving resize planning — the geometry step of an
+    // image-preprocess stage, minus the codec: source dims derive
+    // deterministically from the payload size (stand-in for decoded
+    // metadata), the fit into a 224x224 canvas is pure integer
+    // arithmetic (scale by 224/max-side via integer multiply-then-DIV,
+    // letterbox padding from the remainder) so both engines agree
+    // bit-for-bit. Map-only.
+    "multimodal_resize_plan" -> ((s, d) =>
+      mediaTable(s, d)
+        .withColumn("w0", (lit(64) + pmod(col("n_bytes") * 7919, lit(1217)))
+          .cast("long"))
+        .withColumn("h0", (lit(64) + pmod(col("n_bytes") * 104729, lit(929)))
+          .cast("long"))
+        .withColumn("side", greatest(col("w0"), col("h0")))
+        .select(
+          col("doc_id"), col("w0"), col("h0"),
+          expr("(w0 * 224) DIV side").as("target_w"),
+          expr("(h0 * 224) DIV side").as("target_h"),
+          expr("224 - (w0 * 224) DIV side").as("pad_x"),
+          expr("224 - (h0 * 224) DIV side").as("pad_y"))
+        .orderBy("doc_id")),
+
     "multimodal_frame_sample" -> ((s, d) => {
       val frameSize = 256L
       val stride = 4L
@@ -120,6 +142,20 @@ object Multimodal extends QuerySuite {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    64 + (octet_length(encode(text)) * 7919) % 1217 AS w0,
+        |    64 + (octet_length(encode(text)) * 104729) % 929 AS h0
+        |  FROM documents),
+        |g AS (SELECT doc_id, w0, h0, greatest(w0, h0) AS side FROM t)
+        |SELECT doc_id, CAST(w0 AS BIGINT) AS w0, CAST(h0 AS BIGINT) AS h0,
+        |  CAST((w0 * 224) // side AS BIGINT) AS target_w,
+        |  CAST((h0 * 224) // side AS BIGINT) AS target_h,
+        |  CAST(224 - (w0 * 224) // side AS BIGINT) AS pad_x,
+        |  CAST(224 - (h0 * 224) // side AS BIGINT) AS pad_y
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "multimodal_frame_sample" ->
       """WITH m AS (
