@@ -30,6 +30,39 @@ class QueryEdgeCaseSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 0L)))
   }
 
+  test("curation queries survive empty and single-word documents") {
+    val dir = fixtureDir()
+    Seq(
+      (1L, "", "en", "web", 0L),                       // -> words = [""]
+      (2L, "lone", "en", "web", 4L),                   // no bigrams
+      (3L, ("the word " * 30).trim, "en", "web", 269L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+
+    val rep = SparkEntry.queries("text_repetition")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(rep.length == 3)
+    // one-token docs: no bigrams -> NULL bigram fracs, never a crash
+    assert(rep(0).isNullAt(rep(0).fieldIndex("top_bigram_frac")))
+    assert(rep(1).isNullAt(rep(1).fieldIndex("top_bigram_frac")))
+    assert(rep(2).getDouble(rep(2).fieldIndex("dup_word_frac")) > 0.9)
+
+    val gate = SparkEntry.queries("text_gopher_filter")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(gate.forall(_.getLong(gate.head.fieldIndex("keep")) == 0L))
+
+    val pack = SparkEntry.queries("text_pack_sequences")(spark, dir)
+      .orderBy("doc_id").collect()
+    // the empty doc still occupies one token slot ([""]), offsets tile
+    assert(pack.map(_.getLong(pack.head.fieldIndex("n_tokens"))).sum ==
+      1L + 1L + 60L)
+
+    val scrub = SparkEntry.queries("text_scrub")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(scrub(0).getLong(scrub(0).fieldIndex("n_hits")) == 0L)
+    assert(scrub(0).getLong(scrub(0).fieldIndex("n_chars_clean")) == 0L)
+  }
+
   test("sim_quantize_int8: zero vector quantizes to NULL stats") {
     val dir = fixtureDir()
     Seq(
