@@ -201,13 +201,12 @@ object DedupQueries extends QuerySuite {
     * dedup pipeline runs AFTER pair generation: transitive near-dup
     * groups, from which one canonical doc per component survives.
     *
-    * Each round is one shuffle (symmetrized edges joined to current
-    * labels, min per node); rounds needed = graph diameter, which for
-    * near-dup clusters is tiny (dup groups are dense blobs, not long
-    * chains — a pathological chain converges in diameter rounds, and a
-    * production run at 10^9+ nodes would switch to the O(log n)
-    * large-star/small-star variant of the same dataflow). The driver
-    * loop holds only a convergence COUNT, never data.
+    * Each round is two shuffles (symmetrized edges joined to current
+    * labels with min per node, then a label-on-label self-join for
+    * path halving); rounds needed = O(log diameter), so even a
+    * pathological chain-shaped component converges in a handful of
+    * rounds — spec-pinned on a 300-node path. The driver loop holds
+    * only a convergence COUNT, never data.
     */
   private[llm] def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
@@ -223,11 +222,30 @@ object DedupQueries extends QuerySuite {
         .join(labels.select(col("doc_id").as("v"), col("comp")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min("comp").as("neighbor_comp"))
-      val next = labels
+      val propagated = labels
         .join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
-        .persist()
+      // Path halving (pointer jumping): also adopt the label OF my
+      // label. Neighbor-min alone walks one hop per round (rounds =
+      // component diameter); the extra self-join doubles the chased
+      // distance each round, so convergence is O(log diameter) — the
+      // difference between 3 and 50+ shuffles on a chain-shaped
+      // component at 100 TB. Labels only ever decrease and stay inside
+      // the component, so the monotone-sum convergence check is
+      // unchanged.
+      // localCheckpoint (not persist): each round references the
+      // previous round's frame more than once, so without truncating
+      // the LOGICAL lineage the analyzer's plan tree doubles per round
+      // — exponential analysis cost by round ~15 even though execution
+      // reads from cache. Iterative Spark jobs checkpoint per round
+      // for exactly this reason.
+      val next = propagated.as("a")
+        .join(propagated.select(col("doc_id").as("comp"),
+          col("comp").as("comp2")).as("b"), Seq("comp"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       // Convergence via a monotone invariant: labels only ever
       // decrease, so sum(comp) is strictly smaller while anything
       // changed — one aggregate instead of a join per round.
@@ -241,9 +259,9 @@ object DedupQueries extends QuerySuite {
     sym.unpersist()
     // A silent exit at the round cap would return UNCONVERGED labels —
     // wrong components that still look plausible (and diverge from the
-    // recursive-CTE oracle with no signal). Fail loudly instead; a
-    // component diameter beyond the cap means this corpus needs the
-    // O(log n) large-star/small-star variant, not more rounds.
+    // recursive-CTE oracle with no signal). Fail loudly instead. With
+    // path halving the cap admits diameters ~2^maxRounds, so hitting
+    // it means the edge set itself is pathological, not the algorithm.
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +

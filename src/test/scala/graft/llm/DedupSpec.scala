@@ -212,6 +212,19 @@ class DedupSpec extends SparkSpec {
     assert(comps(10L) == 10L)
   }
 
+  test("path halving resolves a 300-node chain in O(log diameter) rounds") {
+    // diameter 299: one-hop min-label propagation would need ~299
+    // rounds (>> the 15 allowed here); pointer jumping must close the
+    // chain into a single component labeled by its minimum node.
+    val n = 300L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.connectedComponents(nodes, edges, maxRounds = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 1L))
+  }
+
   test("connected components fail loudly when the round cap is hit") {
     // chain 1-2-3-4-5 has diameter 4: min-label propagation cannot
     // converge in 2 rounds, and an unconverged result must throw
