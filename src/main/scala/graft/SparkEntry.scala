@@ -39,4 +39,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     suites.flatMap(_.oracles).toMap
+
+  /** Per-suite query counts (SparkEntrySpec guards the toMap merge
+    * against silent name collisions). */
+  private[graft] def suiteSizes: Seq[Int] = suites.map(_.queries.size)
 }
