@@ -222,10 +222,17 @@ object DedupQueries extends QuerySuite {
         .join(labels.select(col("doc_id").as("v"), col("comp")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min("comp").as("neighbor_comp"))
+      // localCheckpoint (not persist): the frame below is referenced
+      // twice by the halving join, so without truncating the LOGICAL
+      // lineage the analyzer's plan tree doubles per round —
+      // exponential analysis cost by round ~15 even though execution
+      // reads from cache. One eager checkpoint per round; the halving
+      // self-join then runs over cached partitions.
       val propagated = labels
         .join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       // Path halving (pointer jumping): also adopt the label OF my
       // label. Neighbor-min alone walks one hop per round (rounds =
       // component diameter); the extra self-join doubles the chased
@@ -234,18 +241,12 @@ object DedupQueries extends QuerySuite {
       // component at 100 TB. Labels only ever decrease and stay inside
       // the component, so the monotone-sum convergence check is
       // unchanged.
-      // localCheckpoint (not persist): each round references the
-      // previous round's frame more than once, so without truncating
-      // the LOGICAL lineage the analyzer's plan tree doubles per round
-      // — exponential analysis cost by round ~15 even though execution
-      // reads from cache. Iterative Spark jobs checkpoint per round
-      // for exactly this reason.
       val next = propagated.as("a")
         .join(propagated.select(col("doc_id").as("comp"),
           col("comp").as("comp2")).as("b"), Seq("comp"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .persist()
       // Convergence via a monotone invariant: labels only ever
       // decrease, so sum(comp) is strictly smaller while anything
       // changed — one aggregate instead of a join per round.
