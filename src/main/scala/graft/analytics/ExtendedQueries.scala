@@ -119,6 +119,22 @@ object ExtendedQueries extends QuerySuite {
         ORDER BY c_custkey""")
     }),
 
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    // top-2 orders per customer as a lateral join (the SQL-standard
+    // spelling of the window-rank top-k; Catalyst rewrites it to a
+    // DomainJoin + windowed filter).
+    "sql_lateral_topn" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lt")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lt")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lt c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lt o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
     // Explicit GROUPING SETS with grouping indicators (beyond
     // rollup/cube): per-(status,priority), per-status, grand total.
     "sql_grouping_sets" -> ((s, d) => {
@@ -255,6 +271,14 @@ object ExtendedQueries extends QuerySuite {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '5-LOW')
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
 
     "sql_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

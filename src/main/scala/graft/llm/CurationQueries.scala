@@ -184,6 +184,41 @@ object CurationQueries extends QuerySuite {
         .orderBy("source")
     }),
 
+    // Deterministic weighted subsampling — the EXECUTION of the
+    // mixture plan: each doc draws a reproducible uniform from its
+    // md5(doc_id) prefix and survives iff it falls under its source's
+    // rebalance rate (compared in hex-string space so both engines
+    // agree exactly: threshold = floor(rate * 16^8) rendered as 8
+    // lpad'ed hex digits). No RNG, no seed drift — re-runs, engines
+    // and backfills select the identical doc set. Map-only + two tiny
+    // broadcast joins.
+    "text_mixture_sample" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .withColumn("nw", size(words(col("text"))).cast("long"))
+        .groupBy("source").agg(sum("nw").as("tokens"))
+      val tot = bySrc.agg(sum("tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      val rates = bySrc.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          expr("total_tokens DIV n_sources").cast("double")
+            / col("tokens").cast("double")))
+        .select("source", "rate")
+      val thr = lpad(lower(hex(floor(col("rate") * 4294967296.0)
+        .cast("long"))), 8, "0")
+      val u8 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8)
+      Tables.documents(s, d)
+        .withColumn("nw", size(words(col("text"))).cast("long"))
+        .join(broadcast(rates), "source")
+        .withColumn("keep",
+          (col("rate") >= 1.0 || u8 <= thr).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_sampled"),
+          sum(when(col("keep") === 1L, col("nw")).otherwise(0L))
+            .as("tokens_sampled"),
+          min("rate").as("rate"))
+        .orderBy("source")
+    }),
+
     // Token-budget sequence packing: concatenate the corpus in
     // (source, doc_id) order and chunk into SeqLen-token training
     // sequences; each doc reports its global token offset and the
@@ -316,6 +351,33 @@ object CurationQueries extends QuerySuite {
         |      CAST(total_tokens // n_sources AS DOUBLE) / tokens) * tokens)
         |    AS BIGINT) AS planned_tokens
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "text_mixture_sample" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |             count(*) AS n_sources FROM s),
+        |r AS (SELECT source,
+        |        least(1.0, CAST(total_tokens // n_sources AS DOUBLE) / tokens)
+        |          AS rate
+        |      FROM s CROSS JOIN t),
+        |d2 AS (
+        |  SELECT d.source, r.rate,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+        |    CASE WHEN r.rate >= 1.0
+        |           OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <=
+        |              lpad(lower(hex(CAST(floor(r.rate * 4294967296.0)
+        |                AS BIGINT))), 8, '0')
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM documents d JOIN r USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(keep) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN keep = 1 THEN nw ELSE 0 END) AS BIGINT)
+        |    AS tokens_sampled,
+        |  min(rate) AS rate
+        |FROM d2 GROUP BY source ORDER BY source""".stripMargin,
 
     "text_pack_sequences" ->
       s"""WITH t AS (
