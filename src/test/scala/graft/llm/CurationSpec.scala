@@ -135,6 +135,26 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text_mixture_sample: full-rate sources keep everything, others subsample") {
+    val plan = CurationQueries.queries("text_mixture_plan")(spark, sf)
+      .collect().map(r => r.getString(r.fieldIndex("source")) ->
+        r.getDouble(r.fieldIndex("rate"))).toMap
+    val rows = CurationQueries.queries("text_mixture_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(r.fieldIndex("source"))
+      val nDocs = r.getLong(r.fieldIndex("n_docs"))
+      val nSampled = r.getLong(r.fieldIndex("n_sampled"))
+      assert(r.getDouble(r.fieldIndex("rate")) === plan(src))
+      assert(nSampled <= nDocs)
+      if (plan(src) >= 1.0) assert(nSampled === nDocs,
+        s"$src: rate 1.0 must keep every doc")
+    }
+    // at least one source is oversized and must actually shed docs
+    assert(rows.exists(r => r.getLong(r.fieldIndex("n_sampled")) <
+      r.getLong(r.fieldIndex("n_docs"))))
+  }
+
   test("sim_recall_audit: truth side is always full top-k, recall in [0,1]") {
     val rows = SimilarityQueries.queries("sim_recall_audit")(spark, sf).collect()
     assert(rows.length === 10)
