@@ -102,6 +102,31 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("user_id")
     }),
 
+    // SCD type-2 history compaction from a CDC event stream: collapse
+    // consecutive identical states per key, then assign each surviving
+    // state-change row its validity interval [valid_from, valid_to) via
+    // lead(); the open interval marks the current state. Two window
+    // passes over the same (user_id | ts, event_id) partitioning — one
+    // shuffle, second window reuses the sort. The warehouse-standard
+    // "latest + history" shape next to cdc_latest_state's type-1 view.
+    "cdc_scd2_history" -> ((s, d) => {
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changed = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byKey))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changed
+        .withColumn("valid_from", unix_timestamp(col("ts")))
+        .withColumn("valid_to", lead(unix_timestamp(col("ts")), 1).over(byKey))
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // EXISTS / NOT EXISTS correlated subqueries through SQL — the
     // remaining subquery flavor next to scalar and IN; Catalyst
     // rewrites both to semi/anti joins.
@@ -261,6 +286,22 @@ object ExtendedQueries extends QuerySuite {
         |        ORDER BY ts DESC, event_id DESC) AS rk
         |      FROM events)
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_scd2_history" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (SELECT * FROM x WHERE prev IS NULL OR prev <> event_type),
+        |r AS (SELECT user_id, event_id, event_type AS state,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, event_id, state, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     "sql_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

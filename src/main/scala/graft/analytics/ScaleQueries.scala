@@ -78,6 +78,59 @@ object ScaleQueries extends QuerySuite {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // Bitmap-exact distinct counting: the scale companion to
+    // sketch_hll_users that stays EXACT. user ids are mapped to
+    // (bucket, bit) coordinates, each (key, bucket) group folds into a
+    // fixed-size bitmap map-side (bitmap_construct_agg partial-aggregates
+    // like any agg), buckets merge by popcount sum. The shuffle carries
+    // one ≤4KB bitmap per (key, bucket), never raw ids — at 10⁹ users
+    // per key that is ~32K bitmaps instead of 10⁹ longs. The DuckDB
+    // oracle is the naive count(DISTINCT): results match exactly.
+    "sketch_bitmap_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy("event_type", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy("event_type")),
+
+    // Bin-blocked range join: clicks attributed to a purchase by the
+    // same user within the preceding 30 minutes. The naive plan is a
+    // theta-join (user equality + timestamp range) that Spark executes
+    // as a broadcast nested loop — quadratic per user at scale. The
+    // scale shape blocks time into 30-minute bins: each click keys to
+    // its own bin, each purchase probes its bin and the one before, so
+    // the range predicate only runs inside (user, bin) equi-join
+    // groups. Bit-identical to the oracle's plain non-equi join because
+    // a qualifying pair is never more than one bin apart and each click
+    // carries exactly one bin key (no dedup needed).
+    "join_range_bins" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val binSec = 1800L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+          expr(s"unix_timestamp(ts) div $binSec").as("p_bin"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          expr(s"unix_timestamp(ts) div $binSec").as("bin"))
+      val probed = purchases
+        .withColumn("bin", explode(array(col("p_bin") - 1, col("p_bin"))))
+      val matched = probed
+        .join(clicks, probed("user_id") === clicks("c_user") &&
+          probed("bin") === clicks("bin"))
+        .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") < col("p_ts"))
+        .groupBy("event_id").agg(count(lit(1)).as("n"))
+      purchases.join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("p_ts")).as("p_sec"),
+          coalesce(col("n"), lit(0L)).as("n_prior_clicks"))
+        .orderBy("event_id")
+    }),
+
     // Map-side (partial) aggregation visibility: pre-aggregate per
     // input partition before the shuffle, then merge — what Catalyst
     // does automatically for sum/count, expressed explicitly over the
@@ -103,6 +156,22 @@ object ScaleQueries extends QuerySuite {
          |FROM orders WHERE o_custkey IN
          |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "sketch_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_range_bins" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS p_sec,
+        |  count(c.user_id) AS n_prior_clicks
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "agg_two_stage_user_day" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,

@@ -132,6 +132,22 @@ object WindowQueries extends QuerySuite {
         .orderBy("o_orderkey")
     }),
 
+    // Distribution ranks per partition: cume_dist + dense_rank over
+    // order values within each status (the remaining rank-family
+    // functions next to row_number/rank/ntile/percent_rank). The
+    // window ordering includes the unique o_orderkey tiebreak so both
+    // engines compute identical rational cume_dist values (k/n with
+    // exact IEEE division).
+    "window_dist_ranks" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cume_dist().over(w).as("cd"),
+        dense_rank().over(w).cast("long").as("dr"))
+        .orderBy("o_orderkey")
+    }),
+
     // Sessionization via gap-islands (the batch twin of
     // session_window; >30-minute silence starts a new session).
     "window_sessionize" -> ((s, d) => {
@@ -152,6 +168,13 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "window_dist_ranks" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS cd,
+        |  dense_rank() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS dr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "window_gap_fill" ->
       s"""WITH daily AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,

@@ -164,6 +164,41 @@ object CurationQueries extends QuerySuite {
     // prep. Float work is one divide / one multiply over exact
     // integer sums, so both engines agree bit-for-bit. The totals
     // side is a 1-row broadcast; the plan is two linear aggregations.
+    // Benchmark decontamination: flag training docs sharing any word
+    // trigram with the held-out eval split (the split is the same
+    // deterministic md5-bucket function as text_dataset_split, so the
+    // eval set is a pure function of doc_id). Scale shape: the eval
+    // side collapses to a DISTINCT shingle set — a fixed small
+    // fraction of the corpus — broadcast into a map-side inner join
+    // against train shingles; per-doc hit counts then partial-agg on
+    // doc_id. At 100 TB the eval shingle set is the only thing that
+    // moves; the train corpus is scanned once, map-only. (In
+    // production the join key would be xxhash64(shingle) to shrink
+    // the broadcast; kept as strings here for cross-engine parity.)
+    "text_decontaminate" -> ((s, d) => {
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val sh = Tables.documents(s, d)
+        .withColumn("is_eval", bucket >= "e6")
+        .withColumn("ws", words(col("text")))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("is_eval"),
+          shingles(col("ws"), 3).as("sh"))
+      val evalGrams = sh.filter(col("is_eval"))
+        .select(explode(col("sh")).as("g")).distinct()
+      sh.filter(!col("is_eval"))
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+          explode(col("sh")).as("g"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id")
+        .agg(max(col("n_shingles")).as("n_shingles"),
+          count(lit(1)).as("n_hits"))
+        .withColumn("contamination",
+          col("n_hits").cast("double") / col("n_shingles").cast("double"))
+        .select("doc_id", "n_shingles", "n_hits", "contamination")
+        .orderBy("doc_id")
+    }),
+
     "text_mixture_plan" -> ((s, d) => {
       val bySrc = Tables.documents(s, d)
         .withColumn("nw", size(words(col("text"))).cast("long"))
@@ -335,6 +370,23 @@ object CurationQueries extends QuerySuite {
          |FROM d2 JOIN k ON d2.doc_id = k.doc_id
          |GROUP BY d2.split, d2.source
          |ORDER BY d2.split, d2.source""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_eval,
+         |    ${DedupQueries.shingleSql} AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 3),
+         |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_eval),
+         |tr AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+         |         unnest(s) AS g
+         |       FROM sh WHERE NOT is_eval)
+         |SELECT tr.doc_id, max(tr.n_shingles) AS n_shingles,
+         |  count(*) AS n_hits,
+         |  CAST(count(*) AS DOUBLE) / max(tr.n_shingles) AS contamination
+         |FROM tr JOIN ev ON tr.g = ev.g
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "text_mixture_plan" ->
       """WITH s AS (

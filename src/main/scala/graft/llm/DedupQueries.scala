@@ -469,7 +469,7 @@ object DedupQueries extends QuerySuite {
         .orderBy("label", "vec_a", "vec_b")
     }))
 
-  private val shingleSql =
+  private[llm] val shingleSql =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
   private def jaccardSql(a: String, b: String): String =
     s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"

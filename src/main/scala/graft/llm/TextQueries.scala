@@ -89,6 +89,35 @@ object TextQueries extends QuerySuite {
         .orderBy("source", "rk")
     }),
 
+    // TF-IDF term ranking: top-5 terms per source by tf × (N/df) — the
+    // classic distinguishing-term score next to text_top_terms' raw
+    // document frequency. Linear idf (N/df instead of log(N/df)) keeps
+    // every operation an exactly-rounded IEEE op (integer-valued
+    // multiply, one division), so both engines produce bit-identical
+    // doubles; log() is not correctly-rounded and may differ per libm.
+    // Scale shape: one explode feeds both aggregates — (source, term)
+    // totals and corpus-wide distinct-doc counts — then the join runs
+    // on the small term table, never the corpus.
+    "text_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.select(count(lit(1)).as("n_total"))
+      val tok = docs.select(col("source"), col("doc_id"),
+        explode(words(lower(col("text")))).as("term"))
+      val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          col("tf").cast("double") * col("n_total") / col("df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "term", "tf", "df", "tfidf")
+        .orderBy("source", "rk")
+    }),
+
     // Deterministic train/val/test split — the reproducibility
     // primitive every training pipeline needs: assignment is a pure
     // function of the stable doc_id (first md5 hex byte: 00-bf train
@@ -181,6 +210,25 @@ object TextQueries extends QuerySuite {
         |  row_number() OVER (PARTITION BY source ORDER BY df DESC, term) AS rk
         |  FROM c)
         |SELECT source, rk, term, df FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
+
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf
+        |       FROM tok GROUP BY source, term),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok)
+        |       GROUP BY term),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |sc AS (SELECT tf.source, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * n.n_total / df.df AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY tfidf DESC, term) AS rk FROM sc)
+        |SELECT source, rk, term, tf, df, tfidf FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
 
     "text_dataset_split" ->
