@@ -176,6 +176,7 @@ object CurationQueries extends QuerySuite {
     // production the join key would be xxhash64(shingle) to shrink
     // the broadcast; kept as strings here for cross-engine parity.)
     "text_decontaminate" -> ((s, d) => {
+      graft.plans.NGramShingles.register(s)
       val bucket = substring(
         md5(col("doc_id").cast("string").cast("binary")), 1, 2)
       val sh = Tables.documents(s, d)
@@ -183,7 +184,7 @@ object CurationQueries extends QuerySuite {
         .withColumn("ws", words(col("text")))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), col("is_eval"),
-          shingles(col("ws"), 3).as("sh"))
+          shinglesNative(col("ws"), 3).as("sh"))
       val evalGrams = sh.filter(col("is_eval"))
         .select(explode(col("sh")).as("g")).distinct()
       sh.filter(!col("is_eval"))

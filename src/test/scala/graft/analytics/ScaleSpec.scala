@@ -55,6 +55,44 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 0.01, s"$flag: approx=$a exact=$e")
   }
 
+  test("bitmap distinct equals exact countDistinct") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val bm = ScaleQueries.queries("sketch_bitmap_distinct")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bm.nonEmpty && bm.toSeq == exact.toSeq)
+  }
+
+  test("bin-blocked range join equals the naive theta join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val binned = ScaleQueries.queries("join_range_bins")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"))
+    val naive = p.join(c, col("user_id") === col("cu") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("p_ts"))
+      .agg(count(col("cu")).as("n"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("p_ts")).as("p_sec"), col("n"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(binned.nonEmpty && binned.toSeq == naive.toSeq)
+    assert(binned.exists(_._4 > 0), "fixture must contain attributed clicks")
+  }
+
   test("salted aggregation equals naive aggregation") {
     val salted = ScaleQueries.queries("agg_salted_hot_key")(
       spark, "/root/testdata/sf0.001").collect()

@@ -155,6 +155,41 @@ class CurationSpec extends SparkSpec {
       r.getLong(r.fieldIndex("n_docs"))))
   }
 
+  test("text_decontaminate: matches the interpreted-HOF twin, never flags eval docs") {
+    import org.apache.spark.sql.functions._
+    import TextOps._
+    val out = CurationQueries.queries("text_decontaminate")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // twin pipeline: interpreted shingles + plain (non-broadcast) join
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val sh = graft.Tables.documents(spark, sf)
+      .withColumn("is_eval", bucket >= "e6")
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("is_eval"), shingles(col("ws"), 3).as("sh"))
+    val ev = sh.filter(col("is_eval")).select(explode(col("sh")).as("g")).distinct()
+    val twin = sh.filter(!col("is_eval"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .join(ev, Seq("g"))
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"), count(lit(1)).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_shingles").cast("double"))
+      .select("doc_id", "n_shingles", "n_hits", "contamination")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.toSeq == twin.toSeq)
+    // the eval split itself must never appear in the flagged set
+    val evalIds = graft.Tables.documents(spark, sf)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) >= "e6")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !evalIds.contains(r._1)))
+    assert(out.forall(r => r._3 >= 1 && r._3 <= r._2 && r._4 > 0.0 && r._4 <= 1.0))
+  }
+
   test("sim_recall_audit: truth side is always full top-k, recall in [0,1]") {
     val rows = SimilarityQueries.queries("sim_recall_audit")(spark, sf).collect()
     assert(rows.length === 10)
