@@ -144,6 +144,29 @@ object ExtendedQueries extends QuerySuite {
         ORDER BY c_custkey""")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): build the complete
+    // month spine between the first and last order date by recursion,
+    // then left-join order counts — months with zero orders appear
+    // with 0, which the plain GROUP BY of date_orders_by_month cannot
+    // produce. The recursion depth is bounded by the calendar span
+    // (~80 iterations on a tiny 1-row-per-step frame), not data size.
+    "sql_recursive_spine" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+      s.sql("""
+        WITH RECURSIVE m(mon) AS (
+          SELECT CAST(date_trunc('month',
+            (SELECT min(o_orderdate) FROM orders_rc)) AS DATE)
+          UNION ALL
+          SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM m
+          WHERE mon < (SELECT CAST(date_trunc('month', max(o_orderdate))
+            AS DATE) FROM orders_rc))
+        SELECT date_format(mon, 'yyyy-MM') AS month,
+          count(o.o_orderkey) AS n_orders
+        FROM m LEFT JOIN orders_rc o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mon
+        GROUP BY mon ORDER BY month""")
+    }),
+
     // Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
     // top-2 orders per customer as a lateral join (the SQL-standard
     // spelling of the window-rank top-k; Catalyst rewrites it to a
@@ -312,6 +335,20 @@ object ExtendedQueries extends QuerySuite {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '5-LOW')
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_recursive_spine" ->
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT CAST(date_trunc('month',
+        |    (SELECT min(o_orderdate) FROM orders)) AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM m
+        |  WHERE mon < (SELECT CAST(date_trunc('month', max(o_orderdate))
+        |    AS DATE) FROM orders))
+        |SELECT strftime(mon, '%Y-%m') AS month,
+        |  count(o.o_orderkey) AS n_orders
+        |FROM m LEFT JOIN orders o
+        |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.mon
+        |GROUP BY mon ORDER BY month""".stripMargin,
 
     "sql_lateral_topn" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

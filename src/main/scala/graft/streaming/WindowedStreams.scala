@@ -37,6 +37,22 @@ object WindowedStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"))
 
+  /** Streaming exact dedup at ingest: drop payload duplicates by
+    * content digest while they are within the watermark horizon — the
+    * streaming twin of dedup_exact_survivors, and the first gate an
+    * LLM-ingest pipeline runs before anything else touches the doc.
+    * dropDuplicatesWithinWatermark keeps per-digest state only until
+    * the watermark passes it (bounded state), unlike dropDuplicates
+    * whose state grows forever on an unbounded stream. Dedup keys on
+    * the digest, never the payload — state carries 32 hex chars/row. */
+  def dedupedIngest(events: DataFrame): DataFrame =
+    events
+      .withColumn("digest",
+        md5(concat_ws("|", col("event_type"), col("user_id"),
+          col("value")).cast("binary")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Per-user session reconstruction (join→leave spans of the example
     * hub, `example/engine-io.server.js:72-124`): 30-minute inactivity
     * gap closes a session. */

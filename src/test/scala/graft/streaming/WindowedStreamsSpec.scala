@@ -55,6 +55,24 @@ class WindowedStreamsSpec extends SparkSpec {
     assert(w0.map(_.getAs[Long]("n_events")).sum == 1) // late row not counted
   }
 
+  test("dedup within watermark drops in-horizon duplicates, re-admits after expiry") {
+    val rows = run(WindowedStreams.dedupedIngest, Seq(
+      // duplicate payload twice inside the horizon -> one survivor
+      Seq(E(t(1), "news", 1, 5.0), E(t(2), "news", 1, 5.0)),
+      Seq(E(t(3), "news", 1, 5.0), E(t(4), "other", 2, 1.0)),
+      // advance watermark far past the digest's state TTL...
+      Seq(E(t(200), "flush", 9, 0.0)),
+      // ...the same payload is new again (state was evicted)
+      Seq(E(t(210), "news", 1, 5.0)),
+      Seq(E(t(500), "flush2", 8, 0.0))),
+      OutputMode.Append)
+    val newsDups = rows.filter(r => r.getAs[String]("event_type") == "news" &&
+      r.getAs[Double]("value") == 5.0)
+    assert(newsDups.length == 2,
+      s"one survivor per horizon, got ${newsDups.map(_.toString)}")
+    assert(rows.exists(_.getAs[String]("event_type") == "other"))
+  }
+
   test("session window merges events within gap and splits across it") {
     val rows = run(WindowedStreams.userSessions, Seq(
       Seq(E(t(0), "x", 1, 1.0), E(t(10), "x", 1, 1.0),   // one session
