@@ -131,6 +131,32 @@ object ScaleQueries extends QuerySuite {
         .orderBy("event_id")
     }),
 
+    // Skew-safe SHUFFLE join by salting: the fact keys on 5 hot event
+    // types, so a plain shuffle join lands each type on ONE reducer —
+    // 5-way parallelism no matter how many executors. Salting splits
+    // every hot key into `Salts` shards: the fact adds
+    // salt = event_id % Salts, the dim side is replicated Salts×, and
+    // the join runs on (key, salt) with Salts× the reduce parallelism.
+    // The shuffle_hash hint forces the shuffle-join shape the query
+    // exists to demonstrate (this demo dim is small enough that
+    // Catalyst would otherwise broadcast it and sidestep the skew —
+    // the salt pattern is for dims too big to broadcast). The oracle
+    // is the plain unsalted join; integer-cents weighting keeps the
+    // result bit-identical.
+    "join_salted_skew" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("salt", (col("event_id") % Salts).cast("int"))
+      val dim = Tables.events(s, d).select("event_type").distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      val saltedDim = dim.withColumn("salt",
+        explode(array((0 until Salts).map(i => lit(i)): _*)))
+      ev.join(saltedDim.hint("shuffle_hash"), Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(cents(col("value")) * col("w")) / 100.0).as("weighted_value"))
+        .orderBy("event_type")
+    }),
+
     // Map-side (partial) aggregation visibility: pre-aggregate per
     // input partition before the shuffle, then merge — what Catalyst
     // does automatically for sum/count, expressed explicitly over the
@@ -172,6 +198,14 @@ object ScaleQueries extends QuerySuite {
         |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "join_salted_skew" ->
+      s"""WITH dim AS (SELECT DISTINCT event_type,
+         |    CAST(length(event_type) AS BIGINT) AS w FROM events)
+         |SELECT e.event_type, count(*) AS n_events,
+         |  sum(${centsSql("e.value")} * d.w)/100.0 AS weighted_value
+         |FROM events e JOIN dim d USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "agg_two_stage_user_day" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,

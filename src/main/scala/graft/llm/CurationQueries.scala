@@ -23,6 +23,9 @@ object CurationQueries extends QuerySuite {
   /** Fixed token budget per packed training sequence. */
   val SeqLen = 512L
 
+  /** Docs kept per stratum by the stratified sampler. */
+  val SampleK = 10
+
   /** documents with the split word array (and lowered twin). */
   private def withWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -228,6 +231,27 @@ object CurationQueries extends QuerySuite {
     // lpad'ed hex digits). No RNG, no seed drift — re-runs, engines
     // and backfills select the identical doc set. Map-only + two tiny
     // broadcast joins.
+    // Stratified exact-k sampling: the top-SampleK docs per source by
+    // md5(doc_id) hash order — the "give me a reproducible audit
+    // sample of every stratum" primitive (eval-set carving, human
+    // review batches). Hash order, not row order: the pick is a pure
+    // function of doc_id, so engines, re-runs and backfills agree; and
+    // unlike rate-based text_mixture_sample the stratum size is EXACT.
+    // Scale shape: the window sorts only within each stratum and the
+    // rank filter cuts to k rows immediately — the shuffle keys on
+    // source; no global ordering anywhere.
+    "text_stratified_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hkey"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("hkey"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= SampleK)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    }),
+
     "text_mixture_sample" -> ((s, d) => {
       val bySrc = Tables.documents(s, d)
         .withColumn("nw", size(words(col("text"))).cast("long"))
@@ -404,6 +428,15 @@ object CurationQueries extends QuerySuite {
         |      CAST(total_tokens // n_sources AS DOUBLE) / tokens) * tokens)
         |    AS BIGINT) AS planned_tokens
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "text_stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, rk, doc_id FROM r WHERE rk <= $SampleK
+         |ORDER BY source, rk""".stripMargin,
 
     "text_mixture_sample" ->
       """WITH s AS (

@@ -90,6 +90,11 @@ object DedupQueries extends QuerySuite {
   val SrpBands = 8
   val SrpR = 8
 
+  /** Semantic-dedup centroid rule (every SemStride-th vector) and
+    * within-cluster near-duplicate threshold. */
+  val SemStride = 50
+  val SemTau = 0.4
+
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4b7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -467,6 +472,48 @@ object DedupQueries extends QuerySuite {
         .filter(col("cos") >= 0.35)
         .select("label", "vec_a", "vec_b", "cos")
         .orderBy("label", "vec_a", "vec_b")
+    }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023 — public method):
+    // cluster the embedding space around deterministic centroids, then
+    // inside each cluster drop every vector with a semantic
+    // near-duplicate (cos >= SemTau) of smaller vec_id — one
+    // representative per neighborhood survives. The pair stage is
+    // quadratic ONLY within a cluster: centroid count grows with the
+    // corpus (stride rule), so cluster sizes stay bounded and total
+    // pair work stays ~linear — the property that lets SemDeDup run at
+    // 10^9 vectors where a global pair join cannot. Cluster assignment
+    // is the map-side native kernel (plans/NearestCentroid, broadcast
+    // centroids): the corpus never shuffles for it; the only shuffle
+    // keys on cluster id. Tau 0.4 sits in the top tail of this
+    // synthetic corpus (a production run at ~0.95 drops more).
+    "dedup_semantic_survivors" -> ((s, d) => {
+      graft.plans.FloatVectorDot.register(s)
+      graft.plans.NearestCentroid.register(s)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+      val centArr = e.filter(col("vec_id") % SemStride === 0)
+        .agg(collect_list(struct(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(centArr))
+        .select(col("vec_id"),
+          call_function(graft.plans.NearestCentroid.Name,
+            col("embedding"), col("nrm"), col("cents")).as("cluster"),
+          col("embedding"), col("nrm"))
+      val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      val dropped = a.join(b, Seq("cluster"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", Vectors.dotNative(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= SemTau)
+        .select(col("vec_b").as("vec_id")).distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select("cluster", "vec_id")
+        .orderBy("cluster", "vec_id")
     }))
 
   private[llm] val shingleSql =
@@ -601,5 +648,25 @@ object DedupQueries extends QuerySuite {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= 0.35
-         |ORDER BY a.label, vec_a, vec_b""".stripMargin)
+         |ORDER BY a.label, vec_a, vec_b""".stripMargin,
+
+    "dedup_semantic_survivors" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |           FROM embeddings WHERE vec_id % $SemStride = 0),
+         |assigned AS (
+         |  SELECT vec_id, cluster, embedding FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Vectors.cosineSql("e.embedding", "c.c_emb")} DESC,
+         |                 c.c_id) AS c_rk
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE c_rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= $SemTau)
+         |SELECT cluster, vec_id FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY cluster, vec_id""".stripMargin)
 }

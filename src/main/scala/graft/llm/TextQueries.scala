@@ -135,6 +135,29 @@ object TextQueries extends QuerySuite {
         .orderBy("split", "lang")
     }),
 
+    // Rare-token scoring: per-document corpus-frequency profile of its
+    // distinct vocabulary — min document frequency (the rarest term),
+    // hapax count (terms appearing in only this document), and mean df.
+    // The rarity signal quality filters use to spot OCR garbage /
+    // gibberish (lots of hapaxes) vs boilerplate (no rare terms).
+    // Scale shape: one explode feeds the vocabulary df table (vocab ≪
+    // corpus, Zipf), which joins back on term — the corpus text itself
+    // never shuffles. All-integer counts + one final divide keep both
+    // engines bit-identical.
+    "text_rare_token_score" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(words(lower(col("text"))))).as("term"))
+      val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      tok.join(df, Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          min("df").as("min_df"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          (sum("df").cast("double") / count(lit(1))).as("mean_df"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus rollup: per (lang, source) token/char totals — the
     // "how big is my training set" query.
     "text_corpus_stats" -> ((s, d) =>
@@ -242,6 +265,19 @@ object TextQueries extends QuerySuite {
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs
         |FROM t GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "text_rare_token_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term)
+        |SELECT tok.doc_id, count(*) AS n_terms, min(df.df) AS min_df,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df
+        |FROM tok JOIN df USING (term)
+        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
 
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -93,6 +93,28 @@ class ScaleSpec extends SparkSpec {
     assert(binned.exists(_._4 > 0), "fixture must contain attributed clicks")
   }
 
+  test("salted join equals plain join and executes as a shuffled hash join") {
+    import org.apache.spark.sql.functions._
+    val q = ScaleQueries.queries("join_salted_skew")(
+      spark, "/root/testdata/sf0.001")
+    // the hint must survive planning: the whole point is the
+    // shuffle-join shape (broadcast would sidestep the skew demo)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled hash join in: $plan")
+    val salted = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val plain = ev
+      .withColumn("w", length(col("event_type")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(Exact.cents(col("value")) * col("w")) / 100.0).as("wv"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("salted aggregation equals naive aggregation") {
     val salted = ScaleQueries.queries("agg_salted_hot_key")(
       spark, "/root/testdata/sf0.001").collect()

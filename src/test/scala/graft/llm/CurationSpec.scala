@@ -155,6 +155,29 @@ class CurationSpec extends SparkSpec {
       r.getLong(r.fieldIndex("n_docs"))))
   }
 
+  test("text_stratified_sample: exactly k per stratum, reproducible pick") {
+    val rows = CurationQueries.queries("text_stratified_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("rk")),
+        r.getLong(r.fieldIndex("doc_id"))))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    // every stratum contributes exactly k docs with dense ranks 1..k
+    bySrc.foreach { case (src, picks) =>
+      assert(picks.length == CurationQueries.SampleK, s"$src short stratum")
+      assert(picks.map(_._2).sorted.toSeq ==
+        (1L to CurationQueries.SampleK).toSeq)
+    }
+    // pure function of doc_id: a re-run picks the identical doc set
+    val again = CurationQueries.queries("text_stratified_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("rk")),
+        r.getLong(r.fieldIndex("doc_id"))))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("text_decontaminate: matches the interpreted-HOF twin, never flags eval docs") {
     import org.apache.spark.sql.functions._
     import TextOps._

@@ -237,6 +237,23 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("semantic dedup keeps one representative per near-dup neighborhood") {
+    // One centroid (vec 0), an orthogonal near-dup pair (1, 2), and an
+    // unrelated vector (3): only the higher id of the planted pair is
+    // dropped; everything else survives in the single cluster.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem").toString
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0f, 1f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0.05f, 0f), 0), // cos(1,2) ~ 0.999 >= SemTau
+      (3L, Seq(0f, 0f, 0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("dedup_semantic_survivors")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L), (0L, 1L), (0L, 3L)))
+  }
+
   test("vocab fingerprint is word-order insensitive") {
     val fp = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
         (3L, "alpha beta delta"))
