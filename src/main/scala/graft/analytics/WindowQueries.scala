@@ -78,6 +78,21 @@ object WindowQueries extends QuerySuite {
         .orderBy("channel", "rk")
     }),
 
+    // Top-k per key on the CUSTOM whole-operator path: the
+    // TopKPerKey LogicalPlan/Strategy/Exec (bounded heap, two-phase —
+    // map-side partial caps every (partition, key) at k rows BEFORE
+    // the exchange, so the shuffle moves ≤ partitions·keys·k rows and
+    // nothing ever sorts the corpus; the window twin above sorts every
+    // partition in full). Ordering made total by the event_id tiebreak
+    // so the oracle's row_number twin agrees row-for-row.
+    "window_topk_native" -> ((s, d) => {
+      val top = graft.plans.TopKPerKey(
+        Tables.events(s, d), Seq("event_type"),
+        Seq(col("value").desc, col("event_id").asc), k = 5)
+      top.select(col("event_type"), col("rk"), col("event_id"), col("value"))
+        .orderBy("event_type", "rk")
+    }),
+
     // lead/lag: inter-event gap seconds per user.
     "window_event_gaps" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -205,6 +220,15 @@ object WindowQueries extends QuerySuite {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin,
+
+    "window_topk_native" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, rk, event_id, value FROM r WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
 
     "window_topk_users" ->
       s"""WITH totals AS (

@@ -113,5 +113,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(SimHash64.functionDescription)
     ext.injectFunction(NGramShingles.functionDescription)
     ext.injectFunction(NearestCentroid.functionDescription)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
