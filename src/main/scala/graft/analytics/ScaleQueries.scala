@@ -157,6 +157,34 @@ object ScaleQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Z-order layout planning: interleave the bits of two scan
+    // dimensions (user, time) into one sort key, bucket by its prefix,
+    // and report per-bucket dimension ranges — the multi-dimensional
+    // clustering step behind data-layout optimization (writing files
+    // in z-order makes min/max file stats selective on BOTH columns,
+    // so a 100 TB scan prunes on either predicate; a plain sort is
+    // selective on one). The bit math is exact integer arithmetic,
+    // generated once and rendered identically for both engines; the
+    // oracle hash-proves the layout assignment is reproducible. The
+    // tight per-bucket min/max spans in the output are the pruning
+    // power a writer would get.
+    "layout_zorder_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("xu", col("user_id") % 65536L)
+        .withColumn("xt", unix_timestamp(col("ts")) % 65536L)
+      val z = (0 until 16).map { i =>
+        (shiftleft(col("xu").bitwiseAND(lit(1L << i)), i) +
+          shiftleft(col("xt").bitwiseAND(lit(1L << i)), i + 1))
+      }.reduce(_ + _)
+      ev.withColumn("zval", z)
+        .withColumn("bucket", shiftright(col("zval"), 24))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"),
+          min("xu").as("min_user"), max("xu").as("max_user"),
+          min("xt").as("min_t"), max("xt").as("max_t"))
+        .orderBy("bucket")
+    }),
+
     // Map-side (partial) aggregation visibility: pre-aggregate per
     // input partition before the shuffle, then merge — what Catalyst
     // does automatically for sum/count, expressed explicitly over the
@@ -206,6 +234,21 @@ object ScaleQueries extends QuerySuite {
          |  sum(${centsSql("e.value")} * d.w)/100.0 AS weighted_value
          |FROM events e JOIN dim d USING (event_type)
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "layout_zorder_stats" -> {
+      val zTerms = (0 until 16).flatMap(i => Seq(
+        s"((xu & ${1L << i}) << $i)",
+        s"((xt & ${1L << i}) << ${i + 1})")).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT user_id % 65536 AS xu,
+         |    CAST(floor(epoch(ts)) AS BIGINT) % 65536 AS xt
+         |  FROM events),
+         |z AS (SELECT xu, xt, ($zTerms) >> 24 AS bucket FROM t)
+         |SELECT bucket, count(*) AS n_events,
+         |  min(xu) AS min_user, max(xu) AS max_user,
+         |  min(xt) AS min_t, max(xt) AS max_t
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "agg_two_stage_user_day" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,

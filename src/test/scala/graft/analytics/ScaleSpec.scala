@@ -93,6 +93,21 @@ class ScaleSpec extends SparkSpec {
     assert(binned.exists(_._4 > 0), "fixture must contain attributed clicks")
   }
 
+  test("z-order buckets bound BOTH dimensions (the pruning-power property)") {
+    val rows = ScaleQueries.queries("layout_zorder_stats")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // bucket = top 8 interleaved bits = top 4 bits of EACH 16-bit dim,
+    // so within a bucket each dimension spans < 2^12 — a linear sort
+    // key would bound one dimension and leave the other at full range
+    for (r <- rows) {
+      val uSpan = r.getAs[Long]("max_user") - r.getAs[Long]("min_user")
+      val tSpan = r.getAs[Long]("max_t") - r.getAs[Long]("min_t")
+      assert(uSpan < 4096 && tSpan < 4096,
+        s"bucket ${r.getAs[Long]("bucket")}: spans $uSpan/$tSpan")
+    }
+  }
+
   test("salted join equals plain join and executes as a shuffled hash join") {
     import org.apache.spark.sql.functions._
     val q = ScaleQueries.queries("join_salted_skew")(

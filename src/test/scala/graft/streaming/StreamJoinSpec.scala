@@ -45,6 +45,42 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit nulls after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val msgs = MemoryStream[Msg]
+    val subs = MemoryStream[Sub]
+    val joined = msgs.toDF().withWatermark("ts", "1 minute").as("m")
+      .join(subs.toDF().withWatermark("ts", "1 minute").as("s"),
+        expr("""m.channel = s.channel AND
+                s.ts BETWEEN m.ts - INTERVAL 2 MINUTES AND m.ts"""),
+        "left_outer")
+      .select(col("m.channel"), col("s.cid"), col("m.message"))
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one message with no subscriber, one with a match
+      msgs.addData(Msg(t(0), "lonely", "nobody-home"))
+      subs.addData(Sub(t(0), "news", 1L))
+      msgs.addData(Msg(t(30), "news", "hello"))
+      q.processAllAvailable()
+      val early = spark.table("ssleft")
+        .as[(String, Option[Long], String)].collect()
+      // the matched row may emit immediately; the unmatched one must
+      // NOT have emitted yet — its join window is still open
+      assert(!early.exists(_._1 == "lonely"))
+      // advance BOTH watermarks (global watermark = min) past the
+      // unmatched row's window
+      msgs.addData(Msg(t(600), "news", "advance"))
+      subs.addData(Sub(t(600), "news", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft")
+        .as[(String, Option[Long], String)].collect()
+      assert(rows.contains(("lonely", None, "nobody-home")),
+        s"expected the null-padded outer row in: ${rows.toSeq}")
+      assert(rows.contains(("news", Some(1L), "hello")))
+    } finally q.stop()
+  }
+
   test("stream-static join: stream enriched against a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val msgs = MemoryStream[Msg]
