@@ -152,14 +152,23 @@ object ExtendedQueries extends QuerySuite {
     // (~80 iterations on a tiny 1-row-per-step frame), not data size.
     "sql_recursive_spine" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_rc")
-      s.sql("""
+      // Bound the recursion with PRE-COMPUTED literals: a scalar
+      // subquery in the recursive member is re-executed by every
+      // UnionLoop iteration (~2 full orders scans per generated month —
+      // 27 s at sf0.1 vs 3 s with literals). One 1-row aggregate up
+      // front is the dynamic-SQL idiom for loop bounds; results are
+      // identical and the oracle keeps the self-contained subqueries.
+      val Array(lo, hi) = s.sql(
+        """SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+          |  CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+          |FROM orders_rc""".stripMargin).collect()
+        .flatMap(r => Seq(r.getDate(0).toString, r.getDate(1).toString))
+      s.sql(s"""
         WITH RECURSIVE m(mon) AS (
-          SELECT CAST(date_trunc('month',
-            (SELECT min(o_orderdate) FROM orders_rc)) AS DATE)
+          SELECT DATE'$lo'
           UNION ALL
           SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM m
-          WHERE mon < (SELECT CAST(date_trunc('month', max(o_orderdate))
-            AS DATE) FROM orders_rc))
+          WHERE mon < DATE'$hi')
         SELECT date_format(mon, 'yyyy-MM') AS month,
           count(o.o_orderkey) AS n_orders
         FROM m LEFT JOIN orders_rc o
@@ -235,6 +244,21 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("status")
     }),
 
+    // Equi-width histogram: fixed $25 buckets over event values — the
+    // one-pass distribution profile (each bucket a single partial-agg
+    // group; at scale a map-side combine ships ~n_buckets rows per
+    // partition). The bucket id is one IEEE divide + floor, identical
+    // on both engines; min/max are exact picks, the sum uses the
+    // integer-cents contract.
+    "agg_value_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("bucket", floor(col("value") / 25.0).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"),
+          min("value").as("min_value"), max("value").as("max_value"),
+          (sum(cents(col("value"))) / 100.0).as("total_value"))
+        .orderBy("bucket")),
+
     // Custom typed Aggregator UDAF: exact weighted mean price per brand.
     "udaf_weighted_price" -> ((s, d) => {
       val wavg = udaf(WeightedPriceAvg)
@@ -248,6 +272,13 @@ object ExtendedQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "agg_value_histogram" ->
+      s"""SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+         |  count(*) AS n_events,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "agg_percentiles_disc" ->
       """WITH o AS (
         |  SELECT o_orderstatus AS status,
