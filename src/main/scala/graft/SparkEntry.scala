@@ -17,6 +17,7 @@ object SparkEntry {
     analytics.ScalarQueries,
     analytics.ExtendedQueries,
     analytics.ScaleQueries,
+    analytics.BehaviorQueries,
     analytics.AsofQueries,
     llm.DedupQueries,
     llm.TextQueries,
