@@ -244,6 +244,23 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("status")
     }),
 
+    // Wide→long reshaping: pivot order counts to one column per
+    // status, then melt back with `unpivot` — the reshape pair every
+    // reporting layer needs. Null cells (combinations absent from the
+    // data) are dropped on the way back, so the round-trip is exactly
+    // the plain long-format aggregate the oracle computes.
+    "pivot_unpivot_roundtrip" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "o_orderstatus", "n_orders")
+        .filter(col("n_orders").isNotNull)
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
     // Equi-width histogram: fixed $25 buckets over event values — the
     // one-pass distribution profile (each bucket a single partial-agg
     // group; at scale a map-side combine ships ~n_buckets rows per
@@ -272,6 +289,11 @@ object ExtendedQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "pivot_unpivot_roundtrip" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
     "agg_value_histogram" ->
       s"""SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
          |  count(*) AS n_events,

@@ -105,6 +105,26 @@ object RelationalQueries extends QuerySuite {
             .as("total_value"))
         .orderBy("c_custkey")),
 
+    // FULL OUTER join: browse-side and buy-side user activity merged
+    // into one segment view — either side may be missing (null-padded),
+    // the coalesced key survives. Both inputs are already user-keyed
+    // aggregates, so the outer join runs on reduced tables.
+    "join_full_outer_activity" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(count(lit(1)).as("n_views"))
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      v.join(p, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          when(col("n_views").isNull, "buyer_only")
+            .when(col("n_purchases").isNull, "browser_only")
+            .otherwise("both").as("segment"))
+        .orderBy("user_id")
+    }),
+
     // Aggregation breadth: count/min/max/countDistinct + exact avg.
     "agg_nation_stats" -> ((s, d) =>
       Tables.customer(s, d)
@@ -224,6 +244,20 @@ object RelationalQueries extends QuerySuite {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer_activity" ->
+      """WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(v.user_id, p.user_id) AS user_id,
+        |  coalesce(v.n_views, 0) AS n_views,
+        |  coalesce(p.n_purchases, 0) AS n_purchases,
+        |  CASE WHEN v.user_id IS NULL THEN 'buyer_only'
+        |       WHEN p.user_id IS NULL THEN 'browser_only'
+        |       ELSE 'both' END AS segment
+        |FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "join_outer_order_counts" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_orders,

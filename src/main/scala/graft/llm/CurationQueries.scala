@@ -231,6 +231,36 @@ object CurationQueries extends QuerySuite {
     // lpad'ed hex digits). No RNG, no seed drift — re-runs, engines
     // and backfills select the identical doc set. Map-only + two tiny
     // broadcast joins.
+    // Numericalization: build the frequency-ranked vocabulary (id 1 =
+    // most frequent token, ties lexicographic) and encode every doc as
+    // its position-ordered id sequence — tokenize→numericalize, the
+    // step between curation and tensors. The id sequence is surfaced
+    // as (count, sum, digest) so the driver hash proves the exact
+    // sequence without megabyte rows. Scale shape: one explode feeds
+    // the vocab aggregate (vocab ≪ corpus, Zipf — broadcast-joinable
+    // back); the global row_number over the vocab table is a
+    // vocab-sized single sort, never the corpus (at petabyte scale the
+    // rank becomes zipWithIndex over a sorted vocab — same ids).
+    "text_token_ids" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(words(lower(col("text")))).as(Seq("pos", "term")))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+        .withColumn("id", row_number().over(
+          Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+        .select("term", "id")
+      toks.join(broadcast(vocab), Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("id").as("ids_sum"),
+          md5(concat_ws(" ",
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("id")))),
+              x => x.getField("id").cast("string"))).cast("binary"))
+            .as("ids_digest"))
+        .orderBy("doc_id")
+    }),
+
     // Stratified exact-k sampling: the top-SampleK docs per source by
     // md5(doc_id) hash order — the "give me a reproducible audit
     // sample of every stratum" primitive (eval-set carving, human
@@ -428,6 +458,23 @@ object CurationQueries extends QuerySuite {
         |      CAST(total_tokens // n_sources AS DOUBLE) / tokens) * tokens)
         |    AS BIGINT) AS planned_tokens
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "text_token_ids" ->
+      """WITH flat AS (
+        |  SELECT doc_id, unnest(ws) AS term,
+        |    unnest(range(1, len(ws) + 1)) AS pos
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |        FROM documents)),
+        |vocab AS (
+        |  SELECT term,
+        |    row_number() OVER (ORDER BY count(*) DESC, term) AS id
+        |  FROM flat GROUP BY term)
+        |SELECT f.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(v.id) AS BIGINT) AS ids_sum,
+        |  md5(string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY f.pos))
+        |    AS ids_digest
+        |FROM flat f JOIN vocab v USING (term)
+        |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
 
     "text_stratified_sample" ->
       s"""WITH r AS (

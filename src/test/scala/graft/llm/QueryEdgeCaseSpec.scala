@@ -63,6 +63,33 @@ class QueryEdgeCaseSpec extends SparkSpec {
     assert(scrub(0).getLong(scrub(0).fieldIndex("n_chars_clean")) == 0L)
   }
 
+  test("token ids and rarity scores survive empty and repeated-word documents") {
+    val dir = fixtureDir()
+    Seq(
+      (1L, "", "en", "web", 0L),                    // words = [""]
+      (2L, "aa aa aa", "en", "web", 8L),            // one repeated token
+      (3L, "aa zz", "en", "web", 5L))               // zz is a hapax
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+
+    val ids = SparkEntry.queries("text_token_ids")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(ids.length == 3)
+    // vocab by (tf desc, term asc): "aa" tf=4 -> id 1, "" tf=1 -> id 2,
+    // "zz" tf=1 -> id 3; doc 2 = [1,1,1], doc 3 = [1,3]
+    assert(ids(1).getLong(ids(1).fieldIndex("n_tokens")) == 3L)
+    assert(ids(1).getLong(ids(1).fieldIndex("ids_sum")) == 3L)
+    assert(ids(2).getLong(ids(2).fieldIndex("ids_sum")) == 4L)
+
+    val rare = SparkEntry.queries("text_rare_token_score")(spark, dir)
+      .orderBy("doc_id").collect()
+    // doc 3 holds the corpus' only "zz" -> one hapax, min_df 1
+    assert(rare(2).getLong(rare(2).fieldIndex("n_hapax")) == 1L)
+    assert(rare(2).getLong(rare(2).fieldIndex("min_df")) == 1L)
+    // doc 2's single distinct token appears in two docs -> min_df 2
+    assert(rare(1).getLong(rare(1).fieldIndex("min_df")) == 2L)
+  }
+
   test("sim_quantize_int8: zero vector quantizes to NULL stats") {
     val dir = fixtureDir()
     Seq(
