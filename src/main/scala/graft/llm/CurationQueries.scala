@@ -223,14 +223,6 @@ object CurationQueries extends QuerySuite {
         .orderBy("source")
     }),
 
-    // Deterministic weighted subsampling — the EXECUTION of the
-    // mixture plan: each doc draws a reproducible uniform from its
-    // md5(doc_id) prefix and survives iff it falls under its source's
-    // rebalance rate (compared in hex-string space so both engines
-    // agree exactly: threshold = floor(rate * 16^8) rendered as 8
-    // lpad'ed hex digits). No RNG, no seed drift — re-runs, engines
-    // and backfills select the identical doc set. Map-only + two tiny
-    // broadcast joins.
     // Numericalization: build the frequency-ranked vocabulary (id 1 =
     // most frequent token, ties lexicographic) and encode every doc as
     // its position-ordered id sequence — tokenize→numericalize, the
@@ -282,6 +274,14 @@ object CurationQueries extends QuerySuite {
         .orderBy("source", "rk")
     }),
 
+    // Deterministic weighted subsampling — the EXECUTION of the
+    // mixture plan: each doc draws a reproducible uniform from its
+    // md5(doc_id) prefix and survives iff it falls under its source's
+    // rebalance rate (compared in hex-string space so both engines
+    // agree exactly: threshold = floor(rate * 16^8) rendered as 8
+    // lpad'ed hex digits). No RNG, no seed drift — re-runs, engines
+    // and backfills select the identical doc set. Map-only + two tiny
+    // broadcast joins.
     "text_mixture_sample" -> ((s, d) => {
       val bySrc = Tables.documents(s, d)
         .withColumn("nw", size(words(col("text"))).cast("long"))

@@ -1,0 +1,37 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.col
+
+/** Degenerate-input coverage for queries that pre-compute driver-side
+  * bounds: an EMPTY orders table must yield an empty result, not a
+  * crash (the recursive spine reads min/max before building its SQL).
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sql_recursive_spine on an empty orders table returns no rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq.empty[(Long, Long, String, Double, java.sql.Date, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("sql_recursive_spine")(spark, dir)
+    assert(out.columns.toSeq == Seq("month", "n_orders"))
+    assert(out.count() == 0)
+  }
+
+  test("pivot_unpivot_roundtrip derives the status domain from the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    // a status outside the usual {F, O, P} domain must survive
+    Seq((1L, 10L, "X", 5.0, java.sql.Date.valueOf("2024-01-03"), "1-URGENT"),
+      (2L, 11L, "O", 7.5, java.sql.Date.valueOf("2024-02-04"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("pivot_unpivot_roundtrip")(spark, dir)
+      .select("o_orderpriority", "o_orderstatus", "n_orders")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("1-URGENT", "X", 1L), ("2-HIGH", "O", 1L)))
+  }
+}
