@@ -14,7 +14,9 @@ object Explain {
     "dedup_lsh_candidates", "dedup_ngram_jaccard_pairs",
     "sim_bruteforce_topk", "sim_ivf_topk", "sim_quantize_int8",
     "sim_lsh_topk", "text_top_terms", "agg_percentiles_disc",
-    "text_repetition", "text_pack_sequences", "sketch_bloom_prejoin")
+    "text_repetition", "text_pack_sequences", "sketch_bloom_prejoin",
+    "window_topk_native", "dedup_semantic_survivors", "text_token_ids",
+    "funnel_stages", "join_salted_skew", "layout_zorder_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -21,6 +21,9 @@ object Multimodal extends QuerySuite {
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
       n_bytes: Long)
 
+  /** Byte budget per inference batch. */
+  val BatchBudget = 4096L
+
   /** Decoded-feature schema a real decoder would emit. */
   case class DecodedRow(doc_id: Long, width: Int, height: Int,
       n_frames: Int, brightness: Double)
@@ -121,6 +124,26 @@ object Multimodal extends QuerySuite {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Inference batch planning: pack media rows into fixed byte-budget
+    // batches per mime in stable doc order — the batching step in
+    // front of a GPU decode/embed stage (the image analog of
+    // text_pack_sequences). The window cumsum runs inside each mime
+    // shard, never globally; assignment is pure integer arithmetic so
+    // the oracle hash-proves the batch layout.
+    "multimodal_batch_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("mime")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      mediaTable(s, d)
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("batch_id", expr(s"(cum - n_bytes) div $BatchBudget"))
+        .groupBy("mime", "batch_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum("n_bytes").as("batch_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("mime", "batch_id")
+    }),
+
     // Downstream agg over decoded features: per-mime feature stats
     // (exercises decode output flowing back into relational ops).
     "multimodal_feature_stats" -> ((s, d) => {
@@ -156,6 +179,22 @@ object Multimodal extends QuerySuite {
         |  CAST(224 - (w0 * 224) // side AS BIGINT) AS pad_x,
         |  CAST(224 - (h0 * 224) // side AS BIGINT) AS pad_y
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "multimodal_batch_plan" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, 'application/x-' || source AS mime,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, mime, n_bytes,
+         |    sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM m)
+         |SELECT mime, (cum - n_bytes) // $BatchBudget AS batch_id,
+         |  count(*) AS n_items,
+         |  CAST(sum(n_bytes) AS BIGINT) AS batch_bytes,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY mime, batch_id""".stripMargin,
 
     "multimodal_frame_sample" ->
       """WITH m AS (

@@ -64,6 +64,27 @@ class TopKPerKeySpec extends SparkSpec {
       Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("property: agrees with the window twin on seeded-random data") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(4)
+      val data = Seq.fill(120)((
+        s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, rnd.nextInt(20).toDouble))
+        .zipWithIndex.map { case ((key, _, v), i) => (key, i.toLong, v) }
+      val df = data.toDF("key", "id", "v")
+      val got = TopKPerKey(df, Seq("key"), Seq(col("v").desc, col("id").asc), k)
+        .select("key", "rk", "id")
+        .as[(String, Long, Long)].collect().toSet
+      val want = df.withColumn("rk",
+          row_number().over(Window.partitionBy(col("key"))
+            .orderBy(col("v").desc, col("id").asc)).cast("long"))
+        .filter(col("rk") <= k)
+        .select("key", "rk", "id")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed k $k")
+    }
+  }
+
   test("multi-column keys and ascending order work end to end") {
     val multi = Seq(("x", 1, 10L), ("x", 1, 20L), ("x", 2, 30L), ("y", 1, 40L))
       .toDF("k1", "k2", "id")
