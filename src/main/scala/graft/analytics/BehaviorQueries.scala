@@ -62,6 +62,44 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Cross-series correlation: Pearson between the hourly count
+    // series of every event-type pair — the "do these metrics move
+    // together" time-series primitive. The raw events collapse to a
+    // dense (hour, type) count matrix immediately (hours × types is
+    // bounded — ~100k rows even for years — regardless of corpus
+    // size), so the pair join never touches events. All sums are
+    // exact integers; the final correlation is a fixed tree of
+    // correctly-rounded IEEE ops, so both engines agree bit-for-bit.
+    // A zero-variance series yields NULL (not a division crash).
+    "ts_type_correlation" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(expr("unix_timestamp(ts) div 3600").as("h"), col("event_type"))
+      val hours = e.select("h").distinct()
+      val types = e.select("event_type").distinct()
+      val counts = e.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+      val dense = hours.crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      val a = dense.select(col("h"), col("event_type").as("ta"), col("n").as("na"))
+      val b = dense.select(col("h"), col("event_type").as("tb"), col("n").as("nb"))
+      val stats = a.join(b, Seq("h")).filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("na")).as("sa"), sum(col("nb")).as("sb"),
+          sum(col("na") * col("nb")).as("sab"),
+          sum(col("na") * col("na")).as("saa"),
+          sum(col("nb") * col("nb")).as("sbb"))
+      val da = sqrt((col("n_hours") * col("saa") - col("sa") * col("sa"))
+        .cast("double"))
+      val db = sqrt((col("n_hours") * col("sbb") - col("sb") * col("sb"))
+        .cast("double"))
+      val denom = da * db
+      stats.select(col("ta"), col("tb"), col("n_hours"),
+        ((col("n_hours") * col("sab") - col("sa") * col("sb")).cast("double")
+          / when(denom =!= 0.0, denom)).as("pearson"))
+        .orderBy("ta", "tb")
+    }),
+
     // Top event-type transitions: consecutive (prev -> curr) pairs per
     // user in event order, ranked by global frequency. The per-user
     // window sorts only within a user's own events.
@@ -111,6 +149,33 @@ object BehaviorQueries extends QuerySuite {
          |  count(DISTINCT w.user_id) AS n_users
          |FROM weeks w JOIN first f ON w.user_id = f.user_id
          |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "ts_type_correlation" ->
+      s"""WITH e AS (
+         |  SELECT $secSql // 3600 AS h, event_type FROM events),
+         |hours AS (SELECT DISTINCT h FROM e),
+         |types AS (SELECT DISTINCT event_type FROM e),
+         |counts AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT hours.h, types.event_type, coalesce(c.n, 0) AS n
+         |  FROM hours CROSS JOIN types LEFT JOIN counts c
+         |    ON c.h = hours.h AND c.event_type = types.event_type),
+         |s AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb,
+         |    count(*) AS n_hours,
+         |    CAST(sum(a.n) AS BIGINT) AS sa, CAST(sum(b.n) AS BIGINT) AS sb,
+         |    CAST(sum(a.n * b.n) AS BIGINT) AS sab,
+         |    CAST(sum(a.n * a.n) AS BIGINT) AS saa,
+         |    CAST(sum(b.n * b.n) AS BIGINT) AS sbb
+         |  FROM dense a JOIN dense b
+         |    ON a.h = b.h AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT ta, tb, n_hours,
+         |  CAST(n_hours * sab - sa * sb AS DOUBLE)
+         |    / nullif(sqrt(CAST(n_hours * saa - sa * sa AS DOUBLE))
+         |             * sqrt(CAST(n_hours * sbb - sb * sb AS DOUBLE)), 0.0)
+         |    AS pearson
+         |FROM s ORDER BY ta, tb""".stripMargin,
 
     "path_top_transitions" ->
       s"""WITH e AS (
