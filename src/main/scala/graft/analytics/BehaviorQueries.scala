@@ -77,9 +77,12 @@ object BehaviorQueries extends QuerySuite {
       val hours = e.select("h").distinct()
       val types = e.select("event_type").distinct()
       val counts = e.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+      // lazily materialized: both self-join sides read the tiny dense
+      // matrix instead of re-deriving it (3 event scans each) per side
       val dense = hours.crossJoin(broadcast(types))
         .join(counts, Seq("h", "event_type"), "left")
         .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(eager = false)
       val a = dense.select(col("h"), col("event_type").as("ta"), col("n").as("na"))
       val b = dense.select(col("h"), col("event_type").as("tb"), col("n").as("nb"))
       val stats = a.join(b, Seq("h")).filter(col("ta") < col("tb"))
@@ -133,11 +136,12 @@ object BehaviorQueries extends QuerySuite {
          |      FROM e JOIN c ON e.user_id = c.user_id
          |      WHERE e.event_type = 'purchase' AND e.sec > c.c_sec
          |      GROUP BY e.user_id)
-         |SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+         |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+         |  count(*) AS n_users FROM v
          |UNION ALL
-         |SELECT 2, 'click', count(*) FROM c
+         |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
          |UNION ALL
-         |SELECT 3, 'purchase', count(*) FROM p
+         |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p
          |ORDER BY stage""".stripMargin,
 
     "cohort_weekly_retention" ->

@@ -162,9 +162,12 @@ object ExtendedQueries extends QuerySuite {
         """SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
           |  CAST(date_trunc('month', max(o_orderdate)) AS DATE)
           |FROM orders_rc""".stripMargin).collect()(0)
-      if (bounds.isNullAt(0)) // empty orders: no months to spine
+      // empty orders: the oracle's recursive anchor still emits one
+      // NULL-month row that survives the LEFT JOIN as (NULL, 0) —
+      // mirror it exactly
+      if (bounds.isNullAt(0))
         s.sql("""SELECT CAST(NULL AS STRING) AS month,
-          CAST(0 AS BIGINT) AS n_orders WHERE false""")
+          CAST(0 AS BIGINT) AS n_orders""")
       else s.sql(s"""
         WITH RECURSIVE m(mon) AS (
           SELECT DATE'${bounds.getDate(0)}'
@@ -254,13 +257,20 @@ object ExtendedQueries extends QuerySuite {
     "pivot_unpivot_roundtrip" -> ((s, d) => {
       // values-less pivot derives the status domain from the data (one
       // small distinct job), so an unexpected status can never be
-      // silently dropped from the round-trip
+      // silently dropped from the round-trip. NULL statuses are
+      // excluded up front on BOTH engines: pivot would stringify a
+      // NULL into a column literally named "null", which cannot
+      // round-trip back to SQL NULL.
       val wide = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isNotNull)
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus")
         .agg(count(lit(1)))
       val statusCols = wide.columns.filter(_ != "o_orderpriority")
-      wide.unpivot(Array(col("o_orderpriority")),
+      if (statusCols.isEmpty) // empty table: nothing to reshape
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          col("o_orderstatus"), lit(0L).as("n_orders")).limit(0)
+      else wide.unpivot(Array(col("o_orderpriority")),
           statusCols.map(col), "o_orderstatus", "n_orders")
         .filter(col("n_orders").isNotNull)
         .orderBy("o_orderpriority", "o_orderstatus")
@@ -296,7 +306,7 @@ object ExtendedQueries extends QuerySuite {
   def oracles: Map[String, String] = Map(
     "pivot_unpivot_roundtrip" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
-        |FROM orders GROUP BY 1, 2
+        |FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     "agg_value_histogram" ->

@@ -496,16 +496,17 @@ object DedupQueries extends QuerySuite {
       val centArr = e.filter(col("vec_id") % SemStride === 0)
         .agg(collect_list(struct(col("vec_id").as("c_id"),
           col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
-      // materialize the assignment once: the frame is consumed three
-      // times (both pair sides + the anti-join probe) and the kernel
-      // pass over the corpus is the dominant cost — same lineage-cut
-      // pattern as connectedComponents
+      // materialize the assignment once (lazily — eager would run the
+      // corpus job at DataFrame-BUILD time, e.g. during a plan audit):
+      // the frame is consumed three times (both pair sides + the
+      // anti-join probe) and the kernel pass over the corpus is the
+      // dominant cost — same lineage-cut pattern as connectedComponents
       val assigned = e.crossJoin(broadcast(centArr))
         .select(col("vec_id"),
           call_function(graft.plans.NearestCentroid.Name,
             col("embedding"), col("nrm"), col("cents")).as("cluster"),
           col("embedding"), col("nrm"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),

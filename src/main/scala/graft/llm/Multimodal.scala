@@ -190,7 +190,7 @@ object Multimodal extends QuerySuite {
          |    sum(n_bytes) OVER (PARTITION BY mime ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM m)
-         |SELECT mime, (cum - n_bytes) // $BatchBudget AS batch_id,
+         |SELECT mime, CAST((cum - n_bytes) // $BatchBudget AS BIGINT) AS batch_id,
          |  count(*) AS n_items,
          |  CAST(sum(n_bytes) AS BIGINT) AS batch_bytes,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -31,6 +31,24 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("correlations are one row per unordered type pair, inside [-1, 1]") {
+    val rows = BehaviorQueries.queries("ts_type_correlation")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == types.length * (types.length - 1) / 2,
+      s"expected C(${types.length},2) pairs, got ${rows.length}")
+    for ((ta, tb, nHours, p) <- rows) {
+      assert(ta < tb, "pairs are unordered: ta < tb")
+      assert(nHours > 0)
+      p.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9,
+        s"$ta/$tb pearson $v out of range"))
+    }
+    // series here are non-constant, so no NULL correlations expected
+    assert(rows.forall(_._4.isDefined))
+  }
+
   test("transitions are ranked by count with deterministic tiebreak") {
     val rows = BehaviorQueries.queries("path_top_transitions")(spark, sf)
       .collect()

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.col
 class EmptyInputSpec extends SparkSpec {
   import spark.implicits._
 
-  test("sql_recursive_spine on an empty orders table returns no rows") {
+  test("sql_recursive_spine on an empty orders table mirrors the oracle's NULL anchor row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
     Seq.empty[(Long, Long, String, Double, java.sql.Date, String)]
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -18,6 +18,21 @@ class EmptyInputSpec extends SparkSpec {
       .repartition(1).write.parquet(s"$dir/orders.parquet")
     val out = SparkEntry.queries("sql_recursive_spine")(spark, dir)
     assert(out.columns.toSeq == Seq("month", "n_orders"))
+    // the oracle's recursive anchor on empty input emits one NULL-month
+    // row that survives the LEFT JOIN as (NULL, 0) — exact mirror
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0) && rows(0).getLong(1) == 0L)
+  }
+
+  test("pivot_unpivot_roundtrip survives an empty orders table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty2").toString
+    Seq.empty[(Long, Long, String, Double, java.sql.Date, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("pivot_unpivot_roundtrip")(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("o_orderpriority", "o_orderstatus", "n_orders"))
     assert(out.count() == 0)
   }
 

@@ -90,6 +90,33 @@ class QueryEdgeCaseSpec extends SparkSpec {
     assert(rare(1).getLong(rare(1).fieldIndex("min_df")) == 2L)
   }
 
+  test("multimodal_batch_plan tiles each mime contiguously by start offset") {
+    val dir = fixtureDir()
+    // 6 docs of 2000 bytes: batch = start-offset div 4096, so an item
+    // STARTING inside the budget may overhang it (bounded by one item)
+    // — starts 0,2000,4000 land in batch 0; 6000,8000 in batch 1;
+    // 10000 in batch 2
+    Seq.tabulate(6)(i => (i.toLong, "x" * 2000, "en", "web", 2000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("multimodal_batch_plan")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("batch_id")),
+        r.getLong(r.fieldIndex("n_items")),
+        r.getLong(r.fieldIndex("batch_bytes")),
+        r.getLong(r.fieldIndex("first_doc")),
+        r.getLong(r.fieldIndex("last_doc")))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 3L, 6000L), (1L, 2L, 4000L), (2L, 1L, 2000L)))
+    // batches are contiguous doc ranges with no overlap, and no batch
+    // exceeds budget + one item
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4)
+      case _ =>
+    }
+    assert(rows.forall(_._3 <= 4096L + 2000L))
+  }
+
   test("sim_quantize_int8: zero vector quantizes to NULL stats") {
     val dir = fixtureDir()
     Seq(

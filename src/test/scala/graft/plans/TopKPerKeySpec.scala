@@ -68,9 +68,8 @@ class TopKPerKeySpec extends SparkSpec {
     for (seed <- 1 to 8) {
       val rnd = new scala.util.Random(seed)
       val k = 1 + rnd.nextInt(4)
-      val data = Seq.fill(120)((
-        s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, rnd.nextInt(20).toDouble))
-        .zipWithIndex.map { case ((key, _, v), i) => (key, i.toLong, v) }
+      val data = Seq.fill(120)((s"k${rnd.nextInt(6)}", rnd.nextInt(20).toDouble))
+        .zipWithIndex.map { case ((key, v), i) => (key, i.toLong, v) }
       val df = data.toDF("key", "id", "v")
       val got = TopKPerKey(df, Seq("key"), Seq(col("v").desc, col("id").asc), k)
         .select("key", "rk", "id")
