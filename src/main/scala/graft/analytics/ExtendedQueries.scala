@@ -249,6 +249,43 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("status")
     }),
 
+    // Data-quality assertion report (Deequ-style): each rule reduces a
+    // table scan to ONE violation count — referential integrity is an
+    // anti-join against the (broadcast-sized) key side, uniqueness a
+    // groupBy-count, range/null checks map-side filters. The union of
+    // 1-row aggregates costs one pass per table; at 100 TB a real run
+    // fuses same-table rules into one scan, exactly as written here
+    // for the two orders rules.
+    "dq_violation_report" -> ((s, d) => {
+      def rule(n: Int, name: String, cnt: DataFrame) =
+        cnt.select(lit(n.toLong).as("rule_id"), lit(name).as("rule"),
+          col("n").as("n_violations"))
+      val orphanOrders = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val ordersBad = Tables.orders(s, d)
+        .agg(coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L)).as("n"))
+      val qtyRange = Tables.lineitem(s, d)
+        .agg(coalesce(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)), lit(0L)).as("n"))
+      val dupCust = Tables.customer(s, d)
+        .groupBy("c_custkey").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1).otherwise(0L)), lit(0L)).as("n"))
+      val negValues = Tables.events(s, d)
+        .agg(coalesce(sum(when(col("value") < 0, 1L).otherwise(0L)), lit(0L)).as("n"))
+      val emptyDocs = Tables.documents(s, d)
+        .agg(coalesce(sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n"))
+      rule(1, "orders_fk_customer", orphanOrders)
+        .union(rule(2, "orders_price_positive", ordersBad))
+        .union(rule(3, "lineitem_qty_1_50", qtyRange))
+        .union(rule(4, "customer_key_unique", dupCust))
+        .union(rule(5, "events_value_nonneg", negValues))
+        .union(rule(6, "documents_text_nonempty", emptyDocs))
+        .orderBy("rule_id")
+    }),
+
     // Wide→long reshaping: pivot order counts to one column per
     // status, then melt back with `unpivot` — the reshape pair every
     // reporting layer needs. Null cells (combinations absent from the
@@ -304,6 +341,36 @@ object ExtendedQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "dq_violation_report" ->
+      """SELECT CAST(1 AS BIGINT) AS rule_id, 'orders_fk_customer' AS rule,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    AS n_violations
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'orders_price_positive',
+        |  CAST((SELECT coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1
+        |    ELSE 0 END), 0) FROM orders) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'lineitem_qty_1_50',
+        |  CAST((SELECT coalesce(sum(CASE WHEN l_quantity < 1
+        |    OR l_quantity > 50 THEN 1 ELSE 0 END), 0) FROM lineitem)
+        |    AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'customer_key_unique',
+        |  CAST((SELECT coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0)
+        |    FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey))
+        |    AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'events_value_nonneg',
+        |  CAST((SELECT coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)
+        |    FROM events) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(6 AS BIGINT), 'documents_text_nonempty',
+        |  CAST((SELECT coalesce(sum(CASE WHEN text IS NULL
+        |    OR length(text) = 0 THEN 1 ELSE 0 END), 0) FROM documents)
+        |    AS BIGINT)
+        |ORDER BY rule_id""".stripMargin,
+
     "pivot_unpivot_roundtrip" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
         |FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import StreamingTopK._
+
+/** The streaming leaderboard must equal the batch top-k over the same
+  * events at every version boundary, keep O(k) state, and stay silent
+  * on batches that cannot change the board.
+  */
+class StreamingTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def run(batches: Seq[Seq[ValueEvent]], k: Int): Seq[LeaderRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ValueEvent]
+      n += 1
+      val name = s"topk_$n"
+      val q = StreamingTopK.leaderboard(input.toDS(), k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        for (b <- batches) { input.addData(b); q.processAllAvailable() }
+        spark.table(name).as[LeaderRow].collect().toSeq
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("latest version equals the batch top-k over everything seen") {
+    val b1 = Seq(ValueEvent("ch", 1L, 5.0), ValueEvent("ch", 2L, 9.0),
+      ValueEvent("ch", 3L, 7.0))
+    val b2 = Seq(ValueEvent("ch", 4L, 8.0), ValueEvent("ch", 5L, 1.0))
+    val rows = run(Seq(b1, b2), k = 3)
+    val latestV = rows.map(_.version).max
+    val latest = rows.filter(_.version == latestV).sortBy(_.rank)
+      .map(r => (r.rank, r.event_id, r.value))
+    // all five seen: top-3 by value desc = 9.0(2), 8.0(4), 7.0(3)
+    assert(latest == Seq((1L, 2L, 9.0), (2L, 4L, 8.0), (3L, 3L, 7.0)))
+    // the first batch's board was emitted too (version 1)
+    val v1 = rows.filter(_.version == 1L).sortBy(_.rank).map(_.event_id)
+    assert(v1 == Seq(2L, 3L, 1L))
+  }
+
+  test("a batch that cannot enter the board emits nothing") {
+    val b1 = Seq(ValueEvent("ch", 1L, 9.0), ValueEvent("ch", 2L, 8.0))
+    val b2 = Seq(ValueEvent("ch", 3L, 1.0)) // below the worst kept
+    val rows = run(Seq(b1, b2), k = 2)
+    assert(rows.map(_.version).max == 1L, "no second emission expected")
+  }
+
+  test("ties break toward the lower event id, channels are independent") {
+    val rows = run(Seq(Seq(
+      ValueEvent("a", 10L, 5.0), ValueEvent("a", 9L, 5.0),
+      ValueEvent("b", 1L, 1.0))), k = 1)
+    val a = rows.filter(_.channel == "a")
+    assert(a.map(r => (r.rank, r.event_id)) == Seq((1L, 9L)))
+    assert(rows.exists(_.channel == "b"))
+  }
+}
