@@ -223,6 +223,31 @@ object CurationQueries extends QuerySuite {
         .orderBy("source")
     }),
 
+    // THE training-set build, end to end in one query: exact dedup
+    // (content-digest keepers) → deterministic split → quality gate →
+    // per-source token accounting. Every stage is the already-proven
+    // operator composed unchanged — the point is that the whole prep
+    // pipeline is ONE declarative plan Catalyst can globally optimize
+    // (scan once, map-side gate, single digest shuffle + final small
+    // agg), not a chain of materialized intermediate tables.
+    "pipeline_training_set" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = docs
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      docs.join(keepers, "doc_id")
+        .filter(bucket < "c0") // train split only
+        .withColumn("keep", rowQualityKeep(col("text")).cast("long"))
+        .filter(col("keep") === 1L)
+        .withColumn("nw", size(words(col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+        .orderBy("source")
+    }),
+
     // Numericalization: build the frequency-ranked vocabulary (id 1 =
     // most frequent token, ties lexicographic) and encode every doc as
     // its position-ordered id sequence — tokenize→numericalize, the
@@ -458,6 +483,24 @@ object CurationQueries extends QuerySuite {
         |      CAST(total_tokens // n_sources AS DOUBLE) / tokens) * tokens)
         |    AS BIGINT) AS planned_tokens
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "pipeline_training_set" ->
+      s"""WITH $gopherFlagsCtes,
+         |k AS (SELECT doc_id, n_words,
+         |        least(ok_words, ok_mean_len, ok_top_word, ok_dup_word,
+         |              ok_lang) AS keep
+         |      FROM f),
+         |keepers AS (SELECT min(doc_id) AS doc_id
+         |            FROM documents GROUP BY md5(text)),
+         |tr AS (
+         |  SELECT d.doc_id, d.source, k.n_words
+         |  FROM documents d JOIN k ON d.doc_id = k.doc_id
+         |  WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+         |    AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'c0'
+         |    AND k.keep = 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS tokens
+         |FROM tr GROUP BY source ORDER BY source""".stripMargin,
 
     "text_token_ids" ->
       """WITH flat AS (
