@@ -64,6 +64,30 @@ object ScaleQueries extends QuerySuite {
         .orderBy("o_orderstatus")
     }),
 
+    // Count-min-sketch heavy-hitter estimation — the fourth sketch
+    // next to HLL (distinct), bloom (membership) and KLL (quantiles):
+    // a fixed-size mergeable frequency summary built in one pass with
+    // map-side partial merges; estimates only ever overestimate, by at
+    // most eps·N with 99% confidence. The single collect() pulls ONE
+    // sketch row — the mergeable-sketch consumption pattern, not a
+    // data collect. Rows-only driver check (sketch internals are
+    // engine-specific); the overestimate-only and eps·N bounds are
+    // asserted in ScaleSpec.
+    "sketch_cms_terms" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+      val exact = tok.groupBy("term").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term")).limit(10)
+      val bytes = tok
+        .select(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("s"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val est = udf((t: String) => cms.estimateCount(t))
+      exact.withColumn("approx_n", est(col("term")))
+        .orderBy(col("exact_n").desc, col("term"))
+    }),
+
     // Approximate quantiles (KLL-style percentile_approx sketch): the
     // mergeable one-pass scale path next to the exact rank-selection
     // percentiles of agg_percentiles_disc. Rows-only driver check

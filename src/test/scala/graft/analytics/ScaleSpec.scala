@@ -93,6 +93,23 @@ class ScaleSpec extends SparkSpec {
     assert(binned.exists(_._4 > 0), "fixture must contain attributed clicks")
   }
 
+  test("count-min estimates only overestimate, within eps*N") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = ScaleQueries.queries("sketch_cms_terms")(spark, sf).collect()
+    assert(rows.length == 10)
+    val totalTokens = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .count()
+    for (r <- rows) {
+      val exact = r.getAs[Long]("exact_n")
+      val approx = r.getAs[Long]("approx_n")
+      assert(approx >= exact, s"CMS must never underestimate: $r")
+      assert(approx - exact <= math.ceil(0.001 * totalTokens).toLong,
+        s"CMS error beyond eps*N: $r (N=$totalTokens)")
+    }
+  }
+
   test("z-order buckets bound BOTH dimensions (the pruning-power property)") {
     val rows = ScaleQueries.queries("layout_zorder_stats")(
       spark, "/root/testdata/sf0.001").collect()
