@@ -126,6 +126,31 @@ object DedupQueries extends QuerySuite {
         col("band.band_val").as("band_val"))
   }
 
+  /** Hamming≤1 pairs from a (doc_id, sig) fingerprint frame via
+    * 65-way multi-probe (identity + every 1-bit flip) and an exact
+    * bit_count verify on the colliding candidates. Extracted so specs
+    * can plant fingerprints directly. */
+  private[llm] def simhashRadiusPairs(sigs: DataFrame): DataFrame = {
+    val probes = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(array((-1 until 64).map(lit(_)): _*)).as("b"))
+      .select(col("doc_id"), col("sig"),
+        expr("sig ^ CASE WHEN b < 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), b) END").as("probe"))
+    val x = probes.select(col("doc_id").as("doc_a"),
+      col("sig").as("sig_a"), col("probe"))
+    val y = probes.select(col("doc_id").as("doc_b"),
+      col("sig").as("sig_b"), col("probe"))
+    x.join(y, Seq("probe"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The SRP-LSH pipeline over an embeddings frame (vec_id, embedding,
     * nrm): map-only band signatures -> bucket self-join -> exact
     * cosine verify on candidates only. Extracted so specs can plant
@@ -432,6 +457,24 @@ object DedupQueries extends QuerySuite {
         .withColumn("simhash", simHashNative(col("w")))
         .select("doc_id", "simhash")
         .orderBy("doc_id")
+    }),
+
+    // SimHash multi-probe near-dup: pairs within Hamming distance 1 of
+    // each other's 64-bit fingerprint, found WITHOUT an all-pairs scan.
+    // Each doc emits 65 probe keys (its sig + every 1-bit flip); a
+    // Hamming≤1 pair is guaranteed to collide on at least one probe
+    // (equal sigs collide on the identity probe; distance-1 pairs on
+    // the flipped bit), so the join is linear in docs × 65 and the
+    // exact bit_count verify runs on candidates only — the multi-probe
+    // LSH pattern (Lv et al., VLDB'07). Rows-only driver check (the
+    // native SimHash kernel has no SQL twin); the probe-completeness
+    // guarantee is spec'd on planted fingerprints in DedupSpec.
+    "dedup_simhash_radius" -> ((s, d) => {
+      graft.plans.SimHash64.register(s)
+      val sigs = docsWithWords(s, d)
+        .withColumn("sig", simHashNative(col("w")))
+        .select("doc_id", "sig")
+      simhashRadiusPairs(sigs)
     }),
 
     // Embedding near-dup at SCALE: SRP-LSH bands route each vector to

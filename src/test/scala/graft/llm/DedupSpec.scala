@@ -237,6 +237,20 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("simhash multi-probe finds exactly the Hamming<=1 pairs") {
+    // planted fingerprints: 1&2 identical, 1&3 differ in one bit,
+    // 3&4 differ in one bit (so 1&4 differ in two — excluded),
+    // 5 is far from everything
+    val sigs = Seq(
+      (1L, 0x00F0L), (2L, 0x00F0L), (3L, 0x00F1L), (4L, 0x00F3L),
+      (5L, -1L))
+      .toDF("doc_id", "sig")
+    val pairs = DedupQueries.simhashRadiusPairs(sigs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L)))
+  }
+
   test("semantic dedup keeps one representative per near-dup neighborhood") {
     // One centroid (vec 0), an orthogonal near-dup pair (1, 2), and an
     // unrelated vector (3): only the higher id of the planted pair is
