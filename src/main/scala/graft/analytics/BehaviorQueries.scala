@@ -62,6 +62,27 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Hourly volume anomaly detection: z-score of each hour's event
+    // count against the global hourly distribution. Multiplying
+    // through by n turns the z formula into pure integer arithmetic
+    // under one sqrt and one divide — z = (c·n − Σc) / √(n·Σc² − Σc²)
+    // — so both engines agree bit-for-bit. The stats side is a 1-row
+    // broadcast; the scan collapses to hourly counts immediately.
+    "ts_anomalous_hours" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val stats = hourly.agg(count(lit(1)).as("n"),
+        sum("c").as("sc"), sum(col("c") * col("c")).as("scc"))
+      hourly.crossJoin(broadcast(stats))
+        .withColumn("z", (col("c") * col("n") - col("sc")).cast("double")
+          / sqrt((col("n") * col("scc") - col("sc") * col("sc"))
+            .cast("double")))
+        .select(col("h"), col("c").as("n_events"), col("z"),
+          (abs(col("z")) >= 3.0).cast("long").as("is_anomaly"))
+        .orderBy("h")
+    }),
+
     // Cross-series correlation: Pearson between the hourly count
     // series of every event-type pair — the "do these metrics move
     // together" time-series primitive. The raw events collapse to a
@@ -153,6 +174,21 @@ object BehaviorQueries extends QuerySuite {
          |  count(DISTINCT w.user_id) AS n_users
          |FROM weeks w JOIN first f ON w.user_id = f.user_id
          |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "ts_anomalous_hours" ->
+      s"""WITH hourly AS (
+         |  SELECT $secSql // 3600 AS h, count(*) AS c
+         |  FROM events GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sc,
+         |         CAST(sum(c * c) AS BIGINT) AS scc
+         |       FROM hourly)
+         |SELECT h, c AS n_events,
+         |  CAST(c * n - sc AS DOUBLE)
+         |    / sqrt(CAST(n * scc - sc * sc AS DOUBLE)) AS z,
+         |  CAST(abs(CAST(c * n - sc AS DOUBLE)
+         |    / sqrt(CAST(n * scc - sc * sc AS DOUBLE))) >= 3.0 AS BIGINT)
+         |    AS is_anomaly
+         |FROM hourly CROSS JOIN st ORDER BY h""".stripMargin,
 
     "ts_type_correlation" ->
       s"""WITH e AS (

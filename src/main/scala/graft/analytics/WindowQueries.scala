@@ -78,6 +78,26 @@ object WindowQueries extends QuerySuite {
         .orderBy("channel", "rk")
     }),
 
+    // Period-over-period growth: monthly revenue with the previous
+    // month and percent change — the reporting staple. The lag window
+    // runs over the ALREADY-AGGREGATED month table (~one row per
+    // month), so the single-partition window is bounded by calendar
+    // span, never data size; cents stay integer until the two final
+    // divides.
+    "window_month_growth" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.orderBy(col("month"))
+      m.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .select(col("month"),
+          (col("rev_cents") / 100.0).as("revenue"),
+          (col("prev_cents") / 100.0).as("prev_revenue"),
+          ((col("rev_cents") - col("prev_cents")).cast("double")
+            / col("prev_cents").cast("double")).as("growth"))
+        .orderBy("month")
+    }),
+
     // Top-k per key on the CUSTOM whole-operator path: the
     // TopKPerKey LogicalPlan/Strategy/Exec (bounded heap, two-phase —
     // map-side partial caps every (partition, key) at k rows BEFORE
@@ -220,6 +240,20 @@ object WindowQueries extends QuerySuite {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin,
+
+    "window_month_growth" ->
+      s"""WITH m AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    sum(${centsSql("o_totalprice")}) AS rev_cents
+         |  FROM orders GROUP BY 1),
+         |l AS (SELECT month, rev_cents,
+         |        lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents
+         |      FROM m)
+         |SELECT month, rev_cents/100.0 AS revenue,
+         |  prev_cents/100.0 AS prev_revenue,
+         |  CAST(rev_cents - prev_cents AS DOUBLE)
+         |    / CAST(prev_cents AS DOUBLE) AS growth
+         |FROM l ORDER BY month""".stripMargin,
 
     "window_topk_native" ->
       """WITH r AS (

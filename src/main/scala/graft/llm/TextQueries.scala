@@ -63,6 +63,26 @@ object TextQueries extends QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // Lang-ID evaluation: confusion matrix of guessed vs labeled
+    // language — the accuracy audit of the heuristic classifier above
+    // (the text twin of sim_recall_audit: every model-ish operator
+    // ships with its measurement). One scan + a tiny aggregate.
+    "text_lang_confusion" -> ((s, d) => {
+      val ws = words(lower(col("text")))
+      val en = markerCount(ws, EnMarkers)
+      val de = markerCount(ws, DeMarkers)
+      val es = markerCount(ws, EsMarkers)
+      Tables.documents(s, d).select(
+        col("lang").as("labeled_lang"),
+        when(greatest(en, de, es) === 0, "und")
+          .when(en >= de && en >= es, "en")
+          .when(de >= es, "de")
+          .otherwise("es").as("guessed_lang"))
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("labeled_lang", "guessed_lang")
+    }),
+
     // Document fingerprint: md5 over the sorted distinct vocabulary
     // (order-insensitive content identity).
     "text_fingerprints" -> ((s, d) =>
@@ -216,6 +236,23 @@ object TextQueries extends QuerySuite {
          |       WHEN de_hits >= es_hits THEN 'de'
          |       ELSE 'es' END AS guessed_lang
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_lang_confusion" ->
+      s"""WITH t AS (
+         |  SELECT lang AS labeled_lang,
+         |    ${hitsSql("string_split(lower(text), ' ')", enSetSql)} AS en_hits,
+         |    ${hitsSql("string_split(lower(text), ' ')", deSetSql)} AS de_hits,
+         |    ${hitsSql("string_split(lower(text), ' ')", esSetSql)} AS es_hits
+         |  FROM documents),
+         |g AS (
+         |  SELECT labeled_lang,
+         |    CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
+         |         WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+         |         WHEN de_hits >= es_hits THEN 'de'
+         |         ELSE 'es' END AS guessed_lang
+         |  FROM t)
+         |SELECT labeled_lang, guessed_lang, count(*) AS n_docs
+         |FROM g GROUP BY 1, 2 ORDER BY labeled_lang, guessed_lang""".stripMargin,
 
     "text_fingerprints" ->
       """SELECT doc_id,
