@@ -69,15 +69,22 @@ object BehaviorQueries extends QuerySuite {
     // — so both engines agree bit-for-bit. The stats side is a 1-row
     // broadcast; the scan collapses to hourly counts immediately.
     "ts_anomalous_hours" -> ((s, d) => {
+      // lazily materialized: both the stats aggregate and the join
+      // side read the tiny hourly frame instead of scanning events
+      // twice (same pattern as ts_type_correlation's dense matrix)
       val hourly = Tables.events(s, d)
         .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
       val stats = hourly.agg(count(lit(1)).as("n"),
         sum("c").as("sc"), sum(col("c") * col("c")).as("scc"))
+      // zero variance (constant traffic) → NULL z, never NaN: Spark's
+      // NaN-is-largest ordering would otherwise flag EVERY hour
+      val den = sqrt((col("n") * col("scc") - col("sc") * col("sc"))
+        .cast("double"))
       hourly.crossJoin(broadcast(stats))
         .withColumn("z", (col("c") * col("n") - col("sc")).cast("double")
-          / sqrt((col("n") * col("scc") - col("sc") * col("sc"))
-            .cast("double")))
+          / when(den =!= 0.0, den))
         .select(col("h"), col("c").as("n_events"), col("z"),
           (abs(col("z")) >= 3.0).cast("long").as("is_anomaly"))
         .orderBy("h")
@@ -184,10 +191,10 @@ object BehaviorQueries extends QuerySuite {
          |       FROM hourly)
          |SELECT h, c AS n_events,
          |  CAST(c * n - sc AS DOUBLE)
-         |    / sqrt(CAST(n * scc - sc * sc AS DOUBLE)) AS z,
+         |    / nullif(sqrt(CAST(n * scc - sc * sc AS DOUBLE)), 0.0) AS z,
          |  CAST(abs(CAST(c * n - sc AS DOUBLE)
-         |    / sqrt(CAST(n * scc - sc * sc AS DOUBLE))) >= 3.0 AS BIGINT)
-         |    AS is_anomaly
+         |    / nullif(sqrt(CAST(n * scc - sc * sc AS DOUBLE)), 0.0)) >= 3.0
+         |    AS BIGINT) AS is_anomaly
          |FROM hourly CROSS JOIN st ORDER BY h""".stripMargin,
 
     "ts_type_correlation" ->

@@ -128,26 +128,30 @@ object DedupQueries extends QuerySuite {
 
   /** Hamming≤1 pairs from a (doc_id, sig) fingerprint frame via
     * 65-way multi-probe (identity + every 1-bit flip) and an exact
-    * bit_count verify on the colliding candidates. Extracted so specs
-    * can plant fingerprints directly. */
+    * bit_count verify on the colliding candidates. The probe side
+    * (65n rows) joins against the BARE identity sigs (n rows) — a
+    * d=0 pair collides via the identity probe, a d=1 pair via the
+    * flipped differing bit, so completeness holds with one side 65×
+    * smaller and no distance-2 accidental candidates (probe-vs-probe
+    * would admit every d=2 pair where each side flips its own bit).
+    * Extracted so specs can plant fingerprints directly. */
   private[llm] def simhashRadiusPairs(sigs: DataFrame): DataFrame = {
     val probes = sigs
       .select(col("doc_id"), col("sig"),
         explode(array((-1 until 64).map(lit(_)): _*)).as("b"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id").as("pa"), col("sig").as("sig_pa"),
         expr("sig ^ CASE WHEN b < 0 THEN CAST(0 AS BIGINT) " +
           "ELSE shiftleft(CAST(1 AS BIGINT), b) END").as("probe"))
-    val x = probes.select(col("doc_id").as("doc_a"),
-      col("sig").as("sig_a"), col("probe"))
-    val y = probes.select(col("doc_id").as("doc_b"),
-      col("sig").as("sig_b"), col("probe"))
-    x.join(y, Seq("probe"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    val ids = sigs.select(col("doc_id").as("pb"), col("sig").as("probe"))
+    probes.join(ids, Seq("probe"))
+      .filter(col("pa") =!= col("pb"))
+      // hamming is symmetric — compute before canonicalizing the pair
       .withColumn("hamming",
-        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+        expr("CAST(bit_count(sig_pa ^ probe) AS BIGINT)"))
       .filter(col("hamming") <= 1)
-      .select("doc_a", "doc_b", "hamming")
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"), col("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -452,8 +456,7 @@ object DedupQueries extends QuerySuite {
     // SimHash fingerprints + exact-bucket near-dups. Native one-pass
     // kernel (plans/SimHash64), spec-pinned to the HOF twin.
     "dedup_simhash" -> ((s, d) => {
-      graft.plans.SimHash64.register(s)
-      docsWithWords(s, d)
+      docsWithWords(s, d) // registers the native kernels
         .withColumn("simhash", simHashNative(col("w")))
         .select("doc_id", "simhash")
         .orderBy("doc_id")
@@ -470,8 +473,7 @@ object DedupQueries extends QuerySuite {
     // native SimHash kernel has no SQL twin); the probe-completeness
     // guarantee is spec'd on planted fingerprints in DedupSpec.
     "dedup_simhash_radius" -> ((s, d) => {
-      graft.plans.SimHash64.register(s)
-      val sigs = docsWithWords(s, d)
+      val sigs = docsWithWords(s, d) // registers the native kernels
         .withColumn("sig", simHashNative(col("w")))
         .select("doc_id", "sig")
       simhashRadiusPairs(sigs)

@@ -12,6 +12,26 @@ import TextOps._
   */
 object TextQueries extends QuerySuite {
 
+  // The lang-ID classifier, defined ONCE and shared by text_lang_id
+  // and its confusion audit — so the audit can never drift from the
+  // classifier it measures. (Spark column + DuckDB CASE twins.)
+  private def langHits = {
+    val ws = words(lower(col("text")))
+    (markerCount(ws, EnMarkers), markerCount(ws, DeMarkers),
+      markerCount(ws, EsMarkers))
+  }
+  private def guessedLang(en: org.apache.spark.sql.Column,
+      de: org.apache.spark.sql.Column, es: org.apache.spark.sql.Column) =
+    when(greatest(en, de, es) === 0, "und")
+      .when(en >= de && en >= es, "en")
+      .when(de >= es, "de")
+      .otherwise("es")
+  private val langCaseSql =
+    """CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
+      |     WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+      |     WHEN de_hits >= es_hits THEN 'de'
+      |     ELSE 'es' END""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish regex tokens +
     // exact mean token length.
@@ -49,17 +69,11 @@ object TextQueries extends QuerySuite {
     // Language ID: n-gram/stopword-marker heuristic — argmax of
     // marker-family hit counts with 'und' (undetermined) fallback.
     "text_lang_id" -> ((s, d) => {
-      val ws = words(lower(col("text")))
-      val en = markerCount(ws, EnMarkers)
-      val de = markerCount(ws, DeMarkers)
-      val es = markerCount(ws, EsMarkers)
+      val (en, de, es) = langHits
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("labeled_lang"),
         en.as("en_hits"), de.as("de_hits"), es.as("es_hits"),
-        when(greatest(en, de, es) === 0, "und")
-          .when(en >= de && en >= es, "en")
-          .when(de >= es, "de")
-          .otherwise("es").as("guessed_lang"))
+        guessedLang(en, de, es).as("guessed_lang"))
         .orderBy("doc_id")
     }),
 
@@ -68,16 +82,10 @@ object TextQueries extends QuerySuite {
     // (the text twin of sim_recall_audit: every model-ish operator
     // ships with its measurement). One scan + a tiny aggregate.
     "text_lang_confusion" -> ((s, d) => {
-      val ws = words(lower(col("text")))
-      val en = markerCount(ws, EnMarkers)
-      val de = markerCount(ws, DeMarkers)
-      val es = markerCount(ws, EsMarkers)
+      val (en, de, es) = langHits
       Tables.documents(s, d).select(
         col("lang").as("labeled_lang"),
-        when(greatest(en, de, es) === 0, "und")
-          .when(en >= de && en >= es, "en")
-          .when(de >= es, "de")
-          .otherwise("es").as("guessed_lang"))
+        guessedLang(en, de, es).as("guessed_lang"))
         .groupBy("labeled_lang", "guessed_lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("labeled_lang", "guessed_lang")
@@ -231,10 +239,7 @@ object TextQueries extends QuerySuite {
          |    ${hitsSql("string_split(lower(text), ' ')", esSetSql)} AS es_hits
          |  FROM documents)
          |SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits,
-         |  CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
-         |       WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
-         |       WHEN de_hits >= es_hits THEN 'de'
-         |       ELSE 'es' END AS guessed_lang
+         |  $langCaseSql AS guessed_lang
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_lang_confusion" ->
@@ -245,11 +250,7 @@ object TextQueries extends QuerySuite {
          |    ${hitsSql("string_split(lower(text), ' ')", esSetSql)} AS es_hits
          |  FROM documents),
          |g AS (
-         |  SELECT labeled_lang,
-         |    CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
-         |         WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
-         |         WHEN de_hits >= es_hits THEN 'de'
-         |         ELSE 'es' END AS guessed_lang
+         |  SELECT labeled_lang, $langCaseSql AS guessed_lang
          |  FROM t)
          |SELECT labeled_lang, guessed_lang, count(*) AS n_docs
          |FROM g GROUP BY 1, 2 ORDER BY labeled_lang, guessed_lang""".stripMargin,

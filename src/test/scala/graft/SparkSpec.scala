@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -9,9 +9,41 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   override def afterAll(): Unit = () // shared session — do not stop
+
+  /** Drive a streaming transform over MemoryStream batches on the
+    * RocksDB state store (provider saved/restored around the run),
+    * collecting every memory-sink row — the shared harness for all
+    * transformWithState specs. */
+  protected def runRocksDbStream[I, O](batches: Seq[Seq[I]])(
+      transform: Dataset[I] => Dataset[O])(
+      implicit ienc: Encoder[I], oenc: Encoder[O]): Seq[O] = {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
+      val name = s"rocks_${SparkSpec.streamCounter.incrementAndGet()}"
+      val q = transform(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      try {
+        for (b <- batches) { input.addData(b); q.processAllAvailable() }
+        spark.table(name).as[O].collect().toSeq
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object SparkSpec {
+  private[graft] val streamCounter = new java.util.concurrent.atomic.AtomicInteger
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[2]")

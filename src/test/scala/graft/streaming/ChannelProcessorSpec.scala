@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import ChannelStream._
 
@@ -10,30 +9,10 @@ import ChannelStream._
 class ChannelProcessorSpec extends SparkSpec {
   import spark.implicits._
 
-  private var n = 0
   private def runBatches(batches: Seq[Seq[ChannelEvent]],
-      systemMessages: Boolean = false): Seq[Delivery] = {
-    implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val input = MemoryStream[ChannelEvent]
-      n += 1
-      val name = s"tws_$n"
-      val q = ChannelProcessor.deliveries(input.toDS(),
-          systemMessages = systemMessages)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-      try {
-        for (b <- batches) { input.addData(b); q.processAllAvailable() }
-        spark.table(name).as[Delivery].collect().toSeq
-      } finally q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-  }
+      systemMessages: Boolean = false): Seq[Delivery] =
+    runRocksDbStream(batches)(
+      ChannelProcessor.deliveries(_, systemMessages = systemMessages))
 
   private def ev(t: Long, op: String, ch: String, cid: Long = -1,
       sid: String = "", msg: String = ""): ChannelEvent =

@@ -1,8 +1,6 @@
 package graft.streaming
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
 import FunnelProcessor._
 
 /** The streaming funnel must advance on strict view→click→purchase
@@ -12,28 +10,8 @@ import FunnelProcessor._
 class FunnelProcessorSpec extends SparkSpec {
   import spark.implicits._
 
-  private var n = 0
-  private def run(batches: Seq[Seq[FunnelEvent]]): Seq[StageAdvance] = {
-    implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val input = MemoryStream[FunnelEvent]
-      n += 1
-      val name = s"funnel_$n"
-      val q = FunnelProcessor.advances(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-      try {
-        for (b <- batches) { input.addData(b); q.processAllAvailable() }
-        spark.table(name).as[StageAdvance].collect().toSeq
-      } finally q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-  }
+  private def run(batches: Seq[Seq[FunnelEvent]]): Seq[StageAdvance] =
+    runRocksDbStream(batches)(FunnelProcessor.advances)
 
   private def ev(u: Long, id: Long, t: String, sec: Long) =
     FunnelEvent(u, id, t, sec)

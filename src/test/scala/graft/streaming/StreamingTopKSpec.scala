@@ -1,8 +1,6 @@
 package graft.streaming
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
 import StreamingTopK._
 
 /** The streaming leaderboard must equal the batch top-k over the same
@@ -12,28 +10,8 @@ import StreamingTopK._
 class StreamingTopKSpec extends SparkSpec {
   import spark.implicits._
 
-  private var n = 0
-  private def run(batches: Seq[Seq[ValueEvent]], k: Int): Seq[LeaderRow] = {
-    implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val input = MemoryStream[ValueEvent]
-      n += 1
-      val name = s"topk_$n"
-      val q = StreamingTopK.leaderboard(input.toDS(), k)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-      try {
-        for (b <- batches) { input.addData(b); q.processAllAvailable() }
-        spark.table(name).as[LeaderRow].collect().toSeq
-      } finally q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-  }
+  private def run(batches: Seq[Seq[ValueEvent]], k: Int): Seq[LeaderRow] =
+    runRocksDbStream(batches)(StreamingTopK.leaderboard(_, k))
 
   test("latest version equals the batch top-k over everything seen") {
     val b1 = Seq(ValueEvent("ch", 1L, 5.0), ValueEvent("ch", 2L, 9.0),
