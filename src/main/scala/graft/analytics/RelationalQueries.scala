@@ -63,6 +63,23 @@ object RelationalQueries extends QuerySuite {
 
     // TPC-H Q5-style: 6-way join (3 broadcast dims + 1 fact-fact
     // shuffle), revenue per nation.
+    // TPC-H Q6 (forecast revenue change): THE pushdown showcase — a
+    // pure filter-and-aggregate whose three predicates all reach the
+    // parquet scan (PushedFilters) and whose projection prunes to four
+    // columns; one year per output row. Revenue is exact: cents ×
+    // discount-basis-points is an integer product, divided once at the
+    // end.
+    "q6_forecast_revenue" -> ((s, d) => {
+      val bp = round(col("l_discount") * 100, 0).cast("long")
+      Tables.lineitem(s, d)
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice")) * bp) / 10000.0).as("revenue"))
+        .orderBy("ship_year")
+    }),
+
     "q5_region_revenue" -> ((s, d) => {
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -221,6 +238,16 @@ object RelationalQueries extends QuerySuite {
          |WHERE c_mktsegment = 'BUILDING'
          |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+         |  count(*) AS n_items,
+         |  sum(${centsSql("l_extendedprice")}
+         |      * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0
+         |    AS revenue
+         |FROM lineitem
+         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+         |GROUP BY 1 ORDER BY ship_year""".stripMargin,
 
     "q5_region_revenue" ->
       s"""SELECT n_name, sum($revE4Sql)/10000.0 AS revenue
