@@ -40,4 +40,19 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the runtime re-plan the engine leans on at scale: tiny shuffle
+    // outputs collapse below the configured partition count instead of
+    // scheduling near-empty reducers
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = spark.range(1000).groupBy(expr("id % 7").as("k")).count()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"expected a runtime-coalesced shuffle read in:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

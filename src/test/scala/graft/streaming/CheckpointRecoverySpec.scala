@@ -60,4 +60,44 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(got == Seq((1L, "first"), (2L, "first"), (2L, "second")),
       s"unexpected delivery log: $got")
   }
+
+  test("transformWithState leaderboard state survives a restart (RocksDB)") {
+    import StreamingTopK._
+    val root = Files.createTempDirectory("ckpt_topk").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[ValueEvent]].schema
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def startQuery() = {
+        val src = spark.readStream.schema(schema).json(s"$root/in")
+          .as[ValueEvent]
+        StreamingTopK.leaderboard(src, k = 2)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode(OutputMode.Append)
+          .start()
+      }
+      // run 1 fills the board
+      Seq(ValueEvent("ch", 1L, 5.0), ValueEvent("ch", 2L, 9.0)).toDS()
+        .repartition(1).write.mode("append").json(s"$root/in")
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      // while down: one event that must evict the restored worst (5.0)
+      Seq(ValueEvent("ch", 3L, 7.0)).toDS()
+        .repartition(1).write.mode("append").json(s"$root/in")
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+      val rows = spark.read.parquet(s"$root/out").as[LeaderRow].collect()
+      val latest = rows.filter(_.version == rows.map(_.version).max)
+        .sortBy(_.rank).map(r => (r.rank, r.event_id, r.value)).toSeq
+      // only a restored board can know 9.0 outranks the new 7.0
+      assert(latest == Seq((1L, 2L, 9.0), (2L, 3L, 7.0)),
+        s"state not recovered: $latest")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
