@@ -61,8 +61,6 @@ object RelationalQueries extends QuerySuite {
         .limit(10)
     }),
 
-    // TPC-H Q5-style: 6-way join (3 broadcast dims + 1 fact-fact
-    // shuffle), revenue per nation.
     // TPC-H Q6 (forecast revenue change): THE pushdown showcase — a
     // pure filter-and-aggregate whose three predicates all reach the
     // parquet scan (PushedFilters) and whose projection prunes to four
@@ -70,7 +68,7 @@ object RelationalQueries extends QuerySuite {
     // discount-basis-points is an integer product, divided once at the
     // end.
     "q6_forecast_revenue" -> ((s, d) => {
-      val bp = round(col("l_discount") * 100, 0).cast("long")
+      val bp = cents(col("l_discount")) // discount basis points
       Tables.lineitem(s, d)
         .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
@@ -80,6 +78,8 @@ object RelationalQueries extends QuerySuite {
         .orderBy("ship_year")
     }),
 
+    // TPC-H Q5-style: 6-way join (3 broadcast dims + 1 fact-fact
+    // shuffle), revenue per nation.
     "q5_region_revenue" -> ((s, d) => {
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -243,7 +243,7 @@ object RelationalQueries extends QuerySuite {
       s"""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
          |  count(*) AS n_items,
          |  sum(${centsSql("l_extendedprice")}
-         |      * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0
+         |      * ${centsSql("l_discount")}) / 10000.0
          |    AS revenue
          |FROM lineitem
          |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24

@@ -127,14 +127,16 @@ object DedupQueries extends QuerySuite {
   }
 
   /** Hamming≤1 pairs from a (doc_id, sig) fingerprint frame via
-    * 65-way multi-probe (identity + every 1-bit flip) and an exact
-    * bit_count verify on the colliding candidates. The probe side
+    * 65-way multi-probe (identity + every 1-bit flip). The probe side
     * (65n rows) joins against the BARE identity sigs (n rows) — a
     * d=0 pair collides via the identity probe, a d=1 pair via the
     * flipped differing bit, so completeness holds with one side 65×
-    * smaller and no distance-2 accidental candidates (probe-vs-probe
-    * would admit every d=2 pair where each side flips its own bit).
-    * Extracted so specs can plant fingerprints directly. */
+    * smaller; and because every collision differs from the identity
+    * sig by construction at most the probed bit, NO over-approximate
+    * candidates exist (probe-vs-probe would admit every d=2 pair
+    * where each side flips its own bit). The hamming column is the
+    * output contract, not a filter. Extracted so specs can plant
+    * fingerprints directly. */
   private[llm] def simhashRadiusPairs(sigs: DataFrame): DataFrame = {
     val probes = sigs
       .select(col("doc_id"), col("sig"),
@@ -148,7 +150,6 @@ object DedupQueries extends QuerySuite {
       // hamming is symmetric — compute before canonicalizing the pair
       .withColumn("hamming",
         expr("CAST(bit_count(sig_pa ^ probe) AS BIGINT)"))
-      .filter(col("hamming") <= 1)
       .select(least(col("pa"), col("pb")).as("doc_a"),
         greatest(col("pa"), col("pb")).as("doc_b"), col("hamming"))
       .distinct()

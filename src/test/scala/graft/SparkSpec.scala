@@ -10,19 +10,28 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = () // shared session — do not stop
 
-  /** Drive a streaming transform over MemoryStream batches on the
-    * RocksDB state store (provider saved/restored around the run),
-    * collecting every memory-sink row — the shared harness for all
-    * transformWithState specs. */
-  protected def runRocksDbStream[I, O](batches: Seq[Seq[I]])(
-      transform: Dataset[I] => Dataset[O])(
-      implicit ienc: Encoder[I], oenc: Encoder[O]): Seq[O] = {
-    implicit val sqlCtx = spark.sqlContext
+  /** Run `body` with the RocksDB state store provider set on the
+    * shared session, restoring the previous provider afterwards. */
+  protected def withRocksDbProvider[A](body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Drive a streaming transform over MemoryStream batches on the
+    * RocksDB state store, collecting every memory-sink row — the
+    * shared harness for all transformWithState specs. */
+  protected def runRocksDbStream[I, O](batches: Seq[Seq[I]])(
+      transform: Dataset[I] => Dataset[O])(
+      implicit ienc: Encoder[I], oenc: Encoder[O]): Seq[O] =
+    withRocksDbProvider {
+      implicit val sqlCtx = spark.sqlContext
       val input =
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
       val name = s"rocks_${SparkSpec.streamCounter.incrementAndGet()}"
@@ -34,11 +43,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
         for (b <- batches) { input.addData(b); q.processAllAvailable() }
         spark.table(name).as[O].collect().toSeq
       } finally q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
     }
-  }
 }
 
 object SparkSpec {

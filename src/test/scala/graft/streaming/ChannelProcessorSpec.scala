@@ -63,10 +63,7 @@ class ChannelProcessorSpec extends SparkSpec {
     import java.nio.file.Files
     val root = Files.createTempDirectory("tws_ttl").toString
     val schema = implicitly[org.apache.spark.sql.Encoder[ChannelEvent]].schema
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider {
       for ((b, i) <- batches.zipWithIndex) {
         if (i > 0) Thread.sleep(sleepBetweenMs)
         b.toDS().repartition(1).write.mode("append").json(s"$root/in")
@@ -89,9 +86,6 @@ class ChannelProcessorSpec extends SparkSpec {
       }
       try spark.read.parquet(s"$root/out").as[Delivery].collect().toSeq
       catch { case _: Exception => Seq.empty }
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 

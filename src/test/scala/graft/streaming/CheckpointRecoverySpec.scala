@@ -65,11 +65,7 @@ class CheckpointRecoverySpec extends SparkSpec {
     import StreamingTopK._
     val root = Files.createTempDirectory("ckpt_topk").toString
     val schema = implicitly[org.apache.spark.sql.Encoder[ValueEvent]].schema
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider {
       def startQuery() = {
         val src = spark.readStream.schema(schema).json(s"$root/in")
           .as[ValueEvent]
@@ -90,14 +86,12 @@ class CheckpointRecoverySpec extends SparkSpec {
       val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
 
       val rows = spark.read.parquet(s"$root/out").as[LeaderRow].collect()
-      val latest = rows.filter(_.version == rows.map(_.version).max)
+      val maxVersion = rows.map(_.version).max
+      val latest = rows.filter(_.version == maxVersion)
         .sortBy(_.rank).map(r => (r.rank, r.event_id, r.value)).toSeq
       // only a restored board can know 9.0 outranks the new 7.0
       assert(latest == Seq((1L, 2L, 9.0), (2L, 3L, 7.0)),
         s"state not recovered: $latest")
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
     }
   }
 }
