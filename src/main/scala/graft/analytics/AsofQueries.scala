@@ -64,6 +64,14 @@ object AsofQueries extends QuerySuite {
     "set_except_all_nations" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // Multiset intersection: INTERSECT ALL keeps min(duplicate
+    // cardinality) per value — the remaining set-op flavor next to
+    // union/distinct, intersect, except, except all.
+    "set_intersect_all_nations" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")))
 
   def oracles: Map[String, String] = Map(
@@ -84,6 +92,12 @@ object AsofQueries extends QuerySuite {
     "set_except_all_nations" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_intersect_all_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin)
 }

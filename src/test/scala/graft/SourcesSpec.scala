@@ -33,6 +33,14 @@ class SourcesSpec extends SparkSpec {
     assert(back.toSeq == rows)
   }
 
+  test("orc round-trip preserves values and schema") {
+    val df = rows.toDF("id", "channel", "score")
+    df.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(back.toSeq == rows)
+  }
+
   test("text source feeds the frame codec") {
     val frames = Seq("""M|{"c":"news","m":"hi","_q":1}""", "garbage")
     frames.toDF("value").write.mode("overwrite").text(s"$dir/text")
