@@ -314,6 +314,20 @@ object DedupQueries extends QuerySuite {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
         .orderBy("digest")),
 
+    // Normalized exact dedup: casefold + whitespace-collapse + trim
+    // BEFORE digesting — catches trivially-reformatted duplicates
+    // (case changes, re-wrapped whitespace) that byte-exact dedup
+    // misses, while staying one map-only normalization + a digest
+    // shuffle. The standard first escalation between exact and
+    // near-dup in a curation pipeline.
+    "dedup_normalized_groups" -> ((s, d) => {
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      Tables.documents(s, d)
+        .groupBy(md5(norm.cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .orderBy("digest")
+    }),
+
     // Exact dedup, survivor set: one row per distinct text.
     "dedup_exact_survivors" -> ((s, d) => {
       val keepers = Tables.documents(s, d)
@@ -602,6 +616,13 @@ object DedupQueries extends QuerySuite {
       """SELECT md5(text) AS digest, count(*) AS n_copies,
         |  min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "dedup_normalized_groups" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    AS digest,
+        |  count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY 1 ORDER BY digest""".stripMargin,
 
     "dedup_exact_survivors" ->
       """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id

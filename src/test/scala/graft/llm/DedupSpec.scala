@@ -237,6 +237,22 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("normalized dedup groups reformatted copies that exact dedup misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    Seq(
+      (1L, "The Quick  Fox", "en", "web", 14L),
+      (2L, " the quick fox", "en", "web", 14L), // case + whitespace only
+      (3L, "different text", "en", "web", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val groups = graft.SparkEntry.queries("dedup_normalized_groups")(spark, dir)
+      .select("n_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(groups == Set((2L, 1L), (1L, 3L)))
+    // byte-exact dedup sees three distinct docs on the same fixture
+    val exact = graft.SparkEntry.queries("dedup_exact_groups")(spark, dir)
+    assert(exact.count() == 3)
+  }
+
   test("simhash multi-probe finds exactly the Hamming<=1 pairs") {
     // planted fingerprints: 1&2 identical, 1&3 differ in one bit,
     // 3&4 differ in one bit (so 1&4 differ in two — excluded),
