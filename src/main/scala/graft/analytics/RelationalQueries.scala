@@ -174,6 +174,21 @@ object RelationalQueries extends QuerySuite {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // grouping() flags: the subtotal-row discriminator a reporting
+    // layer needs to tell detail rows from rollup totals (NULL in a
+    // group column is otherwise ambiguous with a NULL data value).
+    "rollup_grouping_flags" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+        .select("o_orderstatus", "o_orderpriority", "g_status",
+          "g_priority", "n")
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // Grouping sets: CUBE over (event_type, day).
     "cube_events_day" -> ((s, d) =>
       Tables.events(s, d)
@@ -308,6 +323,15 @@ object RelationalQueries extends QuerySuite {
          |FROM part JOIN ba ON p_brand = b
          |WHERE p_retailprice > brand_avg
          |ORDER BY p_partkey""".stripMargin,
+
+    "rollup_grouping_flags" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "rollup_order_status" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -137,7 +137,20 @@ object ScalarQueries extends QuerySuite {
         coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
           lit("OTHER")).as("segment_masked"),
         (col("c_acctbal") > 0).as("in_credit"))
-        .orderBy("c_custkey")))
+        .orderBy("c_custkey")),
+
+    // try_* error-handling scalars: graceful NULL instead of a crashed
+    // job — division by zero, an unparseable cast, and a valid cast on
+    // the same row (both branches exercised). The DuckDB twin spells
+    // the same semantics with CASE/TRY_CAST.
+    "scalar_try_suite" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("div_mod3"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("prio_num"))
+        .orderBy("o_orderkey")))
 
   def oracles: Map[String, String] = Map(
     "scalar_string_suite" ->
@@ -230,5 +243,13 @@ object ScalarQueries extends QuerySuite {
         |       ELSE 'premium' END AS tier,
         |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
         |  c_acctbal > 0 AS in_credit
-        |FROM customer ORDER BY c_custkey""".stripMargin)
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_try_suite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |       ELSE o_totalprice / (o_custkey % 3) END AS div_mod3,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }
