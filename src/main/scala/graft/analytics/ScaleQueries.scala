@@ -92,7 +92,9 @@ object ScaleQueries extends QuerySuite {
     // mergeable one-pass scale path next to the exact rank-selection
     // percentiles of agg_percentiles_disc. Rows-only driver check
     // (sketch internals are engine-specific); the error bound vs the
-    // exact percentiles is asserted in ScaleSpec.
+    // exact percentiles is asserted in ScaleSpec. The three quantiles
+    // are projected to scalar double columns — the harness compare
+    // sorts column values, which an array column would break.
     "sketch_approx_quantiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -100,6 +102,11 @@ object ScaleQueries extends QuerySuite {
             array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
           .as("approx_pcts"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("approx_pcts").getItem(0).as("p50"),
+          col("approx_pcts").getItem(1).as("p90"),
+          col("approx_pcts").getItem(2).as("p99"),
+          col("n_rows"))
         .orderBy("l_returnflag")),
 
     // Bitmap-exact distinct counting: the scale companion to

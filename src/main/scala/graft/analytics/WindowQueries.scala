@@ -93,8 +93,12 @@ object WindowQueries extends QuerySuite {
         .select(col("month"),
           (col("rev_cents") / 100.0).as("revenue"),
           (col("prev_cents") / 100.0).as("prev_revenue"),
-          ((col("rev_cents") - col("prev_cents")).cast("double")
-            / col("prev_cents").cast("double")).as("growth"))
+          // divisor guarded on both sides: Spark's non-ANSI divide gives
+          // NULL on /0 while DuckDB's double divide gives ±inf — a
+          // zero-revenue month must be NULL growth in BOTH engines
+          (when(col("prev_cents") =!= 0,
+            (col("rev_cents") - col("prev_cents")).cast("double")
+              / col("prev_cents").cast("double"))).as("growth"))
         .orderBy("month")
     }),
 
@@ -252,7 +256,7 @@ object WindowQueries extends QuerySuite {
          |SELECT month, rev_cents/100.0 AS revenue,
          |  prev_cents/100.0 AS prev_revenue,
          |  CAST(rev_cents - prev_cents AS DOUBLE)
-         |    / CAST(prev_cents AS DOUBLE) AS growth
+         |    / CAST(nullif(prev_cents, 0) AS DOUBLE) AS growth
          |FROM l ORDER BY month""".stripMargin,
 
     "window_topk_native" ->

@@ -550,9 +550,15 @@ object DedupQueries extends QuerySuite {
     "dedup_semantic_survivors" -> ((s, d) => {
       graft.plans.FloatVectorDot.register(s)
       graft.plans.NearestCentroid.register(s)
+      // zero-norm vectors are excluded up front in BOTH twins: their
+      // cosine is NaN everywhere, and the engines disagree on NaN
+      // ordering (the kernel returns NULL cluster, DuckDB's row_number
+      // sorts NaN as largest) — a degenerate vector must not reach
+      // either assignment path.
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .filter(col("nrm") > 0)
       val centArr = e.filter(col("vec_id") % SemStride === 0)
         .agg(collect_list(struct(col("vec_id").as("c_id"),
           col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
@@ -724,15 +730,17 @@ object DedupQueries extends QuerySuite {
          |ORDER BY a.label, vec_a, vec_b""".stripMargin,
 
     "dedup_semantic_survivors" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |           FROM embeddings WHERE vec_id % $SemStride = 0),
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE ${Vectors.normSql("embedding")} > 0),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |      FROM nz WHERE vec_id % $SemStride = 0),
          |assigned AS (
          |  SELECT vec_id, cluster, embedding FROM (
          |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${Vectors.cosineSql("e.embedding", "c.c_emb")} DESC,
          |                 c.c_id) AS c_rk
-         |    FROM embeddings e CROSS JOIN c)
+         |    FROM nz e CROSS JOIN c)
          |  WHERE c_rk = 1),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id

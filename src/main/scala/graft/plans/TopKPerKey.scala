@@ -132,6 +132,9 @@ object TopKPerKey {
   def apply(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
       k: Int, rankName: String = "rk"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains(rankName),
+      s"rank column name '$rankName' already exists in the input " +
+        s"(columns: ${df.columns.mkString(", ")}); pass a distinct rankName")
     val spark = df.sparkSession
     register(spark)
     import org.apache.spark.sql.graft.PlanBridge

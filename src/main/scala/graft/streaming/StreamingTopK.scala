@@ -37,10 +37,21 @@ class StreamingTopK(k: Int)
     var changed = false
     for (r <- rows) {
       val cand = (r.event_id, r.value)
-      if (entries.length < k || beats(cand, entries.last)) {
-        val (better, worse) = entries.span(beats(_, cand))
-        entries = (better ::: cand :: worse).take(k)
-        changed = true
+      // NaN never `beats` anything, so once admitted it could never be
+      // evicted — reject it outright. A re-delivered event_id (at-least-
+      // once source) must not occupy two board slots: drop the old entry
+      // first if the new value wins, skip the candidate otherwise.
+      if (!cand._2.isNaN) {
+        val dup = entries.find(_._1 == cand._1)
+        if (dup.forall(beats(cand, _))) {
+          val rest = if (dup.isDefined) entries.filterNot(_._1 == cand._1)
+                     else entries
+          if (rest.length < k || beats(cand, rest.last)) {
+            val (better, worse) = rest.span(beats(_, cand))
+            entries = (better ::: cand :: worse).take(k)
+            changed = true
+          }
+        }
       }
     }
     if (!changed) Iterator.empty

@@ -43,7 +43,8 @@ class ScaleSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val approx = ScaleQueries.queries("sketch_approx_quantiles")(spark, sf)
       .collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = graft.Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")

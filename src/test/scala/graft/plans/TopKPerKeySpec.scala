@@ -84,6 +84,17 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("a rank name colliding with an input column is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey(df, Seq("key"), Seq(col("id").asc), 2, rankName = "v")
+    }
+    assert(e.getMessage.contains("'v' already exists"))
+    // a non-colliding custom name still works
+    val ok = TopKPerKey(df, Seq("key"), Seq(col("id").asc), 1,
+      rankName = "position")
+    assert(ok.columns.contains("position") && ok.count() == 3)
+  }
+
   test("multi-column keys and ascending order work end to end") {
     val multi = Seq(("x", 1, 10L), ("x", 1, 20L), ("x", 2, 30L), ("y", 1, 40L))
       .toDF("k1", "k2", "id")

@@ -43,4 +43,37 @@ class StreamingTopKSpec extends SparkSpec {
     assert(a.map(r => (r.rank, r.event_id)) == Seq((1L, 9L)))
     assert(rows.exists(_.channel == "b"))
   }
+
+  test("a re-delivered event occupies one slot; a worse replay is ignored") {
+    // at-least-once source: event 1 arrives twice on an underfull board.
+    // Pre-fix it was inserted twice, displacing the genuine event 2.
+    val b1 = Seq(ValueEvent("ch", 1L, 9.0), ValueEvent("ch", 1L, 9.0),
+      ValueEvent("ch", 2L, 5.0))
+    val rows = run(Seq(b1), k = 2)
+    val latestV = rows.map(_.version).max
+    val latest = rows.filter(_.version == latestV).sortBy(_.rank)
+      .map(r => (r.event_id, r.value))
+    assert(latest == Seq((1L, 9.0), (2L, 5.0)))
+    // a replay with a WORSE value must not change the board either
+    val rows2 = run(Seq(b1, Seq(ValueEvent("ch", 1L, 3.0))), k = 2)
+    assert(rows2.map(_.version).max == 1L, "worse replay must emit nothing")
+  }
+
+  test("an updated value for a boarded event replaces, never duplicates") {
+    val rows = run(Seq(
+      Seq(ValueEvent("ch", 1L, 4.0), ValueEvent("ch", 2L, 3.0)),
+      Seq(ValueEvent("ch", 1L, 8.0))), k = 2)
+    val latestV = rows.map(_.version).max
+    val latest = rows.filter(_.version == latestV).sortBy(_.rank)
+      .map(r => (r.event_id, r.value))
+    assert(latest == Seq((1L, 8.0), (2L, 3.0)))
+  }
+
+  test("NaN values never enter the board") {
+    val rows = run(Seq(Seq(
+      ValueEvent("ch", 1L, Double.NaN), ValueEvent("ch", 2L, 1.0))), k = 2)
+    val latestV = rows.map(_.version).max
+    val latest = rows.filter(_.version == latestV).map(_.event_id)
+    assert(latest == Seq(2L), s"NaN must be rejected, got $latest")
+  }
 }
