@@ -255,17 +255,25 @@ object CurationQueries extends QuerySuite {
     // as (count, sum, digest) so the driver hash proves the exact
     // sequence without megabyte rows. Scale shape: one explode feeds
     // the vocab aggregate (vocab ≪ corpus, Zipf — broadcast-joinable
-    // back); the global row_number over the vocab table is a
-    // vocab-sized single sort, never the corpus (at petabyte scale the
-    // rank becomes zipWithIndex over a sorted vocab — same ids).
+    // back); ids come from a range-partitioned PARALLEL sort +
+    // zipWithIndex (per-partition counts set the offsets), never a
+    // global single-partition window — at 100 TB the vocab is billions
+    // of distinct terms (URLs, typos) and must not funnel through one
+    // task. Same ids as row_number over (tf desc, term): the sort
+    // order is total because term is unique.
     "text_token_ids" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(words(lower(col("text")))).as(Seq("pos", "term")))
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-        .withColumn("id", row_number().over(
-          Window.orderBy(col("tf").desc, col("term"))).cast("long"))
-        .select("term", "id")
+      val vocab = {
+        import s.implicits._
+        toks.groupBy("term").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term"))
+          .select("term").as[String]
+          .rdd.zipWithIndex()
+          .map { case (term, i) => (term, i + 1L) }
+          .toDF("term", "id")
+      }
       toks.join(broadcast(vocab), Seq("term"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),

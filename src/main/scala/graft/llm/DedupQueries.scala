@@ -36,6 +36,19 @@ object DedupQueries extends QuerySuite {
     * exact-dedup pass upstream already catches. */
   val MaxBucket = 64
 
+  /** Hot-POSTING-LIST guard for the prefix-filter Jaccard join: a
+    * prefix shingle shared by more than this many docs of one source is
+    * excluded from candidate generation. Without it, one boilerplate
+    * shingle across m docs yields O(m²) candidate pairs — the same
+    * quadratic bomb [[MaxBucket]] guards in the LSH path. The argument
+    * that this is safe at τ=0.2: the prefix is ordered df-RAREST-first,
+    * so a pair whose only shared prefix entry is an ultra-common
+    * shingle shares nothing rarer — at corpus scale such pairs sit far
+    * below the threshold. At test scale the cap is far above the
+    * honest max posting size (5 at sf0.1), so results are unchanged —
+    * the dropped mass is surfaced by `dedup_jaccard_posting_stats`. */
+  val MaxPosting = 64
+
   /** Documents spread across all cores: the table is one parquet split
     * and every downstream op here does heavy per-row array/hash work,
     * so parallelism, not data size, is the constraint locally. Also
@@ -180,12 +193,58 @@ object DedupQueries extends QuerySuite {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Rarest-first prefix index over a (doc_id, source, sh) frame: one
+    * row per (doc, prefix shingle), where each doc keeps its
+    * |S| - ceil(t|S|) + 1 df-rarest shingles (Bayardo prefix rule at
+    * t = 0.2). Uncapped — callers cap or census the posting lists. */
+  private[llm] def jaccardPrefixIndex(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    tok.join(freq, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+      .filter(col("pos") <=
+        col("sz") - ceil(col("sz") * lit(0.2)).cast("int") + 1)
+      .select(col("doc_id"), col("source"), col("t"))
+  }
+
+  /** Candidate pairs from the prefix index, hot posting lists
+    * (> [[MaxPosting]] docs per (source, shingle)) excluded BEFORE the
+    * self-join so one boilerplate shingle cannot go quadratic — the
+    * posting-list twin of [[cappedBandPairs]]'s hot-bucket guard. */
+  private[llm] def jaccardCandidates(docs: DataFrame): DataFrame = {
+    // The capped prefix index feeds BOTH sides of the candidate
+    // self-join; without materialization Spark would recompute the
+    // explode + df join + windows for each side. Persisting the slim
+    // (doc_id, source, t) frame is the classic inverted-index build —
+    // at full scale this is the one intermediate worth a disk-backed
+    // materialization.
+    val prefix = jaccardPrefixIndex(docs)
+      .withColumn("plist_n", count(lit(1)).over(
+        Window.partitionBy(col("source"), col("t"))))
+      .filter(col("plist_n") <= MaxPosting)
+      .select(col("doc_id"), col("source"), col("t"))
+      .persist()
+    // Materialize NOW: both join sides otherwise race to compute the
+    // same uncached partitions (block-lock contention). One count does
+    // the index build once; the join below reads only cached blocks.
+    prefix.count()
+    prefix.as("x").join(prefix.as("y"),
+        col("x.source") === col("y.source") && col("x.t") === col("y.t") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.source").as("source"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Exact all-pairs Jaccard (t = 0.2) with prefix filtering. Input
     * needs `doc_id`, `source`, `w` columns. Every stage is a linear
     * shuffle: explode tokens, count document frequency, rank tokens
     * rarest-first per doc, keep the |S|-ceil(t|S|)+1 prefix, equi-join
-    * prefixes on (source, shingle), then ONE exact intersect per
-    * surviving candidate. Threshold as integer arithmetic:
+    * prefixes on (source, shingle) with hot posting lists capped at
+    * [[MaxPosting]], then ONE exact intersect per surviving candidate.
+    * Threshold as integer arithmetic:
     * jac >= 0.2 <=> 6*|inter| >= |A|+|B|. */
   private[llm] def ngramJaccardPairs(dw: DataFrame): DataFrame = {
     graft.plans.NGramShingles.register(dw.sparkSession)
@@ -196,31 +255,7 @@ object DedupQueries extends QuerySuite {
     val docs = dw.select(col("doc_id"), col("source"),
       shinglesNative(col("w"), Shingle).as("sh"))
       .persist()
-    val tok = docs.select(col("doc_id"), col("source"),
-      size(col("sh")).as("sz"), explode(col("sh")).as("t"))
-    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    // The prefix index feeds BOTH sides of the candidate self-join;
-    // without materialization Spark would recompute the explode + df
-    // join + window for each side. Persisting the slim (doc_id, source,
-    // t) frame is the classic inverted-index build — at full scale this
-    // is the one intermediate worth a disk-backed materialization.
-    val prefix = tok.join(freq, "t")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
-      .filter(col("pos") <=
-        col("sz") - ceil(col("sz") * lit(0.2)).cast("int") + 1)
-      .select(col("doc_id"), col("source"), col("t"))
-      .persist()
-    // Materialize NOW: both join sides otherwise race to compute the
-    // same uncached partitions (block-lock contention). One count does
-    // the index build once; the join below reads only cached blocks.
-    prefix.count()
-    val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.source") === col("y.source") && col("x.t") === col("y.t") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.source").as("source"), col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cands = jaccardCandidates(docs)
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -468,6 +503,25 @@ object DedupQueries extends QuerySuite {
         .orderBy("band_idx")
     }),
 
+    // Prefix posting-list census: per-source posting-list count, max
+    // size, and the mass the MaxPosting guard would drop — the
+    // operational view for the prefix-filter Jaccard join (the
+    // posting-list twin of dedup_lsh_bucket_stats; a boilerplate-heavy
+    // source shows up here first). Fully oracle-checked: the prefix
+    // rule is deterministic SQL on both engines.
+    "dedup_jaccard_posting_stats" -> ((s, d) => {
+      val docs = docsWithWords(s, d).select(col("doc_id"), col("source"),
+        shinglesNative(col("w"), Shingle).as("sh"))
+      jaccardPrefixIndex(docs)
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_plists"),
+          max(col("n")).as("max_plist"),
+          sum(when(col("n") > MaxPosting, col("n")).otherwise(0L))
+            .as("dropped_docs"))
+        .orderBy("source")
+    }),
+
     // SimHash fingerprints + exact-bucket near-dups. Native one-pass
     // kernel (plans/SimHash64), spec-pinned to the HOF twin.
     "dedup_simhash" -> ((s, d) => {
@@ -648,6 +702,29 @@ object DedupQueries extends QuerySuite {
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
          |ORDER BY a.source, doc_a, doc_b""".stripMargin,
+
+    "dedup_jaccard_posting_stats" ->
+      s"""WITH shd AS (
+         |  SELECT doc_id, source, $shingleSql AS sh
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |        FROM documents)
+         |  WHERE len(w) >= 3),
+         |tok AS (
+         |  SELECT doc_id, source, len(sh) AS sz, unnest(sh) AS t FROM shd),
+         |freq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+         |prefix AS (
+         |  SELECT doc_id, source, t FROM (
+         |    SELECT tok.doc_id, tok.source, tok.t, tok.sz,
+         |      row_number() OVER (PARTITION BY tok.doc_id
+         |        ORDER BY f.df, tok.t) AS pos
+         |    FROM tok JOIN freq f ON tok.t = f.t)
+         |  WHERE pos <= sz - CAST(ceil(sz * 0.2) AS INT) + 1),
+         |pl AS (SELECT source, t, count(*) AS n FROM prefix
+         |       GROUP BY source, t)
+         |SELECT source, count(*) AS n_plists, max(n) AS max_plist,
+         |  CAST(sum(CASE WHEN n > $MaxPosting THEN n ELSE 0 END) AS BIGINT)
+         |    AS dropped_docs
+         |FROM pl GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE sh AS (

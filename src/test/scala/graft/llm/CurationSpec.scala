@@ -233,4 +233,39 @@ class CurationSpec extends SparkSpec {
       assert(cosines.sameElements(cosines.sortBy(-_)), "ranked by cosine desc")
     }
   }
+
+  test("text_token_ids: vocab ids equal the window-rank twin, no 1-partition sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the zipWithIndex assignment must reproduce row_number() over
+    // (tf desc, term) exactly — ids are part of the hashed contract
+    val toks = graft.Tables.documents(spark, sf)
+      .select(posexplode(TextOps.words(lower(col("text"))))
+        .as(Seq("pos", "term")))
+    val twin = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+      .select("term", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = CurationQueries.queries("text_token_ids")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // spot-check through the digest contract: recompute one doc's
+    // digest from the twin's ids and compare
+    val doc0 = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).select("text").head.getString(0)
+    val ids = doc0.toLowerCase.split(" ", -1).toSeq.map(twin)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expDigest = md.digest(ids.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(r0.fieldIndex("n_tokens")) === ids.size.toLong)
+    assert(r0.getLong(r0.fieldIndex("ids_sum")) === ids.sum)
+    assert(r0.getString(r0.fieldIndex("ids_digest")) === expDigest)
+    // and the scale property itself: no global single-partition window
+    // anywhere in the id-assignment plan
+    val plan = CurationQueries.queries("text_token_ids")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"vocab ranking must not funnel through one partition: $plan")
+  }
 }

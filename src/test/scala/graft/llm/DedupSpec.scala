@@ -145,6 +145,46 @@ class DedupSpec extends SparkSpec {
     assert(stats.values.forall(_ == 1000L), s"dropped mass per band: $stats")
   }
 
+  test("posting-list cap keeps prefix-join candidates linear on boilerplate") {
+    // pathological fixture: 1000 docs of one source sharing ONE
+    // boilerplate shingle ("c1 c2 c3") with otherwise-unique shingles,
+    // plus one honest near-dup pair on rare shingles. Short docs keep
+    // the whole shingle set in the Bayardo prefix, so without the cap
+    // the boilerplate posting list alone yields 999*1000/2 ≈ 5e5
+    // candidate pairs.
+    val boiler = spark.range(1, 1001)
+      .select(col("id").as("doc_id"), lit("src").as("source"),
+        concat(lit("c1 c2 c3 u"), col("id"), lit("a u"), col("id"),
+          lit("b u"), col("id"), lit("c")).as("text"))
+    val honest = Seq(
+      (2001L, "src", "x1 x2 x3 x4 x5"),
+      (2002L, "src", "x1 x2 x3 x4 y5")).toDF("doc_id", "source", "text")
+    val dw = boiler.unionByName(honest)
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 3)
+    val docs = dw.select(col("doc_id"), col("source"),
+      shingles(col("w"), 3).as("sh"))
+    val cands = DedupQueries.jaccardCandidates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.size <= 10, s"cap failed: ${cands.size} candidate pairs")
+    assert(cands.contains((2001L, 2002L)),
+      "rare-shingle dup must survive the cap")
+    assert(!cands.exists(p => p._1 < 2000L && p._2 < 2000L),
+      "boilerplate-only pairs must be dropped from candidate generation")
+    // end-to-end: the verified pair set still finds the honest dup
+    // (jac = 2/4 = 0.5) and nothing from the boilerplate blob
+    val pairs = DedupQueries.ngramJaccardPairs(dw)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2001L, 2002L)), s"got $pairs")
+    // the dropped mass is visible, not silent: one 1000-doc posting
+    // list above the cap in the census
+    val stats = DedupQueries.jaccardPrefixIndex(docs)
+      .groupBy("source", "t").agg(count(lit(1)).as("n"))
+      .filter(col("n") > DedupQueries.MaxPosting)
+      .select("t", "n").as[(String, Long)].collect().toSeq
+    assert(stats == Seq(("c1 c2 c3", 1000L)), s"census: $stats")
+  }
+
   test("SRP-LSH finds planted high-cosine near-dups, skips unrelated vectors") {
     graft.plans.FloatVectorDot.register(spark)
     val rnd = new scala.util.Random(7)
