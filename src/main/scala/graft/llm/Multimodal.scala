@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * typed Dataset — the Scala analog of `mapInPandas`: one batch per
   * partition, vectorizable inside, schema declared up front).
   *
-  * The decode step itself is a clearly-marked DETERMINISTIC STUB
-  * (no codec libraries in this container); the Spark-side plumbing —
+  * The IMAGE decode path is REAL: `image/png` payloads are genuine PNG
+  * files (encoded by `javax.imageio`, which ships in the JDK) and the
+  * decoder reads width/height/mean-brightness from actual pixels.
+  * Non-image mimes (no audio/video codec in the JDK) fall back to a
+  * clearly-marked DETERMINISTIC STUB; the Spark-side plumbing —
   * binary column, metadata struct, partitioning, batch map signature,
-  * output schema — is real and driver-checked.
+  * output schema — is identical on both paths and driver-checked.
   */
 object Multimodal extends QuerySuite {
 
@@ -28,10 +31,60 @@ object Multimodal extends QuerySuite {
   case class DecodedRow(doc_id: Long, width: Int, height: Int,
       n_frames: Int, brightness: Double)
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic
-    * pure function of the bytes so results are reproducible; a real
-    * implementation would decode `media` (e.g. libjpeg/ffmpeg) in the
-    * same batched per-partition shape. */
+  /** Deterministic small RGB image for a doc id: dimensions and every
+    * pixel are pure functions of the id, encoded as a REAL PNG via
+    * `javax.imageio` — so [[decode]] exercises a genuine codec
+    * round-trip (header parse + pixel scan), not a stand-in. */
+  private[llm] def pngFor(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 24).toInt
+    val h = 8 + ((docId / 7) % 24).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId * 5 + x * 13 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode for `image/png` payloads (`javax.imageio`, in
+    * the JDK — no external codec needed): width/height from the decoded
+    * image, brightness = mean over ACTUAL pixels of (r+g+b)/(3·255).
+    * Non-image mimes fall back to [[stubDecode]]. */
+  private[llm] def decode(m: MediaRow): DecodedRow =
+    if (m.mime == "image/png") {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.media))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedRow(m.doc_id, w, h, n_frames = 1,
+        brightness = sum.toDouble / (w.toLong * h * 3 * 255))
+    } else stubDecode(m)
+
+  /** STUB decoder for mimes the JDK has no codec for (audio/video):
+    * deterministic pure function of the bytes so results are
+    * reproducible; a real implementation would decode `media` (e.g.
+    * ffmpeg) in the same batched per-partition shape. */
   private def stubDecode(m: MediaRow): DecodedRow = {
     val len = m.media.length
     val checksum = m.media.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffff)
@@ -51,6 +104,27 @@ object Multimodal extends QuerySuite {
       concat(lit("application/x-"), col("source")).as("mime"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  /** Mixed-modality media table for the decode path: every 5th doc
+    * carries a REAL PNG payload ([[pngFor]]), the rest keep their
+    * opaque text-byte payload — so one table exercises both the real
+    * codec branch and the stub branch of [[decode]]. Payload build is
+    * map-only (partition-wise, no shuffle). */
+  private def mixedMediaTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        if (id % 5 == 0) {
+          val png = pngFor(id)
+          MediaRow(id, png, "image/png", png.length.toLong)
+        } else {
+          val bytes = text.getBytes("UTF-8")
+          MediaRow(id, bytes, s"application/x-$source", bytes.length.toLong)
+        }
+      }).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata over the binary column — byte length + content digest,
     // all computed on the BINARY representation.
@@ -60,13 +134,16 @@ object Multimodal extends QuerySuite {
           md5(col("media")).as("digest"))
         .orderBy("doc_id")),
 
-    // Partition-wise batched decode (STUB) — the mapPartitions shape a
-    // real codec would use; deterministic, so rows-only driver check +
-    // ScalaTest pin the values.
+    // Partition-wise batched decode: REAL PNG decode (javax.imageio)
+    // for the image rows — width/height/brightness read from actual
+    // pixels — and the labeled stub for non-image mimes, both through
+    // the one mapPartitions batch shape a production codec stage uses.
+    // Deterministic, so rows-only driver check + ScalaTest pin the
+    // values (known fixture dimensions included).
     "multimodal_decode" -> ((s, d) => {
       import s.implicits._
-      mediaTable(s, d).as[MediaRow]
-        .mapPartitions(batch => batch.map(stubDecode))
+      mixedMediaTable(s, d).as[MediaRow]
+        .mapPartitions(batch => batch.map(decode))
         .toDF()
         .orderBy("doc_id")
     }),
@@ -145,13 +222,15 @@ object Multimodal extends QuerySuite {
     }),
 
     // Downstream agg over decoded features: per-mime feature stats
-    // (exercises decode output flowing back into relational ops).
+    // (exercises decode output — real pixels for image/png — flowing
+    // back into relational ops).
     "multimodal_feature_stats" -> ((s, d) => {
       import s.implicits._
-      val decoded = mediaTable(s, d).as[MediaRow]
-        .mapPartitions(batch => batch.map(stubDecode))
+      val media = mixedMediaTable(s, d)
+      val decoded = media.as[MediaRow]
+        .mapPartitions(batch => batch.map(decode))
         .toDF()
-      decoded.join(mediaTable(s, d).select("doc_id", "mime"), "doc_id")
+      decoded.join(media.select("doc_id", "mime"), "doc_id")
         .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
           min("width").as("min_w"), max("width").as("max_w"),
