@@ -21,6 +21,7 @@ object SparkEntry {
     analytics.AsofQueries,
     llm.DedupQueries,
     llm.TextQueries,
+    llm.BpeQueries,
     llm.CurationQueries,
     llm.SimilarityQueries,
     llm.Multimodal,

@@ -1,0 +1,77 @@
+package graft.llm
+
+import graft.SparkSpec
+import BpeQueries._
+
+/** Pins the BPE trainer against the hand-derivable merge sequence of
+  * the classic planted corpus, the encoder against hand-applied
+  * merges, and the corpus queries' invariants at sf0.001.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // classic BPE teaching corpus: low x5, lower x2, newest x6, widest x3
+  private lazy val types = Seq(
+    WordSeq("low", 5L, initSymsOf("low")),
+    WordSeq("lower", 2L, initSymsOf("lower")),
+    WordSeq("newest", 6L, initSymsOf("newest")),
+    WordSeq("widest", 3L, initSymsOf("widest"))).toDS()
+
+  private def initSymsOf(w: String): Seq[String] =
+    w.map(_.toString) :+ Eow
+
+  test("mergeOnce: greedy left-to-right, overlaps consumed once") {
+    assert(mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(mergeOnce(Seq("l", "o", "w"), "l", "o") == Seq("lo", "w"))
+    assert(mergeOnce(Seq("x"), "a", "b") == Seq("x"))
+    assert(mergeOnce(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("trainMerges learns the hand-derived sequence on the classic corpus") {
+    val merges = trainMerges(types, budget = 5)
+    val got = merges.map(m => (m.rank, m.left, m.right, m.pair_n))
+    // (e,s) 9 wins the 3-way count tie lexicographically; then the
+    // chain collapses "est</w>" before "low" assembles
+    assert(got == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "est", Eow, 9L),
+      (4, "l", "o", 7L),
+      (5, "lo", "w", 7L)), s"got $got")
+  }
+
+  test("training stops early when no pair repeats") {
+    val singles = Seq(WordSeq("ab", 1L, initSymsOf("ab"))).toDS()
+    assert(trainMerges(singles, budget = 10).isEmpty)
+  }
+
+  test("encodeWord applies merges in rank order (unseen word generalizes)") {
+    val merges = trainMerges(types, budget = 5).map(m => (m.left, m.right))
+    assert(encodeWord("lowest", merges) == Seq("low", "est" + Eow))
+    assert(encodeWord("low", merges) == Seq("low", Eow))
+    assert(encodeWord("slowest", merges) == Seq("s", "low", "est" + Eow))
+    // tokens concatenate back to the original word + marker
+    for (w <- Seq("lowest", "newest", "widest", "zzz"))
+      assert(encodeWord(w, merges).mkString == w + Eow)
+  }
+
+  test("corpus queries: deterministic vocab, encode round-trips counts") {
+    val sf = "/root/testdata/sf0.001"
+    val vocab = BpeQueries.queries("text_bpe_vocab")(spark, sf).collect()
+    assert(vocab.nonEmpty && vocab.length <= MergeBudget)
+    // ranks are 1..n dense, counts never increase faster than rank 1's
+    assert(vocab.map(_.getLong(0)).toSeq == (1L to vocab.length).toSeq)
+    assert(vocab.forall(r => r.getString(3) ==
+      r.getString(1) + r.getString(2)))
+    val enc = BpeQueries.queries("text_bpe_encode")(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (nw, nt) = (r.getLong(1), r.getLong(2))
+      assert(nt >= nw, "every word yields at least one token")
+      assert(r.getString(3).length == 32, "md5 hex digest")
+    }
+    // determinism: a second run produces the identical merge table
+    val vocab2 = BpeQueries.queries("text_bpe_vocab")(spark, sf).collect()
+    assert(vocab.map(_.toSeq).toSeq == vocab2.map(_.toSeq).toSeq)
+  }
+}
