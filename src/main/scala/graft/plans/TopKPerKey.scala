@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
 /** Whole-operator top-k-per-key: the third extension tier (custom
@@ -58,6 +59,14 @@ case class TopKPerKeyExec(
     if (rank.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // The partial exec's output-row count IS the operator's scale claim
+  // (rows entering the exchange ≤ partitions·keys·k) — surfaced as a
+  // SQL metric so the bound is observable in the UI at 100 TB and
+  // executable in ShuffleVolumeSpec, not narrative.
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
@@ -68,6 +77,7 @@ case class TopKPerKeyExec(
     val childOut = child.output
     val rankAttr = rank
     val outAttrs = output
+    val numOutput = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLoc, childOut)
       val ord = RowOrdering.create(orderLoc, childOut)
@@ -89,6 +99,7 @@ case class TopKPerKeyExec(
       rankAttr match {
         case None => // partial: ship survivors, order irrelevant
           heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+            .map { r => numOutput += 1; r }
         case Some(ra) =>
           val rankRow = new GenericInternalRow(1)
           val joined = new JoinedRow
@@ -98,6 +109,7 @@ case class TopKPerKeyExec(
             java.util.Arrays.sort(arr, ord)
             arr.iterator.zipWithIndex.map { case (r, i) =>
               rankRow.setLong(0, i + 1L)
+              numOutput += 1
               proj(joined(r, rankRow))
             }
           }

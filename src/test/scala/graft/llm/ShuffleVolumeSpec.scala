@@ -1,0 +1,77 @@
+package graft.llm
+
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+/** Executable shuffle-volume bounds — the 100×-scale claims of the
+  * custom operator and the LSH candidate generator as assertions over
+  * runtime metrics, not narrative: the TopKPerKey exchange must carry
+  * at most partitions·keys·k rows however large the input, and the
+  * capped LSH join must stay under its linear candidate bound on a
+  * worst-case (all-clones) corpus.
+  */
+class ShuffleVolumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopKPerKey partial pass caps the exchange at partitions*keys*k rows") {
+    val parts = 8
+    val k = 5
+    val sf = "/root/testdata/sf0.01"
+    val events = Tables.events(spark, sf).repartition(parts)
+    val nInput = events.count()
+    val nKeys = events.select("event_type").distinct().count()
+
+    // AQE off for a traversable plan tree (query stages are leaf
+    // wrappers that hide the partial exec from collect())
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val (plan, partials) =
+      try {
+        val df = TopKPerKey(events, Seq("event_type"),
+          Seq(col("value").desc, col("event_id").asc), k)
+        df.collect()
+        // the partial exec (rank=None) runs below the exchange: its
+        // output row count is exactly what the shuffle carries
+        val p = df.queryExecution.executedPlan
+        (p, p.collect { case e: TopKPerKeyExec if e.rank.isEmpty => e })
+      } finally prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    assert(partials.nonEmpty, s"no partial TopKPerKeyExec in:\n$plan")
+    val shuffled = partials.map(_.metrics("numOutputRows").value).sum
+    val bound = parts.toLong * nKeys * k
+    assert(shuffled <= bound,
+      s"exchange carried $shuffled rows, bound is $parts*$nKeys*$k = $bound")
+    // and the bound is doing real work: the corpus is much larger
+    assert(nInput > 10 * bound,
+      s"fixture too small to demonstrate the cap ($nInput vs $bound)")
+  }
+
+  test("capped LSH join stays under the linear candidate bound on clones") {
+    graft.plans.MinHashSig.register(spark)
+    // worst case: 2000 byte-identical docs — every band degenerates to
+    // one bucket, so the uncapped join would emit ~2e6 pairs per band
+    val clones = spark.range(1, 2001)
+      .select(col("id").as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog again").as("text"))
+      .withColumn("w", TextOps.words(col("text")))
+      .select(col("doc_id"),
+        TextOps.minHashNative(TextOps.shingles(col("w"), 3), 32).as("sig"))
+    val obs = Observation("cand")
+    val nDocs = 2000L
+    val linearBound = nDocs * DedupQueries.Bands * DedupQueries.MaxBucket
+    val observed = DedupQueries.cappedBandPairs(clones)
+      .observe(obs, count(lit(1)).as("n_pairs"))
+    val out = observed.count()
+    val emitted = obs.get("n_pairs").asInstanceOf[Long]
+    assert(emitted <= linearBound,
+      s"candidate join emitted $emitted pairs, linear bound $linearBound")
+    // on the all-clones corpus the hot-bucket guard drops everything
+    assert(out == 0L, s"expected zero surviving candidates, got $out")
+  }
+}
