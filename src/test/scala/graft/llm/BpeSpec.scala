@@ -40,6 +40,23 @@ class BpeSpec extends SparkSpec {
       (5, "lo", "w", 7L)), s"got $got")
   }
 
+  test("local trainer is bit-identical to the distributed round loop") {
+    // classic corpus
+    val localClassic = trainMergesLocal(Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 5)
+    assert(localClassic == trainMerges(types, 5))
+    // seeded random corpora: same words, same freqs, both paths
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val ws = (0 until 40).map(i =>
+        (Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(5)).toChar).mkString,
+          1L + rnd.nextInt(9))).distinctBy(_._1)
+      val dist = trainMerges(
+        ws.map { case (w, f) => WordSeq(w, f, initSymsOf(w)) }.toDS(), 12)
+      assert(trainMergesLocal(ws, 12) == dist, s"seed $seed")
+    }
+  }
+
   test("training stops early when no pair repeats") {
     val singles = Seq(WordSeq("ab", 1L, initSymsOf("ab"))).toDS()
     assert(trainMerges(singles, budget = 10).isEmpty)
