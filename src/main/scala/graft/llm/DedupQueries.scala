@@ -36,6 +36,13 @@ object DedupQueries extends QuerySuite {
     * exact-dedup pass upstream already catches. */
   val MaxBucket = 64
 
+  /** Segment width (words) for sub-document exact dedup — the
+    * fixed-window formulation of paragraph/line dedup (Lee et al.,
+    * ACL'22 "Deduplicating Training Data Makes Language Models
+    * Better" dedups ≥50-token windows; corpora without structural
+    * newlines use fixed windows). */
+  val SegWords = 16
+
   /** Hot-POSTING-LIST guard for the prefix-filter Jaccard join: a
     * prefix shingle shared by more than this many docs of one source is
     * excluded from candidate generation. Without it, one boilerplate
@@ -191,6 +198,21 @@ object DedupQueries extends QuerySuite {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** (doc_id, seg_idx, seg) rows: the document split into
+    * non-overlapping [[SegWords]]-word windows (last window may be
+    * short). Map-only. The empty-sequence guard mirrors
+    * multimodal_frame_sample: zero words → no rows, matching DuckDB's
+    * empty unnest. */
+  private[llm] def segmentize(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nSeg = ceil(size(w) / lit(SegWords.toDouble)).cast("int")
+    docs.select(col("doc_id"),
+      posexplode(when(nSeg > 0,
+        transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(w, i * SegWords + 1, lit(SegWords)), " "))))
+        .as(Seq("seg_idx", "seg")))
   }
 
   /** Rarest-first prefix index over a (doc_id, source, sh) frame: one
@@ -371,6 +393,49 @@ object DedupQueries extends QuerySuite {
       Tables.documents(s, d)
         .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Sub-document (segment) exact dedup, census side: every
+    // non-overlapping SegWords-word window digested and grouped —
+    // the fixed-window form of paragraph dedup. Scale shape is the
+    // exact-dedup shape one level down: only 16-byte digests shuffle
+    // for the census, never segment text.
+    "dedup_segment_groups" -> ((s, d) => {
+      val segs = segmentize(Tables.documents(s, d))
+      segs.groupBy(md5(col("seg").cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+        .select(col("digest"), col("n_copies"), col("n_docs"),
+          col("first.doc_id").as("keeper_doc"),
+          col("first.seg_idx").cast("long").as("keeper_idx"))
+        .orderBy("digest")
+    }),
+
+    // Sub-document exact dedup, scrub side: rebuild every document
+    // keeping only the canonical (lexicographically first by
+    // (doc_id, seg_idx)) occurrence of each segment — what RefinedWeb-
+    // style curation actually does to boilerplate paragraphs. A doc
+    // whose every segment first appeared elsewhere scrubs to empty.
+    // Two linear shuffles (digest groupBy, doc_id rebuild); the
+    // output digest hash-proves the rebuilt text without shipping it.
+    "dedup_segment_scrub" -> ((s, d) => {
+      val occ = segmentize(Tables.documents(s, d))
+        .withColumn("digest", md5(col("seg").cast("binary")))
+      val first = occ.groupBy("digest")
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      occ.join(first, "digest")
+        .withColumn("keep", col("f.doc_id") === col("doc_id") &&
+          col("f.seg_idx") === col("seg_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("seg_idx"), col("seg"))))),
+              x => x.getField("seg")), " ").cast("binary"))
+            .as("scrubbed_digest"))
         .orderBy("doc_id")
     }),
 
@@ -702,6 +767,49 @@ object DedupQueries extends QuerySuite {
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
          |ORDER BY a.source, doc_a, doc_b""".stripMargin,
+
+    "dedup_segment_groups" ->
+      s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |seg AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(w[(i*$SegWords+1):(i*$SegWords+$SegWords)], ' ') AS seg
+         |  FROM (SELECT doc_id, w,
+         |          unnest(range(0, CAST(ceil(len(w)/$SegWords.0) AS BIGINT))) AS i
+         |        FROM wd)),
+         |occ AS (
+         |  SELECT doc_id, seg_idx, md5(seg) AS digest,
+         |    row_number() OVER (PARTITION BY md5(seg)
+         |      ORDER BY doc_id, seg_idx) AS rk
+         |  FROM seg),
+         |g AS (SELECT digest, count(*) AS n_copies,
+         |        count(DISTINCT doc_id) AS n_docs
+         |      FROM occ GROUP BY digest),
+         |f AS (SELECT digest, doc_id AS keeper_doc,
+         |        CAST(seg_idx AS BIGINT) AS keeper_idx
+         |      FROM occ WHERE rk = 1)
+         |SELECT g.digest, g.n_copies, g.n_docs, f.keeper_doc, f.keeper_idx
+         |FROM g JOIN f USING (digest) ORDER BY digest""".stripMargin,
+
+    "dedup_segment_scrub" ->
+      s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |seg AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(w[(i*$SegWords+1):(i*$SegWords+$SegWords)], ' ') AS seg
+         |  FROM (SELECT doc_id, w,
+         |          unnest(range(0, CAST(ceil(len(w)/$SegWords.0) AS BIGINT))) AS i
+         |        FROM wd)),
+         |occ AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY md5(seg)
+         |      ORDER BY doc_id, seg_idx) AS rk
+         |  FROM seg)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN rk = 1 THEN seg END, ' '
+         |    ORDER BY seg_idx), '')) AS scrubbed_digest
+         |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_posting_stats" ->
       s"""WITH shd AS (

@@ -185,6 +185,46 @@ class DedupSpec extends SparkSpec {
     assert(stats == Seq(("c1 c2 c3", 1000L)), s"census: $stats")
   }
 
+  test("segment scrub drops repeated windows, keeps canonical occurrences") {
+    import org.apache.spark.sql.Row
+    val W = DedupQueries.SegWords
+    val boiler = (1 to W).map(i => s"boil$i").mkString(" ") // one full window
+    val u = (c: Char) => (1 to W).map(i => s"$c$i").mkString(" ")
+    // doc 1 = boiler + A; doc 2 = boiler + B (boiler dup, B unique);
+    // doc 3 = boiler alone (scrubs to empty); doc 4 unrelated
+    val docs = Seq(
+      (1L, s"$boiler ${u('a')}"),
+      (2L, s"$boiler ${u('b')}"),
+      (3L, boiler),
+      (4L, u('z'))).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    val occ = DedupQueries.segmentize(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(occ.count(_._3 == boiler) == 3, "boiler appears in docs 1,2,3")
+    assert(occ.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 1))
+
+    // run the real queries against a temp parquet dir shaped like the table
+    val dir = java.nio.file.Files.createTempDirectory("seg_docs").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.queries("dedup_segment_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 2L, md5hex(s"$boiler ${u('a')}")), s"doc1: ${out(1L)}")
+    assert(out(2L) == (2L, 1L, md5hex(u('b'))), s"doc2: ${out(2L)}")
+    assert(out(3L) == (1L, 0L, md5hex("")), "fully-duplicated doc scrubs empty")
+    assert(out(4L) == (1L, 1L, md5hex(u('z'))))
+    val groups = DedupQueries.queries("dedup_segment_groups")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(groups(md5hex(boiler)) == (3L, 3L, 1L, 0L),
+      "boiler: 3 copies in 3 docs, canonical at (doc 1, seg 0)")
+  }
+
   test("SRP-LSH finds planted high-cosine near-dups, skips unrelated vectors") {
     graft.plans.FloatVectorDot.register(spark)
     val rnd = new scala.util.Random(7)
