@@ -24,6 +24,15 @@ object SimilarityQueries extends QuerySuite {
   /** Deterministic centroid rule: every 50th vector. */
   val CentroidStride = 50
 
+  /** Product-quantization geometry: 64-d vectors split into PqM
+    * subspaces of PqDsub dims, PqK centroids per subspace drawn by the
+    * deterministic stride rule (production swaps in k-means without
+    * changing the dataflow). */
+  val PqM = 8
+  val PqDsub = 8
+  val PqK = 16
+  val PqStride = 29
+
   /** Corpus with per-vector norm, spread across cores (single-split
     * local file; at scale the source is already partitioned). */
   private def corpus(s: SparkSession, d: String): DataFrame = {
@@ -204,6 +213,56 @@ object SimilarityQueries extends QuerySuite {
         .orderBy("vec_id")
     }),
 
+    // Product quantization (Jégou et al., TPAMI'11 — public method):
+    // each vector compressed to PqM 4-bit codes by assigning every
+    // PqDsub-dim subvector to its nearest subspace centroid — the
+    // memory side of the standard IVF-PQ ANN stack (64 floats → 8
+    // codes; distance tables then work on codes only). Codebooks are
+    // stride-sampled (deterministic, oracle-replicable; production
+    // k-means drops in without changing the dataflow) and ride along
+    // as ONE broadcast row; assignment is map-only — the corpus never
+    // shuffles, exactly like the IVF routing. Total squared
+    // reconstruction error is the m-ordered fold, so both engines
+    // agree bit-for-bit. Argmin ties break toward the lower centroid
+    // id, making the fold order-independent.
+    "sim_pq_codes" -> ((s, d) => {
+      val cb = Tables.embeddings(s, d)
+        .filter(col("vec_id") % PqStride === 0 &&
+          col("vec_id") < PqStride.toLong * PqK)
+        .select(explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+          (col("vec_id") / PqStride).cast("int").as("c_id"),
+          col("embedding"))
+        .select(col("m"), col("c_id"),
+          transform(slice(col("embedding"), col("m") * PqDsub + 1,
+            lit(PqDsub)), x => x.cast("double")).as("sub"))
+        .agg(collect_list(struct(col("m"), col("c_id"), col("sub"))).as("cb"))
+      def dist2(a: Column_, b: Column_): Column_ =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+      // per subspace: every centroid distance computed ONCE, argmin =
+      // lexicographic array_min over struct(d, c_id) — min distance,
+      // ties toward the lower centroid id
+      val best = transform(sequence(lit(0), lit(PqM - 1)), m =>
+        array_min(transform(
+          filter(col("cb"), c => c.getField("m") === m),
+          c => struct(
+            dist2(element_at(col("subs"), m + 1), c.getField("sub")).as("d"),
+            c.getField("c_id").as("c_id")))))
+      Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(cb))
+        .withColumn("subs", transform(sequence(lit(0), lit(PqM - 1)), m =>
+          transform(slice(col("embedding"), m * PqDsub + 1, lit(PqDsub)),
+            x => x.cast("double"))))
+        .withColumn("best", best)
+        .select(Seq(col("vec_id")) ++
+          (0 until PqM).map(i =>
+            col("best").getItem(i).getField("c_id").as(s"c$i")) :+
+          aggregate(col("best"), lit(0.0),
+            (acc, b) => acc + b.getField("d")).as("err"): _*)
+        .orderBy("vec_id")
+    }),
+
     // Per-label norm stats (exact component folds).
     "sim_label_centroid_norms" -> ((s, d) =>
       corpus(s, d)
@@ -317,6 +376,39 @@ object SimilarityQueries extends QuerySuite {
          |  FROM embeddings)
          |SELECT vec_id, r0, r1, r2, r3, $rnorm2 AS rnorm2
          |FROM p ORDER BY vec_id""".stripMargin
+    },
+
+    "sim_pq_codes" -> {
+      val codeCols = (0 until PqM)
+        .map(i => s"  MAX(CASE WHEN m = $i AND rk = 1 THEN c_id END) AS c$i")
+        .mkString(",\n")
+      s"""WITH cb AS (
+         |  SELECT ms.m, CAST(vec_id // $PqStride AS INT) AS c_id,
+         |    list_transform(
+         |      embedding[(ms.m*$PqDsub+1):(ms.m*$PqDsub+$PqDsub)],
+         |      x -> CAST(x AS DOUBLE)) AS sub
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+         |  WHERE vec_id % $PqStride = 0 AND vec_id < $PqStride * $PqK),
+         |d AS (
+         |  SELECT e.vec_id, c.m, c.c_id,
+         |    list_sum(list_transform(list_zip(
+         |      list_transform(
+         |        e.embedding[(c.m*$PqDsub+1):(c.m*$PqDsub+$PqDsub)],
+         |        x -> CAST(x AS DOUBLE)),
+         |      c.sub),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         |  FROM embeddings e CROSS JOIN cb c),
+         |r AS (
+         |  SELECT vec_id, m, c_id, d2,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, c_id) AS rk
+         |  FROM d)
+         |SELECT vec_id,
+         |$codeCols,
+         |  list_sum(list(CASE WHEN rk = 1 THEN d2 END ORDER BY m)
+         |    FILTER (WHERE rk = 1)) AS err
+         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
 
     "sim_label_centroid_norms" ->

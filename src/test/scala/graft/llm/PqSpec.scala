@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.SparkSpec
+import SimilarityQueries._
+
+/** Pins sim_pq_codes against an independent driver-side PQ
+  * recomputation over the same corpus: same stride codebooks, same
+  * argmin tie-break, exact same code assignments and reconstruction
+  * error for every vector.
+  */
+class PqSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def embeddings: Map[Long, Array[Double]] =
+    graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("codes and error equal a driver-side PQ recomputation, per vector") {
+    val emb = embeddings
+    val cents = emb.keys.filter(id =>
+        id % PqStride == 0 && id < PqStride.toLong * PqK)
+      .toSeq.sorted.map(id => (id / PqStride).toInt -> emb(id)).toMap
+    def sub(v: Array[Double], m: Int): Array[Double] =
+      v.slice(m * PqDsub, (m + 1) * PqDsub)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rows = SimilarityQueries.queries("sim_pq_codes")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      var err = 0.0
+      for (m <- 0 until PqM) {
+        val dists = cents.toSeq.map { case (cId, cv) =>
+          (d2(sub(emb(id), m), sub(cv, m)), cId) }.sorted
+        val (bd, bc) = dists.head
+        assert(r.getInt(1 + m) == bc, s"vec $id subspace $m")
+        err += bd
+      }
+      assert(r.getDouble(1 + PqM) == err, s"vec $id err")
+    }
+  }
+
+  test("codebook vectors reconstruct exactly; codes stay in range") {
+    val rows = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val cbIds = byId.keys.filter(id =>
+      id % PqStride == 0 && id < PqStride.toLong * PqK).toSeq.sorted
+    assert(cbIds.nonEmpty)
+    cbIds.foreach { id =>
+      val r = byId(id)
+      assert(r.getDouble(1 + PqM) == 0.0, s"codebook vec $id must have err 0")
+    }
+    val r0 = byId(0L)
+    assert((0 until PqM).forall(m => r0.getInt(1 + m) == 0))
+    rows.foreach { r =>
+      for (m <- 0 until PqM) {
+        val c = r.getInt(1 + m)
+        assert(c >= 0 && c < PqK)
+      }
+      assert(r.getDouble(1 + PqM) >= 0.0)
+    }
+  }
+}
