@@ -225,42 +225,50 @@ object SimilarityQueries extends QuerySuite {
     // reconstruction error is the m-ordered fold, so both engines
     // agree bit-for-bit. Argmin ties break toward the lower centroid
     // id, making the fold order-independent.
-    "sim_pq_codes" -> ((s, d) => {
-      val cb = Tables.embeddings(s, d)
-        .filter(col("vec_id") % PqStride === 0 &&
-          col("vec_id") < PqStride.toLong * PqK)
-        .select(explode(sequence(lit(0), lit(PqM - 1))).as("m"),
-          (col("vec_id") / PqStride).cast("int").as("c_id"),
-          col("embedding"))
-        .select(col("m"), col("c_id"),
-          transform(slice(col("embedding"), col("m") * PqDsub + 1,
-            lit(PqDsub)), x => x.cast("double")).as("sub"))
-        .agg(collect_list(struct(col("m"), col("c_id"), col("sub"))).as("cb"))
-      def dist2(a: Column_, b: Column_): Column_ =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v)
-      // per subspace: every centroid distance computed ONCE, argmin =
-      // lexicographic array_min over struct(d, c_id) — min distance,
-      // ties toward the lower centroid id
-      val best = transform(sequence(lit(0), lit(PqM - 1)), m =>
-        array_min(transform(
-          filter(col("cb"), c => c.getField("m") === m),
-          c => struct(
-            dist2(element_at(col("subs"), m + 1), c.getField("sub")).as("d"),
-            c.getField("c_id").as("c_id")))))
-      Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .crossJoin(broadcast(cb))
-        .withColumn("subs", transform(sequence(lit(0), lit(PqM - 1)), m =>
-          transform(slice(col("embedding"), m * PqDsub + 1, lit(PqDsub)),
-            x => x.cast("double"))))
-        .withColumn("best", best)
+    "sim_pq_codes" -> ((s, d) =>
+      pqAssigned(s, d)
         .select(Seq(col("vec_id")) ++
           (0 until PqM).map(i =>
             col("best").getItem(i).getField("c_id").as(s"c$i")) :+
           aggregate(col("best"), lit(0.0),
             (acc, b) => acc + b.getField("d")).as("err"): _*)
-        .orderBy("vec_id")
+        .orderBy("vec_id")),
+
+    // PQ ANN search by asymmetric distance computation (the search
+    // half of IVF-PQ): each query precomputes its per-subspace
+    // distance TABLE against the codebook (PqM·PqK doubles, map-only),
+    // then every corpus vector's approximate distance is just PqM
+    // table lookups through its codes — the corpus embeddings are
+    // never touched at query time, which is the entire point of PQ at
+    // 10^9 vectors (codes are 8 bytes; the scan reads codes, not
+    // floats). Exact same arithmetic in the DuckDB oracle (m-ordered
+    // sum), so the ranking hash-matches.
+    "sim_pq_adc_topk" -> ((s, d) => {
+      val codes = pqAssigned(s, d)
+        .select(col("vec_id"),
+          transform(col("best"), b => b.getField("c_id")).as("codes"))
+      val qs = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .crossJoin(broadcast(pqCodebook(s, d)))
+        .withColumn("subs", pqSubs)
+        .select(col("vec_id").as("q_id"),
+          transform(sequence(lit(0), lit(PqM - 1)), m =>
+            transform(
+              array_sort(filter(col("cb"), c => c.getField("m") === m)),
+              c => pqDist2(element_at(col("subs"), m + 1),
+                c.getField("sub")))).as("dt"))
+      codes.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adc",
+          aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+            (acc, m) => acc + element_at(element_at(col("dt"), m + 1),
+              element_at(col("codes"), m + 1) + 1)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("adc"), col("vec_id"))).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select("q_id", "rk", "vec_id", "adc")
+        .orderBy("q_id", "rk")
     }),
 
     // Per-label norm stats (exact component folds).
@@ -270,6 +278,50 @@ object SimilarityQueries extends QuerySuite {
         .agg(count(lit(1)).as("n_vectors"),
           min("nrm").as("min_norm"), max("nrm").as("max_norm"))
         .orderBy("label")))
+
+  /** One-row broadcastable PQ codebook: array of (m, c_id, sub) for
+    * every subspace × stride-sampled centroid. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % PqStride === 0 &&
+        col("vec_id") < PqStride.toLong * PqK)
+      .select(explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        (col("vec_id") / PqStride).cast("int").as("c_id"),
+        col("embedding"))
+      .select(col("m"), col("c_id"),
+        transform(slice(col("embedding"), col("m") * PqDsub + 1,
+          lit(PqDsub)), x => x.cast("double")).as("sub"))
+      .agg(collect_list(struct(col("m"), col("c_id"), col("sub"))).as("cb"))
+
+  /** The row's embedding split into PqM double subvectors. */
+  private def pqSubs: Column_ =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      transform(slice(col("embedding"), m * PqDsub + 1, lit(PqDsub)),
+        x => x.cast("double")))
+
+  /** Exact squared L2 as a left fold (both engines agree). */
+  private def pqDist2(a: Column_, b: Column_): Column_ =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Corpus with `best` = per-subspace array of struct(d, c_id):
+    * nearest centroid (ties to the lower id) and its squared distance.
+    * Codebook rides along as one broadcast row; assignment is
+    * map-only — the corpus never shuffles. Every centroid distance is
+    * computed ONCE (array_min over struct(d, c_id) is the argmin). */
+  private def pqAssigned(s: SparkSession, d: String): DataFrame = {
+    val best = transform(sequence(lit(0), lit(PqM - 1)), m =>
+      array_min(transform(
+        filter(col("cb"), c => c.getField("m") === m),
+        c => struct(
+          pqDist2(element_at(col("subs"), m + 1), c.getField("sub")).as("d"),
+          c.getField("c_id").as("c_id")))))
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(pqCodebook(s, d)))
+      .withColumn("subs", pqSubs)
+      .withColumn("best", best)
+  }
 
   private def cosSql(a: String, b: String) = Vectors.cosineSql(a, b)
 
@@ -377,6 +429,46 @@ object SimilarityQueries extends QuerySuite {
          |SELECT vec_id, r0, r1, r2, r3, $rnorm2 AS rnorm2
          |FROM p ORDER BY vec_id""".stripMargin
     },
+
+    "sim_pq_adc_topk" ->
+      s"""WITH cb AS (
+         |  SELECT ms.m, CAST(vec_id // $PqStride AS INT) AS c_id,
+         |    list_transform(
+         |      embedding[(ms.m*$PqDsub+1):(ms.m*$PqDsub+$PqDsub)],
+         |      x -> CAST(x AS DOUBLE)) AS sub
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+         |  WHERE vec_id % $PqStride = 0 AND vec_id < $PqStride * $PqK),
+         |d AS (
+         |  SELECT e.vec_id, c.m, c.c_id,
+         |    list_sum(list_transform(list_zip(
+         |      list_transform(
+         |        e.embedding[(c.m*$PqDsub+1):(c.m*$PqDsub+$PqDsub)],
+         |        x -> CAST(x AS DOUBLE)),
+         |      c.sub),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         |  FROM embeddings e CROSS JOIN cb c),
+         |r AS (
+         |  SELECT vec_id, m, c_id, d2,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, c_id) AS rk
+         |  FROM d),
+         |codes AS (SELECT vec_id, m, c_id FROM r WHERE rk = 1),
+         |qd AS (SELECT vec_id AS q_id, m, c_id, d2 AS dq
+         |       FROM d WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT qd.q_id, co.vec_id,
+         |    list_sum(list(qd.dq ORDER BY qd.m)) AS adc
+         |  FROM codes co JOIN qd ON qd.m = co.m AND qd.c_id = co.c_id
+         |  WHERE co.vec_id <> qd.q_id
+         |  GROUP BY qd.q_id, co.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc, vec_id) AS rk
+         |  FROM adc)
+         |SELECT q_id, rk, vec_id, adc FROM ranked WHERE rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin,
 
     "sim_pq_codes" -> {
       val codeCols = (0 until PqM)

@@ -46,6 +46,38 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ADC top-k equals a driver-side table-lookup recomputation") {
+    val emb = embeddings
+    val cents = emb.keys.filter(id =>
+        id % PqStride == 0 && id < PqStride.toLong * PqK)
+      .toSeq.sorted.map(id => (id / PqStride).toInt -> emb(id)).toMap
+    def sub(v: Array[Double], m: Int): Array[Double] =
+      v.slice(m * PqDsub, (m + 1) * PqDsub)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val codes = emb.map { case (id, v) =>
+      id -> (0 until PqM).map { m =>
+        cents.toSeq.map { case (cId, cv) =>
+          (d2(sub(v, m), sub(cv, m)), cId) }.sorted.head._2
+      }
+    }
+    val want = emb.keys.filter(_ < 10).toSeq.sorted.flatMap { q =>
+      val ranked = emb.keys.filter(_ != q).toSeq.map { v =>
+        var adc = 0.0
+        for (m <- 0 until PqM) adc += d2(sub(emb(q), m), sub(cents(codes(v)(m)), m))
+        (v, adc)
+      }.sortBy { case (v, adc) => (adc, v) }.take(TopK)
+      ranked.zipWithIndex.map { case ((v, adc), i) => (q, i + 1L, v, adc) }
+    }
+    val got = SimilarityQueries.queries("sim_pq_adc_topk")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
   test("codebook vectors reconstruct exactly; codes stay in range") {
     val rows = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
