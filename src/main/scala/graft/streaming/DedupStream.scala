@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, lower, md5}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming exact dedup: the incremental twin of the batch
+  * `dedup_exact_groups`/`dedup_exact_survivors` pair. Keyed by content
+  * digest, each key's state is the canonical (first-seen, min doc_id
+  * within the arrival batch) document; every incoming doc gets a
+  * keep/drop decision stamped with the canonical id — the gate an
+  * ingest pipeline puts in front of the corpus store so duplicates
+  * never land.
+  *
+  * Scale: state per digest is ONE long — bounded by distinct contents,
+  * not stream volume; decisions are per-event and idempotent under
+  * at-least-once replay (the canonical never changes once set, so a
+  * replayed doc gets the identical decision). Only digests key the
+  * state store; document text never enters state.
+  */
+class DedupStream
+    extends StatefulProcessor[String, DedupStream.DocEvent, DedupStream.Decision] {
+  import DedupStream._
+
+  @transient private var first: org.apache.spark.sql.streaming.ValueState[FirstSeen] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    first = getHandle.getValueState[FirstSeen](
+      "first", Encoders.product[FirstSeen], TTLConfig.NONE)
+
+  override def handleInputRows(digest: String, rows: Iterator[DocEvent],
+      timers: TimerValues): Iterator[Decision] = {
+    val rs = rows.toSeq
+    val existing = if (first.exists()) Some(first.get().doc_id) else None
+    // deterministic within a batch regardless of row arrival order:
+    // the smallest doc_id of the first batch becomes canonical
+    val canonical = existing.getOrElse(rs.map(_.doc_id).min)
+    if (existing.isEmpty) first.update(FirstSeen(canonical))
+    rs.iterator.map(r =>
+      Decision(r.doc_id, digest, r.doc_id == canonical, canonical))
+  }
+}
+
+object DedupStream {
+  case class DocEvent(doc_id: Long, digest: String)
+  case class FirstSeen(doc_id: Long)
+  case class Decision(doc_id: Long, digest: String, kept: Boolean,
+      canonical: Long)
+
+  /** Wire the dedup gate onto a (doc_id, text) stream: digest map-side
+    * (casefold — the normalized-dedup escalation), then one keyed
+    * stateful stage (RocksDB state store, same provider requirement as
+    * [[ChannelProcessor]]). */
+  def dedup(docs: Dataset[(Long, String)]): Dataset[Decision] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(lower(col("text")).cast("binary")).as("digest"))
+      .as[DocEvent]
+      .groupByKey(_.digest)(Encoders.STRING)
+      .transformWithState(new DedupStream(), TimeMode.None(),
+        OutputMode.Append())(Encoders.product[Decision])
+  }
+}
