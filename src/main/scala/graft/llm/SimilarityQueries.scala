@@ -304,24 +304,40 @@ object SimilarityQueries extends QuerySuite {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Corpus with `best` = per-subspace array of struct(d, c_id):
-    * nearest centroid (ties to the lower id) and its squared distance.
-    * Codebook rides along as one broadcast row; assignment is
-    * map-only — the corpus never shuffles. Every centroid distance is
-    * computed ONCE (array_min over struct(d, c_id) is the argmin). */
-  private def pqAssigned(s: SparkSession, d: String): DataFrame = {
-    val best = transform(sequence(lit(0), lit(PqM - 1)), m =>
+  /** The interpreted HOF twin of the native [[graft.plans.PqAssign]]
+    * kernel — kept for the bit-equivalence spec (PqKernelSpec). */
+  private[llm] def pqBestHof: Column_ =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
       array_min(transform(
         filter(col("cb"), c => c.getField("m") === m),
         c => struct(
           pqDist2(element_at(col("subs"), m + 1), c.getField("sub")).as("d"),
           c.getField("c_id").as("c_id")))))
+
+  /** Corpus with `best` = per-subspace array of struct(d, c_id):
+    * nearest centroid (ties to the lower id) and its squared distance.
+    * Codebook rides along as one broadcast row; assignment is
+    * map-only — the corpus never shuffles — through the codegen'd
+    * native kernel (plans/PqAssign: ONE compiled pass over the
+    * codebook per row; the HOF twin re-scans it per subspace with an
+    * interpreted closure per centroid, spec-pinned bit-identical). */
+  private def pqAssigned(s: SparkSession, d: String): DataFrame = {
+    graft.plans.PqAssign.register(s)
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(pqCodebook(s, d)))
+      .withColumn("best",
+        call_function(graft.plans.PqAssign.Name,
+          col("embedding"), col("cb")))
+  }
+
+  /** pqAssigned's HOF form, for the kernel-equivalence spec. */
+  private[llm] def pqAssignedHof(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .crossJoin(broadcast(pqCodebook(s, d)))
       .withColumn("subs", pqSubs)
-      .withColumn("best", best)
-  }
+      .withColumn("best", pqBestHof)
 
   private def cosSql(a: String, b: String) = Vectors.cosineSql(a, b)
 

@@ -36,6 +36,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("segment dedup, BPE and PQ queries survive empty tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty3").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    for (q <- Seq("dedup_segment_groups", "dedup_segment_scrub",
+        "text_bpe_vocab", "text_bpe_encode",
+        "sim_pq_codes", "sim_pq_adc_topk")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+      assert(out.count() == 0L, s"$q must be empty, not crash")
+    }
+  }
+
   test("pivot_unpivot_roundtrip derives the status domain from the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
     // a status outside the usual {F, O, P} domain must survive
