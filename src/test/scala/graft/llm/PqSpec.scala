@@ -78,6 +78,18 @@ class PqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("IVF-PQ: hits share the query's cluster, ranked by ascending adc") {
+    val rows = SimilarityQueries.queries("sim_ivfpq_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == 1,
+        s"query $q hits must all come from its own cluster")
+      val adcs = rs.sortBy(_.getLong(2)).map(_.getDouble(4))
+      assert(adcs.sameElements(adcs.sorted), s"query $q adc ordering")
+      assert(!rs.exists(_.getLong(3) == q), "self excluded")
+    }
+  }
+
   test("codebook vectors reconstruct exactly; codes stay in range") {
     val rows = SimilarityQueries.queries("sim_pq_codes")(spark, sf).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
