@@ -126,15 +126,21 @@ object DedupQueries extends QuerySuite {
   private[llm] def planeInt(b: Int, i: Int): Long =
     ((mix64(b * 4096L + i) % 256) + 256) % 256 - 128
 
-  private def plane(b: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(i => planeInt(b, i).toDouble)
+  /** Plane components as FLOAT literals: integer values in [-128, 127]
+    * are exactly representable, and float→double widening of integers
+    * is exact, so the native float-dot below is bit-identical to the
+    * double-literal HOF fold and to the DuckDB integer-list oracle. */
+  private[llm] def plane(b: Int, dim: Int): Seq[Float] =
+    (0 until dim).map(i => planeInt(b, i).toFloat)
 
   /** Exploded (vec_id, band_idx, band_val) band signatures for an
     * embeddings frame — the map-only SRP routing step, shared with the
-    * similarity suite's LSH ANN search. */
+    * similarity suite's LSH ANN search. 64 plane dots per row through
+    * the codegen'd native kernel. */
   private[llm] def srpBands(e: DataFrame, dim: Int): DataFrame = {
+    graft.plans.FloatVectorDot.register(e.sparkSession)
     val dots = (0 until SrpBits).map(b =>
-      Vectors.dot(col("embedding"), typedLit(plane(b, dim))))
+      Vectors.dotNative(col("embedding"), typedLit(plane(b, dim))))
     def bandVal(k: Int) = (0 until SrpR).map(j =>
       when(dots(k * SrpR + j) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)

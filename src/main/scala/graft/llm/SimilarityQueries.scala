@@ -200,9 +200,13 @@ object SimilarityQueries extends QuerySuite {
     // a "random" projection — the planes are integer-valued and
     // seedless).
     "sim_random_projection" -> ((s, d) => {
+      graft.plans.FloatVectorDot.register(s)
+      // float plane literals: integer components are exact in float,
+      // so the native kernel is bit-identical to the double-literal
+      // HOF fold (see DedupQueries.plane)
       val projs = (0 until 16).map { b =>
-        Vectors.dot(col("embedding"),
-          typedLit((0 until 64).map(i => DedupQueries.planeInt(b, i).toDouble)))
+        Vectors.dotNative(col("embedding"),
+          typedLit(DedupQueries.plane(b, 64)))
       }
       val rnorm2 = projs.map(p => p * p).reduce(_ + _)
       Tables.embeddings(s, d).select(
