@@ -221,6 +221,24 @@ object Multimodal extends QuerySuite {
         .orderBy("mime", "batch_id")
     }),
 
+    // The REAL decode path made oracle-checkable: the PNG fixture's
+    // dimensions are pure integer arithmetic of doc_id, so DuckDB can
+    // predict what the codec MUST decode — the driver hash proves the
+    // encode→decode round-trip (not just the plumbing) without the
+    // oracle ever touching a pixel. Brightness stays spec-only (needs
+    // the actual pixels).
+    "multimodal_decoded_dims" -> ((s, d) => {
+      import s.implicits._
+      mixedMediaTable(s, d).as[MediaRow]
+        .filter(_.mime == "image/png")
+        .mapPartitions(batch => batch.map(decode))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     // Downstream agg over decoded features: per-mime feature stats
     // (exercises decode output — real pixels for image/png — flowing
     // back into relational ops).
@@ -274,6 +292,14 @@ object Multimodal extends QuerySuite {
          |  CAST(sum(n_bytes) AS BIGINT) AS batch_bytes,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY mime, batch_id""".stripMargin,
+
+    "multimodal_decoded_dims" ->
+      """SELECT doc_id,
+        |  CAST(8 + (doc_id % 24) AS BIGINT) AS width,
+        |  CAST(8 + ((doc_id // 7) % 24) AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_frame_sample" ->
       """WITH m AS (
