@@ -16,7 +16,9 @@ object Explain {
     "sim_lsh_topk", "text_top_terms", "agg_percentiles_disc",
     "text_repetition", "text_pack_sequences", "sketch_bloom_prejoin",
     "window_topk_native", "dedup_semantic_survivors", "text_token_ids",
-    "funnel_stages", "join_salted_skew", "layout_zorder_stats")
+    "funnel_stages", "join_salted_skew", "layout_zorder_stats",
+    "dedup_segment_scrub", "sim_pq_codes", "sim_pq_adc_topk",
+    "sim_ivfpq_topk", "text_bpe_encode", "multimodal_decoded_dims")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

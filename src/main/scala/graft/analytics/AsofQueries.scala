@@ -56,8 +56,40 @@ object AsofQueries extends QuerySuite {
         .orderBy("event_id")
   }
 
+  /** FORWARD as-of: for every purchase, the same user's EARLIEST click
+    * at-or-after it — the mirror composition (first() over a FOLLOWING
+    * frame; clicks sort after purchases within a second so same-second
+    * clicks count as "after"). Ties inside one second resolve to the
+    * minimum click id on both engines. */
+  private[analytics] def nextClickAsof(ev: DataFrame): DataFrame = {
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("ts_s", unix_timestamp(col("ts")))
+        .groupBy("user_id", "ts_s")
+        .agg(min("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      val tagged = purchases
+        .select(col("user_id"), col("ts_s"), lit(0).as("side"),
+          lit(null).cast("long").as("click_id"), col("event_id"))
+        .unionByName(clicks
+          .select(col("user_id"), col("ts_s"), lit(1).as("side"),
+            col("click_id"), lit(null).cast("long").as("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("side"), col("click_id").asc_nulls_last)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn("next_click_id",
+          first(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select(col("event_id"), col("user_id"), col("next_click_id"))
+        .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_prev_click" -> ((s, d) => prevClickAsof(Tables.events(s, d))),
+
+    "asof_next_click" -> ((s, d) => nextClickAsof(Tables.events(s, d))),
 
     // Multiset difference: EXCEPT ALL keeps duplicate cardinality
     // (set_except_nations is the distinct variant).
@@ -87,6 +119,21 @@ object AsofQueries extends QuerySuite {
         |FROM purchases p
         |ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_next_click" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         min(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  (SELECT c.click_id FROM clicks c
+        |   WHERE c.user_id = p.user_id AND c.ts_s >= p.ts_s
+        |   ORDER BY c.ts_s, c.click_id LIMIT 1) AS next_click_id
+        |FROM purchases p
         |ORDER BY p.event_id""".stripMargin,
 
     "set_except_all_nations" ->

@@ -59,4 +59,30 @@ class AsofSpec extends SparkSpec {
       ev(40, 1, "purchase", 100))
     assert(out(40L) == Some(30L))
   }
+
+  private def runFwd(rows: (Long, Long, String, Long)*): Map[Long, Option[Long]] =
+    AsofQueries.nextClickAsof(events(rows: _*))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+
+  test("forward as-of: same-second click counts, ties to the MIN event_id") {
+    val out = runFwd(
+      ev(10, 1, "click", 100),
+      ev(11, 1, "click", 100),   // same second: min id wins forward
+      ev(20, 1, "purchase", 100))
+    assert(out(20L) == Some(10L))
+  }
+
+  test("forward as-of: earlier clicks are invisible; none after -> null") {
+    val out = runFwd(
+      ev(5, 1, "click", 99),
+      ev(20, 1, "purchase", 100),
+      ev(6, 1, "click", 105),
+      ev(21, 2, "purchase", 60),
+      ev(7, 2, "click", 50))
+    assert(out(20L) == Some(6L), "nearest following click, not the past one")
+    assert(out(21L) == None)
+  }
 }
