@@ -109,6 +109,30 @@ object ScaleQueries extends QuerySuite {
           col("n_rows"))
         .orderBy("l_returnflag")),
 
+    // Sketch MERGEABILITY — the property that makes sketches the scale
+    // answer: one HLL sketch per event_type (built independently, as
+    // shards would), then hll_union_agg merges the sketches and
+    // estimates the GLOBAL distinct count without ever rescanning rows
+    // — a 100 TB rollup reuses per-partition/per-day sketches instead
+    // of a second global pass. Exact global count alongside for the
+    // error bound (asserted in ScaleSpec); rows-only driver check
+    // (sketch estimates are engine-specific).
+    "sketch_hll_merge" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct("user_id").as("type_users"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct("user_id").as("exact_users"))
+      perType.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"),
+          count(lit(1)).as("n_sketches"),
+          sum("type_users").as("sum_type_users"))
+        .crossJoin(exact)
+        .select(col("n_sketches"), col("merged_est"),
+          col("exact_users"), col("sum_type_users"))
+    }),
+
     // Bitmap-exact distinct counting: the scale companion to
     // sketch_hll_users that stays EXACT. user ids are mapped to
     // (bucket, bit) coordinates, each (key, bucket) group folds into a

@@ -56,6 +56,18 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 0.01, s"$flag: approx=$a exact=$e")
   }
 
+  test("merged HLL sketches estimate the global distinct within 2%") {
+    val sf = "/root/testdata/sf0.001"
+    val r = ScaleQueries.queries("sketch_hll_merge")(spark, sf).collect()(0)
+    val (n, est, exact, sumTypes) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= 2, "must merge at least two independent sketches")
+    assert(sumTypes >= exact,
+      "per-type counts double-count cross-type users — the merge must not")
+    assert(math.abs(est - exact).toDouble / exact <= 0.02,
+      s"merged estimate $est vs exact $exact")
+  }
+
   test("bitmap distinct equals exact countDistinct") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
