@@ -284,42 +284,24 @@ object SimilarityQueries extends QuerySuite {
     // building block already hash-checked on its own
     // (sim_ivf_topk routing, sim_pq_codes codes, sim_pq_adc_topk
     // tables); the composition is oracle hash-checked end to end.
-    "sim_ivfpq_topk" -> ((s, d) => {
-      graft.plans.NearestCentroid.register(s)
-      val e = corpus(s, d)
-      val centArr = e.filter(col("vec_id") % CentroidStride === 0)
-        .agg(collect_list(struct(col("vec_id").as("c_id"),
-          col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
-      val assigned = e.crossJoin(broadcast(centArr))
-        .select(col("vec_id"),
-          call_function(graft.plans.NearestCentroid.Name,
-            col("embedding"), col("nrm"), col("cents")).as("cluster"),
-          col("embedding"))
-      val codes = pqAssigned(s, d)
-        .select(col("vec_id"),
-          transform(col("best"), b => b.getField("c_id")).as("codes"))
-        .join(assigned.select("vec_id", "cluster"), "vec_id")
-      val qs = assigned.filter(col("vec_id") < 10)
-        .crossJoin(broadcast(pqCodebook(s, d)))
-        .withColumn("subs", pqSubs)
-        .select(col("vec_id").as("q_id"), col("cluster"),
-          transform(sequence(lit(0), lit(PqM - 1)), m =>
-            transform(
-              array_sort(filter(col("cb"), c => c.getField("m") === m)),
-              c => pqDist2(element_at(col("subs"), m + 1),
-                c.getField("sub")))).as("dt"))
-      broadcast(qs).join(codes, Seq("cluster"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adc",
-          aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-            (acc, m) => acc + element_at(element_at(col("dt"), m + 1),
-              element_at(col("codes"), m + 1) + 1)))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("adc"), col("vec_id"))).cast("long"))
-        .filter(col("rk") <= TopK)
-        .select("q_id", "cluster", "rk", "vec_id", "adc")
-        .orderBy("q_id", "rk")
+    "sim_ivfpq_topk" -> (ivfpqTopk _),
+
+    // Recall@k of the compressed-index search vs the exact truth set —
+    // the acceptance gate before an IVF-PQ rollout, next to the LSH
+    // index's sim_recall_audit: a PQ configuration is a compression/
+    // recall trade and this query IS the measurement. Fully
+    // oracle-checked (both legs are).
+    "sim_pq_recall" -> ((s, d) => {
+      val bf = bruteTopk(s, d).select(col("q_id"), col("vec_id"))
+      val pq = ivfpqTopk(s, d)
+        .select(col("q_id").as("pq_q"), col("vec_id").as("pq_v"))
+      bf.join(pq, col("q_id") === col("pq_q") && col("vec_id") === col("pq_v"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_truth"), count(col("pq_v")).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_truth").cast("double"))
+        .orderBy("q_id")
     }),
 
     // Per-label norm stats (exact component folds).
@@ -354,6 +336,45 @@ object SimilarityQueries extends QuerySuite {
   private def pqDist2(a: Column_, b: Column_): Column_ =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
+
+  /** The composed IVF-PQ search (see the sim_ivfpq_topk entry). */
+  private def ivfpqTopk(s: SparkSession, d: String): DataFrame = {
+    graft.plans.NearestCentroid.register(s)
+    val e = corpus(s, d)
+    val centArr = e.filter(col("vec_id") % CentroidStride === 0)
+      .agg(collect_list(struct(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        call_function(graft.plans.NearestCentroid.Name,
+          col("embedding"), col("nrm"), col("cents")).as("cluster"),
+        col("embedding"))
+    val codes = pqAssigned(s, d)
+      .select(col("vec_id"),
+        transform(col("best"), b => b.getField("c_id")).as("codes"))
+      .join(assigned.select("vec_id", "cluster"), "vec_id")
+    val qs = assigned.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(pqCodebook(s, d)))
+      .withColumn("subs", pqSubs)
+      .select(col("vec_id").as("q_id"), col("cluster"),
+        transform(sequence(lit(0), lit(PqM - 1)), m =>
+          transform(
+            array_sort(filter(col("cb"), c => c.getField("m") === m)),
+            c => pqDist2(element_at(col("subs"), m + 1),
+              c.getField("sub")))).as("dt"))
+    broadcast(qs).join(codes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(element_at(col("dt"), m + 1),
+            element_at(col("codes"), m + 1) + 1)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("vec_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "cluster", "rk", "vec_id", "adc")
+      .orderBy("q_id", "rk")
+  }
 
   /** The interpreted HOF twin of the native [[graft.plans.PqAssign]]
     * kernel — kept for the bit-equivalence spec (PqKernelSpec). */
@@ -425,6 +446,57 @@ object SimilarityQueries extends QuerySuite {
        |  FROM scored)
        |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
+
+  private def ivfpqTopkSql: String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |           FROM embeddings WHERE vec_id % $CentroidStride = 0),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS c_rk
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE c_rk = 1),
+         |cb AS (
+         |  SELECT ms.m, CAST(vec_id // $PqStride AS INT) AS c_id,
+         |    list_transform(
+         |      embedding[(ms.m*$PqDsub+1):(ms.m*$PqDsub+$PqDsub)],
+         |      x -> CAST(x AS DOUBLE)) AS sub
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+         |  WHERE vec_id % $PqStride = 0 AND vec_id < $PqStride * $PqK),
+         |d AS (
+         |  SELECT e.vec_id, c.m, c.c_id,
+         |    list_sum(list_transform(list_zip(
+         |      list_transform(
+         |        e.embedding[(c.m*$PqDsub+1):(c.m*$PqDsub+$PqDsub)],
+         |        x -> CAST(x AS DOUBLE)),
+         |      c.sub),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         |  FROM embeddings e CROSS JOIN cb c),
+         |r AS (
+         |  SELECT vec_id, m, c_id, d2,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, c_id) AS rk
+         |  FROM d),
+         |codes AS (SELECT vec_id, m, c_id FROM r WHERE rk = 1),
+         |qd AS (SELECT vec_id AS q_id, m, c_id, d2 AS dq
+         |       FROM d WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT qd.q_id, aq.cluster, co.vec_id,
+         |    list_sum(list(qd.dq ORDER BY qd.m)) AS adc
+         |  FROM codes co JOIN qd ON qd.m = co.m AND qd.c_id = co.c_id
+         |  JOIN assigned av ON av.vec_id = co.vec_id
+         |  JOIN assigned aq ON aq.vec_id = qd.q_id
+         |  WHERE co.vec_id <> qd.q_id AND av.cluster = aq.cluster
+         |  GROUP BY qd.q_id, aq.cluster, co.vec_id),
+         |ranked AS (
+         |  SELECT q_id, cluster, vec_id, adc,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc, vec_id) AS rk
+         |  FROM adc)
+         |SELECT q_id, cluster, rk, vec_id, adc FROM ranked
+         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteTopkSql,
@@ -537,56 +609,17 @@ object SimilarityQueries extends QuerySuite {
          |SELECT q_id, rk, vec_id, adc FROM ranked WHERE rk <= $TopK
          |ORDER BY q_id, rk""".stripMargin,
 
-    "sim_ivfpq_topk" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |           FROM embeddings WHERE vec_id % $CentroidStride = 0),
-         |assigned AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT e.vec_id, c.c_id AS cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS c_rk
-         |    FROM embeddings e CROSS JOIN c)
-         |  WHERE c_rk = 1),
-         |cb AS (
-         |  SELECT ms.m, CAST(vec_id // $PqStride AS INT) AS c_id,
-         |    list_transform(
-         |      embedding[(ms.m*$PqDsub+1):(ms.m*$PqDsub+$PqDsub)],
-         |      x -> CAST(x AS DOUBLE)) AS sub
-         |  FROM embeddings
-         |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
-         |  WHERE vec_id % $PqStride = 0 AND vec_id < $PqStride * $PqK),
-         |d AS (
-         |  SELECT e.vec_id, c.m, c.c_id,
-         |    list_sum(list_transform(list_zip(
-         |      list_transform(
-         |        e.embedding[(c.m*$PqDsub+1):(c.m*$PqDsub+$PqDsub)],
-         |        x -> CAST(x AS DOUBLE)),
-         |      c.sub),
-         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-         |  FROM embeddings e CROSS JOIN cb c),
-         |r AS (
-         |  SELECT vec_id, m, c_id, d2,
-         |    row_number() OVER (PARTITION BY vec_id, m
-         |      ORDER BY d2, c_id) AS rk
-         |  FROM d),
-         |codes AS (SELECT vec_id, m, c_id FROM r WHERE rk = 1),
-         |qd AS (SELECT vec_id AS q_id, m, c_id, d2 AS dq
-         |       FROM d WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT qd.q_id, aq.cluster, co.vec_id,
-         |    list_sum(list(qd.dq ORDER BY qd.m)) AS adc
-         |  FROM codes co JOIN qd ON qd.m = co.m AND qd.c_id = co.c_id
-         |  JOIN assigned av ON av.vec_id = co.vec_id
-         |  JOIN assigned aq ON aq.vec_id = qd.q_id
-         |  WHERE co.vec_id <> qd.q_id AND av.cluster = aq.cluster
-         |  GROUP BY qd.q_id, aq.cluster, co.vec_id),
-         |ranked AS (
-         |  SELECT q_id, cluster, vec_id, adc,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY adc, vec_id) AS rk
-         |  FROM adc)
-         |SELECT q_id, cluster, rk, vec_id, adc FROM ranked
-         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin,
+    "sim_ivfpq_topk" -> ivfpqTopkSql,
+
+    "sim_pq_recall" ->
+      s"""WITH bf AS ($bruteTopkSql),
+         |pq AS ($ivfpqTopkSql)
+         |SELECT bf.q_id, count(*) AS n_truth,
+         |  count(pq.vec_id) AS n_hit,
+         |  CAST(count(pq.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM bf LEFT JOIN pq
+         |  ON bf.q_id = pq.q_id AND bf.vec_id = pq.vec_id
+         |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
 
     "sim_pq_codes" -> {
       val codeCols = (0 until PqM)
