@@ -54,6 +54,25 @@ object BpeQueries extends QuerySuite {
   private[llm] def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(initSyms(word)) { case (syms, (a, b)) => mergeOnce(syms, a, b) }
 
+  /** UTF-8 byte-order comparison — the collation Spark's binary string
+    * ordering uses. The local trainer must break count ties with the
+    * SAME order as the distributed orderBy, or the two "bit-identical"
+    * paths diverge on non-BMP text (Java's UTF-16 compareTo sorts
+    * supplementary characters before high-BMP ones; UTF-8 bytes sort
+    * them after). */
+  private[llm] def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8")
+    val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Train the merge table over a (word, freq) type table. Each round
     * is ONE job: re-derive every word's current symbol sequence from
     * the persisted base by applying the merges-so-far (constant
@@ -125,8 +144,8 @@ object BpeQueries extends QuerySuite {
       val best = counts.reduceOption[((String, String), Long)] {
         case (x, y) =>
           if (y._2 > x._2 || (y._2 == x._2 &&
-            (y._1._1 < x._1._1 ||
-              (y._1._1 == x._1._1 && y._1._2 < x._1._2)))) y else x
+            (utf8Lt(y._1._1, x._1._1) ||
+              (y._1._1 == x._1._1 && utf8Lt(y._1._2, x._1._2))))) y else x
       }
       best match {
         case Some(((a, b), n)) if n >= 2 =>
@@ -153,14 +172,16 @@ object BpeQueries extends QuerySuite {
     trained.computeIfAbsent((d, MergeBudget), { _ =>
       import s.implicits._
       // distributed corpus-scale counting pass either way; the merge
-      // loop runs locally iff the TYPE table (an aggregate) is small
+      // loop runs locally iff the TYPE table (an aggregate) is small.
+      // Count first — no sort (order is irrelevant to the local
+      // trainer), and the fallback path never collects rows it would
+      // throw away.
       val counts = Tables.documents(s, d)
         .select(explode(words(lower(col("text")))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .as[(String, Long)]
-      val head = counts.sort("word").limit(LocalTypeCap + 1).collect()
-      if (head.length <= LocalTypeCap)
-        trainMergesLocal(head.toSeq, MergeBudget)
+      if (counts.count() <= LocalTypeCap)
+        trainMergesLocal(counts.collect().toSeq, MergeBudget)
       else
         trainMerges(wordTypes(s, d), MergeBudget)
     })
@@ -210,7 +231,11 @@ object BpeQueries extends QuerySuite {
           // chain once instead of every occurrence
           val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
           iter.map { case (id, text) =>
-            val ws = text.toLowerCase.split(" ", -1).toSeq
+            // Locale.ROOT: Spark's lower() is locale-independent; the
+            // JVM-default-locale toLowerCase would tokenize differently
+            // on e.g. a Turkish-locale driver (I -> dotless ı)
+            val ws = text.toLowerCase(java.util.Locale.ROOT)
+              .split(" ", -1).toSeq
             val toks = ws.flatMap(w =>
               memo.getOrElseUpdate(w, encodeWord(w, merges)))
             val digest = java.security.MessageDigest.getInstance("MD5")

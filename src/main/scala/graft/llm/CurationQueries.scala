@@ -254,13 +254,16 @@ object CurationQueries extends QuerySuite {
     // step between curation and tensors. The id sequence is surfaced
     // as (count, sum, digest) so the driver hash proves the exact
     // sequence without megabyte rows. Scale shape: one explode feeds
-    // the vocab aggregate (vocab ≪ corpus, Zipf — broadcast-joinable
-    // back); ids come from a range-partitioned PARALLEL sort +
-    // zipWithIndex (per-partition counts set the offsets), never a
-    // global single-partition window — at 100 TB the vocab is billions
-    // of distinct terms (URLs, typos) and must not funnel through one
-    // task. Same ids as row_number over (tf desc, term): the sort
-    // order is total because term is unique.
+    // the vocab aggregate; ids come from a range-partitioned PARALLEL
+    // sort + zipWithIndex (per-partition counts set the offsets),
+    // never a global single-partition window — at 100 TB the vocab is
+    // billions of distinct terms (URLs, typos) and must not funnel
+    // through one task. The join back is left to Catalyst/AQE: a
+    // Zipf-truncated vocab broadcasts, a billion-term one shuffle-
+    // joins — forcing broadcast here would contradict the same scale
+    // assumption the zipWithIndex ranking exists for. Same ids as
+    // row_number over (tf desc, term): the sort order is total because
+    // term is unique.
     "text_token_ids" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -274,7 +277,7 @@ object CurationQueries extends QuerySuite {
           .map { case (term, i) => (term, i + 1L) }
           .toDF("term", "id")
       }
-      toks.join(broadcast(vocab), Seq("term"))
+      toks.join(vocab, Seq("term"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           sum("id").as("ids_sum"),

@@ -241,14 +241,20 @@ object Multimodal extends QuerySuite {
 
     // Downstream agg over decoded features: per-mime feature stats
     // (exercises decode output — real pixels for image/png — flowing
-    // back into relational ops).
+    // back into relational ops). The mime join side is recomputed from
+    // doc_id/source as pure column expressions — re-reading it through
+    // mixedMediaTable would re-run the typed payload build (incl. the
+    // PNG encode) a second time just to project one string.
     "multimodal_feature_stats" -> ((s, d) => {
       import s.implicits._
-      val media = mixedMediaTable(s, d)
-      val decoded = media.as[MediaRow]
+      val decoded = mixedMediaTable(s, d).as[MediaRow]
         .mapPartitions(batch => batch.map(decode))
         .toDF()
-      decoded.join(media.select("doc_id", "mime"), "doc_id")
+      val mimes = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit("image/png"))
+          .otherwise(concat(lit("application/x-"), col("source")))
+          .as("mime"))
+      decoded.join(mimes, "doc_id")
         .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
           min("width").as("min_w"), max("width").as("max_w"),

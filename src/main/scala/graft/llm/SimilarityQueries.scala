@@ -133,7 +133,9 @@ object SimilarityQueries extends QuerySuite {
     // NearestCentroidSpec.
     "sim_ivf_topk" -> ((s, d) => {
       graft.plans.NearestCentroid.register(s)
-      val e = corpus(s, d)
+      // zero-norm guard in BOTH twins: NULL-cluster kernel vs the
+      // oracle's NaN-tolerant row_number would otherwise diverge
+      val e = corpus(s, d).filter(col("nrm") > 0)
       val centArr = e.filter(col("vec_id") % CentroidStride === 0)
         .agg(collect_list(struct(col("vec_id").as("c_id"),
           col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
@@ -255,18 +257,10 @@ object SimilarityQueries extends QuerySuite {
         .filter(col("vec_id") < 10)
         .crossJoin(broadcast(pqCodebook(s, d)))
         .withColumn("subs", pqSubs)
-        .select(col("vec_id").as("q_id"),
-          transform(sequence(lit(0), lit(PqM - 1)), m =>
-            transform(
-              array_sort(filter(col("cb"), c => c.getField("m") === m)),
-              c => pqDist2(element_at(col("subs"), m + 1),
-                c.getField("sub")))).as("dt"))
+        .select(col("vec_id").as("q_id"), pqDistTables.as("dt"))
       codes.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adc",
-          aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-            (acc, m) => acc + element_at(element_at(col("dt"), m + 1),
-              element_at(col("codes"), m + 1) + 1)))
+        .withColumn("adc", pqAdc)
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_id"))
             .orderBy(col("adc"), col("vec_id"))).cast("long"))
@@ -337,10 +331,33 @@ object SimilarityQueries extends QuerySuite {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** The composed IVF-PQ search (see the sim_ivfpq_topk entry). */
+  /** Per-subspace query distance tables as c_id-KEYED maps — keyed, not
+    * positional, so a sparse/gapped centroid id set (filtered corpus,
+    * non-contiguous vec_ids) still looks up the right centroid; the
+    * oracle joins by c_id, and a positional array would silently
+    * misalign there. Needs `cb` and `subs` columns. */
+  private def pqDistTables: Column_ =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      map_from_entries(transform(
+        filter(col("cb"), c => c.getField("m") === m),
+        c => struct(c.getField("c_id"),
+          pqDist2(element_at(col("subs"), m + 1), c.getField("sub"))))))
+
+  /** ADC distance: the m-ordered fold of dt[m][code_m] lookups. Needs
+    * `dt` (from [[pqDistTables]]) and `codes` columns. */
+  private def pqAdc: Column_ =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, m) => acc + element_at(element_at(col("dt"), m + 1),
+        element_at(col("codes"), m + 1)))
+
+  /** The composed IVF-PQ search (see the sim_ivfpq_topk entry).
+    * Zero-norm vectors are excluded up front in BOTH twins — the
+    * NearestCentroid kernel returns NULL cluster for an all-NaN cosine
+    * row while the oracle's row_number still assigns one (the same
+    * engine divergence dedup_semantic_survivors guards against). */
   private def ivfpqTopk(s: SparkSession, d: String): DataFrame = {
     graft.plans.NearestCentroid.register(s)
-    val e = corpus(s, d)
+    val e = corpus(s, d).filter(col("nrm") > 0)
     val centArr = e.filter(col("vec_id") % CentroidStride === 0)
       .agg(collect_list(struct(col("vec_id").as("c_id"),
         col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
@@ -357,17 +374,10 @@ object SimilarityQueries extends QuerySuite {
       .crossJoin(broadcast(pqCodebook(s, d)))
       .withColumn("subs", pqSubs)
       .select(col("vec_id").as("q_id"), col("cluster"),
-        transform(sequence(lit(0), lit(PqM - 1)), m =>
-          transform(
-            array_sort(filter(col("cb"), c => c.getField("m") === m)),
-            c => pqDist2(element_at(col("subs"), m + 1),
-              c.getField("sub")))).as("dt"))
+        pqDistTables.as("dt"))
     broadcast(qs).join(codes, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc",
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (acc, m) => acc + element_at(element_at(col("dt"), m + 1),
-            element_at(col("codes"), m + 1) + 1)))
+      .withColumn("adc", pqAdc)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("adc"), col("vec_id"))).cast("long"))
@@ -377,14 +387,16 @@ object SimilarityQueries extends QuerySuite {
   }
 
   /** The interpreted HOF twin of the native [[graft.plans.PqAssign]]
-    * kernel — kept for the bit-equivalence spec (PqKernelSpec). */
+    * kernel — kept for the bit-equivalence spec (PqKernelSpec). The
+    * empty-codebook guard matches the kernel's NULL there too. */
   private[llm] def pqBestHof: Column_ =
-    transform(sequence(lit(0), lit(PqM - 1)), m =>
-      array_min(transform(
-        filter(col("cb"), c => c.getField("m") === m),
-        c => struct(
-          pqDist2(element_at(col("subs"), m + 1), c.getField("sub")).as("d"),
-          c.getField("c_id").as("c_id")))))
+    when(size(col("cb")) > 0,
+      transform(sequence(lit(0), lit(PqM - 1)), m =>
+        array_min(transform(
+          filter(col("cb"), c => c.getField("m") === m),
+          c => struct(
+            pqDist2(element_at(col("subs"), m + 1), c.getField("sub")).as("d"),
+            c.getField("c_id").as("c_id"))))))
 
   /** Corpus with `best` = per-subspace array of struct(d, c_id):
     * nearest centroid (ties to the lower id) and its squared distance.
@@ -401,6 +413,10 @@ object SimilarityQueries extends QuerySuite {
       .withColumn("best",
         call_function(graft.plans.PqAssign.Name,
           col("embedding"), col("cb")))
+      // an empty codebook assigns nothing (kernel returns NULL) — drop
+      // such rows so the Spark output matches the oracle's empty d/r
+      // CTEs instead of emitting all-NULL code rows
+      .filter(col("best").isNotNull)
   }
 
   /** pqAssigned's HOF form, for the kernel-equivalence spec. */
@@ -448,14 +464,16 @@ object SimilarityQueries extends QuerySuite {
        |ORDER BY q_id, rk""".stripMargin
 
   private def ivfpqTopkSql: String =
-    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |           FROM embeddings WHERE vec_id % $CentroidStride = 0),
+    s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE ${Vectors.normSql("embedding")} > 0),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |      FROM nz WHERE vec_id % $CentroidStride = 0),
          |assigned AS (
          |  SELECT vec_id, cluster FROM (
          |    SELECT e.vec_id, c.c_id AS cluster,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS c_rk
-         |    FROM embeddings e CROSS JOIN c)
+         |    FROM nz e CROSS JOIN c)
          |  WHERE c_rk = 1),
          |cb AS (
          |  SELECT ms.m, CAST(vec_id // $PqStride AS INT) AS c_id,
@@ -514,14 +532,16 @@ object SimilarityQueries extends QuerySuite {
          |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
 
     "sim_ivf_topk" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |           FROM embeddings WHERE vec_id % $CentroidStride = 0),
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE ${Vectors.normSql("embedding")} > 0),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |      FROM nz WHERE vec_id % $CentroidStride = 0),
          |assigned AS (
          |  SELECT vec_id, cluster, embedding FROM (
          |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS c_rk
-         |    FROM embeddings e CROSS JOIN c)
+         |    FROM nz e CROSS JOIN c)
          |  WHERE c_rk = 1),
          |q AS (SELECT vec_id AS q_id, cluster, embedding AS q_emb
          |      FROM assigned WHERE vec_id < 10),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.functions.{col, lower, md5}
+import org.apache.spark.sql.functions.{col, lower, md5, regexp_replace, trim}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Streaming exact dedup: the incremental twin of the batch
@@ -48,7 +48,9 @@ object DedupStream {
       canonical: Long)
 
   /** Wire the dedup gate onto a (doc_id, text) stream: digest map-side
-    * (casefold — the normalized-dedup escalation), then one keyed
+    * with the SAME normalization as the batch `dedup_normalized_groups`
+    * (casefold + whitespace-collapse + trim — the stream and batch
+    * passes must agree on what counts as a duplicate), then one keyed
     * stateful stage (RocksDB state store, same provider requirement as
     * [[ChannelProcessor]]). */
   def dedup(docs: Dataset[(Long, String)]): Dataset[Decision] = {
@@ -56,7 +58,8 @@ object DedupStream {
     import s.implicits._
     docs.toDF("doc_id", "text")
       .select(col("doc_id"),
-        md5(lower(col("text")).cast("binary")).as("digest"))
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("digest"))
       .as[DocEvent]
       .groupByKey(_.digest)(Encoders.STRING)
       .transformWithState(new DedupStream(), TimeMode.None(),

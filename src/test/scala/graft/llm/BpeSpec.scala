@@ -57,6 +57,16 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("local tie-break collation is UTF-8 byte order, matching Spark") {
+    val emoji = "😀" // U+1F600, UTF-8 f0 9f 98 80
+    val high = "￮"        // U+FFEE,  UTF-8 ef bf ae
+    assert(emoji.compareTo(high) < 0,
+      "Java's UTF-16 compareTo sorts the supplementary char first")
+    assert(utf8Lt(high, emoji),
+      "UTF-8 byte order sorts it last — the Spark order the trainer uses")
+    assert(!utf8Lt(emoji, high) && !utf8Lt("a", "a") && utf8Lt("a", "ab"))
+  }
+
   test("training stops early when no pair repeats") {
     val singles = Seq(WordSeq("ab", 1L, initSymsOf("ab"))).toDS()
     assert(trainMerges(singles, budget = 10).isEmpty)

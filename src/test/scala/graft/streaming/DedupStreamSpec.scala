@@ -34,10 +34,16 @@ class DedupStreamSpec extends SparkSpec {
     assert(later(5L).kept && later(5L).canonical == 5L)
   }
 
-  test("normalization: casefolded copies collapse to one canonical") {
-    val out = run(Seq(Seq((1L, "Some Text"), (2L, "some text"))))
+  test("normalization matches the batch twin: casefold + whitespace-collapse") {
+    val out = run(Seq(Seq(
+      (1L, "Some Text"), (2L, "some text"),
+      (3L, "  some \t\t text "), (4L, "sometext"))))
     val byDoc = out.map(d => d.doc_id -> d).toMap
     assert(byDoc(1L).kept && !byDoc(2L).kept && byDoc(2L).canonical == 1L)
-    assert(byDoc(1L).digest == byDoc(2L).digest)
+    assert(!byDoc(3L).kept && byDoc(3L).canonical == 1L,
+      "re-wrapped whitespace must collapse like dedup_normalized_groups")
+    assert(byDoc(1L).digest == byDoc(2L).digest &&
+      byDoc(2L).digest == byDoc(3L).digest)
+    assert(byDoc(4L).kept, "joined words are a different document")
   }
 }
