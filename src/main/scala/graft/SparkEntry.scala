@@ -24,6 +24,7 @@ object SparkEntry {
     llm.BpeQueries,
     llm.CurationQueries,
     llm.SimilarityQueries,
+    llm.ClusterQueries,
     llm.Multimodal,
     auth.AuthQueries)
 

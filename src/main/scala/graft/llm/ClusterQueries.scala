@@ -1,0 +1,229 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means training (Lloyd's algorithm) over the
+  * `embeddings` table — the trainer the IVF / SemDeDup stack assumes
+  * (their stride-sampled centroids are exactly a k-means init; this
+  * suite runs the refinement iterations and proves convergence).
+  *
+  * Determinism contract (what makes an iterative float algorithm
+  * DuckDB-oracle-checkable at all): vectors are quantized to integer
+  * grid points up front (`floor(x·10^6 + 0.5)` — the sim_quantize_int8
+  * pattern), so every per-cluster per-dimension SUM is an exact BIGINT
+  * (order-independent under any partitioning), every centroid mean is
+  * one IEEE divide of two exact integers, and every distance is a
+  * fixed-order left fold — bit-identical in Spark and DuckDB, so the
+  * argmin (ties to the lower centroid id, via `array_min` over
+  * `struct(d2, c_id)`) picks the same winner in both engines on every
+  * row of every round.
+  *
+  * Scale design (the textbook 100 TB Lloyd shape): per round the corpus
+  * is touched exactly once, MAP-ONLY — assignment folds the K×64
+  * centroid literal into the scan; the only shuffle is the K×(dim+1)
+  * partial-aggregate rows of the mean update (map-side combine), and
+  * the driver holds just K×64 doubles between rounds, broadcast back as
+  * literals. The corpus is never cached and never shuffled; empty
+  * clusters keep their previous centroid. The convergence trace
+  * (`sim_kmeans_moves`) computes ALL rounds' assignments in ONE scan —
+  * R map-only argmin columns — rather than joining per-round outputs.
+  */
+object ClusterQueries extends QuerySuite {
+
+  /** Cluster count: init centroids are the stride-sampled vectors
+    * `vec_id % KmStride = 0 AND vec_id < KmStride·KmK` (c_id =
+    * vec_id / KmStride), present at every sf. */
+  val KmK = 8
+  val KmStride = 50
+  /** Lloyd rounds: assignment rounds 1..KmRounds, mean updates after
+    * all but the last. */
+  val KmRounds = 4
+  val KmDim = 64
+  /** Quantization grid: |x| < 0.6 in this corpus, so |q| < 6·10^5 and
+    * even 100 TB of per-cluster sums stay far inside BIGINT (and the
+    * test-scale ones inside double-exact range for the oracle). */
+  val KmQ = 1000000.0
+
+  /** float embedding → integer grid point (array<long>). */
+  private[llm] def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(KmQ) + lit(0.5)).cast("long"))
+
+  /** Quantized corpus: (vec_id, qv). */
+  private def qCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+
+  /** Squared L2 between the integer vector `qv` and a double centroid:
+    * fixed-order left fold, bit-identical to the oracle's
+    * `list_sum(list_transform(list_zip(...), ...))`. */
+  private def dist2(qv: Column, cv: Column): Column =
+    aggregate(
+      zip_with(qv, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Map-only nearest-centroid id for the row's `qv` column: the K
+    * centroids ride along as one literal array; `array_min` over
+    * `struct(d2, c_id)` is the argmin with ties to the lower id. */
+  private[llm] def assignExpr(cents: Seq[(Int, Array[Double])]): Column = {
+    val cb = array(cents.map { case (id, cv) =>
+      struct(lit(id).as("c_id"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    array_min(transform(cb, c => struct(
+      dist2(col("qv"), c.getField("cv")).as("d2"),
+      c.getField("c_id").as("c_id")))).getField("c_id")
+  }
+
+  /** Init: quantized stride-sampled corpus vectors, c_id-ordered. */
+  private[llm] def initCents(q: DataFrame): Seq[(Int, Array[Double])] =
+    q.filter(col("vec_id") % KmStride === 0 &&
+        col("vec_id") < KmStride * KmK)
+      .select((col("vec_id") / KmStride).cast("int").as("c_id"), col("qv"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).map(_.toDouble).toArray)
+      .sortBy(_._1).toSeq
+
+  /** One mean update: exact integer sums per (cluster, dim) — the
+    * K×(dim+1)-row partial aggregate is the round's ONLY shuffle —
+    * then one IEEE divide per dim in the driver. Clusters that lost
+    * every member keep their previous centroid. */
+  private[llm] def update(assigned: DataFrame,
+      prev: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {
+    val sums = (0 until KmDim).map(i =>
+      sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val rows = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sums: _*).collect()
+    val means = rows.map { r =>
+      val n = r.getLong(1).toDouble
+      r.getInt(0) -> Array.tabulate(KmDim)(i => r.getLong(i + 2).toDouble / n)
+    }.toMap
+    prev.map { case (id, old) => (id, means.getOrElse(id, old)) }
+  }
+
+  /** Centroids BEFORE each assignment round r = 1..KmRounds (index
+    * r-1). Runs KmRounds-1 update jobs; assignment lineages are
+    * rebuilt lazily from the returned pure data. */
+  private[llm] def centsRoundsOn(q: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+    var c = initCents(q)
+    val all = Seq.newBuilder[Seq[(Int, Array[Double])]]
+    all += c
+    for (_ <- 1 until KmRounds) {
+      c = update(q.withColumn("cluster", assignExpr(c)), c)
+      all += c
+    }
+    all.result()
+  }
+
+  /** Training is a deterministic pure function of the corpus dir —
+    * memoized as plain data (never DataFrames: those would pin a
+    * session) so the two queries share one training per process. */
+  private val trained = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[(Int, Array[Double])]]]()
+  private def centsRounds(s: SparkSession, d: String): Seq[Seq[(Int, Array[Double])]] =
+    trained.computeIfAbsent(d, _ => centsRoundsOn(qCorpus(s, d)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Final-round cluster census: per surviving cluster the member
+    // count plus exact integer coordinate-sum signatures (first two
+    // dims + a position-weighted checksum over all 64) — integers at
+    // the output boundary, so the hash compare never touches a float.
+    "sim_kmeans_train" -> ((s, d) => {
+      val cs = centsRounds(s, d)
+      qCorpus(s, d).withColumn("cluster", assignExpr(cs.last))
+        .withColumn("w", aggregate(
+          zip_with(col("qv"), sequence(lit(1), lit(KmDim)),
+            (v, i) => v * i.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(element_at(col("qv"), 1)).as("sum_d0"),
+          sum(element_at(col("qv"), 2)).as("sum_d1"),
+          sum(col("w")).as("wsum"))
+        .select(col("cluster").as("c_id"), col("n_members"),
+          col("sum_d0"), col("sum_d1"), col("wsum"))
+        .orderBy("c_id")
+    }),
+
+    // Convergence trace: vectors that changed cluster between
+    // consecutive rounds. ONE corpus scan computes every round's
+    // assignment as a map-only column; the R-1 counters come out of a
+    // single 1-row aggregate, exploded to (round, n_vectors, n_moved).
+    "sim_kmeans_moves" -> ((s, d) => {
+      val cs = centsRounds(s, d)
+      val withAll = qCorpus(s, d).select(
+        (1 to KmRounds).map(r => assignExpr(cs(r - 1)).as(s"c$r")): _*)
+      val movedCols = (2 to KmRounds).map(r =>
+        sum(when(col(s"c$r") =!= col(s"c${r - 1}"), lit(1L))
+          .otherwise(lit(0L))).as(s"m$r"))
+      withAll.agg(count(lit(1)).as("n_vectors"), movedCols: _*)
+        .select(explode(array((2 to KmRounds).map(r =>
+          struct(lit(r).as("round"), col("n_vectors"),
+            col(s"m$r").as("n_moved"))): _*)).as("kv"))
+        .select(col("kv.round"), col("kv.n_vectors"), col("kv.n_moved"))
+        .orderBy("round")
+    }))
+
+  /** Unrolled Lloyd rounds as chained CTEs — the oracle replays the
+    * exact iteration: same init, same integer grid, same fold-order
+    * distances, same tie rule (`ORDER BY d2, c_id` ≡ `array_min` over
+    * `struct(d2, c_id)`), same empty-cluster keep (LEFT JOIN +
+    * coalesce). */
+  private def kmCtes: String = {
+    val d2 = "list_sum(list_transform(list_zip(q.qv, c.cv), " +
+      "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    val head = Seq(
+      s"""q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings)""".stripMargin,
+      s"""c0 AS (SELECT CAST(vec_id // $KmStride AS INT) AS c_id,
+         |  list_transform(qv, v -> CAST(v AS DOUBLE)) AS cv
+         |  FROM q WHERE vec_id % $KmStride = 0
+         |    AND vec_id < ${KmStride * KmK})""".stripMargin)
+    val rounds = (1 to KmRounds).flatMap { r =>
+      val assign =
+        s"""a$r AS (
+           |  SELECT vec_id, qv, c_id AS cluster FROM (
+           |    SELECT q.vec_id, q.qv, c.c_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $d2, c.c_id) AS rk
+           |    FROM q CROSS JOIN c${r - 1} c) WHERE rk = 1)""".stripMargin
+      if (r == KmRounds) Seq(assign)
+      else Seq(assign,
+        s"""s$r AS (
+           |  SELECT cluster, t.i, CAST(sum(qv[t.i + 1]) AS BIGINT) AS sv,
+           |    count(*) AS n
+           |  FROM a$r CROSS JOIN (SELECT unnest(range(0, $KmDim)) AS i) t
+           |  GROUP BY cluster, t.i)""".stripMargin,
+        s"""c$r AS (
+           |  SELECT p.c_id, coalesce(m.cv, p.cv) AS cv
+           |  FROM c${r - 1} p LEFT JOIN (
+           |    SELECT cluster, list(CAST(sv AS DOUBLE) / n ORDER BY i) AS cv
+           |    FROM s$r GROUP BY cluster) m ON m.cluster = p.c_id)""".stripMargin)
+    }
+    (head ++ rounds).mkString(",\n")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "sim_kmeans_train" ->
+      s"""WITH $kmCtes
+         |SELECT cluster AS c_id, count(*) AS n_members,
+         |  CAST(sum(qv[1]) AS BIGINT) AS sum_d0,
+         |  CAST(sum(qv[2]) AS BIGINT) AS sum_d1,
+         |  CAST(sum(list_sum(list_transform(
+         |    list_zip(qv, range(1, ${KmDim + 1})),
+         |    p -> p[1] * p[2]))) AS BIGINT) AS wsum
+         |FROM a$KmRounds GROUP BY cluster ORDER BY c_id""".stripMargin,
+
+    "sim_kmeans_moves" ->
+      s"""WITH $kmCtes
+         |SELECT * FROM (
+         |${(2 to KmRounds).map(r =>
+            s"""  SELECT $r AS round, count(*) AS n_vectors,
+               |    CAST(sum(CASE WHEN a$r.cluster <> a${r - 1}.cluster
+               |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+               |  FROM a$r JOIN a${r - 1} USING (vec_id)""".stripMargin)
+           .mkString("\n  UNION ALL\n")}
+         |) ORDER BY round""".stripMargin)
+}
