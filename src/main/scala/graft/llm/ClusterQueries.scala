@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed k-means training (Lloyd's algorithm) over the
@@ -163,6 +164,72 @@ object ClusterQueries extends QuerySuite {
             col(s"m$r").as("n_moved"))): _*)).as("kv"))
         .select(col("kv.round"), col("kv.n_vectors"), col("kv.n_moved"))
         .orderBy("round")
+    }),
+
+    // IVF search routed by the TRAINED centroids — the composition the
+    // trainer exists for: assignment is the same map-only argmin
+    // literal as training (corpus never shuffles to cluster), scoring
+    // is exact cosine within the query's cluster only. Zero-norm
+    // vectors are excluded from scoring in BOTH twins (0/0 cosine).
+    "sim_ivf_trained_topk" -> ((s, d) => {
+      graft.plans.FloatVectorDot.register(s)
+      val cs = centsRounds(s, d)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("qv", quantize(col("embedding")))
+        .withColumn("cluster", assignExpr(cs.last))
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .filter(col("nrm") > 0)
+        .select("vec_id", "cluster", "embedding", "nrm")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cluster"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      broadcast(qs).join(e, Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Vectors.dotNative(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= SimilarityQueries.TopK)
+        .select("q_id", "cluster", "rk", "vec_id", "cos")
+        .orderBy("q_id", "rk")
+    }),
+
+    // Cluster-balance audit: stride-sampled cosine IVF vs trained-L2
+    // k-means, min/max/total member counts per method. Imbalance is
+    // the IVF scale hazard — a hot cluster is a skewed join key at
+    // query time — and the trained partition is what fixes it; this
+    // query makes the comparison a driver-checked number. (The stride
+    // method clusters only norm>0 vectors — its cosine kernel has no
+    // zero-norm answer — so the two totals legitimately differ by the
+    // degenerate-vector count.)
+    "sim_kmeans_balance" -> ((s, d) => {
+      graft.plans.NearestCentroid.register(s)
+      graft.plans.FloatVectorDot.register(s)
+      val cs = centsRounds(s, d)
+      val trainedCounts = qCorpus(s, d)
+        .withColumn("cluster", assignExpr(cs.last))
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .filter(col("nrm") > 0)
+      val centArr = e
+        .filter(col("vec_id") % SimilarityQueries.CentroidStride === 0)
+        .agg(collect_list(struct(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
+      val strideCounts = e.crossJoin(broadcast(centArr))
+        .select(call_function(graft.plans.NearestCentroid.Name,
+          col("embedding"), col("nrm"), col("cents")).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+      def summarize(counts: DataFrame, method: String) =
+        counts.agg(count(lit(1)).as("n_clusters"), min("n").as("n_min"),
+            max("n").as("n_max"), sum("n").as("n_total"))
+          .select(lit(method).as("method"), col("n_clusters"),
+            col("n_min"), col("n_max"), col("n_total"))
+      summarize(strideCounts, "stride_cosine")
+        .union(summarize(trainedCounts, "kmeans_l2"))
+        .orderBy("method")
     }))
 
   /** Unrolled Lloyd rounds as chained CTEs — the oracle replays the
@@ -225,5 +292,52 @@ object ClusterQueries extends QuerySuite {
                |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
                |  FROM a$r JOIN a${r - 1} USING (vec_id)""".stripMargin)
            .mkString("\n  UNION ALL\n")}
-         |) ORDER BY round""".stripMargin)
+         |) ORDER BY round""".stripMargin,
+
+    "sim_ivf_trained_topk" ->
+      s"""WITH $kmCtes,
+         |ee AS (
+         |  SELECT e.vec_id, a$KmRounds.cluster, e.embedding
+         |  FROM embeddings e JOIN a$KmRounds USING (vec_id)
+         |  WHERE ${Vectors.normSql("e.embedding")} > 0),
+         |qq AS (SELECT vec_id AS q_id, cluster, embedding AS q_emb
+         |       FROM ee WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qq.q_id, qq.cluster, ee.vec_id,
+         |    ${Vectors.cosineSql("qq.q_emb", "ee.embedding")} AS cos
+         |  FROM qq JOIN ee ON qq.cluster = ee.cluster
+         |  WHERE ee.vec_id <> qq.q_id),
+         |ranked AS (
+         |  SELECT q_id, cluster, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, cluster, rk, vec_id, cos FROM ranked
+         |WHERE rk <= ${SimilarityQueries.TopK} ORDER BY q_id, rk""".stripMargin,
+
+    "sim_kmeans_balance" ->
+      s"""WITH $kmCtes,
+         |nz AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE ${Vectors.normSql("embedding")} > 0),
+         |sc AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |       FROM nz WHERE vec_id % ${SimilarityQueries.CentroidStride} = 0),
+         |sassign AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Vectors.cosineSql("e.embedding", "c.c_emb")} DESC,
+         |          c.c_id) AS c_rk
+         |    FROM nz e CROSS JOIN sc c)
+         |  WHERE c_rk = 1),
+         |scounts AS (SELECT cluster, count(*) AS n FROM sassign GROUP BY cluster),
+         |tcounts AS (SELECT cluster, count(*) AS n FROM a$KmRounds GROUP BY cluster)
+         |SELECT * FROM (
+         |  SELECT 'stride_cosine' AS method, count(*) AS n_clusters,
+         |    min(n) AS n_min, max(n) AS n_max, CAST(sum(n) AS BIGINT) AS n_total
+         |  FROM scounts
+         |  UNION ALL
+         |  SELECT 'kmeans_l2' AS method, count(*) AS n_clusters,
+         |    min(n) AS n_min, max(n) AS n_max, CAST(sum(n) AS BIGINT) AS n_total
+         |  FROM tcounts
+         |) ORDER BY method""".stripMargin)
 }

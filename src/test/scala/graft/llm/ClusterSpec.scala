@@ -77,6 +77,33 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("sf0.001: trained-IVF top-k and balance audit are well-formed") {
+    val topk = ClusterQueries.queries("sim_ivf_trained_topk")(spark, sf)
+      .collect()
+    assert(topk.nonEmpty)
+    // per query: ranks are 1..k, neighbors share the query's cluster,
+    // cosines are non-increasing in rank
+    topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getLong(2))
+      assert(byRk.map(_.getLong(2)).toSeq === (1L to byRk.length.toLong))
+      assert(byRk.map(_.getInt(1)).distinct.length === 1)
+      val cosines = byRk.map(_.getDouble(4))
+      cosines.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b); case _ => ()
+      }
+    }
+
+    val bal = ClusterQueries.queries("sim_kmeans_balance")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bal.keySet === Set("stride_cosine", "kmeans_l2"))
+    bal.values.foreach { case (nc, nMin, nMax, nTot) =>
+      assert(nc > 0 && nMin >= 1 && nMax >= nMin && nTot >= nMax)
+    }
+    // the trainer clusters every vector, including zero-norm ones
+    assert(bal("kmeans_l2")._4 === 500L)
+  }
+
   test("sf0.001: final assignment matches a driver-side recomputation") {
     val emb = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
