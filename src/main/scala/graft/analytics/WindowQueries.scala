@@ -202,7 +202,26 @@ object WindowQueries extends QuerySuite {
           min(epochS("ts")).as("start_s"),
           max(epochS("ts")).as("end_s"))
         .orderBy("user_id", "session_id")
-    }))
+    }),
+
+    // The NATIVE session operator: Spark's session_window (the same
+    // operator the streaming surface uses with a watermark,
+    // streaming/WindowedStreams.userSessions) pinned against the
+    // classic gaps-and-islands SQL — merge rule "same session iff
+    // time since previous event < gap", window end = last event + gap.
+    // Micro-second integers at the output boundary (unix_micros ≡
+    // DuckDB epoch_us), so the hash compare never touches a float.
+    // Same one-shuffle-on-user_id scale shape as window_sessionize.
+    "window_session_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")))
 
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
@@ -339,5 +358,26 @@ object WindowQueries extends QuerySuite {
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min($epochSql) AS start_s, max($epochSql) AS end_s
          |FROM sessions GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin)
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window's merge rule on exact microseconds: same session
+    // iff diff < gap (a gap-exact boundary starts a NEW session —
+    // hence >= here vs window_sessionize's floored-seconds >).
+    "window_session_native" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin)
 }
