@@ -25,6 +25,7 @@ object SparkEntry {
     llm.CurationQueries,
     llm.SimilarityQueries,
     llm.ClusterQueries,
+    llm.EntityQueries,
     llm.Multimodal,
     auth.AuthQueries)
 

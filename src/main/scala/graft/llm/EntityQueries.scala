@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: fuzzy self-join of the customer name registry —
+  * the metadata-dedup step a training-data pipeline runs on author /
+  * domain / record identifiers that differ by typos.
+  *
+  * Scale design (why this is not an all-pairs scan): candidates come
+  * from SymSpell-style NEIGHBORHOOD BLOCKING — each record emits its
+  * C(9,2)=36 two-wildcard masks of the 9-char discriminative suffix,
+  * and only records sharing a mask meet. For hamming distance ≤ 2 the
+  * differing positions D (|D| ≤ 2) are covered by every wildcard pair
+  * ⊇ D, so the block join is COMPLETE by construction over the
+  * suite's predicate — equal prefix + suffix hamming ≤ 2
+  * (FuzzyNameSpec proves equality to the brute-force join on real
+  * data). Cost is O(n·36) emitted keys and block-local pairing; a
+  * constant mask position yields an agree-everywhere block (exact
+  * duplicates only), never an all-pairs bomb, and the verify step —
+  * 9 integer digit compares on a precomputed LONG, no string
+  * allocation, no HOF, no UDF — runs on candidates only.
+  */
+object EntityQueries extends QuerySuite {
+
+  /** Name layout: 9-char registry prefix + 9-digit id. The match
+    * predicate is EQUAL PREFIX and suffix hamming ≤ [[MaxHamming]] —
+    * exactly the domain the wildcard blocking is complete over (the
+    * oracle and FuzzyNameSpec use the same predicate). */
+  val PrefixLen = 9
+  val SuffixLen = 9
+  val NameLen = PrefixLen + SuffixLen
+  val MaxHamming = 2
+
+  /** Digit-wise hamming distance between two 9-digit ids held as
+    * LONGs: 9 integer div/mod compares, pure codegen arithmetic — no
+    * per-character string allocation on the (candidate-pair-sized)
+    * verify path. */
+  private def digitHamming(a: Column, b: Column): Column =
+    (0 until SuffixLen).map { i =>
+      val p = math.pow(10, i).toLong
+      when((a.divide(p).cast("long") % 10) =!= (b.divide(p).cast("long") % 10),
+        1).otherwise(0)
+    }.reduce(_ + _)
+
+  /** The 36 two-wildcard masks of the suffix; the mask string itself
+    * encodes the wildcard positions, so it is the whole block key. */
+  private def masks(sfx: Column): Column =
+    array((for { p <- 1 to SuffixLen; q <- p + 1 to SuffixLen } yield
+      concat((1 to SuffixLen).map(i =>
+        if (i == p || i == q) lit("_") else substring(sfx, i, 1)): _*)): _*)
+
+  /** Blocked candidate pairs (k1 < k2), hamming-verified. */
+  private[llm] def nearPairs(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name").as("name"))
+      .filter(length(col("name")) === NameLen)
+      .withColumn("pfx", substring(col("name"), 1, PrefixLen))
+      .withColumn("sfx", substring(col("name"), PrefixLen + 1, SuffixLen))
+      // the digit id as a LONG, computed ONCE per record — the verify
+      // step downstream touches only integers, never strings
+      .withColumn("sn", col("sfx").cast("long"))
+      .filter(col("sn").isNotNull)
+    val keyed = c.select(col("k"), col("pfx"), col("sn"),
+      explode(masks(col("sfx"))).as("bkey"))
+    val a = keyed.select(col("bkey"), col("k").as("k1"),
+      col("pfx").as("p1"), col("sn").as("sn1"))
+    val b = keyed.select(col("bkey"), col("k").as("k2"),
+      col("pfx").as("p2"), col("sn").as("sn2"))
+    // verify BEFORE dedup, streaming straight out of the join — the
+    // only shuffled dedup state is the surviving bare (k1, k2) pairs
+    a.join(b, Seq("bkey"))
+      .filter(col("k1") < col("k2") && col("p1") === col("p2") &&
+        digitHamming(col("sn1"), col("sn2")) <= MaxHamming)
+      .select("k1", "k2").distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-entity near-duplicate census: how many registry names sit
+    // within hamming ≤ 2 of each, and the smallest such neighbor key
+    // (the canonical-survivor pointer exact dedup uses). Symmetric:
+    // each verified pair counts for both sides.
+    "dedup_fuzzy_names" -> ((s, d) =>
+      // both directions exploded from ONE pass over the verified
+      // pairs — a union of two selects would execute the whole
+      // blocked join twice
+      nearPairs(s, d)
+        .select(explode(array(
+          struct(col("k1").as("k"), col("k2").as("nbr")),
+          struct(col("k2").as("k"), col("k1").as("nbr")))).as("e"))
+        .groupBy(col("e.k").as("c_custkey"))
+        .agg(count(lit(1)).as("n_near"), min(col("e.nbr")).as("min_nbr"))
+        .orderBy("c_custkey")))
+
+  def oracles: Map[String, String] = Map(
+    // the oracle is the honest brute force — DuckDB pays the all-pairs
+    // cost the blocked plan exists to avoid
+    "dedup_fuzzy_names" ->
+      s"""WITH pairs AS (
+         |  SELECT a.c_custkey AS k, b.c_custkey AS nbr
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey <> b.c_custkey
+         |   AND len(a.c_name) = $NameLen AND len(b.c_name) = $NameLen
+         |   AND substr(a.c_name, 1, $PrefixLen) = substr(b.c_name, 1, $PrefixLen)
+         |   AND mismatches(substr(a.c_name, ${PrefixLen + 1}, $SuffixLen),
+         |                  substr(b.c_name, ${PrefixLen + 1}, $SuffixLen))
+         |       <= $MaxHamming)
+         |SELECT k AS c_custkey, count(*) AS n_near, min(nbr) AS min_nbr
+         |FROM pairs GROUP BY k ORDER BY c_custkey""".stripMargin)
+}

@@ -1,0 +1,39 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Proves the neighborhood-blocked fuzzy join complete: its verified
+  * pair set equals a driver-side brute-force recomputation over every
+  * customer pair (the quadratic scan the blocking exists to avoid).
+  */
+class FuzzyNameSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def hamming(a: String, b: String): Int =
+    a.zip(b).count { case (x, y) => x != y }
+
+  /** The suite's predicate: equal prefix, suffix hamming ≤ 2. */
+  private def near(n1: String, n2: String): Boolean = {
+    val p = EntityQueries.PrefixLen
+    n1.take(p) == n2.take(p) &&
+      hamming(n1.drop(p), n2.drop(p)) <= EntityQueries.MaxHamming
+  }
+
+  test("blocked pairs equal the brute-force hamming join") {
+    val names = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(names.nonEmpty && names.forall(_._2.length == EntityQueries.NameLen))
+
+    val brute = (for {
+      (k1, n1) <- names; (k2, n2) <- names
+      if k1 < k2 && near(n1, n2)
+    } yield (k1, k2)).toSet
+
+    val blocked = EntityQueries.nearPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "fixture should contain near-duplicate names")
+  }
+}
