@@ -19,6 +19,7 @@ object SparkEntry {
     analytics.ScaleQueries,
     analytics.BehaviorQueries,
     analytics.AsofQueries,
+    analytics.GraphQueries,
     llm.DedupQueries,
     llm.TextQueries,
     llm.BpeQueries,

@@ -1,0 +1,44 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Replays the integer PageRank driver-side on sf0.001 and pins the
+  * query's top-20 masses against it exactly — the iteration has no
+  * float accumulation, so the match is bit-exact, not approximate.
+  */
+class GraphSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("top-20 masses equal an exact driver-side replay") {
+    val fwd = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawEdges = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .flatMap { r =>
+        fwd.get(r.getLong(0)).map(c =>
+          (c, GraphQueries.SuppBase + r.getLong(1)))
+      }.toSet
+    val edges = rawEdges ++ rawEdges.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var mass: Map[Long, Long] = deg.map { case (n, _) => n -> GraphQueries.InitMass }
+    val base = 15L * GraphQueries.InitMass / 100L
+    for (_ <- 1 to GraphQueries.Rounds) {
+      val in = edges.toSeq
+        .map { case (s, t) => t -> mass(s) / deg(s) }
+        .groupBy(_._1).map { case (n, cs) => n -> cs.map(_._2).sum }
+      mass = deg.map { case (n, _) =>
+        n -> (base + GraphQueries.Damping * in.getOrElse(n, 0L) / 100L)
+      }
+    }
+    val expect = mass.toSeq.sortBy { case (n, m) => (-m, n) }.take(20)
+      .zipWithIndex.map { case ((n, m), i) => (i + 1L, n, m) }
+
+    val got = GraphQueries.queries("graph_pagerank_top")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === expect)
+    // damping strictly dissipates truncated mass: total after rounds
+    // can never exceed the initial endowment
+    assert(mass.values.sum <= deg.size.toLong * GraphQueries.InitMass)
+  }
+}
