@@ -32,10 +32,8 @@ object Multimodal extends QuerySuite {
       n_frames: Int, brightness: Double)
 
   /** Deterministic small RGB image for a doc id: dimensions and every
-    * pixel are pure functions of the id, encoded as a REAL PNG via
-    * `javax.imageio` — so [[decode]] exercises a genuine codec
-    * round-trip (header parse + pixel scan), not a stand-in. */
-  private[llm] def pngFor(docId: Long): Array[Byte] = {
+    * pixel are pure functions of the id. */
+  private def imgFor(docId: Long): java.awt.image.BufferedImage = {
     val w = 8 + (docId % 24).toInt
     val h = 8 + ((docId / 7) % 24).toInt
     val img = new java.awt.image.BufferedImage(
@@ -52,9 +50,29 @@ object Multimodal extends QuerySuite {
       }
       y += 1
     }
+    img
+  }
+
+  private def toPng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** [[imgFor]] encoded as a REAL PNG via `javax.imageio` — so
+    * [[decode]] exercises a genuine codec round-trip (header parse +
+    * pixel scan), not a stand-in. */
+  private[llm] def pngFor(docId: Long): Array[Byte] = toPng(imgFor(docId))
+
+  /** A NEAR-DUPLICATE of [[pngFor]]: same image with the blue
+    * channel's lowest bit flipped at pixel (0,0) — the re-encoded /
+    * imperceptibly-retouched copy an image dedup must still catch
+    * (the perturbation moves the sampled gray sum by ±1, so at most
+    * one dHash bit flips). */
+  private[llm] def pngNearFor(docId: Long): Array[Byte] = {
+    val img = imgFor(docId)
+    img.setRGB(0, 0, img.getRGB(0, 0) ^ 1)
+    toPng(img)
   }
 
   /** REAL image decode for `image/png` payloads (`javax.imageio`, in
@@ -94,6 +112,94 @@ object Multimodal extends QuerySuite {
       height = 64 + ((checksum / 512) % 512).toInt,
       n_frames = 1 + (len % 16),
       brightness = (checksum % 256) / 255.0)
+  }
+
+  /** Perceptual-hash geometry: 9×8 grayscale grid → 64 gradient bits;
+    * pairs within [[MaxPhashDist]] bits are near-duplicate images.
+    * 4 bands × 16 bits: any pair within distance 3 shares at least
+    * one untouched band (pigeonhole), so band-blocking is COMPLETE. */
+  val PhashBands = 4
+  val MaxPhashDist = 3L
+  /** Planted near-duplicate rows live above this id offset. */
+  val PlantBase = 1000000000L
+
+  /** 64-bit difference hash (dHash) from ACTUAL decoded pixels:
+    * nearest-sample a 9×8 grayscale grid from the real image, bit
+    * (row·8+col) = 1 iff the cell's gray sum exceeds its right
+    * neighbor's — the standard retouch/re-encode-robust image
+    * fingerprint. */
+  private[llm] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val g = Array.ofDim[Int](gw, gh)
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw) {
+        val p = img.getRGB(cx * w / gw, cy * h / gh)
+        g(cx)(cy) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < 8) {
+        if (g(cx)(cy) > g(cx + 1)(cy)) bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Image fingerprint table: every 5th doc's PNG (the same rule as
+    * [[mixedMediaTable]]) decoded and dHashed map-only; docs divisible
+    * by 35 additionally plant a near-duplicate twin at id+[[PlantBase]]
+    * so the dedup query always has true positives to find. */
+  /** Decode a PNG payload and fingerprint its pixels (executor-side;
+    * object-level so the mapPartitions closure captures only the
+    * serializable module, never a session). */
+  private def hashOf(png: Array[Byte]): Long =
+    dHash(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+
+  private[llm] def phashTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        if (id % 5 != 0) Iterator.empty
+        else if (id % 35 == 0)
+          Iterator((id, hashOf(pngFor(id))),
+            (id + PlantBase, hashOf(pngNearFor(id))))
+        else Iterator((id, hashOf(pngFor(id))))
+      }).toDF("doc_id", "phash")
+  }
+
+  /** Banded near-duplicate pairs over a (doc_id, phash) frame: each
+    * hash emits its 4 16-bit bands, candidates share a band value at
+    * the same index (complete for distance ≤ 3 by pigeonhole), and
+    * only candidates pay the exact popcount verify — never an
+    * all-pairs scan. */
+  private[llm] def phashPairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("phash"), 16 * b)
+            .bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("bd"))
+      .select(col("doc_id"), col("phash"),
+        col("bd.band_idx"), col("bd.band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").bitwiseXOR(col("y.phash")).as("px"))
+      .withColumn("hamming", expr("CAST(bit_count(px) AS BIGINT)"))
+      .filter(col("hamming") <= MaxPhashDist)
+      .select("doc_a", "doc_b", "hamming").distinct()
+      .orderBy("doc_a", "doc_b")
   }
 
   /** documents.text reinterpreted as the media payload (UTF-8 bytes). */
@@ -260,7 +366,22 @@ object Multimodal extends QuerySuite {
           min("width").as("min_w"), max("width").as("max_w"),
           sum("n_frames").as("total_frames"))
         .orderBy("mime")
-    }))
+    }),
+
+    // Perceptual fingerprints from ACTUAL pixels: decode → 9×8
+    // grayscale grid → 64 gradient bits, map-only. Rows-only (DuckDB
+    // has no PNG codec); determinism + known-bit behavior spec'd.
+    "multimodal_phash" -> ((s, d) =>
+      phashTable(s, d).orderBy("doc_id")),
+
+    // IMAGE near-duplicate detection — the multimodal twin of the
+    // text dedup family: banded blocking over the dHash (complete for
+    // hamming ≤ 3 by pigeonhole), exact popcount verify on candidates
+    // only. The planted retouched twins (id+1e9) are the guaranteed
+    // true positives; MultimodalSpec proves the blocked output equals
+    // the brute-force pair scan.
+    "multimodal_phash_dups" -> ((s, d) =>
+      phashPairs(phashTable(s, d))))
 
   def oracles: Map[String, String] = Map(
     "multimodal_meta" ->

@@ -73,4 +73,33 @@ class MultimodalSpec extends SparkSpec {
     assert(png._4 == png._1, "n_frames must equal n_media for stills")
     assert(rows.keys.count(_.startsWith("application/x-")) > 0)
   }
+
+  test("phash dedup finds every planted retouched twin within 1 bit") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Multimodal.queries("multimodal_phash_dups")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val planted = (0L until 500L)
+      .filter(id => id % 35 == 0 && id % 5 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val d = pairs.get((id, id + Multimodal.PlantBase))
+      assert(d.exists(_ <= 1L),
+        s"planted twin of $id missing or too far: $d")
+    }
+  }
+
+  test("banded phash pairs equal the brute-force popcount scan") {
+    val sf = "/root/testdata/sf0.001"
+    val sigs = Multimodal.queries("multimodal_phash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(sigs.nonEmpty)
+    val brute = (for {
+      (k1, h1) <- sigs; (k2, h2) <- sigs
+      if k1 < k2 &&
+        java.lang.Long.bitCount(h1 ^ h2) <= Multimodal.MaxPhashDist
+    } yield (k1, k2, java.lang.Long.bitCount(h1 ^ h2).toLong)).toSet
+    val blocked = Multimodal.queries("multimodal_phash_dups")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute)
+  }
 }
