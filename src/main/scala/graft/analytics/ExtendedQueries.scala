@@ -127,6 +127,42 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("user_id", "event_id")
     }),
 
+    // POINT-IN-TIME enrichment (the feature-store staple that
+    // prevents label leakage): each click is joined to the SCD2 state
+    // that was valid AT its instant — never a later one. Executed as
+    // the scalable as-of shape: union the tagged dimension-change and
+    // fact rows, one shuffle on user_id, and carry the last non-null
+    // state forward with last(ignoreNulls) over (ts, event_id, tag) —
+    // tag orders a change before a fact at the same instant, so a
+    // click that is itself a state change sees its own new state.
+    // No interval join, no per-row subquery.
+    "cdc_point_in_time" -> ((s, d) => {
+      val chgW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pitW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"), col("tag"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ev = Tables.events(s, d)
+      val chg = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(chgW))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"), lit(0).as("tag"))
+      val fact = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("string").as("state"), lit(1).as("tag"))
+      chg.unionByName(fact)
+        .withColumn("state_at",
+          last(col("state"), ignoreNulls = true).over(pitW))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("t_s"), col("state_at"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // EXISTS / NOT EXISTS correlated subqueries through SQL — the
     // remaining subquery flavor next to scalar and IN; Catalyst
     // rewrites both to semi/anti joins.
@@ -444,6 +480,27 @@ object ExtendedQueries extends QuerySuite {
         |        ORDER BY ts DESC, event_id DESC) AS rk
         |      FROM events)
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_point_in_time" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (SELECT user_id, ts, event_id, event_type AS state, 0 AS tag
+        |        FROM x WHERE prev IS NULL OR prev <> event_type),
+        |fct AS (SELECT user_id, ts, event_id, CAST(NULL AS VARCHAR) AS state,
+        |          1 AS tag
+        |        FROM events WHERE event_type = 'click'),
+        |u AS (SELECT * FROM chg UNION ALL SELECT * FROM fct),
+        |w AS (SELECT user_id, ts, event_id, tag,
+        |    last_value(state IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_at
+        |  FROM u)
+        |SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+        |  state_at
+        |FROM w WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin,
 
     "cdc_scd2_history" ->
       """WITH x AS (

@@ -82,6 +82,29 @@ object CurationQueries extends QuerySuite {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TEMPORAL split with an embargo gap — the time-series evaluation
+    // discipline (train strictly before, test strictly after, a
+    // dropped buffer between so near-boundary leakage can't inflate
+    // eval): assign by event time against fixed calendar cutoffs,
+    // then census each split. Map-only assignment, one aggregate; at
+    // 100 TB this is a partition-pruning predicate when the data is
+    // date-partitioned.
+    "curation_temporal_split" -> ((s, d) => {
+      val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+      val t2 = lit("2024-01-22 00:00:00").cast("timestamp")
+      Tables.events(s, d)
+        .withColumn("split",
+          when(col("ts") < t1, "train")
+            .when(col("ts") < t2, "embargo")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(unix_timestamp(col("ts"))).as("t_min"),
+          max(unix_timestamp(col("ts"))).as("t_max"))
+        .orderBy("split")
+    }),
+
     // Repetition metrics (the Gopher repetition signals, adapted to
     // single-line docs): top/duplicate fractions over unigrams and
     // bigrams. A doc with one word has no bigrams -> NULL bigram
@@ -408,6 +431,17 @@ object CurationQueries extends QuerySuite {
     |  FROM wagg JOIN m ON wagg.doc_id = m.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "curation_temporal_split" ->
+      """SELECT
+        |  CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |       WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_min,
+        |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS t_max
+        |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
     "text_repetition" ->
       s"""WITH $repetitionCte,
          |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
