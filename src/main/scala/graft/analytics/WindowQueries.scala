@@ -221,7 +221,35 @@ object WindowQueries extends QuerySuite {
           unix_micros(col("w.start")).as("start_us"),
           unix_micros(col("w.end")).as("end_us"),
           col("n_events"))
-        .orderBy("user_id", "start_us")))
+        .orderBy("user_id", "start_us")),
+
+    // The native TUMBLING window operator (epoch-aligned 6 h buckets)
+    // pinned against plain modulo arithmetic — with session_window and
+    // the sliding twin below, the full built-in time-window family is
+    // oracle-checked in batch. Integer-cents money, microsecond ints.
+    "window_tumbling_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("cents_sum"))
+        .select(unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("event_type"), col("n_events"), col("cents_sum"))
+        .orderBy("start_us", "event_type")),
+
+    // The native SLIDING window operator: 6 h windows every 3 h, each
+    // event lands in exactly duration/slide = 2 windows; the oracle
+    // derives both member windows per event with modulo arithmetic
+    // and must aggregate to the identical census.
+    "window_sliding_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("n_users"))
+        .orderBy("start_us")))
 
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
@@ -379,5 +407,24 @@ object WindowQueries extends QuerySuite {
         |SELECT user_id, min(us) AS start_us,
         |  max(us) + 1800000000 AS end_us, count(*) AS n_events
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, start_us""".stripMargin)
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "window_tumbling_native" ->
+      s"""SELECT
+         |  epoch_us(ts) - epoch_us(ts) % 21600000000 AS start_us,
+         |  epoch_us(ts) - epoch_us(ts) % 21600000000 + 21600000000 AS end_us,
+         |  event_type, count(*) AS n_events,
+         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS cents_sum
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY start_us, event_type""".stripMargin,
+
+    "window_sliding_native" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(ts) % 10800000000
+        |      - k.k * 10800000000 AS start_us
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k)
+        |SELECT start_us, start_us + 21600000000 AS end_us,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY start_us ORDER BY start_us""".stripMargin)
 }
