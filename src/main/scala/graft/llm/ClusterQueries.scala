@@ -67,15 +67,19 @@ object ClusterQueries extends QuerySuite {
 
   /** Map-only nearest-centroid id for the row's `qv` column: the K
     * centroids ride along as one literal array; `array_min` over
-    * `struct(d2, c_id)` is the argmin with ties to the lower id. */
-  private[llm] def assignExpr(cents: Seq[(Int, Array[Double])]): Column = {
-    val cb = array(cents.map { case (id, cv) =>
-      struct(lit(id).as("c_id"), array(cv.map(lit(_)): _*).as("cv"))
-    }: _*)
-    array_min(transform(cb, c => struct(
-      dist2(col("qv"), c.getField("cv")).as("d2"),
-      c.getField("c_id").as("c_id")))).getField("c_id")
-  }
+    * `struct(d2, c_id)` is the argmin with ties to the lower id.
+    * TOTAL: an empty centroid set assigns NULL (callers filter those
+    * rows out, mirroring the oracle's empty cross join). */
+  private[llm] def assignExpr(cents: Seq[(Int, Array[Double])]): Column =
+    if (cents.isEmpty) lit(null).cast("int")
+    else {
+      val cb = array(cents.map { case (id, cv) =>
+        struct(lit(id).as("c_id"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*)
+      array_min(transform(cb, c => struct(
+        dist2(col("qv"), c.getField("cv")).as("d2"),
+        c.getField("c_id").as("c_id")))).getField("c_id")
+    }
 
   /** Init: quantized stride-sampled corpus vectors, c_id-ordered. */
   private[llm] def initCents(q: DataFrame): Seq[(Int, Array[Double])] =
@@ -94,7 +98,8 @@ object ClusterQueries extends QuerySuite {
       prev: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {
     val sums = (0 until KmDim).map(i =>
       sum(element_at(col("qv"), i + 1)).as(s"s$i"))
-    val rows = assigned.groupBy("cluster")
+    val rows = assigned.filter(col("cluster").isNotNull)
+      .groupBy("cluster")
       .agg(count(lit(1)).as("n"), sums: _*).collect()
     val means = rows.map { r =>
       val n = r.getLong(1).toDouble
@@ -133,6 +138,9 @@ object ClusterQueries extends QuerySuite {
     "sim_kmeans_train" -> ((s, d) => {
       val cs = centsRounds(s, d)
       qCorpus(s, d).withColumn("cluster", assignExpr(cs.last))
+        // no-op on trained data; drops everything when there were no
+        // seed vectors, mirroring the oracle's empty-c0 cross join
+        .filter(col("cluster").isNotNull)
         .withColumn("w", aggregate(
           zip_with(col("qv"), sequence(lit(1), lit(KmDim)),
             (v, i) => v * i.cast("long")),
@@ -155,6 +163,7 @@ object ClusterQueries extends QuerySuite {
       val cs = centsRounds(s, d)
       val withAll = qCorpus(s, d).select(
         (1 to KmRounds).map(r => assignExpr(cs(r - 1)).as(s"c$r")): _*)
+        .filter(col("c1").isNotNull)
       val movedCols = (2 to KmRounds).map(r =>
         sum(when(col(s"c$r") =!= col(s"c${r - 1}"), lit(1L))
           .otherwise(lit(0L))).as(s"m$r"))
@@ -179,7 +188,7 @@ object ClusterQueries extends QuerySuite {
         .withColumn("qv", quantize(col("embedding")))
         .withColumn("cluster", assignExpr(cs.last))
         .withColumn("nrm", Vectors.normNative(col("embedding")))
-        .filter(col("nrm") > 0)
+        .filter(col("nrm") > 0 && col("cluster").isNotNull)
         .select("vec_id", "cluster", "embedding", "nrm")
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("cluster"),
@@ -209,6 +218,7 @@ object ClusterQueries extends QuerySuite {
       val cs = centsRounds(s, d)
       val trainedCounts = qCorpus(s, d)
         .withColumn("cluster", assignExpr(cs.last))
+        .filter(col("cluster").isNotNull)
         .groupBy("cluster").agg(count(lit(1)).as("n"))
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -221,6 +231,9 @@ object ClusterQueries extends QuerySuite {
       val strideCounts = e.crossJoin(broadcast(centArr))
         .select(call_function(graft.plans.NearestCentroid.Name,
           col("embedding"), col("nrm"), col("cents")).as("cluster"))
+        // the kernel's NULL (empty centroid set) mirrors the oracle's
+        // empty cross join
+        .filter(col("cluster").isNotNull)
         .groupBy("cluster").agg(count(lit(1)).as("n"))
       def summarize(counts: DataFrame, method: String) =
         counts.agg(count(lit(1)).as("n_clusters"), min("n").as("n_min"),

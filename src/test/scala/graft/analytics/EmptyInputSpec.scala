@@ -52,6 +52,43 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("k-means, fuzzy, phash, PageRank and window queries survive empty tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty4").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    Seq.empty[(Long, String)]
+      .toDF("c_custkey", "c_name")
+      .repartition(1).write.parquet(s"$dir/customer.parquet")
+    Seq.empty[(Long, Long)]
+      .toDF("o_orderkey", "o_custkey")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long)]
+      .toDF("l_orderkey", "l_suppkey")
+      .repartition(1).write.parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    // sim_kmeans_moves still emits its per-round rows (aggregates
+    // without GROUP BY yield one row even on empty input — exactly
+    // like the oracle's UNION ALL arms), so it is asserted separately
+    for (q <- Seq("sim_kmeans_train", "sim_ivf_trained_topk",
+        "dedup_fuzzy_names", "multimodal_phash", "multimodal_phash_dups",
+        "graph_pagerank_top", "window_session_native",
+        "window_tumbling_native", "window_sliding_native",
+        "cdc_point_in_time")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+      assert(out.count() == 0L, s"$q must be empty, not crash")
+    }
+    val moves = SparkEntry.queries("sim_kmeans_moves")(spark, dir).collect()
+    assert(moves.length == 3 && moves.forall(_.getLong(1) == 0L))
+    val bal = SparkEntry.queries("sim_kmeans_balance")(spark, dir).collect()
+    assert(bal.length == 2 && bal.forall(_.getLong(1) == 0L))
+  }
+
   test("pivot_unpivot_roundtrip derives the status domain from the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
     // a status outside the usual {F, O, P} domain must survive
