@@ -41,4 +41,30 @@ class GraphSpec extends SparkSpec {
     // can never exceed the initial endowment
     assert(mass.values.sum <= deg.size.toLong * GraphQueries.InitMass)
   }
+
+  test("every per-round mass join is broadcast; no nested-loop shapes") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val df = GraphQueries.queries("graph_pagerank_top")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val loops = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(loops.isEmpty, s"nested-loop join in PageRank plan:\n$loops")
+      val bcast = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      // one broadcast per round (edges ⋈ mass) at minimum — the
+      // edge-sized side must never shuffle for the mass join
+      assert(bcast.size >= GraphQueries.Rounds,
+        s"expected ≥${GraphQueries.Rounds} broadcast joins, got ${bcast.size}")
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
 }

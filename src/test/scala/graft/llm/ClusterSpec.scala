@@ -2,6 +2,8 @@ package graft.llm
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import ClusterQueries._
 
 /** Pins the k-means trainer's semantics on a planted corpus where the
@@ -102,6 +104,44 @@ class ClusterSpec extends SparkSpec {
     }
     // the trainer clusters every vector, including zero-norm ones
     assert(bal("kmeans_l2")._4 === 500L)
+  }
+
+  test("mean-update shuffle carries at most partitions*K rows (executable Lloyd bound)") {
+    import spark.implicits._
+    // 4000 corpus rows over `parts` partitions: the per-round update
+    // must shuffle only the map-side-combined partials, never the rows
+    val parts = 8
+    val q = (0L until 4000L).map(id => (id, Array.fill(KmDim)(
+        ((id % 97).toFloat - 48f) / 100f)))
+      .toDF("vec_id", "embedding")
+      .repartition(parts)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = initCents(q)
+    assert(cents.size === KmK)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val sums = (0 until KmDim).map(i =>
+        sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+      val agg = q.withColumn("cluster", assignExpr(cents))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sums: _*)
+      agg.collect()
+      val partials = agg.queryExecution.executedPlan.collect {
+        case h: HashAggregateExec
+          if h.aggregateExpressions.nonEmpty &&
+            h.aggregateExpressions.forall(_.mode == Partial) => h
+      }
+      assert(partials.nonEmpty, "no partial aggregate found in the plan")
+      val shuffled = partials.map(_.metrics("numOutputRows").value).sum
+      val bound = parts.toLong * KmK
+      assert(shuffled <= bound,
+        s"update shuffled $shuffled rows, bound is $parts*$KmK = $bound")
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
   }
 
   test("sf0.001: final assignment matches a driver-side recomputation") {
