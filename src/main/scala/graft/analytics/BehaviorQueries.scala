@@ -147,7 +147,31 @@ object BehaviorQueries extends QuerySuite {
         .filter(col("rk") <= 10)
         .select("rk", "prev_type", "curr_type", "n")
         .orderBy("rk")
-    }))
+    }),
+
+    // Per-user EWMA of event value — the exponential-decay feature a
+    // feature store computes per entity. An inherently ORDER-DEPENDENT
+    // float recursion (e_i = α·x_i + (1-α)·e_{i-1}, e_0 = x_0) made
+    // engine-exact: the per-user history is collected into an
+    // explicitly (ts, event_id)-sorted array — bounded by the user's
+    // own event count, never corpus-scale — and folded left with
+    // α = 0.5 over integer-cents doubles, the same first-element-init
+    // left fold DuckDB's list_reduce performs, so both engines round
+    // identically at every step.
+    "ts_ewma_user" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          graft.analytics.Exact.cents(col("value")).cast("double").as("v"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("v")))).as("h"))
+        .select(col("user_id"), col("n_events"),
+          aggregate(transform(col("h"), x => x.getField("v")),
+            lit(null).cast("double"),
+            (acc, v) => when(acc.isNull, v)
+              .otherwise(lit(0.5) * v + lit(0.5) * acc)).as("ewma_cents"))
+        .orderBy("user_id")))
 
   private val secSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
@@ -237,5 +261,15 @@ object BehaviorQueries extends QuerySuite {
          |r AS (SELECT *, row_number() OVER (
          |    ORDER BY n DESC, prev_type, curr_type) AS rk FROM c)
          |SELECT rk, prev_type, curr_type, n FROM r WHERE rk <= 10
-         |ORDER BY rk""".stripMargin)
+         |ORDER BY rk""".stripMargin,
+
+    // list_reduce left-folds with the first element as init — exactly
+    // the Spark null-init fold's semantics; the ordered list pins the
+    // recursion order so both engines round identically
+    "ts_ewma_user" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(
+        |    list(CAST(round(value*100) AS DOUBLE) ORDER BY ts, event_id),
+        |    (acc, x) -> 0.5*x + 0.5*acc) AS ewma_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
