@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming per-entity EWMA maintenance: the incremental twin of the
+  * batch `ts_ewma_user` fold (e_0 = x_0, e_i = α·x_i + (1−α)·e_{i−1},
+  * α = 0.5 over integer-cents doubles).
+  *
+  * EWMA is ORDER-DEPENDENT, so the processor is explicit about order:
+  * rows are applied in (ts, event_id) order WITHIN each micro-batch
+  * (intra-batch disorder is repaired by a bounded sort of that batch's
+  * rows for the key), and a row at or before the last applied
+  * (ts, event_id) is never re-folded — replays of already-applied
+  * rows are absorbed silently and genuinely-late arrivals are counted
+  * in `n_late` rather than corrupting the recursion. Under per-key
+  * in-order delivery (the Kafka-partition-by-key contract) the result
+  * is bit-identical to the batch fold.
+  *
+  * Scale: O(1) state per entity — the current smoothed value and the
+  * last applied position, never the history. One emission per key per
+  * micro-batch that changed it, versioned like [[CdcStream]].
+  */
+class EwmaStream
+    extends StatefulProcessor[Long, EwmaStream.Obs, EwmaStream.Feat] {
+  import EwmaStream._
+
+  @transient private var cur: org.apache.spark.sql.streaming.ValueState[Feat] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cur = getHandle.getValueState[Feat](
+      "ewma", Encoders.product[Feat], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Obs],
+      timers: TimerValues): Iterator[Feat] = {
+    val prev = if (cur.exists()) Some(cur.get()) else None
+    var ewma = prev.map(_.ewma_cents).getOrElse(0.0)
+    var n = prev.map(_.n_applied).getOrElse(0L)
+    var late = prev.map(_.n_late).getOrElse(0L)
+    var lastTs = prev.map(_.last_ts).getOrElse(Long.MinValue)
+    var lastEv = prev.map(_.last_event).getOrElse(Long.MinValue)
+    var applied = 0L
+    val ordered = rows.toArray.sortBy(o => (o.ts, o.event_id))
+    for (o <- ordered) {
+      if (o.ts > lastTs || (o.ts == lastTs && o.event_id > lastEv)) {
+        ewma = if (n == 0L) o.v else 0.5 * o.v + 0.5 * ewma
+        n += 1; applied += 1
+        lastTs = o.ts; lastEv = o.event_id
+      } else if (o.ts != lastTs || o.event_id != lastEv)
+        late += 1
+      // an exact replay of the last applied row (the common
+      // at-least-once case) is absorbed silently — no count, no emit
+    }
+    if (applied == 0L && late == prev.map(_.n_late).getOrElse(0L))
+      Iterator.empty // batch carried nothing new for this key
+    else {
+      val next = Feat(key, ewma, lastTs, lastEv, n, late,
+        prev.map(_.version).getOrElse(0L) + 1)
+      cur.update(next)
+      Iterator.single(next)
+    }
+  }
+}
+
+object EwmaStream {
+  case class Obs(user_id: Long, ts: Long, event_id: Long, v: Double)
+  case class Feat(user_id: Long, ewma_cents: Double, last_ts: Long,
+      last_event: Long, n_applied: Long, n_late: Long, version: Long)
+
+  /** Wire EWMA maintenance onto an observation stream (RocksDB state
+    * store, same provider requirement as [[ChannelProcessor]]). */
+  def features(obs: Dataset[Obs]): Dataset[Feat] = {
+    implicit val outEnc = Encoders.product[Feat]
+    obs
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new EwmaStream(), TimeMode.None(),
+        OutputMode.Append())
+  }
+}
