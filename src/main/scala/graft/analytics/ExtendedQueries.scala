@@ -322,6 +322,35 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("rule_id")
     }),
 
+    // JOIN-KEY SKEW diagnostics — the audit a 100 TB pipeline runs
+    // before shipping a shuffle join: per candidate key column, the
+    // distinct-key count, total rows, the hottest key and its row
+    // count, and a 100×-scaled mean (all integers). A max/avg ratio
+    // far above 1 is the salting/AQE-skew-split trigger
+    // (join_salted_skew is the treatment; this is the diagnosis). One
+    // keys-space-sized aggregate per column, no global sort or window
+    // — the hottest key comes from a second pass over the (already
+    // small) counts table against the broadcast 1-row max.
+    "dq_key_skew" -> ((s, d) => {
+      def skewOf(df: DataFrame, keyCol: String, label: String) = {
+        val counts = df.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("n"))
+        val stats = counts.agg(count(lit(1)).as("n_keys"),
+          sum("n").as("n_total"), max("n").as("max_n"))
+        val top = counts.join(broadcast(stats.select("max_n")),
+            col("n") === col("max_n"))
+          .agg(min("k").as("top_key"))
+        stats.crossJoin(top)
+          .select(lit(label).as("key_col"), col("n_keys"), col("n_total"),
+            col("max_n"), col("top_key"),
+            expr("(100 * n_total) div n_keys").as("avg_x100"))
+      }
+      skewOf(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+        .union(skewOf(Tables.events(s, d), "user_id", "events.user_id"))
+        .union(skewOf(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+        .orderBy("key_col")
+    }),
+
     // Wide→long reshaping: pivot order counts to one column per
     // status, then melt back with `unpivot` — the reshape pair every
     // reporting layer needs. Null cells (combinations absent from the
@@ -480,6 +509,28 @@ object ExtendedQueries extends QuerySuite {
         |        ORDER BY ts DESC, event_id DESC) AS rk
         |      FROM events)
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "dq_key_skew" -> {
+      def arm(table: String, key: String) =
+        s"""SELECT '$table.$key' AS key_col, n_keys, n_total, max_n, top_key,
+           |    (100 * n_total) // n_keys AS avg_x100
+           |  FROM (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_total,
+           |          max(n) AS max_n
+           |        FROM (SELECT $key AS k, count(*) AS n
+           |              FROM $table GROUP BY 1)) s,
+           |       (SELECT min(k) AS top_key
+           |        FROM (SELECT $key AS k, count(*) AS n
+           |              FROM $table GROUP BY 1)
+           |        WHERE n = (SELECT max(n) FROM (
+           |          SELECT count(*) AS n FROM $table GROUP BY $key))) t""".stripMargin
+      s"""SELECT * FROM (
+         |${arm("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${arm("events", "user_id")}
+         |UNION ALL
+         |${arm("orders", "o_custkey")}
+         |) ORDER BY key_col""".stripMargin
+    },
 
     "cdc_point_in_time" ->
       """WITH x AS (
