@@ -158,6 +158,35 @@ object BehaviorQueries extends QuerySuite {
     // α = 0.5 over integer-cents doubles, the same first-element-init
     // left fold DuckDB's list_reduce performs, so both engines round
     // identically at every step.
+    // Audience overlap: exact Jaccard between every pair of event-type
+    // user segments — the dataset-diversity / segment-dedup audit. The
+    // (user, type) distinct set shuffles once on user_id and the
+    // self-join is co-partitioned on that key; per-user pair fan-out is
+    // bounded by C(|types|, 2), never corpus². Jaccard is one IEEE
+    // divide of exact integers.
+    "audience_overlap" -> ((s, d) => {
+      val a = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = a.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val inter = a.as("x").join(a.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"),
+          col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("event_type").as("ta"),
+          col("n").as("na"))), "ta")
+        .join(broadcast(sizes.select(col("event_type").as("tb"),
+          col("n").as("nb"))), "tb")
+        .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_inter"),
+          (col("na") + col("nb") - col("n_inter")).as("n_union"),
+          (col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter")).cast("double"))
+            .as("jaccard"))
+        .orderBy("ta", "tb")
+    }),
+
     "ts_ewma_user" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -262,6 +291,23 @@ object BehaviorQueries extends QuerySuite {
          |    ORDER BY n DESC, prev_type, curr_type) AS rk FROM c)
          |SELECT rk, prev_type, curr_type, n FROM r WHERE rk <= 10
          |ORDER BY rk""".stripMargin,
+
+    "audience_overlap" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM a GROUP BY 1),
+        |i AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    count(*) AS n_inter
+        |  FROM a x JOIN a y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.ta, i.tb, sa.n AS na, sb.n AS nb, i.n_inter,
+        |  sa.n + sb.n - i.n_inter AS n_union,
+        |  CAST(i.n_inter AS DOUBLE) /
+        |    CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN sz sa ON sa.event_type = i.ta
+        |       JOIN sz sb ON sb.event_type = i.tb
+        |ORDER BY ta, tb""".stripMargin,
 
     // list_reduce left-folds with the first element as init — exactly
     // the Spark null-init fold's semantics; the ordered list pins the
