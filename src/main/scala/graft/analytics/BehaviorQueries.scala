@@ -174,11 +174,15 @@ object BehaviorQueries extends QuerySuite {
         .groupBy(col("x.event_type").as("ta"),
           col("y.event_type").as("tb"))
         .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(broadcast(sizes.select(col("event_type").as("ta"),
-          col("n").as("na"))), "ta")
-        .join(broadcast(sizes.select(col("event_type").as("tb"),
-          col("n").as("nb"))), "tb")
+      // EVERY pair appears, including fully-disjoint ones (jaccard 0,
+      // the rows a diversity audit most wants): the pair spine is the
+      // tiny sizes×sizes cross, left-joined to the intersections
+      sizes.select(col("event_type").as("ta"), col("n").as("na"))
+        .crossJoin(broadcast(
+          sizes.select(col("event_type").as("tb"), col("n").as("nb"))))
+        .filter(col("ta") < col("tb"))
+        .join(inter, Seq("ta", "tb"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
         .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_inter"),
           (col("na") + col("nb") - col("n_inter")).as("n_union"),
           (col("n_inter").cast("double") /
@@ -189,6 +193,12 @@ object BehaviorQueries extends QuerySuite {
 
     "ts_ewma_user" -> ((s, d) =>
       Tables.events(s, d)
+        // NULL values are excluded in BOTH twins: the Spark null-init
+        // fold would silently RESTART the recursion at a NULL while
+        // DuckDB's list_reduce NULL-poisons to the end — neither is
+        // the feature anyone wants, so a null observation simply does
+        // not participate
+        .filter(col("value").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
           graft.analytics.Exact.cents(col("value")).cast("double").as("v"))
         .groupBy("user_id")
@@ -301,12 +311,14 @@ object BehaviorQueries extends QuerySuite {
         |  FROM a x JOIN a y ON x.user_id = y.user_id
         |    AND x.event_type < y.event_type
         |  GROUP BY 1, 2)
-        |SELECT i.ta, i.tb, sa.n AS na, sb.n AS nb, i.n_inter,
-        |  sa.n + sb.n - i.n_inter AS n_union,
-        |  CAST(i.n_inter AS DOUBLE) /
-        |    CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
-        |FROM i JOIN sz sa ON sa.event_type = i.ta
-        |       JOIN sz sb ON sb.event_type = i.tb
+        |SELECT sa.event_type AS ta, sb.event_type AS tb,
+        |  sa.n AS na, sb.n AS nb,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+        |    CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+        |FROM sz sa JOIN sz sb ON sa.event_type < sb.event_type
+        |LEFT JOIN i ON i.ta = sa.event_type AND i.tb = sb.event_type
         |ORDER BY ta, tb""".stripMargin,
 
     // list_reduce left-folds with the first element as init — exactly
@@ -317,5 +329,6 @@ object BehaviorQueries extends QuerySuite {
         |  list_reduce(
         |    list(CAST(round(value*100) AS DOUBLE) ORDER BY ts, event_id),
         |    (acc, x) -> 0.5*x + 0.5*acc) AS ewma_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * out_deg`, damping `(85·incoming) div 100` — so there is no float
   * accumulation order to diverge on, and DuckDB replays the rounds
   * exactly with `//`. Truncation remainders evaporate identically in
-  * both engines.
+  * both engines. Integer headroom: a hub's incoming mass is bounded
+  * by the total endowment N·InitMass, and the damping multiply needs
+  * 85× that inside BIGINT — so InitMass=10^9 is safe to N ≈ 10^8
+  * nodes; a larger graph scales InitMass down (10^6 buys N ≈ 10^11)
+  * rather than risking silent wraparound.
   *
   * Scale design: the edge list is built once (one orderkey shuffle)
   * and lineage-truncated; each round is edges ⋈ broadcast(node-sized

@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object EntityQueries extends QuerySuite {
 
-  /** Name layout: 9-char registry prefix + 9-digit id. The match
-    * predicate is EQUAL PREFIX and suffix hamming ≤ [[MaxHamming]] —
-    * exactly the domain the wildcard blocking is complete over (the
-    * oracle and FuzzyNameSpec use the same predicate). */
+  /** Name layout: 9-char registry prefix + 9-DIGIT id. The match
+    * predicate — shared by the oracle and FuzzyNameSpec — is: both
+    * suffixes all-digits, equal prefix, suffix hamming ≤
+    * [[MaxHamming]]. Non-digit suffixes are out of the id-resolution
+    * domain in all three places, so the LONG fast path in the verify
+    * step is a representation choice, not a semantic narrowing. */
   val PrefixLen = 9
   val SuffixLen = 9
   val NameLen = PrefixLen + SuffixLen
@@ -58,10 +60,12 @@ object EntityQueries extends QuerySuite {
       .filter(length(col("name")) === NameLen)
       .withColumn("pfx", substring(col("name"), 1, PrefixLen))
       .withColumn("sfx", substring(col("name"), PrefixLen + 1, SuffixLen))
-      // the digit id as a LONG, computed ONCE per record — the verify
-      // step downstream touches only integers, never strings
+      // the all-digits domain gate (same regex as the oracle — a
+      // signed or padded string that cast() would accept is NOT a
+      // registry id), then the id as a LONG computed ONCE per record:
+      // the verify step downstream touches only integers, never strings
+      .filter(col("sfx").rlike("^[0-9]+$"))
       .withColumn("sn", col("sfx").cast("long"))
-      .filter(col("sn").isNotNull)
     val keyed = c.select(col("k"), col("pfx"), col("sn"),
       explode(masks(col("sfx"))).as("bkey"))
     val a = keyed.select(col("bkey"), col("k").as("k1"),
@@ -102,6 +106,10 @@ object EntityQueries extends QuerySuite {
          |  FROM customer a JOIN customer b
          |    ON a.c_custkey <> b.c_custkey
          |   AND len(a.c_name) = $NameLen AND len(b.c_name) = $NameLen
+         |   AND regexp_matches(substr(a.c_name, ${PrefixLen + 1}, $SuffixLen),
+         |         '^[0-9]+$$')
+         |   AND regexp_matches(substr(b.c_name, ${PrefixLen + 1}, $SuffixLen),
+         |         '^[0-9]+$$')
          |   AND substr(a.c_name, 1, $PrefixLen) = substr(b.c_name, 1, $PrefixLen)
          |   AND mismatches(substr(a.c_name, ${PrefixLen + 1}, $SuffixLen),
          |                  substr(b.c_name, ${PrefixLen + 1}, $SuffixLen))

@@ -11,9 +11,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * rows are applied in (ts, event_id) order WITHIN each micro-batch
   * (intra-batch disorder is repaired by a bounded sort of that batch's
   * rows for the key), and a row at or before the last applied
-  * (ts, event_id) is never re-folded — replays of already-applied
-  * rows are absorbed silently and genuinely-late arrivals are counted
-  * in `n_late` rather than corrupting the recursion. Under per-key
+  * (ts, event_id) is never re-folded. Rows behind the frontier are
+  * counted in `n_stale` — with O(1) state a redelivered old row and a
+  * genuinely-late arrival are indistinguishable, so the counter
+  * honestly covers both (only the exact replay of the LAST applied
+  * row is recognized and absorbed without a count). Emissions happen
+  * ONLY when the frontier advances, so redelivery alone never emits —
+  * stale counts surface on the next advancing batch. Under per-key
   * in-order delivery (the Kafka-partition-by-key contract) the result
   * is bit-identical to the batch fold.
   *
@@ -36,7 +40,7 @@ class EwmaStream
     val prev = if (cur.exists()) Some(cur.get()) else None
     var ewma = prev.map(_.ewma_cents).getOrElse(0.0)
     var n = prev.map(_.n_applied).getOrElse(0L)
-    var late = prev.map(_.n_late).getOrElse(0L)
+    var stale = prev.map(_.n_stale).getOrElse(0L)
     var lastTs = prev.map(_.last_ts).getOrElse(Long.MinValue)
     var lastEv = prev.map(_.last_event).getOrElse(Long.MinValue)
     var applied = 0L
@@ -47,14 +51,18 @@ class EwmaStream
         n += 1; applied += 1
         lastTs = o.ts; lastEv = o.event_id
       } else if (o.ts != lastTs || o.event_id != lastEv)
-        late += 1
+        stale += 1
       // an exact replay of the last applied row (the common
       // at-least-once case) is absorbed silently — no count, no emit
     }
-    if (applied == 0L && late == prev.map(_.n_late).getOrElse(0L))
-      Iterator.empty // batch carried nothing new for this key
-    else {
-      val next = Feat(key, ewma, lastTs, lastEv, n, late,
+    if (applied == 0L) {
+      // no advance → no emission (redelivery must not emit); still
+      // persist any stale-count change so it surfaces next advance
+      if (stale != prev.map(_.n_stale).getOrElse(0L))
+        prev.foreach(p => cur.update(p.copy(n_stale = stale)))
+      Iterator.empty
+    } else {
+      val next = Feat(key, ewma, lastTs, lastEv, n, stale,
         prev.map(_.version).getOrElse(0L) + 1)
       cur.update(next)
       Iterator.single(next)
@@ -65,7 +73,7 @@ class EwmaStream
 object EwmaStream {
   case class Obs(user_id: Long, ts: Long, event_id: Long, v: Double)
   case class Feat(user_id: Long, ewma_cents: Double, last_ts: Long,
-      last_event: Long, n_applied: Long, n_late: Long, version: Long)
+      last_event: Long, n_applied: Long, n_stale: Long, version: Long)
 
   /** Wire EWMA maintenance onto an observation stream (RocksDB state
     * store, same provider requirement as [[ChannelProcessor]]). */

@@ -12,10 +12,12 @@ class FuzzyNameSpec extends SparkSpec {
   private def hamming(a: String, b: String): Int =
     a.zip(b).count { case (x, y) => x != y }
 
-  /** The suite's predicate: equal prefix, suffix hamming ≤ 2. */
+  /** The suite's predicate: all-digit suffixes, equal prefix, suffix
+    * hamming ≤ 2. */
   private def near(n1: String, n2: String): Boolean = {
     val p = EntityQueries.PrefixLen
-    n1.take(p) == n2.take(p) &&
+    n1.drop(p).forall(_.isDigit) && n2.drop(p).forall(_.isDigit) &&
+      n1.take(p) == n2.take(p) &&
       hamming(n1.drop(p), n2.drop(p)) <= EntityQueries.MaxHamming
   }
 

@@ -27,7 +27,7 @@ class EwmaStreamSpec extends SparkSpec {
     val out = run(Seq(obs.take(2), obs.slice(2, 4), obs.drop(4)))
     val f = finalPerKey(out)(1L)
     assert(f.ewma_cents === batchFold(vals))
-    assert(f.n_applied === 5L && f.n_late === 0L)
+    assert(f.n_applied === 5L && f.n_stale === 0L)
     assert(out.count(_.user_id == 1L) === 3, "one emission per advancing batch")
   }
 
@@ -38,21 +38,24 @@ class EwmaStreamSpec extends SparkSpec {
     val shuffled = Seq(obs(3), obs(0), obs(2), obs(1))
     val f = finalPerKey(run(Seq(shuffled)))(2L)
     assert(f.ewma_cents === batchFold(vals))
-    assert(f.n_applied === 4L && f.n_late === 0L)
+    assert(f.n_applied === 4L && f.n_stale === 0L)
   }
 
-  test("replays are absorbed; genuinely-late rows are counted, not folded") {
+  test("redelivery never emits; stale rows are counted, never folded") {
     val b1 = Seq(Obs(3L, 10L, 0L, 100.0), Obs(3L, 20L, 1L, 50.0))
-    val replay = Seq(Obs(3L, 20L, 1L, 50.0))              // exact replay
-    val late = Seq(Obs(3L, 15L, 9L, 999.0))               // between applied rows
-    val out = run(Seq(b1, replay, late))
+    val replay = Seq(Obs(3L, 20L, 1L, 50.0))    // exact replay of the last row
+    val old = Seq(Obs(3L, 10L, 0L, 100.0))      // redelivered OLDER applied row
+    val late = Seq(Obs(3L, 15L, 9L, 999.0))     // genuinely late arrival
+    val advance = Seq(Obs(3L, 30L, 2L, 10.0))   // frontier advances again
+    val out = run(Seq(b1, replay, old, late, advance))
     val f = finalPerKey(out)(3L)
-    assert(f.ewma_cents === batchFold(Seq(100.0, 50.0)),
-      "late/replayed rows must not alter the smoothed value")
-    // the exact replay of the last applied row is absorbed without a
-    // count; the genuinely-late row is counted, never folded
-    assert(f.n_applied === 2L && f.n_late === 1L)
-    // replay batch emitted nothing; the late batch emitted the count
+    assert(f.ewma_cents === batchFold(Seq(100.0, 50.0, 10.0)),
+      "stale rows must not alter the smoothed value")
+    // exact-last replay absorbed without a count; the older redelivery
+    // and the late arrival are indistinguishable with O(1) state and
+    // both land in n_stale — surfaced by the advancing emission
+    assert(f.n_applied === 3L && f.n_stale === 2L)
+    // only the two ADVANCING batches emitted; redelivery/late did not
     assert(out.count(_.user_id == 3L) === 2)
   }
 
