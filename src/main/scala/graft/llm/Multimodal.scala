@@ -369,10 +369,22 @@ object Multimodal extends QuerySuite {
     }),
 
     // Perceptual fingerprints from ACTUAL pixels: decode → 9×8
-    // grayscale grid → 64 gradient bits, map-only. Rows-only (DuckDB
-    // has no PNG codec); determinism + known-bit behavior spec'd.
-    "multimodal_phash" -> ((s, d) =>
-      phashTable(s, d).orderBy("doc_id")),
+    // grayscale grid → 64 gradient bits, map-only, surfaced as four
+    // 16-bit band integers (sign-safe in both engines; bands are the
+    // blocking representation anyway). ORACLE-CHECKED without a
+    // DuckDB codec — the decoded_dims trick completed: the fixture's
+    // pixels are integer arithmetic of (doc_id, x, y), so the oracle
+    // PREDICTS every gradient bit from the formula while Spark reads
+    // them from the real encode→decode round-trip; any codec
+    // deviation breaks the hash.
+    "multimodal_phash" -> ((s, d) => {
+      val bands = (0 until PhashBands).map(b =>
+        shiftrightunsigned(col("phash"), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as(s"b$b"))
+      phashTable(s, d)
+        .select(col("doc_id") +: bands: _*)
+        .orderBy("doc_id")
+    }),
 
     // IMAGE near-duplicate detection — the multimodal twin of the
     // text dedup family: banded blocking over the dHash (complete for
@@ -384,6 +396,47 @@ object Multimodal extends QuerySuite {
       phashPairs(phashTable(s, d))))
 
   def oracles: Map[String, String] = Map(
+    // The decoded_dims trick completed for pixels: every gradient bit
+    // of the dHash is PREDICTED from the fixture's integer pixel
+    // formula (incl. the planted twin's blue-LSB flip at (0,0)),
+    // while the Spark side reads it from the genuine PNG
+    // encode→decode round-trip — a codec that mangles any sampled
+    // pixel breaks the hash match.
+    "multimodal_phash" -> {
+      def gray(px: String, py: String) =
+        s"""((id*31 + ($px)*7 + ($py)*13) % 256
+           | + (id*17 + ($px)*11 + ($py)*3) % 256
+           | + CASE WHEN planted AND ($px) = 0 AND ($py) = 0
+           |        THEN xor((id*5 + ($px)*13 + ($py)*29) % 256, 1)
+           |        ELSE (id*5 + ($px)*13 + ($py)*29) % 256 END)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH ids AS (
+         |  SELECT doc_id AS id, doc_id AS out_id, FALSE AS planted
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS id, doc_id + $PlantBase AS out_id, TRUE AS planted
+         |  FROM documents WHERE doc_id % 35 = 0),
+         |dims AS (
+         |  SELECT id, out_id, planted,
+         |    8 + id % 24 AS w, 8 + (id // 7) % 24 AS h
+         |  FROM ids),
+         |bits AS (
+         |  SELECT out_id, (cy.cy*8 + cx.cx) // 16 AS band,
+         |    CASE WHEN ${gray("cx.cx * w // 9", "cy.cy * h // 8")}
+         |           > ${gray("(cx.cx + 1) * w // 9", "cy.cy * h // 8")}
+         |         THEN 1::BIGINT << ((cy.cy*8 + cx.cx) % 16)
+         |         ELSE 0::BIGINT END AS v
+         |  FROM dims
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) cy
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cx) cx)
+         |SELECT out_id AS doc_id,
+         |  CAST(sum(CASE WHEN band = 0 THEN v ELSE 0 END) AS BIGINT) AS b0,
+         |  CAST(sum(CASE WHEN band = 1 THEN v ELSE 0 END) AS BIGINT) AS b1,
+         |  CAST(sum(CASE WHEN band = 2 THEN v ELSE 0 END) AS BIGINT) AS b2,
+         |  CAST(sum(CASE WHEN band = 3 THEN v ELSE 0 END) AS BIGINT) AS b3
+         |FROM bits GROUP BY out_id ORDER BY doc_id""".stripMargin
+    },
+
     "multimodal_meta" ->
       """SELECT doc_id, 'application/x-' || source AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

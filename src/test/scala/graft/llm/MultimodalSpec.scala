@@ -90,7 +90,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("banded phash pairs equal the brute-force popcount scan") {
     val sf = "/root/testdata/sf0.001"
-    val sigs = Multimodal.queries("multimodal_phash")(spark, sf)
+    val sigs = Multimodal.phashTable(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(sigs.nonEmpty)
     val brute = (for {
