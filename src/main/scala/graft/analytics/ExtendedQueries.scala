@@ -129,35 +129,28 @@ object ExtendedQueries extends QuerySuite {
 
     // POINT-IN-TIME enrichment (the feature-store staple that
     // prevents label leakage): each click is joined to the SCD2 state
-    // that was valid AT its instant — never a later one. Executed as
-    // the scalable as-of shape: union the tagged dimension-change and
-    // fact rows, one shuffle on user_id, and carry the last non-null
-    // state forward with last(ignoreNulls) over (ts, event_id, tag) —
-    // tag orders a change before a fact at the same instant, so a
-    // click that is itself a state change sees its own new state.
-    // No interval join, no per-row subquery.
+    // that was valid AT its instant — never a later one. The change
+    // log here derives from the SAME event stream, so no union or
+    // interval join is needed at all: ONE window pass computes the
+    // change flag (lag) and the last-change carry-forward
+    // (last ignoreNulls) over the identical (user_id | ts, event_id)
+    // partitioning — one shuffle total, and a click that is itself a
+    // state change sees its own new state because its change marker
+    // rides the same row.
     "cdc_point_in_time" -> ((s, d) => {
-      val chgW = org.apache.spark.sql.expressions.Window
+      val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val pitW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"), col("tag"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val ev = Tables.events(s, d)
-      val chg = ev
-        .withColumn("prev_type", lag(col("event_type"), 1).over(chgW))
-        .filter(col("prev_type").isNull ||
-          col("prev_type") =!= col("event_type"))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("state"), lit(0).as("tag"))
-      val fact = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          lit(null).cast("string").as("state"), lit(1).as("tag"))
-      chg.unionByName(fact)
+      val carry = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("chg_state",
+          when(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"), col("event_type")))
         .withColumn("state_at",
-          last(col("state"), ignoreNulls = true).over(pitW))
-        .filter(col("tag") === 1)
+          last(col("chg_state"), ignoreNulls = true).over(carry))
+        .filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"),
           unix_timestamp(col("ts")).as("t_s"), col("state_at"))
         .orderBy("user_id", "event_id")
@@ -327,22 +320,20 @@ object ExtendedQueries extends QuerySuite {
     // distinct-key count, total rows, the hottest key and its row
     // count, and a 100×-scaled mean (all integers). A max/avg ratio
     // far above 1 is the salting/AQE-skew-split trigger
-    // (join_salted_skew is the treatment; this is the diagnosis). One
-    // keys-space-sized aggregate per column, no global sort or window
-    // — the hottest key comes from a second pass over the (already
-    // small) counts table against the broadcast 1-row max.
+    // (join_salted_skew is the treatment; this is the diagnosis).
+    // ONE table scan and ONE keys-space aggregate per column: the
+    // hottest key rides the same pass as a deterministic struct-max —
+    // (n, -k) orders by count then lower key, so ties break exactly
+    // like the oracle's min(k)-among-argmax.
     "dq_key_skew" -> ((s, d) => {
       def skewOf(df: DataFrame, keyCol: String, label: String) = {
         val counts = df.groupBy(col(keyCol).as("k"))
           .agg(count(lit(1)).as("n"))
-        val stats = counts.agg(count(lit(1)).as("n_keys"),
-          sum("n").as("n_total"), max("n").as("max_n"))
-        val top = counts.join(broadcast(stats.select("max_n")),
-            col("n") === col("max_n"))
-          .agg(min("k").as("top_key"))
-        stats.crossJoin(top)
+        counts.agg(count(lit(1)).as("n_keys"),
+            sum("n").as("n_total"), max("n").as("max_n"),
+            max(struct(col("n"), (lit(0L) - col("k")).as("negk"))).as("top"))
           .select(lit(label).as("key_col"), col("n_keys"), col("n_total"),
-            col("max_n"), col("top_key"),
+            col("max_n"), (lit(0L) - col("top.negk")).as("top_key"),
             expr("(100 * n_total) div n_keys").as("avg_x100"))
       }
       skewOf(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
@@ -535,23 +526,20 @@ object ExtendedQueries extends QuerySuite {
     "cdc_point_in_time" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |chg AS (SELECT user_id, ts, event_id, event_type AS state, 0 AS tag
-        |        FROM x WHERE prev IS NULL OR prev <> event_type),
-        |fct AS (SELECT user_id, ts, event_id, CAST(NULL AS VARCHAR) AS state,
-        |          1 AS tag
-        |        FROM events WHERE event_type = 'click'),
-        |u AS (SELECT * FROM chg UNION ALL SELECT * FROM fct),
-        |w AS (SELECT user_id, ts, event_id, tag,
-        |    last_value(state IGNORE NULLS) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id, tag
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_at
-        |  FROM u)
+        |    lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN prev IS NULL OR prev <> event_type
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_at
+        |  FROM x)
         |SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
         |  state_at
-        |FROM w WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin,
+        |FROM c WHERE event_type = 'click'
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "cdc_scd2_history" ->
       """WITH x AS (
