@@ -39,6 +39,25 @@ class FuzzyNameSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain near-duplicate names")
   }
 
+  test("total collision: an all-clones registry still yields the exact census") {
+    import spark.implicits._
+    // 100 byte-identical names — every wildcard block degenerates to
+    // the full table and the TRUE answer is itself quadratic (every
+    // pair is at hamming 0); the blocked join must return exactly
+    // that census, not crash or drop
+    val dir = java.nio.file.Files.createTempDirectory("graft_clones").toString
+    (0L until 100L).map(k => (k, "Customer#000000042"))
+      .toDF("c_custkey", "c_name")
+      .repartition(2).write.parquet(s"$dir/customer.parquet")
+    val rows = EntityQueries.queries("dedup_fuzzy_names")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 100)
+    rows.foreach { case (k, nNear, minNbr) =>
+      assert(nNear === 99L, s"key $k")
+      assert(minNbr === (if (k == 0L) 1L else 0L), s"key $k")
+    }
+  }
+
   test("the blocked join never degenerates to a cartesian product") {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.getOption(aqeKey)
