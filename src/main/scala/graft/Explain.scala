@@ -18,7 +18,10 @@ object Explain {
     "window_topk_native", "dedup_semantic_survivors", "text_token_ids",
     "funnel_stages", "join_salted_skew", "layout_zorder_stats",
     "dedup_segment_scrub", "sim_pq_codes", "sim_pq_adc_topk",
-    "sim_ivfpq_topk", "text_bpe_encode", "multimodal_decoded_dims")
+    "sim_ivfpq_topk", "text_bpe_encode", "multimodal_decoded_dims",
+    "sim_kmeans_train", "sim_ivf_trained_topk", "dedup_fuzzy_names",
+    "graph_pagerank_top", "multimodal_phash_dups", "cdc_point_in_time",
+    "window_session_native", "ts_ewma_user", "dq_key_skew")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
