@@ -127,6 +127,22 @@ object ScalarQueries extends QuerySuite {
         base64(col("c_name").cast("binary")).as("name_b64"))
         .orderBy("c_custkey")),
 
+    // Bitwise family: and/or/xor/shifts/popcount — the primitives the
+    // hash, bitmap-sketch and phash surfaces build on, pinned as
+    // first-class scalars. Shift distances stay < 32 and operands
+    // positive so no engine-specific overflow edge is in play; Spark's
+    // `^` is xor (DuckDB's is power — its twin spells xor()).
+    "scalar_bits_suite" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_custkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("c_custkey").bitwiseOR(lit(4096L)).as("k_or"),
+        col("c_custkey").bitwiseXOR(lit(21845L)).as("k_xor"),
+        shiftleft(col("c_custkey"), 3).as("k_shl"),
+        shiftright(col("c_custkey"), 2).as("k_shr"),
+        expr("CAST(bit_count(c_custkey) AS BIGINT)").as("k_pop"))
+        .orderBy("c_custkey")),
+
     // Conditional family: CASE/coalesce/nullif bucketization.
     "scalar_conditional_suite" -> ((s, d) =>
       Tables.customer(s, d).select(
@@ -234,6 +250,16 @@ object ScalarQueries extends QuerySuite {
         |  md5(c_name) AS name_md5,
         |  sha256(c_name) AS name_sha256,
         |  base64(CAST(c_name AS BLOB)) AS name_b64
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_bits_suite" ->
+      """SELECT c_custkey,
+        |  c_custkey & 255 AS k_and,
+        |  c_custkey | 4096 AS k_or,
+        |  xor(c_custkey, 21845) AS k_xor,
+        |  c_custkey << 3 AS k_shl,
+        |  c_custkey >> 2 AS k_shr,
+        |  CAST(bit_count(c_custkey) AS BIGINT) AS k_pop
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "scalar_conditional_suite" ->
