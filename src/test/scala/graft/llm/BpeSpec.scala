@@ -101,4 +101,20 @@ class BpeSpec extends SparkSpec {
     val vocab2 = BpeQueries.queries("text_bpe_vocab")(spark, sf).collect()
     assert(vocab.map(_.toSeq).toSeq == vocab2.map(_.toSeq).toSeq)
   }
+
+  test("encoding is lossless under ANY merge table: tokens rebuild the word") {
+    // merges only concatenate adjacent symbols, so token concatenation
+    // must equal the original word + end-of-word marker regardless of
+    // which merges exist or apply
+    val words = Seq("hello", "the", "extraordinarily", "a", "naïve",
+      "日本語", "don't", "x")
+    val tables = Seq(
+      Seq.empty[(String, String)],
+      Seq(("h", "e"), ("he", "l"), ("l", "o"), ("t", "h")),
+      Seq(("a", "b"), ("q", "z")), // merges that never apply
+      Seq(("e", BpeQueries.Eow), ("l", "l")))
+    for (w <- words; m <- tables)
+      assert(BpeQueries.encodeWord(w, m).mkString == w + BpeQueries.Eow,
+        s"word '$w' with merges $m")
+  }
 }
