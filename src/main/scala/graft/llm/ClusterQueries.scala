@@ -65,21 +65,43 @@ object ClusterQueries extends QuerySuite {
       zip_with(qv, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** The K centroids as one literal array column. */
+  private def centLit(cents: Seq[(Int, Array[Double])]): Column =
+    array(cents.map { case (id, cv) =>
+      struct(lit(id).as("c_id"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+
   /** Map-only nearest-centroid id for the row's `qv` column: the K
-    * centroids ride along as one literal array; `array_min` over
-    * `struct(d2, c_id)` is the argmin with ties to the lower id.
-    * TOTAL: an empty centroid set assigns NULL (callers filter those
-    * rows out, mirroring the oracle's empty cross join). */
+    * centroids ride along as one literal array and the argmin (ties
+    * to the lower c_id) runs as ONE compiled pass per row through the
+    * native kernel (plans/NearestCentroidL2 — the HOF twin below pays
+    * ~K×dim interpreted closures per row; ClusterSpec pins them
+    * bit-identical). TOTAL: an empty centroid set assigns NULL
+    * (callers filter those rows out, mirroring the oracle's empty
+    * cross join; the kernel returns the same NULL for an empty
+    * array). Callers must register the kernel on the session first —
+    * [[assign]] does. */
   private[llm] def assignExpr(cents: Seq[(Int, Array[Double])]): Column =
     if (cents.isEmpty) lit(null).cast("int")
-    else {
-      val cb = array(cents.map { case (id, cv) =>
-        struct(lit(id).as("c_id"), array(cv.map(lit(_)): _*).as("cv"))
-      }: _*)
-      array_min(transform(cb, c => struct(
-        dist2(col("qv"), c.getField("cv")).as("d2"),
-        c.getField("c_id").as("c_id")))).getField("c_id")
-    }
+    else call_function(graft.plans.NearestCentroidL2.Name,
+      col("qv"), centLit(cents))
+
+  /** The interpreted HOF twin of [[assignExpr]] — kept for the
+    * kernel-equivalence spec: `array_min` over `struct(d2, c_id)` is
+    * the same argmin with ties to the lower id. */
+  private[llm] def assignExprHof(cents: Seq[(Int, Array[Double])]): Column =
+    if (cents.isEmpty) lit(null).cast("int")
+    else array_min(transform(centLit(cents), c => struct(
+      dist2(col("qv"), c.getField("cv")).as("d2"),
+      c.getField("c_id").as("c_id")))).getField("c_id")
+
+  /** Register-then-assign: the kernel resolves at analysis time, so
+    * every assignment site goes through here. */
+  private def assign(q: DataFrame, cents: Seq[(Int, Array[Double])],
+      as: String = "cluster"): DataFrame = {
+    graft.plans.NearestCentroidL2.register(q.sparkSession)
+    q.withColumn(as, assignExpr(cents))
+  }
 
   /** Init: quantized stride-sampled corpus vectors, c_id-ordered. */
   private[llm] def initCents(q: DataFrame): Seq[(Int, Array[Double])] =
@@ -116,7 +138,7 @@ object ClusterQueries extends QuerySuite {
     val all = Seq.newBuilder[Seq[(Int, Array[Double])]]
     all += c
     for (_ <- 1 until KmRounds) {
-      c = update(q.withColumn("cluster", assignExpr(c)), c)
+      c = update(assign(q, c), c)
       all += c
     }
     all.result()
@@ -137,7 +159,7 @@ object ClusterQueries extends QuerySuite {
     // the output boundary, so the hash compare never touches a float.
     "sim_kmeans_train" -> ((s, d) => {
       val cs = centsRounds(s, d)
-      qCorpus(s, d).withColumn("cluster", assignExpr(cs.last))
+      assign(qCorpus(s, d), cs.last)
         // no-op on trained data; drops everything when there were no
         // seed vectors, mirroring the oracle's empty-c0 cross join
         .filter(col("cluster").isNotNull)
@@ -160,6 +182,7 @@ object ClusterQueries extends QuerySuite {
     // assignment as a map-only column; the R-1 counters come out of a
     // single 1-row aggregate, exploded to (round, n_vectors, n_moved).
     "sim_kmeans_moves" -> ((s, d) => {
+      graft.plans.NearestCentroidL2.register(s)
       val cs = centsRounds(s, d)
       val withAll = qCorpus(s, d).select(
         (1 to KmRounds).map(r => assignExpr(cs(r - 1)).as(s"c$r")): _*)
@@ -182,6 +205,7 @@ object ClusterQueries extends QuerySuite {
     // vectors are excluded from scoring in BOTH twins (0/0 cosine).
     "sim_ivf_trained_topk" -> ((s, d) => {
       graft.plans.FloatVectorDot.register(s)
+      graft.plans.NearestCentroidL2.register(s)
       val cs = centsRounds(s, d)
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -216,8 +240,7 @@ object ClusterQueries extends QuerySuite {
       graft.plans.NearestCentroid.register(s)
       graft.plans.FloatVectorDot.register(s)
       val cs = centsRounds(s, d)
-      val trainedCounts = qCorpus(s, d)
-        .withColumn("cluster", assignExpr(cs.last))
+      val trainedCounts = assign(qCorpus(s, d), cs.last)
         .filter(col("cluster").isNotNull)
         .groupBy("cluster").agg(count(lit(1)).as("n"))
       val e = Tables.embeddings(s, d)

@@ -113,6 +113,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(SimHash64.functionDescription)
     ext.injectFunction(NGramShingles.functionDescription)
     ext.injectFunction(NearestCentroid.functionDescription)
+    ext.injectFunction(NearestCentroidL2.functionDescription)
     ext.injectFunction(PqAssign.functionDescription)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

@@ -29,7 +29,25 @@ class ClusterSpec extends SparkSpec {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
   }
 
+  private def reg(): Unit =
+    graft.plans.NearestCentroidL2.register(spark)
+
+  test("native L2 kernel is bit-identical to the HOF argmin twin") {
+    reg()
+    for (q <- Seq(planted, graft.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv")))) {
+      val cents = initCents(q)
+      val both = q.select(col("vec_id"),
+        assignExpr(cents).as("native"), assignExprHof(cents).as("hof"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getInt(1) === r.getInt(2),
+        s"vec ${r.getLong(0)}: kernel ${r.getInt(1)} != hof ${r.getInt(2)}"))
+    }
+  }
+
   test("ties go to the lower cluster id; empty clusters keep their centroid") {
+    reg()
     val q = planted
     val cs = centsRoundsOn(q)
     assert(cs.length === KmRounds)
@@ -54,6 +72,7 @@ class ClusterSpec extends SparkSpec {
   }
 
   test("planted corpus is converged: zero moves every round") {
+    reg()
     val q = planted
     val cs = centsRoundsOn(q)
     val cols = (1 to KmRounds).map(r => assignExpr(cs(r - 1)).as(s"c$r"))
@@ -107,6 +126,7 @@ class ClusterSpec extends SparkSpec {
   }
 
   test("mean-update shuffle carries at most partitions*K rows (executable Lloyd bound)") {
+    reg()
     import spark.implicits._
     // 4000 corpus rows over `parts` partitions: the per-round update
     // must shuffle only the map-side-combined partials, never the rows
