@@ -58,6 +58,34 @@ class FuzzyNameSpec extends SparkSpec {
     }
   }
 
+  test("property: blocked equals brute force on random digit registries") {
+    import spark.implicits._
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered ids (shared high digits) so hamming-close pairs are
+      // dense, plus uniform noise
+      val ids = (0 until 300).map { i =>
+        if (i % 3 == 0) 100000000L + rnd.nextInt(1000)
+        else rnd.nextLong(1000000000L)
+      }.distinct
+      val names = ids.zipWithIndex.map { case (id, k) =>
+        (k.toLong, f"Customer#$id%09d") }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_fz$seed").toString
+      names.toDF("c_custkey", "c_name")
+        .repartition(4).write.parquet(s"$dir/customer.parquet")
+
+      val brute = (for {
+        (k1, n1) <- names; (k2, n2) <- names
+        if k1 < k2 && near(n1, n2)
+      } yield (k1, k2)).toSet
+      val blocked = EntityQueries.nearPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked === brute, s"seed $seed")
+      assert(brute.nonEmpty, s"seed $seed produced no near pairs")
+    }
+  }
+
   test("the blocked join never degenerates to a cartesian product") {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.getOption(aqeKey)
