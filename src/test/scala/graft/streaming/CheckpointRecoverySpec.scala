@@ -94,4 +94,39 @@ class CheckpointRecoverySpec extends SparkSpec {
         s"state not recovered: $latest")
     }
   }
+
+  test("EwmaStream smoothed state survives a restart (RocksDB)") {
+    import EwmaStream._
+    val root = Files.createTempDirectory("ckpt_ewma").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[Obs]].schema
+    withRocksDbProvider {
+      def startQuery() = {
+        val src = spark.readStream.schema(schema).json(s"$root/in")
+          .as[Obs]
+        EwmaStream.features(src)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode(OutputMode.Append)
+          .start()
+      }
+      // run 1: two observations establish the smoothed value
+      Seq(Obs(1L, 10L, 0L, 100.0), Obs(1L, 20L, 1L, 50.0)).toDS()
+        .repartition(1).write.mode("append").json(s"$root/in")
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      // while down: one more observation, plus a replay of the last
+      // applied row that the restored frontier must absorb
+      Seq(Obs(1L, 20L, 1L, 50.0), Obs(1L, 30L, 2L, 10.0)).toDS()
+        .repartition(1).write.mode("append").json(s"$root/in")
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+      val rows = spark.read.parquet(s"$root/out").as[Feat].collect()
+      val latest = rows.maxBy(_.version)
+      // only restored state can continue the fold:
+      // ((100, 50) -> 75) -> 0.5*10 + 0.5*75 = 42.5
+      assert(latest.ewma_cents == 42.5 && latest.n_applied == 3L &&
+        latest.n_stale == 0L,
+        s"state not recovered: $latest")
+    }
+  }
 }
