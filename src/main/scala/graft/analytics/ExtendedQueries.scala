@@ -327,7 +327,11 @@ object ExtendedQueries extends QuerySuite {
     // like the oracle's min(k)-among-argmax.
     "dq_key_skew" -> ((s, d) => {
       def skewOf(df: DataFrame, keyCol: String, label: String) = {
-        val counts = df.groupBy(col(keyCol).as("k"))
+        // NULL keys are a referential-integrity concern
+        // (dq_violation_report), not a skew one — and a null key would
+        // make the (n, −k) struct-max incomparable
+        val counts = df.filter(col(keyCol).isNotNull)
+          .groupBy(col(keyCol).as("k"))
           .agg(count(lit(1)).as("n"))
         counts.agg(count(lit(1)).as("n_keys"),
             sum("n").as("n_total"), max("n").as("max_n"),
@@ -508,12 +512,15 @@ object ExtendedQueries extends QuerySuite {
            |  FROM (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_total,
            |          max(n) AS max_n
            |        FROM (SELECT $key AS k, count(*) AS n
-           |              FROM $table GROUP BY 1)) s,
+           |              FROM $table WHERE $key IS NOT NULL
+           |              GROUP BY 1)) s,
            |       (SELECT min(k) AS top_key
            |        FROM (SELECT $key AS k, count(*) AS n
-           |              FROM $table GROUP BY 1)
+           |              FROM $table WHERE $key IS NOT NULL
+           |              GROUP BY 1)
            |        WHERE n = (SELECT max(n) FROM (
-           |          SELECT count(*) AS n FROM $table GROUP BY $key))) t""".stripMargin
+           |          SELECT count(*) AS n FROM $table
+           |          WHERE $key IS NOT NULL GROUP BY $key))) t""".stripMargin
       s"""SELECT * FROM (
          |${arm("lineitem", "l_orderkey")}
          |UNION ALL
