@@ -156,6 +156,44 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("user_id", "event_id")
     }),
 
+    // SNAPSHOT DIFF — the change-feed primitive between two points in
+    // time: reconstruct the keep-last state at T1 and at T2 (the same
+    // window compaction as cdc_latest_state) and full-outer join them
+    // on the key; a key only in T2 is an INSERT, a changed row an
+    // UPDATE, a key only in T1 a DELETE (structurally present; this
+    // append-only fixture produces none), identical rows drop out.
+    // Two compactions + one key-partitioned join — the incremental
+    // MERGE feed a warehouse sync consumes.
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      def latestState(df: DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("state"),
+            cents(col("value")).as("v_cents"))
+      }
+      val ev = Tables.events(s, d)
+      val t1 = latestState(ev.filter(col("ts") < cutoff))
+        .select(col("user_id"), col("state").as("state_1"),
+          col("v_cents").as("v_1"))
+      val t2 = latestState(ev)
+        .select(col("user_id"), col("state").as("state_2"),
+          col("v_cents").as("v_2"))
+      t1.join(t2, Seq("user_id"), "full_outer")
+        .withColumn("op",
+          when(col("state_1").isNull, "insert")
+            .when(col("state_2").isNull, "delete")
+            .when(col("state_1") =!= col("state_2") ||
+              col("v_1") =!= col("v_2"), "update"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), col("user_id"),
+          col("state_1"), col("v_1"), col("state_2"), col("v_2"))
+        .orderBy("user_id")
+    }),
+
     // EXISTS / NOT EXISTS correlated subqueries through SQL — the
     // remaining subquery flavor next to scalar and IN; Catalyst
     // rewrites both to semi/anti joins.
@@ -529,6 +567,32 @@ object ExtendedQueries extends QuerySuite {
          |${arm("orders", "o_custkey")}
          |) ORDER BY key_col""".stripMargin
     },
+
+    "cdc_snapshot_diff" ->
+      """WITH l1 AS (
+        |  SELECT user_id, event_type AS state_1,
+        |    CAST(round(value*100) AS BIGINT) AS v_1
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rk
+        |        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rk = 1),
+        |l2 AS (
+        |  SELECT user_id, event_type AS state_2,
+        |    CAST(round(value*100) AS BIGINT) AS v_2
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rk
+        |        FROM events)
+        |  WHERE rk = 1),
+        |j AS (
+        |  SELECT coalesce(l1.user_id, l2.user_id) AS user_id,
+        |    state_1, v_1, state_2, v_2,
+        |    CASE WHEN state_1 IS NULL THEN 'insert'
+        |         WHEN state_2 IS NULL THEN 'delete'
+        |         WHEN state_1 <> state_2 OR v_1 <> v_2 THEN 'update'
+        |         END AS op
+        |  FROM l1 FULL OUTER JOIN l2 ON l1.user_id = l2.user_id)
+        |SELECT op, user_id, state_1, v_1, state_2, v_2
+        |FROM j WHERE op IS NOT NULL ORDER BY user_id""".stripMargin,
 
     "cdc_point_in_time" ->
       """WITH x AS (
