@@ -143,6 +143,23 @@ object ScalarQueries extends QuerySuite {
         expr("CAST(bit_count(c_custkey) AS BIGINT)").as("k_pop"))
         .orderBy("c_custkey")),
 
+    // Null-semantics family: three-valued logic (`=` yields NULL on a
+    // NULL operand), null-safe equality (Spark `<=>` ≡ DuckDB
+    // IS NOT DISTINCT FROM), and EXPLICIT null ordering — the engines
+    // default differently (Spark sorts nulls first ascending, DuckDB
+    // last), so portable plans must always spell it out.
+    "scalar_null_suite" -> ((s, d) => {
+      val m = nullif(col("c_mktsegment"), lit("MACHINERY"))
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        m.as("seg_m"),
+        (m === lit("BUILDING")).as("eq_3vl"),
+        (m <=> lit("BUILDING")).as("eq_nullsafe"),
+        m.isNull.as("is_n"),
+        coalesce(m, lit("(redacted)")).as("seg_coal"))
+        .orderBy(col("seg_m").asc_nulls_last, col("c_custkey"))
+    }),
+
     // Conditional family: CASE/coalesce/nullif bucketization.
     "scalar_conditional_suite" -> ((s, d) =>
       Tables.customer(s, d).select(
@@ -261,6 +278,18 @@ object ScalarQueries extends QuerySuite {
         |  c_custkey >> 2 AS k_shr,
         |  CAST(bit_count(c_custkey) AS BIGINT) AS k_pop
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_null_suite" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'MACHINERY') AS seg_m,
+        |  nullif(c_mktsegment, 'MACHINERY') = 'BUILDING' AS eq_3vl,
+        |  nullif(c_mktsegment, 'MACHINERY') IS NOT DISTINCT FROM 'BUILDING'
+        |    AS eq_nullsafe,
+        |  nullif(c_mktsegment, 'MACHINERY') IS NULL AS is_n,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), '(redacted)')
+        |    AS seg_coal
+        |FROM customer
+        |ORDER BY seg_m ASC NULLS LAST, c_custkey""".stripMargin,
 
     "scalar_conditional_suite" ->
       """SELECT c_custkey,
