@@ -176,18 +176,21 @@ object ExtendedQueries extends QuerySuite {
             cents(col("value")).as("v_cents"))
       }
       val ev = Tables.events(s, d)
+      // explicit presence flags + null-safe compares: a NULL latest
+      // value must read as an update, never as an absent key, and a
+      // NULL-to-value change must not vanish into three-valued logic
       val t1 = latestState(ev.filter(col("ts") < cutoff))
         .select(col("user_id"), col("state").as("state_1"),
-          col("v_cents").as("v_1"))
+          col("v_cents").as("v_1"), lit(true).as("in_1"))
       val t2 = latestState(ev)
         .select(col("user_id"), col("state").as("state_2"),
-          col("v_cents").as("v_2"))
+          col("v_cents").as("v_2"), lit(true).as("in_2"))
       t1.join(t2, Seq("user_id"), "full_outer")
         .withColumn("op",
-          when(col("state_1").isNull, "insert")
-            .when(col("state_2").isNull, "delete")
-            .when(col("state_1") =!= col("state_2") ||
-              col("v_1") =!= col("v_2"), "update"))
+          when(coalesce(col("in_1"), lit(false)) === false, "insert")
+            .when(coalesce(col("in_2"), lit(false)) === false, "delete")
+            .when(!(col("state_1") <=> col("state_2")) ||
+              !(col("v_1") <=> col("v_2")), "update"))
         .filter(col("op").isNotNull)
         .select(col("op"), col("user_id"),
           col("state_1"), col("v_1"), col("state_2"), col("v_2"))
@@ -372,10 +375,11 @@ object ExtendedQueries extends QuerySuite {
           .groupBy(col(keyCol).as("k"))
           .agg(count(lit(1)).as("n"))
         counts.agg(count(lit(1)).as("n_keys"),
-            sum("n").as("n_total"), max("n").as("max_n"),
+            sum("n").as("n_total"),
             max(struct(col("n"), (lit(0L) - col("k")).as("negk"))).as("top"))
           .select(lit(label).as("key_col"), col("n_keys"), col("n_total"),
-            col("max_n"), (lit(0L) - col("top.negk")).as("top_key"),
+            // max_n IS the struct-max's first field — one source of truth
+            col("top.n").as("max_n"), (lit(0L) - col("top.negk")).as("top_key"),
             expr("(100 * n_total) div n_keys").as("avg_x100"))
       }
       skewOf(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
@@ -571,14 +575,14 @@ object ExtendedQueries extends QuerySuite {
     "cdc_snapshot_diff" ->
       """WITH l1 AS (
         |  SELECT user_id, event_type AS state_1,
-        |    CAST(round(value*100) AS BIGINT) AS v_1
+        |    CAST(round(value*100) AS BIGINT) AS v_1, TRUE AS in_1
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rk
         |        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
         |  WHERE rk = 1),
         |l2 AS (
         |  SELECT user_id, event_type AS state_2,
-        |    CAST(round(value*100) AS BIGINT) AS v_2
+        |    CAST(round(value*100) AS BIGINT) AS v_2, TRUE AS in_2
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rk
         |        FROM events)
@@ -586,9 +590,10 @@ object ExtendedQueries extends QuerySuite {
         |j AS (
         |  SELECT coalesce(l1.user_id, l2.user_id) AS user_id,
         |    state_1, v_1, state_2, v_2,
-        |    CASE WHEN state_1 IS NULL THEN 'insert'
-        |         WHEN state_2 IS NULL THEN 'delete'
-        |         WHEN state_1 <> state_2 OR v_1 <> v_2 THEN 'update'
+        |    CASE WHEN coalesce(l1.in_1, FALSE) = FALSE THEN 'insert'
+        |         WHEN coalesce(l2.in_2, FALSE) = FALSE THEN 'delete'
+        |         WHEN state_1 IS DISTINCT FROM state_2
+        |           OR v_1 IS DISTINCT FROM v_2 THEN 'update'
         |         END AS op
         |  FROM l1 FULL OUTER JOIN l2 ON l1.user_id = l2.user_id)
         |SELECT op, user_id, state_1, v_1, state_2, v_2

@@ -177,6 +177,13 @@ object Multimodal extends QuerySuite {
       }).toDF("doc_id", "phash")
   }
 
+  /** The b-th 16-bit band of a 64-bit fingerprint column — the ONE
+    * definition both the blocking join and the fingerprint query's
+    * output representation share (the pigeonhole completeness proof
+    * depends on these being the same bands). */
+  private def bandVal(phash: org.apache.spark.sql.Column, b: Int) =
+    shiftrightunsigned(phash, 16 * b).bitwiseAND(lit(0xffffL))
+
   /** Banded near-duplicate pairs over a (doc_id, phash) frame: each
     * hash emits its 4 16-bit bands, candidates share a band value at
     * the same index (complete for distance ≤ 3 by pigeonhole), and
@@ -186,8 +193,7 @@ object Multimodal extends QuerySuite {
     val banded = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until PhashBands).map(b =>
         struct(lit(b).as("band_idx"),
-          shiftrightunsigned(col("phash"), 16 * b)
-            .bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("bd"))
+          bandVal(col("phash"), b).as("band_val"))): _*)).as("bd"))
       .select(col("doc_id"), col("phash"),
         col("bd.band_idx"), col("bd.band_val"))
     banded.as("x").join(banded.as("y"),
@@ -379,8 +385,7 @@ object Multimodal extends QuerySuite {
     // deviation breaks the hash.
     "multimodal_phash" -> ((s, d) => {
       val bands = (0 until PhashBands).map(b =>
-        shiftrightunsigned(col("phash"), 16 * b)
-          .bitwiseAND(lit(0xffffL)).as(s"b$b"))
+        bandVal(col("phash"), b).as(s"b$b"))
       phashTable(s, d)
         .select(col("doc_id") +: bands: _*)
         .orderBy("doc_id")

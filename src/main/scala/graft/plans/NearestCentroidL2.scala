@@ -42,12 +42,22 @@ case class NearestCentroidL2(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = NearestCentroidL2.Name
 
-  /** Boxed so the empty-centroid case is representable as NULL. */
+  /** Boxed so the no-answer cases are representable as NULL: an empty
+    * centroid array, a NULL element in `qv` (ArrayData.getLong on a
+    * null slot reads undefined data — the HOF twin's zip_with would
+    * NULL-poison the distance there), or a centroid of a different
+    * dimension (a positional fold over mismatched lengths is
+    * meaningless, and reading past an array end would throw). */
   def computeCluster(qvAny: Any, centsAny: Any): java.lang.Integer = {
     val qv = qvAny.asInstanceOf[ArrayData]
     val cents = centsAny.asInstanceOf[ArrayData]
     val d = qv.numElements()
     val n = cents.numElements()
+    var j0 = 0
+    while (j0 < d) {
+      if (qv.isNullAt(j0)) return null
+      j0 += 1
+    }
     var bestD2 = Double.PositiveInfinity
     var bestId = Int.MaxValue
     var found = false
@@ -56,6 +66,7 @@ case class NearestCentroidL2(left: Expression, right: Expression)
       val c = cents.getStruct(i, 2)
       val cid = c.getInt(0)
       val cv = c.getArray(1)
+      if (cv.numElements() != d) return null
       var acc = 0.0
       var j = 0
       while (j < d) {
