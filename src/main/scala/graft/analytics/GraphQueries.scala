@@ -65,6 +65,38 @@ object GraphQueries extends QuerySuite {
           .as("mass"))
   }
 
+  /** WEIGHTED symmetrized edge list (src, dst, w): w = number of
+    * lineitems traded between the endpoints — rank flows toward
+    * intense relationships, not merely connected ones. */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val fwd = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("src"),
+        (lit(SuppBase) + col("l_suppkey")).cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+  }
+
+  /** One damped weighted round: per-edge contribution
+    * `(mass·w) div W_src`. Integer headroom: mass·w must stay inside
+    * BIGINT — with total mass N·InitMass this bounds w_max·N·10^9 <
+    * 2^63, i.e. edge weights to ~10^5 at 10^5 nodes; heavier graphs
+    * scale InitMass down, as the unweighted contract documents. */
+  private def stepWeighted(e: DataFrame, deg: DataFrame,
+      mass: DataFrame): DataFrame = {
+    val base = (15L * InitMass) / 100L
+    val contrib = e.join(broadcast(mass.join(deg, "node")),
+        col("src") === col("node"))
+      .select(col("dst"), expr("(mass * w) div w_src").as("c"))
+      .groupBy(col("dst").as("node")).agg(sum("c").as("in_mass"))
+    deg.select("node").join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"($Damping * coalesce(in_mass, 0L)) div 100"))
+          .as("mass"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Top-20 nodes after three damped rounds, integer masses only.
     "graph_pagerank_top" -> ((s, d) => {
@@ -80,6 +112,24 @@ object GraphQueries extends QuerySuite {
       // top-k FIRST (TakeOrderedAndProject — per-partition heads, no
       // node-sized single-partition window), then rank the 20
       // survivors; the residual unpartitioned window is 20 rows
+      mass.orderBy(col("mass").desc, col("node")).limit(20)
+        .withColumn("kind",
+          when(col("node") < SuppBase, "customer").otherwise("supplier"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mass").desc, col("node"))).cast("long"))
+        .select("rk", "node", "kind", "mass")
+        .orderBy("rk")
+    }),
+
+    // The WEIGHTED variant: contributions proportional to trade
+    // intensity. Same shuffle shape, same integer determinism.
+    "graph_pagerank_weighted" -> ((s, d) => {
+      val e = weightedEdges(s, d)
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(sum("w").as("w_src"))
+        .localCheckpoint()
+      var mass = deg.select(col("node"), lit(InitMass).as("mass"))
+      for (_ <- 1 to Rounds) mass = stepWeighted(e, deg, mass)
       mass.orderBy(col("mass").desc, col("node")).limit(20)
         .withColumn("kind",
           when(col("node") < SuppBase, "customer").otherwise("supplier"))
@@ -111,6 +161,41 @@ object GraphQueries extends QuerySuite {
          |edges AS (SELECT src, dst FROM e0
          |          UNION SELECT dst AS src, src AS dst FROM e0),
          |deg AS (SELECT src AS node, count(*) AS out_deg
+         |        FROM edges GROUP BY src),
+         |m0 AS (SELECT node, CAST($InitMass AS BIGINT) AS mass FROM deg),
+         |$rounds
+         |SELECT rk, node, kind, mass FROM (
+         |  SELECT node, mass,
+         |    CASE WHEN node < $SuppBase THEN 'customer'
+         |         ELSE 'supplier' END AS kind,
+         |    row_number() OVER (ORDER BY mass DESC, node) AS rk
+         |  FROM m$Rounds)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
+
+    "graph_pagerank_weighted" -> {
+      val base = (15L * InitMass) / 100L
+      val rounds = (1 to Rounds).map { r =>
+        s"""m$r AS (
+           |  SELECT n.node,
+           |    CAST($base + ($Damping * coalesce(c.in_mass, 0)) // 100
+           |      AS BIGINT) AS mass
+           |  FROM deg n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((m.mass * e.w) // d.w_src) AS BIGINT) AS in_mass
+           |    FROM edges e
+           |    JOIN m${r - 1} m ON e.src = m.node
+           |    JOIN deg d ON e.src = d.node
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT o_custkey AS src, $SuppBase + l_suppkey AS dst,
+         |    count(*) AS w
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT src, dst, w FROM e0
+         |          UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+         |deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS w_src
          |        FROM edges GROUP BY src),
          |m0 AS (SELECT node, CAST($InitMass AS BIGINT) AS mass FROM deg),
          |$rounds
