@@ -42,6 +42,37 @@ class GraphSpec extends SparkSpec {
     assert(mass.values.sum <= deg.size.toLong * GraphQueries.InitMass)
   }
 
+  test("weighted top-20 masses equal an exact driver-side replay") {
+    val fwd = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawW = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .flatMap { r =>
+        fwd.get(r.getLong(0)).map(c =>
+          (c, GraphQueries.SuppBase + r.getLong(1)))
+      }.groupBy(identity).map { case (e, es) => e -> es.length.toLong }
+    val edges = rawW ++ rawW.map { case ((a, b), w) => (b, a) -> w }
+    val wSrc = edges.groupBy(_._1._1)
+      .map { case (n, es) => n -> es.values.sum }
+    var mass: Map[Long, Long] =
+      wSrc.map { case (n, _) => n -> GraphQueries.InitMass }
+    val base = 15L * GraphQueries.InitMass / 100L
+    for (_ <- 1 to GraphQueries.Rounds) {
+      val in = edges.toSeq
+        .map { case ((s0, t0), w) => t0 -> mass(s0) * w / wSrc(s0) }
+        .groupBy(_._1).map { case (n, cs) => n -> cs.map(_._2).sum }
+      mass = wSrc.map { case (n, _) =>
+        n -> (base + GraphQueries.Damping * in.getOrElse(n, 0L) / 100L)
+      }
+    }
+    val expect = mass.toSeq.sortBy { case (n, m) => (-m, n) }.take(20)
+      .zipWithIndex.map { case ((n, m), i) => (i + 1L, n, m) }
+    val got = GraphQueries.queries("graph_pagerank_weighted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === expect)
+  }
+
   test("every per-round mass join is broadcast; no nested-loop shapes") {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.getOption(aqeKey)
