@@ -228,6 +228,43 @@ object ClusterQueries extends QuerySuite {
         .orderBy("q_id", "rk")
     }),
 
+    // SemDeDup driven by the TRAINED partition — the other half of
+    // what the trainer feeds (sim_ivf_trained_topk is the index half):
+    // within each trained cluster, vectors cosine-close to a
+    // lower-id keeper are dropped. Pair work stays quadratic only
+    // inside bounded clusters; assignment is the same compiled
+    // map-only argmin as training. Zero-norm vectors are excluded in
+    // BOTH twins before pairing (NaN cosine), though they still took
+    // part in training like everything else.
+    "dedup_semantic_trained" -> ((s, d) => {
+      graft.plans.FloatVectorDot.register(s)
+      graft.plans.NearestCentroidL2.register(s)
+      val cs = centsRounds(s, d)
+      val assigned = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("qv", quantize(col("embedding")))
+        .withColumn("cluster", assignExpr(cs.last))
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .filter(col("nrm") > 0 && col("cluster").isNotNull)
+        .select("vec_id", "cluster", "embedding", "nrm")
+        // consumed three times (both pair sides + the anti-join
+        // probe) — cut the lineage once, lazily, like the stride twin
+        .localCheckpoint(eager = false)
+      val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      val dropped = a.join(b, Seq("cluster"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", Vectors.dotNative(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= DedupQueries.SemTau)
+        .select(col("vec_b").as("vec_id")).distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select("cluster", "vec_id")
+        .orderBy("cluster", "vec_id")
+    }),
+
     // Cluster-balance audit: stride-sampled cosine IVF vs trained-L2
     // k-means, min/max/total member counts per method. Imbalance is
     // the IVF scale hazard — a hot cluster is a skewed join key at
@@ -350,6 +387,23 @@ object ClusterQueries extends QuerySuite {
          |  FROM scored)
          |SELECT q_id, cluster, rk, vec_id, cos FROM ranked
          |WHERE rk <= ${SimilarityQueries.TopK} ORDER BY q_id, rk""".stripMargin,
+
+    "dedup_semantic_trained" ->
+      s"""WITH $kmCtes,
+         |nz AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE ${Vectors.normSql("embedding")} > 0),
+         |asg AS (
+         |  SELECT nz.vec_id, a$KmRounds.cluster, nz.embedding
+         |  FROM nz JOIN a$KmRounds USING (vec_id)),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")}
+         |    >= ${DedupQueries.SemTau})
+         |SELECT cluster, vec_id FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY cluster, vec_id""".stripMargin,
 
     "sim_kmeans_balance" ->
       s"""WITH $kmCtes,
