@@ -23,20 +23,40 @@ import org.apache.spark.sql.functions._
   * rather than risking silent wraparound.
   *
   * Scale design: the edge list is built once (one orderkey shuffle)
-  * and lineage-truncated; each round is edges ⋈ broadcast(node-sized
-  * mass table) → map-side divide → one aggregate on dst. The corpus-
-  * sized side never re-shuffles; the mass table never exceeds the
-  * node count; rounds are chained declaratively (no driver loop, no
+  * and lineage-truncated; each round is edges ⋈ mass⋈deg → map-side
+  * divide → one aggregate on dst. While the node count fits
+  * [[BroadcastNodeBudget]] the mass⋈deg side ships as a broadcast
+  * (edges never move after the initial build); past the budget — a
+  * node-sized table is small relative to EDGES, not absolutely small,
+  * and a 10^8-row broadcast is multi-GB, over Spark's 8 GB broadcast
+  * ceiling and the driver budget long before the integer headroom
+  * bites — each round degrades to a plain shuffle join on src, the
+  * standard Pregel shape (both sides hash-partitioned on the key).
+  * Rounds are chained declaratively (no driver loop over rows, no
   * collect). Every node in the symmetrized graph has out-degree ≥ 1,
   * so there is no dangling-mass branch to model.
   */
 object GraphQueries extends QuerySuite {
 
-  /** Supplier node ids live above customers: dst = SuppBase + suppkey. */
-  val SuppBase = 1000000L
+  /** Supplier node ids live above customers: dst = SuppBase + suppkey.
+    * 2^40 keeps the ranges disjoint to ~10^12 customers (TPC-H mints
+    * 150k custkeys per sf, so collision would need sf ≈ 7·10^6 — far
+    * past the 100 TB ≈ sf10^5 design point; the old 10^6 constant
+    * collided at sf ≈ 7, silently merging node kinds AND breaking the
+    * disjointness that lets Spark's non-deduplicating union match the
+    * oracle's UNION). Disjointness is also what makes `node <
+    * SuppBase` a correct kind decode. */
+  val SuppBase = 1L << 40
   val InitMass = 1000000000L
   val Damping = 85L
   val Rounds = 3
+
+  /** Per-round broadcast ceiling on the node count. 10^7 nodes ×
+    * ~24 B/row ≈ 240 MB — inside executor memory and Spark's 8 GB
+    * broadcast hard limit with margin; above it [[step]] switches to
+    * the shuffle-join plan (see class doc). Same budget-then-degrade
+    * pattern as the `text_token_ids` vocab broadcast. */
+  val BroadcastNodeBudget = 10000000L
 
   /** Symmetrized distinct edge list (src, dst). */
   private def edges(s: SparkSession, d: String): DataFrame = {
@@ -53,10 +73,15 @@ object GraphQueries extends QuerySuite {
       .localCheckpoint()
   }
 
-  /** One damped round: mass_r+1 = base + (85·incoming) div 100. */
-  private def step(e: DataFrame, deg: DataFrame, mass: DataFrame): DataFrame = {
+  /** One damped round: mass_r+1 = base + (85·incoming) div 100.
+    * `bcast` picks the mass⋈deg ship strategy (see class doc);
+    * `private[graft]` so GraphPlanSpec can assert both plan shapes. */
+  private[graft] def step(e: DataFrame, deg: DataFrame, mass: DataFrame,
+      bcast: Boolean = true): DataFrame = {
     val base = (15L * InitMass) / 100L
-    val contrib = e.join(broadcast(mass.join(deg, "node")), col("src") === col("node"))
+    val md = mass.join(deg, "node")
+    val contrib = e.join(if (bcast) broadcast(md) else md,
+        col("src") === col("node"))
       .select(col("dst"), expr("mass div out_deg").as("c"))
       .groupBy(col("dst").as("node")).agg(sum("c").as("in_mass"))
     deg.select("node").join(contrib, Seq("node"), "left")
@@ -84,10 +109,11 @@ object GraphQueries extends QuerySuite {
     * BIGINT — with total mass N·InitMass this bounds w_max·N·10^9 <
     * 2^63, i.e. edge weights to ~10^5 at 10^5 nodes; heavier graphs
     * scale InitMass down, as the unweighted contract documents. */
-  private def stepWeighted(e: DataFrame, deg: DataFrame,
-      mass: DataFrame): DataFrame = {
+  private[graft] def stepWeighted(e: DataFrame, deg: DataFrame,
+      mass: DataFrame, bcast: Boolean = true): DataFrame = {
     val base = (15L * InitMass) / 100L
-    val contrib = e.join(broadcast(mass.join(deg, "node")),
+    val md = mass.join(deg, "node")
+    val contrib = e.join(if (bcast) broadcast(md) else md,
         col("src") === col("node"))
       .select(col("dst"), expr("(mass * w) div w_src").as("c"))
       .groupBy(col("dst").as("node")).agg(sum("c").as("in_mass"))
@@ -107,8 +133,11 @@ object GraphQueries extends QuerySuite {
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("out_deg"))
         .localCheckpoint()
+      // one O(partitions) count over the checkpointed node table
+      // decides the per-round ship strategy (see BroadcastNodeBudget)
+      val bcast = deg.count() <= BroadcastNodeBudget
       var mass = deg.select(col("node"), lit(InitMass).as("mass"))
-      for (_ <- 1 to Rounds) mass = step(e, deg, mass)
+      for (_ <- 1 to Rounds) mass = step(e, deg, mass, bcast)
       // top-k FIRST (TakeOrderedAndProject — per-partition heads, no
       // node-sized single-partition window), then rank the 20
       // survivors; the residual unpartitioned window is 20 rows
@@ -128,8 +157,9 @@ object GraphQueries extends QuerySuite {
       val deg = e.groupBy(col("src").as("node"))
         .agg(sum("w").as("w_src"))
         .localCheckpoint()
+      val bcast = deg.count() <= BroadcastNodeBudget
       var mass = deg.select(col("node"), lit(InitMass).as("mass"))
-      for (_ <- 1 to Rounds) mass = stepWeighted(e, deg, mass)
+      for (_ <- 1 to Rounds) mass = stepWeighted(e, deg, mass, bcast)
       mass.orderBy(col("mass").desc, col("node")).limit(20)
         .withColumn("kind",
           when(col("node") < SuppBase, "customer").otherwise("supplier"))

@@ -183,19 +183,12 @@ object BpeQueries extends QuerySuite {
       if (counts.count() <= LocalTypeCap)
         trainMergesLocal(counts.collect().toSeq, MergeBudget)
       else
-        trainMerges(wordTypes(s, d), MergeBudget)
+        // reuse the type table just counted — re-calling wordTypes
+        // here would re-run the corpus-scale explode+groupBy exactly
+        // on the path taken when the corpus is huge
+        trainMerges(counts.map { case (w, f) => WordSeq(w, f, initSyms(w)) },
+          MergeBudget)
     })
-
-  /** The word-type table of a documents frame: distinct lowercase
-    * whitespace words with corpus frequencies — vocab-sized (Zipf). */
-  private def wordTypes(s: SparkSession, d: String): Dataset[WordSeq] = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(explode(words(lower(col("text")))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)]
-      .map { case (w, f) => WordSeq(w, f, initSyms(w)) }
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The learned merge table: rank, pair, merged symbol, weighted

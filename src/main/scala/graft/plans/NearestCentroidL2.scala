@@ -63,13 +63,20 @@ case class NearestCentroidL2(left: Expression, right: Expression)
     var found = false
     var i = 0
     while (i < n) {
+      // A NULL centroid element or NULL cv field is representable
+      // (the type check ignores containsNull); getStruct/getArray on
+      // a null slot reads undefined data, so bail to NULL like the
+      // qv null-slot guard above.
+      if (cents.isNullAt(i)) return null
       val c = cents.getStruct(i, 2)
+      if (c.isNullAt(1)) return null
       val cid = c.getInt(0)
       val cv = c.getArray(1)
       if (cv.numElements() != d) return null
       var acc = 0.0
       var j = 0
       while (j < d) {
+        if (cv.isNullAt(j)) return null
         val t = qv.getLong(j).toDouble - cv.getDouble(j)
         acc += t * t
         j += 1

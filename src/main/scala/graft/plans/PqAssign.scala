@@ -45,16 +45,30 @@ case class PqAssign(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = PqAssign.Name
 
-  /** Null iff the codebook is empty (no subspaces to assign). */
+  /** Null for every no-answer case, never undefined bytes: an empty
+    * codebook, a NULL slot in the embedding or a NULL codebook entry
+    * (UnsafeArrayData.getFloat on a null slot reads garbage silently),
+    * a negative subspace id, or an embedding shorter than the
+    * m*dsub+dsub slice a codebook entry addresses (an out-of-range
+    * getFloat also returns undefined bytes rather than throwing).
+    * Same contract as the sibling kernel NearestCentroidL2. */
   def computeBest(embAny: Any, cbAny: Any): ArrayData = {
     val emb = embAny.asInstanceOf[ArrayData]
     val cb = cbAny.asInstanceOf[ArrayData]
     val n = cb.numElements()
     if (n == 0) return null
+    val embLen = emb.numElements()
+    var j0 = 0
+    while (j0 < embLen) {
+      if (emb.isNullAt(j0)) return null
+      j0 += 1
+    }
     var maxM = 0
     var i = 0
     while (i < n) {
+      if (cb.isNullAt(i)) return null
       val m = cb.getStruct(i, 3).getInt(0)
+      if (m < 0) return null
       if (m > maxM) maxM = m
       i += 1
     }
@@ -69,9 +83,11 @@ case class PqAssign(left: Expression, right: Expression)
       val sub = c.getArray(2)
       val dsub = sub.numElements()
       val off = m * dsub
+      if (off + dsub > embLen) return null
       var acc = 0.0
       var j = 0
       while (j < dsub) {
+        if (sub.isNullAt(j)) return null
         val t = emb.getFloat(off + j).toDouble - sub.getDouble(j)
         acc += t * t
         j += 1

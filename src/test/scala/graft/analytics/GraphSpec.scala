@@ -98,4 +98,48 @@ class GraphSpec extends SparkSpec {
       case None => spark.conf.unset(aqeKey)
     }
   }
+
+  test("past BroadcastNodeBudget a round degrades to a shuffle join with identical masses") {
+    import org.apache.spark.sql.functions._
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevAbt = spark.conf.getOption(abtKey)
+    spark.conf.set(aqeKey, "false")
+    // simulate a node table past any broadcast budget: forbid Spark
+    // from auto-broadcasting what the hint no longer marks
+    spark.conf.set(abtKey, "-1")
+    try {
+      import spark.implicits._
+      val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+        .toDF("src", "dst")
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("out_deg"))
+      val m0 = deg.select(col("node"), lit(GraphQueries.InitMass).as("mass"))
+      val viaB = GraphQueries.step(e, deg, m0, bcast = true)
+      val viaS = GraphQueries.step(e, deg, m0, bcast = false)
+      viaS.collect()
+      val planS = viaS.queryExecution.executedPlan
+      assert(planS.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.isEmpty, s"fallback path still broadcasts:\n$planS")
+      assert(planS.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.nonEmpty, s"fallback path has no shuffle join:\n$planS")
+      // both ship strategies compute the same integer masses
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+      assert(viaS.collect().map(key).sorted.toSeq ===
+        viaB.collect().map(key).sorted.toSeq)
+    } finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      prevAbt match {
+        case Some(v) => spark.conf.set(abtKey, v)
+        case None => spark.conf.unset(abtKey)
+      }
+    }
+  }
 }
