@@ -161,29 +161,90 @@ object WindowQueries extends QuerySuite {
     }),
 
     // ntile quartiles + percent_rank over order values (unique
-    // ordering => deterministic tiles).
+    // ordering => deterministic tiles). SCALE SHAPE: no unpartitioned
+    // window — `ntile(4) OVER (ORDER BY …)` is a single-task sort of
+    // the whole fact table at 100×. Instead the global rank comes
+    // from a range-partitioned PARALLEL sort + zipWithIndex
+    // (per-partition counts set the offsets — the text_token_ids
+    // pattern), and tile/percent_rank are then pure map-side
+    // arithmetic on (rank, n): ntile(4) gives the first n%4 buckets
+    // ceil(n/4) rows and the rest floor(n/4); percent_rank =
+    // (rank−1)/(n−1), the same exact IEEE division both window
+    // engines perform. The DuckDB oracle still says ntile/
+    // percent_rank, so the hash match proves the decomposition —
+    // the ordering is total (o_orderkey tiebreak), so rank =
+    // row_number and there are no peer groups to model.
     "window_ntile_orders" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d).select(
-        col("o_orderkey"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pr"))
+      import s.implicits._
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val n = src.count() // one scalar scan; drives the tile bounds
+      val tileSz = n / 4
+      val rem = n % 4
+      val ranked = src.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey")).as[Long]
+        .rdd.zipWithIndex()
+        .map { case (k, i) => (k, i + 1L) }
+        .toDF("o_orderkey", "r")
+      val cut = rem * (tileSz + 1) // last rank inside the wide buckets
+      val quartile =
+        if (tileSz == 0) col("r") // n < 4: one row per tile
+        else if (rem == 0) expr(s"(r - 1) div $tileSz") + lit(1L)
+        else when(col("r") <= cut,
+          expr(s"(r - 1) div ${tileSz + 1}") + lit(1L))
+          .otherwise(expr(s"(r - 1 - $cut) div $tileSz") + lit(1L + rem))
+      val pr =
+        if (n <= 1L) lit(0.0)
+        else (col("r") - lit(1L)).cast("double") / lit((n - 1).toDouble)
+      ranked.select(col("o_orderkey"),
+        quartile.cast("long").as("quartile"), pr.as("pr"))
         .orderBy("o_orderkey")
     }),
 
     // Distribution ranks per partition: cume_dist + dense_rank over
     // order values within each status (the remaining rank-family
     // functions next to row_number/rank/ntile/percent_rank). The
-    // window ordering includes the unique o_orderkey tiebreak so both
-    // engines compute identical rational cume_dist values (k/n with
-    // exact IEEE division).
+    // cume_dist ordering includes the unique o_orderkey tiebreak so
+    // both engines compute identical rational cume_dist values (k/n
+    // with exact IEEE division); dense_rank orders by price ALONE
+    // (true dense semantics — a price tiebroken by a unique key would
+    // degenerate dense_rank into row_number). SCALE SHAPE: o_orderstatus has 3 values,
+    // so `PARTITION BY o_orderstatus` funnels the fact table through
+    // 3 tasks no matter the cluster size. Decomposed instead: one
+    // parallel sort + zipWithIndex gives a global id; a 3-row
+    // (min-id, count) table per status — broadcast — converts it to
+    // the within-status rank, and cume_dist = rank/n. dense_rank
+    // comes from the same trick over the DISTINCT (status, price)
+    // table, joined back on the (status, price) key — a key-
+    // partitioned shuffle join, never a per-status funnel. Unique
+    // ordering ⇒ no peer groups ⇒ cume_dist = row_number/n exactly.
     "window_dist_ranks" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d).select(
-        col("o_orderkey"), col("o_orderstatus"),
-        cume_dist().over(w).as("cd"),
-        dense_rank().over(w).cast("long").as("dr"))
+      import s.implicits._
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val ranked = src
+        .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, String, Double)]
+        .rdd.zipWithIndex()
+        .map { case ((k, st, p), i) => (k, st, p, i) }
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "gid")
+      val stats = ranked.groupBy("o_orderstatus")
+        .agg(min("gid").as("base"), count(lit(1)).as("n_part"))
+      val dense = src.select("o_orderstatus", "o_totalprice").distinct()
+        .orderBy("o_orderstatus", "o_totalprice")
+        .as[(String, Double)]
+        .rdd.zipWithIndex()
+        .map { case ((st, p), i) => (st, p, i) }
+        .toDF("o_orderstatus", "o_totalprice", "dgid")
+      val dstats = dense.groupBy("o_orderstatus").agg(min("dgid").as("dbase"))
+      ranked
+        .join(broadcast(stats), "o_orderstatus")
+        .join(dense.join(broadcast(dstats), "o_orderstatus"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ((col("gid") - col("base") + lit(1L)).cast("double") /
+            col("n_part").cast("double")).as("cd"),
+          (col("dgid") - col("dbase") + lit(1L)).as("dr"))
         .orderBy("o_orderkey")
     }),
 
@@ -259,7 +320,7 @@ object WindowQueries extends QuerySuite {
         |  cume_dist() OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice, o_orderkey) AS cd,
         |  dense_rank() OVER (PARTITION BY o_orderstatus
-        |    ORDER BY o_totalprice, o_orderkey) AS dr
+        |    ORDER BY o_totalprice) AS dr
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "window_gap_fill" ->
       s"""WITH daily AS (

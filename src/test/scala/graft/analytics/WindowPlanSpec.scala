@@ -1,0 +1,87 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Executable guards for the scale shape of the decomposed rank
+  * queries: `window_ntile_orders` and `window_dist_ranks` must never
+  * funnel the fact table through a single-partition Exchange or an
+  * unpartitioned/low-cardinality window — their global ranks come
+  * from a range-partitioned parallel sort + zipWithIndex instead
+  * (correctness is separately pinned by the DuckDB ntile/percent_rank
+  * oracle, so these assertions can't drift from the answers).
+  *
+  * The final user-facing `orderBy("o_orderkey")` is a RANGE exchange
+  * (parallel), not a single partition — the assertions distinguish
+  * the two. The sort feeding zipWithIndex lives in an upstream job
+  * (RDD lineage), itself range-partitioned by Spark's orderBy.
+  */
+class WindowPlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def assertScaleShape(name: String): Unit = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false") // AQE hides nodes behind QueryStageExec
+    try {
+      val df = WindowQueries.queries(name)(spark, sf)
+      df.collect()
+      val plan: SparkPlan = df.queryExecution.executedPlan
+      val singles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      assert(singles.isEmpty,
+        s"$name funnels through a single-partition Exchange:\n$plan")
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty,
+        s"$name still contains a window operator:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
+  test("window_ntile_orders has no single-partition exchange and no window operator") {
+    assertScaleShape("window_ntile_orders")
+  }
+
+  test("window_dist_ranks has no single-partition exchange and no window operator") {
+    assertScaleShape("window_dist_ranks")
+  }
+
+  test("decomposed quartiles equal the window-function spelling on sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = graft.Tables.orders(spark, sf).select(
+      col("o_orderkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pr"))
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = WindowQueries.queries("window_ntile_orders")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("decomposed dist ranks equal the window-function spelling on sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wCd = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wDr = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+    val want = graft.Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      cume_dist().over(wCd).as("cd"),
+      dense_rank().over(wDr).cast("long").as("dr"))
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val got = WindowQueries.queries("window_dist_ranks")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+  }
+}
