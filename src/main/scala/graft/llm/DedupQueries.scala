@@ -500,9 +500,11 @@ object DedupQueries extends QuerySuite {
     }),
 
     // MinHash signatures (first 4 components surfaced for inspection) —
-    // deterministic, so rows-only check + ScalaTest cover it. Native
-    // single-pass kernel (plans/MinHashSig): each shingle hashed ONCE
-    // in compiled code, spec-pinned bit-identical to the HOF twin.
+    // fully hash-checked: the DuckDB oracle recomputes xxhash64 via
+    // XxhSql's wrapping-uint64 replay, then the same affine minima.
+    // Native single-pass kernel (plans/MinHashSig): each shingle
+    // hashed ONCE in compiled code, spec-pinned bit-identical to the
+    // HOF twin.
     "dedup_minhash_signatures" -> ((s, d) => {
       graft.plans.MinHashSig.register(s)
       docsWithWords(s, d)
@@ -537,7 +539,7 @@ object DedupQueries extends QuerySuite {
     // Estimator calibration: signature-agreement jaccard estimate vs
     // the exact value on every LSH candidate pair — the view that
     // tells you whether K/Bands/R fit the corpus before a 100 TB run.
-    // Deterministic (hash-based), pinned rows-only + DedupSpec.
+    // Hash-checked end-to-end (XxhSql replay) + DedupSpec.
     "dedup_minhash_est_vs_exact" -> ((s, d) => {
       val docs = docsWithWords(s, d)
         .select(col("doc_id"), shinglesNative(col("w"), Shingle).as("sh"))
@@ -609,9 +611,10 @@ object DedupQueries extends QuerySuite {
     // (equal sigs collide on the identity probe; distance-1 pairs on
     // the flipped bit), so the join is linear in docs × 65 and the
     // exact bit_count verify runs on candidates only — the multi-probe
-    // LSH pattern (Lv et al., VLDB'07). Rows-only driver check (the
-    // native SimHash kernel has no SQL twin); the probe-completeness
-    // guarantee is spec'd on planted fingerprints in DedupSpec.
+    // LSH pattern (Lv et al., VLDB'07). Hash-checked: the oracle
+    // replays the fingerprints (XxhSql) and spells the all-pairs
+    // filter, equal by the probe-completeness guarantee (also spec'd
+    // on planted fingerprints in DedupSpec).
     "dedup_simhash_radius" -> ((s, d) => {
       val sigs = docsWithWords(s, d) // registers the native kernels
         .withColumn("sig", simHashNative(col("w")))
@@ -742,7 +745,143 @@ object DedupQueries extends QuerySuite {
            s"  SELECT vec_id, $k AS band_idx, band$k AS band_val FROM sig")
            .mkString("\n  UNION ALL\n")})""".stripMargin
 
+  // ---- MinHash-family DuckDB replay ------------------------------
+  // The whole family is deterministic integer arithmetic once the
+  // oracle can compute Spark's xxhash64 — which XxhSql emits as
+  // wrapping-uint64 SQL. These CTE fragments rebuild the pipeline:
+  // shingles → per-shingle hash → k affine minima (signature) → band
+  // strings → band hashes → capped buckets → verified pairs. Every
+  // constant is interpolated from the SAME Scala vals the Spark side
+  // uses (K, Bands, R, MaxBucket, MinHashPrime, minHashParams).
+
+  private val P = graft.llm.TextOps.MinHashPrime
+
+  /** CTEs from documents to `hm(doc_id, h)` — one row per (doc,
+    * shingle) with h = pmod(xxhash64(shingle), p). */
+  private def minhashBaseSql: String =
+    s"""wf AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |       ORDER BY doc_id),
+       |wfk AS (SELECT * FROM wf WHERE len(w) >= $Shingle),
+       |shl AS (SELECT doc_id, $shingleSql AS sh FROM wfk),
+       |shx AS (SELECT doc_id, unnest(sh) AS s0 FROM shl),
+       |${XxhSql.ctes("shx", Seq("doc_id"), "s0", "mh")},
+       |hm AS (SELECT doc_id, ((hv % $P) + $P) % $P AS h FROM mh_out)"""
+      .stripMargin
+
+  /** The j-th (1-based) affine min aggregate over `h`. */
+  private def sigMinSql(j: Int): String = {
+    val (a, b) = graft.llm.TextOps.minHashParams(K)(j - 1)
+    s"CAST(min((h * $a + $b) % $P) AS BIGINT)"
+  }
+
+  /** CTEs extending [[minhashBaseSql]] to capped LSH candidate pairs
+    * `pr(doc_a, doc_b)` plus `sigl(doc_id, sig)` — bands hashed with
+    * a second XxhSql pass over the comma-joined component strings,
+    * hot buckets (> MaxBucket docs) dropped before the self-join,
+    * exactly the Spark cappedBandPairs shape. */
+  private def lshPairsSql: String =
+    s"""${minhashBaseSql},
+       |sigl AS (SELECT doc_id,
+       |    ${(1 to K).map(sigMinSql).mkString("[", ",\n      ", "]")} AS sig
+       |  FROM hm GROUP BY doc_id),
+       |bs AS (SELECT doc_id, b AS band_idx,
+       |    array_to_string(sig[b*$R+1 : b*$R+$R], ',') AS bstr
+       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bb),
+       |${XxhSql.ctes("bs", Seq("doc_id", "band_idx"), "bstr", "hb")},
+       |bk AS (SELECT doc_id, band_idx, hv AS band_hash FROM hb_out),
+       |cap AS (SELECT band_idx, band_hash FROM bk
+       |        GROUP BY band_idx, band_hash HAVING count(*) <= $MaxBucket),
+       |kb AS (SELECT bk.* FROM bk JOIN cap USING (band_idx, band_hash)),
+       |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |       FROM kb x JOIN kb y ON x.band_idx = y.band_idx
+       |         AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)"""
+      .stripMargin
+
+  /** CTEs from documents to `sims(doc_id, simhash)` — the SimHash
+    * fingerprint replayed bit-by-bit: per-token xxhash64 (XxhSql),
+    * per-bit popularity counts via (uint // 2^b) % 2 (sign-free bit
+    * reads), strict-majority vote, and the signed-BIGINT fingerprint
+    * reassembled WITHOUT any 64-bit shift (DuckDB `<<` overflows at
+    * bit 63 — the total is summed as HUGEINT and wrapped to signed). */
+  private def simhashSimsSql: String = {
+    val H = "18446744073709551616::HUGEINT"
+    val bitCols = (0 until 64).map(b =>
+      s"sum(CAST((uh // ${java.lang.Long.toUnsignedString(1L << b)}) % 2 AS BIGINT)) AS c$b")
+      .mkString(",\n    ")
+    val tot = (0 until 64).map(b =>
+      s"CASE WHEN 2*c$b > n THEN ${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    s"""wf AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wfk AS (SELECT * FROM wf WHERE len(w) >= $Shingle),
+       |tok AS (SELECT doc_id, unnest(w) AS s0 FROM wfk),
+       |${XxhSql.ctes("tok", Seq("doc_id"), "s0", "sx")},
+       |uhx AS (SELECT doc_id,
+       |    hv + CASE WHEN hv < 0 THEN $H ELSE 0::HUGEINT END AS uh
+       |  FROM sx_out),
+       |cb AS (SELECT doc_id, count(*) AS n,
+       |    $bitCols
+       |  FROM uhx GROUP BY doc_id),
+       |st AS (SELECT doc_id, ($tot) AS tot FROM cb),
+       |sims AS (SELECT doc_id,
+       |    CAST(tot - CASE WHEN tot >= 9223372036854775808 THEN $H
+       |               ELSE 0::HUGEINT END AS BIGINT) AS simhash
+       |  FROM st)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "dedup_simhash" ->
+      s"""WITH $simhashSimsSql
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    // The multi-probe pairs are COMPLETE for hamming ≤ 1 by
+    // construction (identity probe catches distance 0, each 1-bit
+    // flip catches its distance-1 partner), so the oracle may spell
+    // the plain all-pairs filter — the probe equivalence itself is
+    // additionally spec'd on planted fingerprints in DedupSpec.
+    "dedup_simhash_radius" ->
+      s"""WITH $simhashSimsSql
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_lsh_bucket_stats" ->
+      s"""WITH $lshPairsSql,
+         |bucketsz AS (SELECT band_idx, band_hash, count(*) AS bucket_n
+         |             FROM bk GROUP BY band_idx, band_hash)
+         |SELECT CAST(band_idx AS INTEGER) AS band_idx,
+         |  count(*) AS n_buckets,
+         |  max(bucket_n) AS max_bucket,
+         |  CAST(sum(CASE WHEN bucket_n > $MaxBucket THEN bucket_n
+         |           ELSE 0 END) AS BIGINT) AS dropped_docs
+         |FROM bucketsz GROUP BY band_idx ORDER BY band_idx""".stripMargin,
+
+    "dedup_minhash_signatures" ->
+      s"""WITH $minhashBaseSql
+         |SELECT doc_id,
+         |  ${(1 to 4).map(j => s"${sigMinSql(j)} AS h$j").mkString(",\n  ")}
+         |FROM hm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_candidates" ->
+      s"""WITH $lshPairsSql
+         |SELECT doc_a, doc_b, ${jaccardSql("a.sh", "b.sh")} AS jac
+         |FROM pr JOIN shl a ON pr.doc_a = a.doc_id
+         |        JOIN shl b ON pr.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_est_vs_exact" ->
+      s"""WITH $lshPairsSql
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(range(1, ${K + 1}),
+         |    j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / $K AS est_jac,
+         |  ${jaccardSql("a.sh", "b.sh")} AS jac
+         |FROM pr JOIN sigl sa ON pr.doc_a = sa.doc_id
+         |        JOIN sigl sb ON pr.doc_b = sb.doc_id
+         |        JOIN shl a ON pr.doc_a = a.doc_id
+         |        JOIN shl b ON pr.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_exact_groups" ->
       """SELECT md5(text) AS digest, count(*) AS n_copies,
         |  min(doc_id) AS keeper

@@ -400,6 +400,48 @@ object Multimodal extends QuerySuite {
     "multimodal_phash_dups" -> ((s, d) =>
       phashPairs(phashTable(s, d))))
 
+  /** The WITH-body both phash oracles share: predicts every dHash
+    * band in DuckDB from the fixture's integer pixel formula (incl.
+    * the planted twin's blue-LSB flip at (0,0)), producing
+    * `sigs(doc_id, b0..b3)` — while the Spark side reads the bits
+    * from the genuine PNG encode→decode round-trip; a codec that
+    * mangles any sampled pixel breaks both hash matches. */
+  private def phashSigsSql: String = {
+    def gray(px: String, py: String) =
+      s"""((id*31 + ($px)*7 + ($py)*13) % 256
+         | + (id*17 + ($px)*11 + ($py)*3) % 256
+         | + CASE WHEN planted AND ($px) = 0 AND ($py) = 0
+         |        THEN xor((id*5 + ($px)*13 + ($py)*29) % 256, 1)
+         |        ELSE (id*5 + ($px)*13 + ($py)*29) % 256 END)"""
+        .stripMargin.replace("\n", " ")
+    s"""ids AS (
+       |  SELECT doc_id AS id, doc_id AS out_id, FALSE AS planted
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id AS id, doc_id + $PlantBase AS out_id, TRUE AS planted
+       |  FROM documents WHERE doc_id % 35 = 0),
+       |dims AS (
+       |  SELECT id, out_id, planted,
+       |    8 + id % 24 AS w, 8 + (id // 7) % 24 AS h
+       |  FROM ids),
+       |bits AS (
+       |  SELECT out_id, (cy.cy*8 + cx.cx) // 16 AS band,
+       |    CASE WHEN ${gray("cx.cx * w // 9", "cy.cy * h // 8")}
+       |           > ${gray("(cx.cx + 1) * w // 9", "cy.cy * h // 8")}
+       |         THEN 1::BIGINT << ((cy.cy*8 + cx.cx) % 16)
+       |         ELSE 0::BIGINT END AS v
+       |  FROM dims
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) cy
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cx) cx),
+       |sigs AS (
+       |  SELECT out_id AS doc_id,
+       |    CAST(sum(CASE WHEN band = 0 THEN v ELSE 0 END) AS BIGINT) AS b0,
+       |    CAST(sum(CASE WHEN band = 1 THEN v ELSE 0 END) AS BIGINT) AS b1,
+       |    CAST(sum(CASE WHEN band = 2 THEN v ELSE 0 END) AS BIGINT) AS b2,
+       |    CAST(sum(CASE WHEN band = 3 THEN v ELSE 0 END) AS BIGINT) AS b3
+       |  FROM bits GROUP BY out_id)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // The decoded_dims trick completed for pixels: every gradient bit
     // of the dHash is PREDICTED from the fixture's integer pixel
@@ -407,40 +449,28 @@ object Multimodal extends QuerySuite {
     // while the Spark side reads it from the genuine PNG
     // encode→decode round-trip — a codec that mangles any sampled
     // pixel breaks the hash match.
-    "multimodal_phash" -> {
-      def gray(px: String, py: String) =
-        s"""((id*31 + ($px)*7 + ($py)*13) % 256
-           | + (id*17 + ($px)*11 + ($py)*3) % 256
-           | + CASE WHEN planted AND ($px) = 0 AND ($py) = 0
-           |        THEN xor((id*5 + ($px)*13 + ($py)*29) % 256, 1)
-           |        ELSE (id*5 + ($px)*13 + ($py)*29) % 256 END)"""
-          .stripMargin.replace("\n", " ")
-      s"""WITH ids AS (
-         |  SELECT doc_id AS id, doc_id AS out_id, FALSE AS planted
-         |  FROM documents WHERE doc_id % 5 = 0
-         |  UNION ALL
-         |  SELECT doc_id AS id, doc_id + $PlantBase AS out_id, TRUE AS planted
-         |  FROM documents WHERE doc_id % 35 = 0),
-         |dims AS (
-         |  SELECT id, out_id, planted,
-         |    8 + id % 24 AS w, 8 + (id // 7) % 24 AS h
-         |  FROM ids),
-         |bits AS (
-         |  SELECT out_id, (cy.cy*8 + cx.cx) // 16 AS band,
-         |    CASE WHEN ${gray("cx.cx * w // 9", "cy.cy * h // 8")}
-         |           > ${gray("(cx.cx + 1) * w // 9", "cy.cy * h // 8")}
-         |         THEN 1::BIGINT << ((cy.cy*8 + cx.cx) % 16)
-         |         ELSE 0::BIGINT END AS v
-         |  FROM dims
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) cy
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cx) cx)
-         |SELECT out_id AS doc_id,
-         |  CAST(sum(CASE WHEN band = 0 THEN v ELSE 0 END) AS BIGINT) AS b0,
-         |  CAST(sum(CASE WHEN band = 1 THEN v ELSE 0 END) AS BIGINT) AS b1,
-         |  CAST(sum(CASE WHEN band = 2 THEN v ELSE 0 END) AS BIGINT) AS b2,
-         |  CAST(sum(CASE WHEN band = 3 THEN v ELSE 0 END) AS BIGINT) AS b3
-         |FROM bits GROUP BY out_id ORDER BY doc_id""".stripMargin
-    },
+    "multimodal_phash" ->
+      s"""WITH $phashSigsSql
+         |SELECT doc_id, b0, b1, b2, b3 FROM sigs ORDER BY doc_id"""
+        .stripMargin,
+
+    // The pair query under the SAME pixel-formula replay: every band
+    // of every candidate fingerprint is predicted in DuckDB, pairs by
+    // banded XOR popcount. The oracle may spell it as the plain
+    // all-pairs filter: hamming ≤ $MaxPhashDist over 4 bands
+    // guarantees a shared band by pigeonhole, so the blocked Spark
+    // plan and this brute-force SQL are equal BY THEOREM (and
+    // MultimodalSpec proves the blocking equivalence executably).
+    "multimodal_phash_dups" ->
+      s"""WITH $phashSigsSql
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+         |      AS BIGINT) AS hamming
+         |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id)
+         |WHERE hamming <= $MaxPhashDist
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'application/x-' || source AS mime,
