@@ -241,8 +241,86 @@ object BpeQueries extends QuerySuite {
         .orderBy("doc_id")
     }))
 
-  // Iterative merge training is not expressible as one DuckDB query
-  // (each round's argmax feeds the next round's rewrite) — rows-only
-  // driver checks; BpeSpec pins known merges on a planted corpus.
-  def oracles: Map[String, String] = Map.empty
+  // ---- Unrolled-CTE DuckDB replay of the FULL training ------------
+  // Each of the MergeBudget rounds is a (pair-count, argmax, rewrite)
+  // CTE triple generated by a Scala loop — the k-means unrolled-round
+  // pattern, extended with a string-fold replay of the greedy
+  // mergeOnce pass: a word's symbol sequence rides as a
+  // \x01-separated string; the fold emits symbols left to right and,
+  // when the last un-merged emit equals `a` and the next symbol is
+  // `b`, rewrites the tail to the merged symbol tagged with a \x02
+  // marker (so a just-merged token is ineligible as a LEFT partner,
+  // exactly mergeOnce's skip-ahead). The separators are control chars
+  // that cannot occur in the printable-ASCII fixture. Every CTE is
+  // MATERIALIZED — each round references its predecessor twice, and
+  // inlined CTEs would expand 2^24 scans. Tie-break (count DESC, a,
+  // b) matches the trainer because DuckDB compares VARCHARs by UTF-8
+  // bytes, the same collation utf8Lt pins for the local path.
+
+  private val Sep = "e'\\x01'"
+  private val Mrk = "e'\\x02'"
+
+  private def symsOf(sq: String): String =
+    s"list_filter(string_split($sq, $Sep), x -> x <> '')"
+
+  private def foldStepSql: String = {
+    val last = "regexp_extract(acc, e'\\x01([^\\x01]*)\\x01$', 1)"
+    s"CASE WHEN acc = '' THEN $Sep || t || $Sep " +
+      s"WHEN $last = bst.a AND t = bst.b " +
+      s"THEN left(acc, length(acc) - length($last) - 1) || bst.a || bst.b || $Mrk || $Sep " +
+      s"ELSE acc || t || $Sep END"
+  }
+
+  private def roundCtes(r: Int): String =
+    s"""pr$r AS MATERIALIZED (
+       |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+       |        FROM (SELECT freq, ${symsOf("sq")} AS syms FROM seq${r - 1}))
+       |  GROUP BY syms[i], syms[i+1]),
+       |best$r AS MATERIALIZED (SELECT a, b, n FROM pr$r ORDER BY n DESC, a, b LIMIT 1),
+       |seq$r AS MATERIALIZED (
+       |  SELECT wrd, freq,
+       |    CASE WHEN bst.n >= 2 THEN
+       |      replace(list_reduce(list_concat([''], ${symsOf("sq")}),
+       |        (acc, t) -> $foldStepSql), $Mrk, '')
+       |    ELSE sq END AS sq
+       |  FROM seq${r - 1} LEFT JOIN best$r bst ON TRUE)""".stripMargin
+
+  private def baseCtes: String =
+    s"""w0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |       FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT wrd, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(ws) AS wrd FROM w0) GROUP BY wrd),
+       |seq0 AS (SELECT wrd, freq,
+       |    $Sep || array_to_string(list_append(
+       |      list_transform(range(1, length(wrd)+1), i -> wrd[i:i]), '$Eow'),
+       |      $Sep) || $Sep AS sq
+       |  FROM vocab)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "text_bpe_vocab" -> {
+      val rounds = (1 to MergeBudget).map(roundCtes).mkString(",\n")
+      val sel = (1 to MergeBudget).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS "left", b AS "right", a || b AS merged, n AS pair_n FROM best$r WHERE n >= 2""")
+        .mkString("\nUNION ALL ")
+      s"WITH $baseCtes,\n$rounds\nSELECT * FROM ($sel) ORDER BY merge_rank"
+    },
+
+    "text_bpe_encode" -> {
+      val rounds = (1 to MergeBudget).map(roundCtes).mkString(",\n")
+      s"""WITH $baseCtes,
+         |$rounds,
+         |wt AS (SELECT wrd, trim(replace(sq, $Sep, ' ')) AS toks_str,
+         |         len(${symsOf("sq")}) AS n_toks
+         |       FROM seq$MergeBudget),
+         |dw AS (SELECT doc_id, unnest(ws) AS wrd,
+         |         unnest(range(1, len(ws)+1)) AS pos
+         |       FROM w0)
+         |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wt.n_toks) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(wt.toks_str, ' ' ORDER BY dw.pos)) AS tokens_digest
+         |FROM dw JOIN wt ON dw.wrd = wt.wrd
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+    })
 }

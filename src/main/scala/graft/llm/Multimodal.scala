@@ -442,7 +442,60 @@ object Multimodal extends QuerySuite {
        |  FROM bits GROUP BY out_id)""".stripMargin
   }
 
+  /** WITH-body producing `dec(doc_id, width, height, n_frames,
+    * brightness)` — the decode oracle: image rows replay the REAL
+    * pixel sum from the fixture's integer formula (the phash trick,
+    * extended from sampled gradient bits to the full w×h brightness
+    * sum), stub rows replay the byte-fold checksum via a list_reduce
+    * over ASCII codepoints. Divisions are spelled DOUBLE/INTEGER so
+    * DuckDB performs the same IEEE division as the JVM (a bare 255.0
+    * literal would be DECIMAL division). */
+  private def decodedSql: String =
+    s"""img AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+       |          8 + (doc_id // 7) % 24 AS h
+       |        FROM documents WHERE doc_id % 5 = 0),
+       |pxx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM img),
+       |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM pxx),
+       |psum AS (SELECT doc_id, w, h,
+       |    CAST(sum((doc_id*31 + x*7 + y*13) % 256
+       |           + (doc_id*17 + x*11 + y*3) % 256
+       |           + (doc_id*5 + x*13 + y*29) % 256) AS BIGINT) AS s
+       |  FROM pxy GROUP BY doc_id, w, h),
+       |stb AS (SELECT doc_id,
+       |    list_reduce(list_concat([0], list_transform(
+       |      range(1, length(text)+1), i -> unicode(text[i:i]))),
+       |      (a, b) -> (a*31 + b) & 16777215) AS ck,
+       |    octet_length(encode(text)) AS len
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |dec AS (
+       |  SELECT doc_id, CAST(w AS INTEGER) AS width,
+       |    CAST(h AS INTEGER) AS height, CAST(1 AS INTEGER) AS n_frames,
+       |    CAST(s AS DOUBLE) / (w * h * 3 * 255) AS brightness
+       |  FROM psum
+       |  UNION ALL
+       |  SELECT doc_id, CAST(64 + ck % 512 AS INTEGER) AS width,
+       |    CAST(64 + (ck // 512) % 512 AS INTEGER) AS height,
+       |    CAST(1 + len % 16 AS INTEGER) AS n_frames,
+       |    CAST(ck % 256 AS DOUBLE) / 255 AS brightness
+       |  FROM stb)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "multimodal_decode" ->
+      s"""WITH $decodedSql
+         |SELECT doc_id, width, height, n_frames, brightness
+         |FROM dec ORDER BY doc_id""".stripMargin,
+
+    "multimodal_feature_stats" ->
+      s"""WITH $decodedSql
+         |SELECT m.mime, count(*) AS n_media,
+         |  min(d.width) AS min_w, max(d.width) AS max_w,
+         |  CAST(sum(d.n_frames) AS BIGINT) AS total_frames
+         |FROM dec d JOIN (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'image/png'
+         |    ELSE 'application/x-' || source END AS mime
+         |  FROM documents) m ON d.doc_id = m.doc_id
+         |GROUP BY m.mime ORDER BY m.mime""".stripMargin,
+
     // The decoded_dims trick completed for pixels: every gradient bit
     // of the dHash is PREDICTED from the fixture's integer pixel
     // formula (incl. the planted twin's blue-LSB flip at (0,0)),
