@@ -16,8 +16,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * are absorbed silently — idempotent under at-least-once delivery and
   * correct under out-of-order arrival without a watermark, because
   * keep-last under a total order is insensitive to arrival order.
+  * O(1)-per-key is not enough at 100 TB when the KEY SPACE churns
+  * (transient entities never seen again would pin a row forever), so
+  * a `ttl` expires idle entities from the store — the same
+  * TTLConfig-based eviction [[ChannelProcessor]] uses, making the
+  * state size proportional to the LIVE entity set. An entity that
+  * reappears after expiry restarts at version 1, which downstream
+  * max(version) reconstruction handles unchanged.
   */
-class CdcStream
+class CdcStream(ttl: Option[java.time.Duration] = None)
     extends StatefulProcessor[Long, CdcStream.Change, CdcStream.Snapshot] {
   import CdcStream._
 
@@ -25,7 +32,8 @@ class CdcStream
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     cur = getHandle.getValueState[Snapshot](
-      "latest", Encoders.product[Snapshot], TTLConfig.NONE)
+      "latest", Encoders.product[Snapshot],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
   private def beats(c: Change, s: Snapshot): Boolean =
     c.ts > s.last_ts || (c.ts == s.last_ts && c.event_id > s.last_event)
@@ -59,12 +67,16 @@ object CdcStream {
       last_type: String, last_value: Double, version: Long)
 
   /** Wire latest-state maintenance onto a change stream (RocksDB state
-    * store, same provider requirement as [[ChannelProcessor]]). */
-  def latestState(changes: Dataset[Change]): Dataset[Snapshot] = {
+    * store, same provider requirement as [[ChannelProcessor]]). A
+    * `ttl` expires idle entity state (needs processing-time mode). */
+  def latestState(changes: Dataset[Change],
+      ttl: Option[java.time.Duration] = None): Dataset[Snapshot] = {
     implicit val outEnc = Encoders.product[Snapshot]
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     changes
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new CdcStream(), TimeMode.None(),
+      .transformWithState(new CdcStream(ttl), timeMode,
         OutputMode.Append())
   }
 }

@@ -23,9 +23,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * Scale: O(1) state per entity — the current smoothed value and the
   * last applied position, never the history. One emission per key per
-  * micro-batch that changed it, versioned like [[CdcStream]].
+  * micro-batch that changed it, versioned like [[CdcStream]]. As
+  * there, O(1)-per-key does not bound the STORE under key churn, so a
+  * `ttl` expires idle entities (TTLConfig eviction, the
+  * [[ChannelProcessor]] pattern); a returning entity restarts its
+  * fold from scratch — for a feature store that is the desired
+  * cold-start semantics (a months-stale EWMA is not a usable prior).
   */
-class EwmaStream
+class EwmaStream(ttl: Option[java.time.Duration] = None)
     extends StatefulProcessor[Long, EwmaStream.Obs, EwmaStream.Feat] {
   import EwmaStream._
 
@@ -33,7 +38,8 @@ class EwmaStream
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     cur = getHandle.getValueState[Feat](
-      "ewma", Encoders.product[Feat], TTLConfig.NONE)
+      "ewma", Encoders.product[Feat],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
   override def handleInputRows(key: Long, rows: Iterator[Obs],
       timers: TimerValues): Iterator[Feat] = {
@@ -76,12 +82,16 @@ object EwmaStream {
       last_event: Long, n_applied: Long, n_stale: Long, version: Long)
 
   /** Wire EWMA maintenance onto an observation stream (RocksDB state
-    * store, same provider requirement as [[ChannelProcessor]]). */
-  def features(obs: Dataset[Obs]): Dataset[Feat] = {
+    * store, same provider requirement as [[ChannelProcessor]]). A
+    * `ttl` expires idle entity state (needs processing-time mode). */
+  def features(obs: Dataset[Obs],
+      ttl: Option[java.time.Duration] = None): Dataset[Feat] = {
     implicit val outEnc = Encoders.product[Feat]
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     obs
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new EwmaStream(), TimeMode.None(),
+      .transformWithState(new EwmaStream(ttl), timeMode,
         OutputMode.Append())
   }
 }

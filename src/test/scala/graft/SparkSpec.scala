@@ -24,6 +24,44 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Drive a TTL-bearing streaming transform over file-source batches
+    * on the RocksDB state store. TTL needs TimeMode.ProcessingTime,
+    * under which neither processAllAvailable nor Trigger.AvailableNow
+    * ever settles (timer batches keep the stream "busy") — so each
+    * batch is its own run with a restart, bounded by a progress-watch
+    * that waits until the run PROVABLY ingested its rows (the
+    * ChannelProcessorSpec harness, generalized for any processor). */
+  protected def runTtlFileStream[I <: Product : Encoder, O <: Product : Encoder](
+      batches: Seq[Seq[I]], sleepBetweenMs: Long)(
+      transform: Dataset[I] => Dataset[O]): Seq[O] = {
+    val root = java.nio.file.Files.createTempDirectory("tws_ttl").toString
+    val schema = implicitly[Encoder[I]].schema
+    withRocksDbProvider {
+      for ((b, i) <- batches.zipWithIndex) {
+        if (i > 0) Thread.sleep(sleepBetweenMs)
+        spark.createDataset(b).repartition(1).write.mode("append")
+          .json(s"$root/in")
+        val src = spark.readStream.schema(schema).json(s"$root/in").as[I]
+        val q = transform(src)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .start()
+        try {
+          val deadline = System.currentTimeMillis() + 120000
+          def ingested: Long = q.recentProgress.map(_.numInputRows).sum
+          while (ingested < b.size && System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+          assert(ingested >= b.size,
+            s"run $i never ingested its ${b.size} rows (not a vacuous pass)")
+        } finally q.stop()
+      }
+      try spark.read.parquet(s"$root/out").as[O].collect().toSeq
+      catch { case _: Exception => Seq.empty }
+    }
+  }
+
   /** Drive a streaming transform over MemoryStream batches on the
     * RocksDB state store, collecting every memory-sink row — the
     * shared harness for all transformWithState specs. */

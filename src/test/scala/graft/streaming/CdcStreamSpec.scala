@@ -11,7 +11,7 @@ class CdcStreamSpec extends SparkSpec {
   import spark.implicits._
 
   private def run(batches: Seq[Seq[Change]]): Seq[Snapshot] =
-    runRocksDbStream(batches)(CdcStream.latestState)
+    runRocksDbStream(batches)(CdcStream.latestState(_))
 
   private def latestPerKey(out: Seq[Snapshot]): Map[Long, (Long, Long, String, Double)] =
     out.groupBy(_.user_id).map { case (k, ss) =>
@@ -54,5 +54,29 @@ class CdcStreamSpec extends SparkSpec {
       k -> (b.ts, b.event_id, b.event_type, b.value)
     }
     assert(latestPerKey(out) == want)
+  }
+
+  test("TTL expires idle entity state; a reappearing entity restarts at version 1") {
+    // Safe direction only (see EwmaStreamSpec): expiry cannot be
+    // resurrected by scheduler delay, so asserting the restart is
+    // flake-free. Downstream max(version) reconstruction still picks
+    // the newer row because it is the only row for the key post-expiry.
+    val out = runTtlFileStream(
+      Seq(Seq(Change(5L, 100L, 1L, "a", 1.0)),
+        Seq(Change(5L, 200L, 2L, "b", 2.0))),
+      sleepBetweenMs = 3000)(
+      CdcStream.latestState(_, Some(java.time.Duration.ofMillis(500))))
+    val second = out.find(_.last_ts == 200L).get
+    assert(second.version === 1L, "state should have expired between batches")
+  }
+
+  test("long TTL retains latest-state across immediate batches") {
+    val out = runTtlFileStream(
+      Seq(Seq(Change(5L, 100L, 1L, "a", 1.0)),
+        Seq(Change(5L, 200L, 2L, "b", 2.0))),
+      sleepBetweenMs = 0)(
+      CdcStream.latestState(_, Some(java.time.Duration.ofHours(1))))
+    val second = out.find(_.last_ts == 200L).get
+    assert(second.version === 2L, "state should have survived")
   }
 }

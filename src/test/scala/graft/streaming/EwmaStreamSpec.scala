@@ -12,7 +12,7 @@ class EwmaStreamSpec extends SparkSpec {
   import spark.implicits._
 
   private def run(batches: Seq[Seq[Obs]]): Seq[Feat] =
-    runRocksDbStream(batches)(EwmaStream.features)
+    runRocksDbStream(batches)(EwmaStream.features(_))
 
   private def batchFold(vs: Seq[Double]): Double =
     vs.tail.foldLeft(vs.head)((acc, v) => 0.5 * v + 0.5 * acc)
@@ -71,5 +71,29 @@ class EwmaStreamSpec extends SparkSpec {
       k -> batchFold(os.sortBy(o => (o.ts, o.event_id)).map(_.v)) }
     expect.foreach { case (k, e) =>
       assert(got(k).ewma_cents === e, s"user $k diverged from batch fold") }
+  }
+
+  test("TTL expires idle entity state; a returning entity restarts its fold") {
+    // Safe direction only: after sleeping well past the TTL the state
+    // must be gone, so the second observation starts a FRESH fold
+    // (e = x, n_applied = 1, version back to 1) — scheduler delays can
+    // only lengthen the sleep, never resurrect state, so no flake.
+    val out = runTtlFileStream(
+      Seq(Seq(Obs(9L, 100L, 1L, 10.0)), Seq(Obs(9L, 200L, 2L, 20.0))),
+      sleepBetweenMs = 3000)(
+      EwmaStream.features(_, Some(java.time.Duration.ofMillis(500))))
+    val second = out.find(_.last_ts == 200L).get
+    assert(second.ewma_cents === 20.0)
+    assert(second.n_applied === 1L && second.version === 1L)
+  }
+
+  test("long TTL retains the fold across immediate batches") {
+    val out = runTtlFileStream(
+      Seq(Seq(Obs(9L, 100L, 1L, 10.0)), Seq(Obs(9L, 200L, 2L, 20.0))),
+      sleepBetweenMs = 0)(
+      EwmaStream.features(_, Some(java.time.Duration.ofHours(1))))
+    val second = out.find(_.last_ts == 200L).get
+    assert(second.ewma_cents === 15.0) // 0.5*20 + 0.5*10: state survived
+    assert(second.n_applied === 2L && second.version === 2L)
   }
 }
