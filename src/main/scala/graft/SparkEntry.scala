@@ -18,12 +18,14 @@ object SparkEntry {
     analytics.ExtendedQueries,
     analytics.ScaleQueries,
     analytics.BehaviorQueries,
+    analytics.StatQueries,
     analytics.AsofQueries,
     analytics.GraphQueries,
     llm.DedupQueries,
     llm.TextQueries,
     llm.BpeQueries,
     llm.CurationQueries,
+    llm.MiningQueries,
     llm.SimilarityQueries,
     llm.ClusterQueries,
     llm.EntityQueries,

@@ -1,0 +1,235 @@
+package graft.analytics
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Exact distributed statistics for feature pipelines — the
+  * standardize/correlate/winsorize trio every tabular-feature prep
+  * stage runs before training, each spelled so the driver hash
+  * matches DuckDB bit-for-bit.
+  *
+  * Determinism contract (the integer-moments trick): float sums are
+  * order-dependent, so every moment is an INTEGER aggregate of
+  * integer-quantized values (cents / whole units / raw longs) —
+  * associative, engine- and partitioning-independent. The only float
+  * ops are the FINAL division and sqrt on those exact integers:
+  * BIGINT→DOUBLE conversion and IEEE `/`, `sqrt` are correctly
+  * rounded in both engines, so results are bit-identical. Variance
+  * and covariance use the cross-multiplied forms n·Σx²−(Σx)² and
+  * n·Σxy−ΣxΣy — no mean subtraction, no float accumulation.
+  *
+  * Integer headroom: n·Σx² < 2^63 bounds each GROUP to
+  * n < 2^63 / x_max² (x in quantized units) — ~10^9 rows/group at
+  * x_max ≈ 10^5 (z-scores on daily cohorts), ~10^8 at the corr
+  * query's whole-unit prices. Past that a 100 TB run swaps the BIGINT
+  * moments for DECIMAL(38,0) sums (same plan shape, same oracle
+  * trick); the group keys here (type×day, flag×month) keep test- and
+  * cluster-scale groups far inside the bound.
+  */
+object StatQueries extends QuerySuite {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-(event_type, day) z-score of every event's value — the
+    // daily-cohort anomaly score. Scale shape: one groupBy for the
+    // 3-column moment table (group-count-sized), broadcast back, then
+    // MAP-SIDE scoring — the fact table shuffles once for the
+    // aggregate and never for the join. σ=0 cohorts (single event or
+    // constant values) score 0 by convention, guarding the division.
+    "stat_zscore_daily" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        cents(col("value")).as("xc"))
+      val mom = ev.groupBy("event_type", "day").agg(
+        count(lit(1)).as("n"), sum("xc").as("sx"),
+        sum(col("xc") * col("xc")).as("sq"))
+      val denom = col("n") * col("sq") - col("sx") * col("sx")
+      ev.join(broadcast(mom), Seq("event_type", "day"))
+        .select(col("event_id"), col("event_type"), col("day"),
+          when(denom === 0L, lit(0.0))
+            .otherwise((col("xc") * col("n") - col("sx")).cast("double") /
+              sqrt(denom.cast("double"))).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // Pearson correlation of (quantity, whole-unit price) per
+    // (returnflag, ship month) — the drift monitor a feature store
+    // runs on every ingest slice. Whole units (not cents) keep
+    // n·Σy² inside BIGINT (headroom note above). One aggregate over
+    // the fact table; everything after is arithmetic on the
+    // group-count-sized table. Degenerate slices (σ=0 on either
+    // variable) emit NULL, the SQL corr() convention.
+    "stat_corr_monthly" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice"), 0).cast("long").as("y"))
+      val m = li.groupBy("rf", "month").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("rf"), col("month"), col("n"),
+        when(vx === 0L || vy === 0L, lit(null).cast("double"))
+          .otherwise(cov.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("corr_qty_price"))
+        .orderBy("rf", "month")
+    }),
+
+    // Winsorized mean of line value per returnflag: exact p05/p95
+    // DISC cutpoints, map-side clamp, integer-cents mean. Scale
+    // shape: the per-group rank comes from the window_dist_ranks
+    // decomposition (parallel sort + zipWithIndex + broadcast
+    // per-group offsets), NOT a per-flag window — a 3-value partition
+    // key would funnel the fact table through 3 tasks. The cutpoint
+    // pick is the agg_percentiles_disc rank-selection formula; the
+    // DuckDB oracle spells the same thing with window functions, so
+    // the hash proves the decomposition.
+    "agg_winsorized_mean" -> ((s, d) => {
+      import s.implicits._
+      val src = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("xc"))
+      val ranked = src.orderBy(col("rf"), col("xc"))
+        .as[(String, Long)]
+        .rdd.zipWithIndex()
+        .map { case ((rf, xc), i) => (rf, xc, i) }
+        .toDF("rf", "xc", "gid")
+      val stats = ranked.groupBy("rf")
+        .agg(min("gid").as("base"), count(lit(1)).as("n"))
+      val r2 = ranked.join(broadcast(stats), "rf")
+        .withColumn("rk", col("gid") - col("base") + lit(1L))
+      val cuts = r2.groupBy("rf").agg(
+        min(when(col("rk") === greatest(lit(1L), ceil(col("n") * 0.05)),
+          col("xc"))).as("lo"),
+        min(when(col("rk") === greatest(lit(1L), ceil(col("n") * 0.95)),
+          col("xc"))).as("hi"))
+      src.join(broadcast(cuts), "rf")
+        .select(col("rf"), col("lo"), col("hi"),
+          least(greatest(col("xc"), col("lo")), col("hi")).as("wc"))
+        .groupBy("rf", "lo", "hi")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum("wc") / 100.0 / count(lit(1))).as("wmean"))
+        .select(col("rf"), col("n_rows"),
+          (col("lo") / 100.0).as("p05"), (col("hi") / 100.0).as("p95"),
+          col("wmean"))
+        .orderBy("rf")
+    }),
+
+    // Same-user cross-type event pairs within 30 s — burst/co-click
+    // detection, the batch twin of the stream-stream interval join.
+    // Scale shape: candidates come from a BANDED equi-join on
+    // (user_id, 30-s time band) with each right row fanned to its own
+    // and the next band (any |Δt| ≤ 30 pair differs by ≤ 1 band, and
+    // the swapped-role pass covers the other direction), then the
+    // exact |Δt| verify runs on candidates only — never an unbounded
+    // range join. Canonicalized (lo, hi) pairs dedupe the two-band
+    // double-finds before aggregation.
+    "behavior_pair_bursts" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("band", expr("tsec div 30"))
+      val fan = e.withColumn("jband",
+        explode(array(col("band"), col("band") + 1)))
+      val pairs = e.as("x").join(fan.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.band") === col("y.jband") &&
+          col("x.event_id") =!= col("y.event_id"))
+        .filter(abs(col("x.tsec") - col("y.tsec")) <= 30 &&
+          col("x.event_type") =!= col("y.event_type"))
+        .select(col("x.user_id").as("user_id"),
+          least(col("x.event_id"), col("y.event_id")).as("ea"),
+          greatest(col("x.event_id"), col("y.event_id")).as("eb"),
+          abs(col("x.tsec") - col("y.tsec")).as("gap"))
+        .distinct()
+      pairs.groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), min("gap").as("min_gap_s"))
+        .orderBy("user_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "stat_zscore_daily" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |    ${centsSql("value")} AS xc
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, day, count(*) AS n,
+         |    CAST(sum(xc) AS BIGINT) AS sx,
+         |    CAST(sum(xc*xc) AS BIGINT) AS sq
+         |  FROM e GROUP BY event_type, day)
+         |SELECT e.event_id, e.event_type, e.day,
+         |  CASE WHEN m.n*m.sq - m.sx*m.sx = 0 THEN 0.0
+         |       ELSE CAST(e.xc*m.n - m.sx AS DOUBLE)
+         |            / sqrt(CAST(m.n*m.sq - m.sx*m.sx AS DOUBLE)) END AS z
+         |FROM e JOIN m USING (event_type, day)
+         |ORDER BY event_id""".stripMargin,
+
+    "stat_corr_monthly" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf, strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT rf, month, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM li GROUP BY rf, month)
+        |SELECT rf, month, n,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+        |       THEN NULL
+        |       ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+        |            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |               * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END
+        |    AS corr_qty_price
+        |FROM m ORDER BY rf, month""".stripMargin,
+
+    "agg_winsorized_mean" ->
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS rf,
+         |    ${centsSql("l_extendedprice")} AS xc
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT rf, xc,
+         |    row_number() OVER (PARTITION BY rf ORDER BY xc) AS rk,
+         |    count(*) OVER (PARTITION BY rf) AS n
+         |  FROM src),
+         |c AS (
+         |  SELECT rf,
+         |    min(CASE WHEN rk = greatest(1, CAST(ceil(n*0.05) AS BIGINT))
+         |        THEN xc END) AS lo,
+         |    min(CASE WHEN rk = greatest(1, CAST(ceil(n*0.95) AS BIGINT))
+         |        THEN xc END) AS hi
+         |  FROM r GROUP BY rf)
+         |SELECT s.rf, count(*) AS n_rows,
+         |  c.lo/100.0 AS p05, c.hi/100.0 AS p95,
+         |  sum(least(greatest(s.xc, c.lo), c.hi))/100.0/count(*) AS wmean
+         |FROM src s JOIN c USING (rf)
+         |GROUP BY s.rf, c.lo, c.hi ORDER BY s.rf""".stripMargin,
+
+    // The oracle spells the plain quadratic-within-user filter; the
+    // banded plan equals it because any pair within 30 s lands in
+    // adjacent bands (≤ 1 apart) and role-swap covers both signs.
+    "behavior_pair_bursts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events)
+        |SELECT x.user_id, count(*) AS n_pairs,
+        |  min(abs(x.tsec - y.tsec)) AS min_gap_s
+        |FROM e x JOIN e y
+        |  ON x.user_id = y.user_id AND x.event_id < y.event_id
+        |WHERE abs(x.tsec - y.tsec) <= 30
+        |  AND x.event_type <> y.event_type
+        |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin)
+}
