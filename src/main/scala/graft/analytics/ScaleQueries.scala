@@ -13,6 +13,18 @@ object ScaleQueries extends QuerySuite {
 
   val Salts = 16
 
+  /** Hand-rolled CMS shape: d rows × w counters (eps = 2/w ≈ 0.001). */
+  val CmsDepth = 4
+  val CmsWidth = 2048
+
+  /** Hand-rolled HLL: m = 2^5 registers; rho reads the top 32 bits
+    * below the bucket index so register sums stay exact in LONG
+    * arithmetic (max term 2^33, sum ≤ m·2^33 ≪ 2^63). alpha_32 from
+    * Flajolet et al. AOFA'07. */
+  val HllP = 5
+  val HllM = 32
+  val HllAlpha = 0.697
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skew-safe aggregation by salting: a hot key (every event lands in
     // one of 5 channels; 'purchase'-like keys dominate) is pre-split
@@ -66,25 +78,32 @@ object ScaleQueries extends QuerySuite {
 
     // Count-min-sketch heavy-hitter estimation — the fourth sketch
     // next to HLL (distinct), bloom (membership) and KLL (quantiles):
-    // a fixed-size mergeable frequency summary built in one pass with
-    // map-side partial merges; estimates only ever overestimate, by at
-    // most eps·N with 99% confidence. The single collect() pulls ONE
-    // sketch row — the mergeable-sketch consumption pattern, not a
-    // data collect. Rows-only driver check (sketch internals are
-    // engine-specific); the overestimate-only and eps·N bounds are
-    // asserted in ScaleSpec.
+    // a fixed-size mergeable frequency summary (Cormode & Muthukrishnan
+    // J.Alg'05) built in ONE pass with map-side partial merges: each
+    // token occurrence increments d=4 counters at
+    // pmod(xxhash64(term∥'#'∥row), w=2048); partial aggregation caps
+    // the shuffle at d·w rows per partition no matter the corpus size,
+    // and counters merge by plain +. Estimates = min over the d rows;
+    // they only ever overestimate, by at most (2/w)·N with confidence
+    // 1−(1/2)^d. Hand-rolled on xxhash64 (not Spark's opaque
+    // count_min_sketch binary — ScaleSpec compares against it) exactly
+    // so the DuckDB oracle can replay every counter via XxhSql and the
+    // driver hash-checks the whole sketch, not just its shape.
     "sketch_cms_terms" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(explode(split(lower(col("text")), " ")).as("term"))
       val exact = tok.groupBy("term").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("term")).limit(10)
-      val bytes = tok
-        .select(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("s"))
-        .collect()(0).getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      val est = udf((t: String) => cms.estimateCount(t))
-      exact.withColumn("approx_n", est(col("term")))
+      val rows = explode(array((0 until CmsDepth).map(lit(_)): _*)).as("row")
+      val bucket = pmod(
+        xxhash64(concat(col("term"), lit("#"), col("row"))), lit(CmsWidth))
+      val counters = tok.select(col("term"), rows)
+        .withColumn("bucket", bucket)
+        .groupBy("row", "bucket").agg(count(lit(1)).as("counter"))
+      exact.select(col("term"), col("exact_n"), rows)
+        .withColumn("bucket", bucket)
+        .join(broadcast(counters), Seq("row", "bucket"))
+        .groupBy("term", "exact_n").agg(min("counter").as("approx_n"))
         .orderBy(col("exact_n").desc, col("term"))
     }),
 
@@ -131,6 +150,53 @@ object ScaleQueries extends QuerySuite {
         .crossJoin(exact)
         .select(col("n_sketches"), col("merged_est"),
           col("exact_users"), col("sum_type_users"))
+    }),
+
+    // Hand-rolled HLL registers, per event_type — the glass-box twin
+    // of sketch_hll_users/merge (which use the engine's opaque
+    // DataSketches binaries). Target: distinct event_id — the
+    // dedup-under-at-least-once-delivery counter (and, unlike the
+    // 15-user sf0.001 fixture, large enough that the raw estimator
+    // regime applies at every sf). bucket = top HllP bits of
+    // xxhash64(event_id), register = max over the group of
+    // rho = 1 + leading-zero count of the next 32 bits. groupBy+max
+    // partial-aggregates map-side, so the shuffle carries ≤ types·m
+    // rows regardless of event count, and registers merge by MAX —
+    // mergeability by construction. Every register is integer
+    // arithmetic the DuckDB oracle replays exactly (XxhSql), so the
+    // whole sketch state is hash-checked.
+    "sketch_hll_manual" -> ((s, d) => {
+      val grid = Tables.events(s, d).select("event_type").distinct()
+        .crossJoin(s.range(HllM.toLong).select(col("id").as("bucket")))
+      grid.join(hllRegisters(s, d), Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("register"), lit(0L)).as("register"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ...and the estimate from MERGED registers: per-type register
+    // tables max-merge into a global one (never rescanning events),
+    // then the standard estimator alpha·m²/Σ2^−M_j — computed over the
+    // EXACT integer register sum S = Σ2^(33−M_j) so both engines
+    // divide the same two exact numbers (no float accumulation drift).
+    // The fixture keeps the raw estimate above the 2.5m small-range
+    // cutoff at every sf (ScaleSpec asserts it), so the
+    // linear-counting branch — whose ln() could differ in the last
+    // ulp between engines — never fires.
+    "sketch_hll_estimate" -> ((s, d) => {
+      val merged = hllRegisters(s, d)
+        .groupBy("bucket").agg(max("register").as("register"))
+      val sumS = merged.agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - register AS INT))")) +
+          (lit(HllM) - count(lit(1))) * lit(1L << 33)).as("s_exact"),
+        count(lit(1)).as("nonzero_registers"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct("event_id").as("exact_ids"))
+      sumS.crossJoin(exact).select(
+        col("exact_ids"), col("nonzero_registers"),
+        col("s_exact"),
+        (lit(HllAlpha * HllM * HllM) * lit((1L << 33).toDouble) /
+          col("s_exact").cast("double")).as("est_ids"))
     }),
 
     // Bitmap-exact distinct counting: the scale companion to
@@ -253,7 +319,90 @@ object ScaleQueries extends QuerySuite {
         .orderBy("user_id", "day"))
   )
 
+  /** Per-(event_type, bucket) HLL registers — the shared body of
+    * sketch_hll_manual / sketch_hll_estimate. One map-side-combined
+    * groupBy: the shuffle carries ≤ |types|·m register rows. Only
+    * buckets that saw a value appear (register ≥ 1); consumers
+    * zero-fill. */
+  private def hllRegisters(s: SparkSession, d: String): DataFrame = {
+    val h = xxhash64(col("event_id").cast("string"))
+    val bucket = shiftrightunsigned(h, 64 - HllP)
+    val field = shiftrightunsigned(h, 27).bitwiseAND(lit(0xFFFFFFFFL))
+    val rho = when(field === 0L, lit(33L))
+      .otherwise(lit(33L) - length(bin(field)).cast("long"))
+    Tables.events(s, d)
+      .select(col("event_type"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("event_type", "bucket").agg(max("rho").as("register"))
+  }
+
+  /** Shared uint64/bucket/rho CTE chain of the two HLL oracles —
+    * from `esrc(<keys>, s0)` to `rr(<keys>, bucket, rho)`. */
+  private def hllRhoSql(keys: Seq[String]): String = {
+    val ks = if (keys.isEmpty) "" else keys.mkString("", ", ", ",")
+    s"""${graft.llm.XxhSql.ctes("esrc", keys :+ "s0", "s0", "eh")},
+       |uhx AS (SELECT $ks hv + CASE WHEN hv < 0
+       |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS uh
+       |  FROM eh_out),
+       |br AS (SELECT $ks
+       |    CAST(uh // ${1L << 59} AS BIGINT) AS bucket,
+       |    CAST((uh // ${1L << 27}) % ${1L << 32} AS BIGINT) AS field
+       |  FROM uhx),
+       |rr AS (SELECT $ks bucket,
+       |    CASE WHEN field = 0 THEN 33 ELSE 33 - length(bin(field)) END AS rho
+       |  FROM br)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "sketch_cms_terms" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |cnt AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+         |hsrc AS (SELECT term, tf, r.range AS ri, term || '#' || r.range AS s0
+         |         FROM cnt CROSS JOIN range(0, $CmsDepth) r),
+         |${graft.llm.XxhSql.ctes("hsrc", Seq("term", "tf", "ri"), "s0", "ch")},
+         |hb AS (SELECT term, tf, ri,
+         |    ((hv % $CmsWidth) + $CmsWidth) % $CmsWidth AS bucket FROM ch_out),
+         |counters AS (SELECT ri, bucket, CAST(sum(tf) AS BIGINT) AS counter
+         |             FROM hb GROUP BY ri, bucket),
+         |top10 AS (SELECT term, tf AS exact_n FROM cnt
+         |          ORDER BY tf DESC, term LIMIT 10),
+         |est AS (SELECT h.term, CAST(min(c.counter) AS BIGINT) AS approx_n
+         |        FROM hb h JOIN counters c USING (ri, bucket)
+         |        JOIN top10 t ON t.term = h.term GROUP BY h.term)
+         |SELECT t.term, t.exact_n, e.approx_n
+         |FROM top10 t JOIN est e ON e.term = t.term
+         |ORDER BY t.exact_n DESC, t.term""".stripMargin,
+
+    "sketch_hll_manual" ->
+      s"""WITH esrc AS (
+         |  SELECT DISTINCT event_type, CAST(event_id AS VARCHAR) AS s0 FROM events),
+         |${hllRhoSql(Seq("event_type"))},
+         |regs AS (SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS register
+         |         FROM rr GROUP BY event_type, bucket),
+         |grid AS (SELECT DISTINCT e.event_type, r.range AS bucket
+         |         FROM events e CROSS JOIN range(0, $HllM) r)
+         |SELECT g.event_type, g.bucket, COALESCE(rg.register, 0) AS register
+         |FROM grid g LEFT JOIN regs rg
+         |  ON rg.event_type = g.event_type AND rg.bucket = g.bucket
+         |ORDER BY g.event_type, g.bucket""".stripMargin,
+
+    "sketch_hll_estimate" ->
+      s"""WITH esrc AS (
+         |  SELECT DISTINCT CAST(event_id AS VARCHAR) AS s0 FROM events),
+         |${hllRhoSql(Seq.empty)},
+         |regs AS (SELECT bucket, CAST(max(rho) AS BIGINT) AS register
+         |         FROM rr GROUP BY bucket),
+         |s AS (SELECT
+         |    CAST(sum(1::BIGINT << CAST(33 - register AS INT)) +
+         |      ($HllM - count(*)) * ${1L << 33} AS BIGINT) AS s_exact,
+         |    count(*) AS nonzero_registers
+         |  FROM regs),
+         |exact AS (SELECT count(DISTINCT event_id) AS exact_ids FROM events)
+         |SELECT e.exact_ids, s.nonzero_registers, s.s_exact,
+         |  (${HllAlpha * HllM * HllM}::DOUBLE * ${(1L << 33).toDouble}) /
+         |    CAST(s.s_exact AS DOUBLE) AS est_ids
+         |FROM s, exact e""".stripMargin,
+
     "agg_salted_hot_key" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  ${moneySumSql("value")} AS total_value

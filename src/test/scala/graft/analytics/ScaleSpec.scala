@@ -20,6 +20,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("manual HLL: registers merge by max; estimate sane, above the small-range cutoff") {
+    val sf = "/root/testdata/sf0.001"
+    val perType = ScaleQueries.queries("sketch_hll_manual")(spark, sf)
+      .collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("bucket")),
+        r.getAs[Long]("register"))).toMap
+    assert(perType.nonEmpty)
+    // mergeability by construction: the global register table must
+    // equal the per-type tables max-merged (no rescan of events)
+    val merged = perType.groupBy(_._1._2).map { case (b, m) => b -> m.values.max }
+    val est = ScaleQueries.queries("sketch_hll_estimate")(spark, sf).collect()(0)
+    val globalS = est.getAs[Long]("s_exact")
+    val mergedS = (0L until ScaleQueries.HllM).map(b =>
+      1L << (33 - merged.getOrElse(b, 0L)).toInt).sum
+    assert(globalS == mergedS, s"max-merge mismatch: $globalS != $mergedS")
+    val exact = est.getAs[Long]("exact_ids").toDouble
+    val e = est.getAs[Double]("est_ids")
+    // raw estimate must clear the 2.5m small-range cutoff so the
+    // linear-counting branch (engine-variant ln()) never fires
+    assert(e > 2.5 * ScaleQueries.HllM, s"estimate $e under linear-counting cutoff")
+    // m=32 gives sigma = 1.04/sqrt(32) ~ 18%; 3 sigma envelope
+    assert(math.abs(e - exact) / exact <= 0.55, s"est=$e exact=$exact")
+  }
+
   test("bloom pre-join gate equals the plain semi-join") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
@@ -114,12 +138,26 @@ class ScaleSpec extends SparkSpec {
     val totalTokens = graft.Tables.documents(spark, sf)
       .select(explode(split(lower(col("text")), " ")).as("t"))
       .count()
+    // cross-check vs Spark's production CountMinSketch at the same
+    // eps: both sketches only overestimate, so each top-10 estimate
+    // must sit in [exact, exact + eps*N] — the hand-rolled xxhash64
+    // sketch and the engine's binary one agree within the bound
+    val bytes = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .select(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val builtin = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val epsN = math.ceil(0.001 * totalTokens).toLong
     for (r <- rows) {
       val exact = r.getAs[Long]("exact_n")
       val approx = r.getAs[Long]("approx_n")
       assert(approx >= exact, s"CMS must never underestimate: $r")
-      assert(approx - exact <= math.ceil(0.001 * totalTokens).toLong,
+      assert(approx - exact <= epsN,
         s"CMS error beyond eps*N: $r (N=$totalTokens)")
+      val b = builtin.estimateCount(r.getAs[String]("term"))
+      assert(b >= exact && b - exact <= epsN,
+        s"builtin CMS outside envelope: term=${r.getAs[String]("term")} b=$b exact=$exact")
     }
   }
 

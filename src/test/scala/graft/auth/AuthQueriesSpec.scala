@@ -43,4 +43,34 @@ class AuthQueriesSpec extends SparkSpec {
       assert(got(k) == (Some(s"client-$k"), true), s"customer $k")
     }
   }
+
+  test("gate-oracle soundness: tamper position 11 is constant and != 'x'") {
+    // The DuckDB oracle for auth_token_gate predicts odd keys are
+    // ALWAYS rejected. That holds iff the tampered character differs
+    // from the original for every row — position 11 sits inside the
+    // base64 of the constant claim prefix {"_e":<expiry>, so it is
+    // the same character for all ids and it is not 'x'.
+    val chars = (1L to 200L).map { k =>
+      Tokens.create(s"client-$k", Tokens.TypeClusterClient,
+        AuthQueries.Expiry, AuthQueries.Secret).charAt(10)
+    }.toSet
+    assert(chars.size == 1, s"position 11 varies across ids: $chars")
+    assert(!chars.contains('x'), "tamper would be a no-op")
+  }
+
+  test("auth_token_mint sig matches javax.crypto HMAC byte-for-byte") {
+    val sf = "/root/testdata/sf0.001"
+    val got = AuthQueries.queries("auth_token_mint")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      AuthQueries.Secret.getBytes("UTF-8"), "HmacSHA256"))
+    got.foreach { r =>
+      val (k, body, sigHex) = (r.getLong(0), r.getString(1), r.getString(2))
+      val wantJson = s"""{"_e":${AuthQueries.Expiry},"_v":1,"_t":3,"_i":"client-$k"}"""
+      assert(body == java.util.Base64.getEncoder.encodeToString(wantJson.getBytes("UTF-8")))
+      val want = mac.doFinal(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(sigHex == want, s"customer $k")
+    }
+  }
 }
