@@ -123,7 +123,128 @@ object GraphQueries extends QuerySuite {
           .as("mass"))
   }
 
+  /** Basket cap for the supplier co-occurrence projection: an order
+    * with k distinct suppliers contributes C(k,2) pairs, so an
+    * unbounded basket is the projection's quadratic risk. TPC-H
+    * baskets hold ≤ 7 lineitems; real carts are bounded too, and any
+    * pathological mega-order is dropped (not exploded) — the same
+    * cap-before-the-self-join pattern as DedupQueries.MaxPosting. */
+  val MaxBasket = 32
+
+  /** LPA rounds (synchronous; labels move ≤ Rounds hops). */
+  val LpaRounds = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Triangle census of the strong co-supply graph. Graph: suppliers
+    // are linked when they co-occur in more orders than the global
+    // mean pair does (the strict-integer compare cnt·n_pairs >
+    // total keeps it exact — no float threshold), built from a
+    // basket-capped per-order projection. Counting uses the
+    // degree-ordered orientation (Ortmann & Brandes WSDM'14 lineage;
+    // the reference-free classic): orient every edge toward the
+    // higher-(degree, id) endpoint, enumerate wedges at the LOW
+    // endpoint only, close each wedge with a hash join back to the
+    // oriented edge list. Out-degrees under this orientation are
+    // O(sqrt(m)), so wedge volume is O(m^1.5) worst-case instead of
+    // Σdeg² — the difference between feasible and not on a 100 TB
+    // hub-heavy graph. All shuffles key on node ids; nothing is ever
+    // quadratic in a hub's degree. Global clustering coefficient =
+    // 3T / ΣC(deg,2), both sides exact BIGINTs, divided once.
+    "graph_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val small = li.groupBy("ok").agg(count(lit(1)).as("k"))
+        .filter(col("k") <= MaxBasket).select("ok")
+      val basket = li.join(small, "ok")
+      val pairCnt = basket.as("a")
+        .join(basket.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = pairCnt.agg(sum("cnt").as("total"),
+        count(lit(1)).as("n_pairs"))
+      val edges = pairCnt.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("n_pairs") > col("total"))
+        .select("u", "v")
+        .localCheckpoint() // referenced by deg + orientation + closure
+      val deg = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      // orient toward the higher (deg, id); keep the dst's rank key so
+      // wedge endpoints order without another deg join
+      val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        // dst is the higher-(deg,id) endpoint, so its degree is the
+        // max of the two (also right on ties, where both are equal)
+        greatest(col("du"), col("dv")).as("ddst"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") &&
+              col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.dst").as("wv"), col("e2.dst").as("ww"))
+      val tri = wedges.join(oriented,
+        col("wv") === col("src") && col("ww") === col("dst"), "left_semi")
+      val wedgeTotal = deg.agg(
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .crossJoin(wedgeTotal)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          (col("n_triangles").cast("double") * lit(3.0) /
+            col("n_wedges").cast("double")).as("clustering_coeff"))
+    }),
+
+    // Community detection by synchronous label propagation on the
+    // customer↔supplier graph (Raghavan et al. PRE'07, made
+    // deterministic): init label = node id; each round every node
+    // adopts the most frequent label among its neighbors, ties to the
+    // SMALLEST label — pure integer argmax, so DuckDB replays every
+    // round exactly. Per round: one edges⋈labels join (broadcast
+    // while the node table fits BroadcastNodeBudget, shuffle-join
+    // past it — the PageRank degrade pattern), one (node, label)
+    // count, one per-node argmax. The argmax window partitions by
+    // node: millions of tiny partitions, never a global funnel.
+    // On a BIPARTITE graph synchronous LPA oscillates (each side
+    // adopts the other side's dominant label every round) — after the
+    // odd LpaRounds this reads as "customers labeled by their
+    // dominant supplier, suppliers by their dominant customer", which
+    // is the deterministic two-view community structure the spec
+    // pins; on non-bipartite graphs the same code converges normally.
+    "graph_label_prop" -> ((s, d) => {
+      val e = edges(s, d)
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("out_deg")).localCheckpoint()
+      val bcast = deg.count() <= BroadcastNodeBudget
+      var labels = deg.select(col("node"), col("node").as("label"))
+      for (_ <- 1 to LpaRounds) {
+        val lbl = labels
+        val nbr = e.join(if (bcast) broadcast(lbl) else lbl,
+            col("src") === col("node"))
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        labels = nbr.withColumn("rn", row_number().over(
+            Window.partitionBy("node")
+              .orderBy(col("cnt").desc, col("label"))))
+          .filter(col("rn") === 1).select("node", "label")
+      }
+      labels.groupBy("label").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("label")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("size").desc, col("label"))).cast("long"))
+        .select("rk", "label", "size")
+        .orderBy("rk")
+    }),
+
     // Top-20 nodes after three damped rounds, integer masses only.
     "graph_pagerank_top" -> ((s, d) => {
       val e = edges(s, d)
@@ -170,6 +291,75 @@ object GraphQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |            FROM lineitem),
+         |small AS (SELECT ok FROM li GROUP BY ok
+         |          HAVING count(*) <= $MaxBasket),
+         |basket AS (SELECT li.ok, li.sk FROM li JOIN small USING (ok)),
+         |pair_cnt AS (
+         |  SELECT a.sk AS u, b.sk AS v, count(*) AS cnt
+         |  FROM basket a JOIN basket b
+         |    ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY a.sk, b.sk),
+         |tot AS (SELECT sum(cnt) AS total, count(*) AS n_pairs
+         |        FROM pair_cnt),
+         |edges AS (SELECT u, v FROM pair_cnt, tot
+         |          WHERE cnt * n_pairs > total),
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM edges
+         |    UNION ALL SELECT v AS node FROM edges) GROUP BY node),
+         |oriented AS (
+         |  SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+         |              THEN u ELSE v END AS src,
+         |         CASE WHEN du < dv OR (du = dv AND u < v)
+         |              THEN v ELSE u END AS dst,
+         |         greatest(du, dv) AS ddst
+         |  FROM (SELECT e.u, e.v, d1.deg AS du, d2.deg AS dv
+         |        FROM edges e
+         |        JOIN deg d1 ON d1.node = e.u
+         |        JOIN deg d2 ON d2.node = e.v)),
+         |wedges AS (
+         |  SELECT e1.dst AS wv, e2.dst AS ww
+         |  FROM oriented e1 JOIN oriented e2
+         |    ON e1.src = e2.src AND (e1.ddst < e2.ddst OR
+         |       (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+         |tri AS (SELECT count(*) AS n_triangles FROM wedges w
+         |        WHERE EXISTS (SELECT 1 FROM oriented o
+         |                      WHERE o.src = w.wv AND o.dst = w.ww)),
+         |wt AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+         |         AS n_wedges FROM deg),
+         |ne AS (SELECT count(*) AS n_edges FROM edges)
+         |SELECT ne.n_edges, wt.n_wedges, tri.n_triangles,
+         |  3.0 * CAST(tri.n_triangles AS DOUBLE) /
+         |    CAST(wt.n_wedges AS DOUBLE) AS clustering_coeff
+         |FROM ne, wt, tri""".stripMargin,
+
+    "graph_label_prop" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS (
+           |  SELECT node, label FROM (
+           |    SELECT e.dst AS node, l.label, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM edges e JOIN l${r - 1} l ON e.src = l.node
+           |    GROUP BY e.dst, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS src, $SuppBase + l_suppkey AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |$rounds
+         |SELECT rk, label, size FROM (
+         |  SELECT label, count(*) AS size,
+         |    row_number() OVER (ORDER BY count(*) DESC, label) AS rk
+         |  FROM l$LpaRounds GROUP BY label)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
+
     "graph_pagerank_top" -> {
       val base = (15L * InitMass) / 100L
       val rounds = (1 to Rounds).map { r =>

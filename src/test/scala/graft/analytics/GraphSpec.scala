@@ -142,4 +142,69 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("triangle census equals brute-force triple enumeration") {
+    // rebuild the thresholded co-supply graph driver-side...
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+      .filter(_.size <= GraphQueries.MaxBasket)
+    val pairCnt = baskets.flatMap(b =>
+        for (i <- b.indices; j <- i + 1 until b.size) yield (b(i), b(j)))
+      .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    val total = pairCnt.values.sum
+    val nPairs = pairCnt.size.toLong
+    // NB: not Map.collect-to-tuples — that would rebuild a Map and
+    // silently dedupe edges by their first endpoint
+    val edges = pairCnt.filter { case (_, c) => c * nPairs > total }.keySet
+    // ...then count triangles the O(n^3) way no production plan could
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    def adj(a: Long, b: Long) =
+      edges.contains(if (a < b) (a, b) else (b, a))
+    val triples = for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      if adj(nodes(i), nodes(j))
+      k <- j + 1 until nodes.size
+      if adj(nodes(i), nodes(k)) && adj(nodes(j), nodes(k))
+    } yield 1
+    val deg = nodes.map(n =>
+      edges.count(p => p._1 == n || p._2 == n).toLong)
+    val r = GraphQueries.queries("graph_triangles")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_wedges") == deg.map(d => d * (d - 1) / 2).sum)
+    assert(r.getAs[Long]("n_triangles") == triples.size.toLong)
+    assert(triples.nonEmpty, "fixture graph must contain triangles")
+  }
+
+  test("label propagation equals a driver-side synchronous replay") {
+    val fwd = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawEdges = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").collect()
+      .flatMap { r =>
+        fwd.get(r.getLong(0)).map(c =>
+          (c, GraphQueries.SuppBase + r.getLong(1)))
+      }.toSet
+    val edges = (rawEdges ++ rawEdges.map { case (a, b) => (b, a) }).toSeq
+    var labels: Map[Long, Long] = edges.map(_._1).distinct
+      .map(n => n -> n).toMap
+    for (_ <- 1 to GraphQueries.LpaRounds) {
+      labels = edges.map { case (s, t) => t -> labels(s) }
+        .groupBy(_._1).map { case (n, ls) =>
+          val byLabel = ls.map(_._2).groupBy(identity)
+            .map { case (l, xs) => l -> xs.size }
+          // most frequent label, smallest label on ties
+          n -> byLabel.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+    }
+    val expect = labels.values.groupBy(identity)
+      .map { case (l, xs) => l -> xs.size.toLong }.toSeq
+      .sortBy { case (l, sz) => (-sz, l) }.take(20)
+      .zipWithIndex.map { case ((l, sz), i) => (i + 1L, l, sz) }
+    val got = GraphQueries.queries("graph_label_prop")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expect)
+  }
 }
