@@ -29,6 +29,7 @@ object SparkEntry {
     llm.SimilarityQueries,
     llm.ClusterQueries,
     llm.EntityQueries,
+    llm.SampleQueries,
     llm.Multimodal,
     auth.AuthQueries)
 

@@ -1,0 +1,193 @@
+package graft.llm
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling primitives for training-data assembly —
+  * the operations a 100 TB curation pipeline runs after dedup/quality
+  * gating to actually CUT the corpus: stratified downsampling to
+  * per-class targets, negative sampling for contrastive objectives,
+  * and an order-invariant dataset fingerprint for run-to-run drift
+  * detection. Everything is hash-threshold arithmetic on
+  * `xxhash64` — no `rand()` — so results are reproducible across
+  * runs, partitionings and engines, and the DuckDB oracle replays
+  * every decision bit-for-bit via [[XxhSql]].
+  *
+  * Scale design: the samplers never shuffle the fact table. The
+  * stratified sampler aggregates per-stratum counts (a |strata|-row
+  * table), broadcasts the thresholds back, and filters map-side; the
+  * negative sampler generates candidates map-side from a bounded
+  * anchor set (TakeOrderedAndProject, per-partition heads — not a
+  * global sort) and anti-joins the full positive set on the composite
+  * key; the fingerprint is one map-side pass per table folding into
+  * four 1-row aggregates (XOR is commutative — no ordering, no sort,
+  * no single-partition funnel anywhere).
+  */
+object SampleQueries extends QuerySuite {
+
+  /** Per-stratum row target for the stratified sampler. */
+  val Target = 100L
+
+  /** Hash-threshold resolution: keep iff bucket < thr out of 10^6. */
+  val Res = 1000000L
+
+  /** Negatives drawn per anchor positive (no resampling on
+    * collision — the emit→anti-join contract keeps the pass
+    * driver-loop-free; collisions only THIN the output, by an
+    * expected |positives|/|parts| fraction, and the spec bounds the
+    * observed loss). */
+  val K = 2
+
+  /** Anchor-set bound for the negative-sampling demo. */
+  val Anchors = 2000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stratified downsampling to ≤ ~Target rows per event_type:
+    // thr = Target·Res div n for oversized strata (whole stratum kept
+    // otherwise), keep iff pmod(xxhash64(event_id), Res) < thr. Two
+    // passes over events, both map-side: one partial-agg count and
+    // one broadcast-join filter. The kept set is a deterministic
+    // function of the ids — adding executors, reordering files or
+    // re-running yields the SAME sample, which is what makes
+    // training-set builds auditable.
+    "sample_stratified_hash" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val thr = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          when(col("n") <= Target, lit(Res))
+            .otherwise(expr(s"(${Target * Res}) div n")).as("thr"))
+      ev.select(col("event_type"), col("event_id"))
+        .join(broadcast(thr), "event_type")
+        .filter(pmod(xxhash64(col("event_id").cast("string")), lit(Res))
+          < col("thr"))
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Contrastive negative sampling: for each anchor (customer, part)
+    // positive, K hash-derived candidate parts, minus accidental
+    // positives. Candidates are pure map-side arithmetic
+    // (pmod(xxhash64(user#item#j), |parts|) is a valid part id — the
+    // fixture's partkeys are dense from 0); the only shuffle is the
+    // left-anti join against the FULL positive set on the composite
+    // key, which is exactly the join a recommender/contrastive
+    // pipeline must do anyway to guarantee label correctness.
+    "sample_negatives" -> ((s, d) => {
+      val positives = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("user"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey").as("item")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("user", "item").distinct()
+      val nParts = Tables.part(s, d).agg(count(lit(1)).as("n_parts"))
+      val anchors = positives.orderBy("user", "item").limit(Anchors)
+      val cands = anchors
+        .crossJoin(broadcast(nParts))
+        .select(col("user"), col("item"),
+          explode(array((0 until K).map(j => lit(j.toLong)): _*)).as("j"),
+          col("n_parts"))
+        .select(col("user"), col("item"), col("j"),
+          pmod(xxhash64(concat_ws("#", col("user").cast("string"),
+            col("item").cast("string"), col("j").cast("string"))),
+            col("n_parts")).as("neg_item"))
+      cands.join(positives
+          .select(col("user"), col("item").as("neg_item")),
+          Seq("user", "neg_item"), "left_anti")
+        .select("user", "item", "j", "neg_item")
+        .orderBy("user", "item", "j")
+    }),
+
+    // Order-invariant dataset fingerprint of orders + lineitem: one
+    // map-side pass per table, rows canonicalized to a '|'-joined
+    // string of their stable columns, folded into (count, XOR of
+    // xxhash64, min, max). XOR commutes, so the checksum is
+    // partition- and order-independent with zero shuffle; two
+    // pipeline runs over "the same" inputs either agree on all four
+    // numbers or the drilldown starts (the data-versioning primitive
+    // behind snapshot diffing at 100 TB — compare fingerprints first,
+    // row-diff only when they disagree).
+    "data_fingerprint" -> ((s, d) => {
+      def fp(name: String, df: DataFrame, rowStr: org.apache.spark.sql.Column) =
+        df.select(xxhash64(rowStr).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_hash"),
+            min("h").as("min_hash"), max("h").as("max_hash"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("xor_hash"),
+            col("min_hash"), col("max_hash"))
+      val o = fp("orders", Tables.orders(s, d),
+        concat_ws("|", col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd")))
+      val l = fp("lineitem", Tables.lineitem(s, d),
+        concat_ws("|", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"), col("l_partkey").cast("string"),
+          col("l_suppkey").cast("string"), col("l_returnflag"),
+          col("l_linestatus")))
+      o.union(l).orderBy("tbl")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "sample_stratified_hash" ->
+      s"""WITH esrc AS (
+         |  SELECT event_type, event_id, CAST(event_id AS VARCHAR) AS s0
+         |  FROM events),
+         |${XxhSql.ctes("esrc", Seq("event_type", "event_id"), "s0", "sh")},
+         |thr AS (SELECT event_type,
+         |    CASE WHEN count(*) <= $Target THEN $Res
+         |         ELSE (${Target * Res}) // count(*) END AS thr
+         |  FROM events GROUP BY event_type)
+         |SELECT h.event_type, h.event_id
+         |FROM sh_out h JOIN thr t ON t.event_type = h.event_type
+         |WHERE ((hv % $Res) + $Res) % $Res < t.thr
+         |ORDER BY h.event_type, h.event_id""".stripMargin,
+
+    "sample_negatives" ->
+      s"""WITH positives AS (
+         |  SELECT DISTINCT o.o_custkey AS "user", l.l_partkey AS item
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |np AS (SELECT count(*) AS n_parts FROM part),
+         |anchors AS (SELECT "user", item FROM positives
+         |            ORDER BY "user", item LIMIT $Anchors),
+         |csrc AS (
+         |  SELECT "user", item, r.range AS j,
+         |    "user" || '#' || item || '#' || r.range AS s0
+         |  FROM anchors CROSS JOIN range(0, $K) r),
+         |${XxhSql.ctes("csrc", Seq("\"user\"", "item", "j"), "s0", "nh")},
+         |cands AS (
+         |  SELECT "user", item, j,
+         |    ((hv % n_parts) + n_parts) % n_parts AS neg_item
+         |  FROM nh_out, np)
+         |SELECT c."user", c.item, c.j, c.neg_item
+         |FROM cands c
+         |WHERE NOT EXISTS (SELECT 1 FROM positives p
+         |                  WHERE p."user" = c."user" AND p.item = c.neg_item)
+         |ORDER BY c."user", c.item, c.j""".stripMargin,
+
+    "data_fingerprint" ->
+      s"""WITH osrc AS (
+         |  SELECT o_orderkey AS k,
+         |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus ||
+         |      '|' || strftime(o_orderdate, '%Y-%m-%d') AS s0
+         |  FROM orders),
+         |${XxhSql.ctes("osrc", Seq("k"), "s0", "oh")},
+         |lsrc AS (
+         |  SELECT l_orderkey AS k,
+         |    l_orderkey || '|' || l_linenumber || '|' || l_partkey ||
+         |      '|' || l_suppkey || '|' || l_returnflag || '|' ||
+         |      l_linestatus AS s0
+         |  FROM lineitem),
+         |${XxhSql.ctes("lsrc", Seq("k"), "s0", "lh")},
+         |fp AS (
+         |  SELECT 'orders' AS tbl, count(*) AS n_rows,
+         |    bit_xor(hv) AS xor_hash, min(hv) AS min_hash,
+         |    max(hv) AS max_hash
+         |  FROM oh_out
+         |  UNION ALL
+         |  SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+         |    bit_xor(hv) AS xor_hash, min(hv) AS min_hash,
+         |    max(hv) AS max_hash
+         |  FROM lh_out)
+         |SELECT tbl, n_rows, xor_hash, min_hash, max_hash
+         |FROM fp ORDER BY tbl""".stripMargin)
+}
