@@ -95,7 +95,49 @@ object SimilarityQueries extends QuerySuite {
       .orderBy("q_id", "rk")
   }
 
+  /** Neighbors kept per node in the KNN graph. */
+  val KnnK = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KNN-graph construction — the all-nodes neighborhood structure
+    // SemDeDup-style pruning, graph-ANN indexes and cluster audits
+    // consume. Candidates come from the SRP band buckets (each node
+    // meets only its band-mates — never an all-pairs product), exact
+    // cosine scores the candidates, and the per-node top-KnnK runs on
+    // the CUSTOM TopKPerKey operator: the map-side partial caps every
+    // (partition, node) at k rows BEFORE the exchange, so the shuffle
+    // carries ≤ partitions·nodes·k rows however many candidates a
+    // hub node collects (the per-node-window twin would sort whole
+    // partitions). Directed by construction (x's top-k need not
+    // contain y back); recall is governed by the same (8,8) band
+    // parameters the LSH near-dup pipeline documents.
+    "sim_knn_graph" -> ((s, d) => {
+      graft.plans.FloatVectorDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .filter(col("nrm") > 0) // cos undefined on zero vectors
+      val bands = DedupQueries.srpBands(e, dim = 64)
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"))
+        .distinct()
+      val scored = cands
+        .join(e.select(col("vec_id").as("src"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "src")
+        .join(e.select(col("vec_id").as("nbr"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "nbr")
+        .withColumn("cos", Vectors.dotNative(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")))
+        .select("src", "nbr", "cos")
+      graft.plans.TopKPerKey(scored, Seq("src"),
+          Seq(col("cos").desc, col("nbr").asc), k = KnnK)
+        .select(col("src"), col("rk"), col("nbr"), col("cos"))
+        .orderBy("src", "rk")
+    }),
+
     "sim_bruteforce_topk" -> (bruteTopk _),
 
     "sim_lsh_topk" -> (lshTopk _),
@@ -525,6 +567,29 @@ object SimilarityQueries extends QuerySuite {
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "sim_knn_graph" ->
+      s"""WITH ${DedupQueries.srpBandsSqlCte},
+         |nz AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE ${Vectors.normSql("embedding")} > 0),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.vec_id <> y.vec_id),
+         |scored AS (
+         |  SELECT c.src, c.nbr,
+         |    ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN nz a ON a.vec_id = c.src
+         |  JOIN nz b ON b.vec_id = c.nbr)
+         |SELECT src, rk, nbr, cos FROM (
+         |  SELECT src, nbr, cos,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, nbr) AS BIGINT) AS rk
+         |  FROM scored)
+         |WHERE rk <= $KnnK
+         |ORDER BY src, rk""".stripMargin,
+
     "sim_bruteforce_topk" -> bruteTopkSql,
 
     "sim_lsh_topk" -> lshTopkSql,
