@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.{QuerySuite, Tables}
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import Exact._
@@ -388,6 +388,36 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("key_col")
     }),
 
+    // k-ANONYMITY audit — the privacy-governance counterpart of the
+    // Deequ rules: for each quasi-identifier set, how many QID groups
+    // (and rows) fall below k=5 — the re-identification risk a
+    // release gate checks before data leaves the pipeline (Sweeney,
+    // IJUFKS'02). Scale shape: one groupBy per QID set
+    // (map-side-combined), then a 1-row aggregate over the
+    // group-count-sized table — the fact tables are scanned once
+    // each, nothing row-sized survives past the first aggregate.
+    "dq_k_anonymity" -> ((s, d) => {
+      val k = 5L
+      def audit(df: DataFrame, qids: Seq[Column], label: String) =
+        df.groupBy(qids: _*).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum("n"), lit(0L)).as("n_rows"),
+            count(lit(1)).as("n_groups"), min("n").as("min_group"),
+            coalesce(sum(when(col("n") < k, 1L).otherwise(0L)), lit(0L))
+              .as("n_groups_lt_k"),
+            coalesce(sum(when(col("n") < k, col("n")).otherwise(0L)), lit(0L))
+              .as("n_rows_lt_k"))
+          .select(lit(label).as("qid_set"), col("n_rows"), col("n_groups"),
+            col("min_group"), col("n_groups_lt_k"), col("n_rows_lt_k"))
+      audit(Tables.customer(s, d),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          "customer(nation,segment)")
+        .union(audit(Tables.orders(s, d),
+          Seq(col("o_orderstatus"), col("o_orderpriority"),
+            year(col("o_orderdate"))),
+          "orders(status,priority,year)"))
+        .orderBy("qid_set")
+    }),
+
     // Wide→long reshaping: pivot order counts to one column per
     // status, then melt back with `unpivot` — the reshape pair every
     // reporting layer needs. Null cells (combinations absent from the
@@ -570,6 +600,26 @@ object ExtendedQueries extends QuerySuite {
          |UNION ALL
          |${arm("orders", "o_custkey")}
          |) ORDER BY key_col""".stripMargin
+    },
+
+    "dq_k_anonymity" -> {
+      def arm(tbl: String, qids: String, label: String) =
+        s"""SELECT '$label' AS qid_set,
+           |  coalesce(CAST(sum(n) AS BIGINT), 0) AS n_rows,
+           |  count(*) AS n_groups, min(n) AS min_group,
+           |  coalesce(CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_groups_lt_k,
+           |  coalesce(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+           |    AS BIGINT), 0) AS n_rows_lt_k
+           |FROM (SELECT count(*) AS n FROM $tbl GROUP BY $qids)""".stripMargin
+      s"""SELECT * FROM (
+         |${arm("customer", "c_nationkey, c_mktsegment",
+        "customer(nation,segment)")}
+         |UNION ALL
+         |${arm("orders",
+        "o_orderstatus, o_orderpriority, year(o_orderdate)",
+        "orders(status,priority,year)")}
+         |) ORDER BY qid_set""".stripMargin
     },
 
     "cdc_snapshot_diff" ->

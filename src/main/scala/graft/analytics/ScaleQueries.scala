@@ -306,6 +306,37 @@ object ScaleQueries extends QuerySuite {
         .orderBy("bucket")
     }),
 
+    // Incremental materialized-view maintenance: the MV is the
+    // per-(event_type, day) count/value rollup; a delta batch arrives
+    // (here the event_id % 10 == 0 slice plays the new arrivals) and
+    // the refresh MERGES delta partials into the stored state by key
+    // — count and integer-cents sum are associative, so
+    // merge(base, delta) ≡ recompute(base ∪ delta) BIT-FOR-BIT, which
+    // is exactly what the oracle (a full recompute) verifies. Scale
+    // shape: in production the base leg is the STORED MV table
+    // (group-count-sized, no fact scan); refresh cost is
+    // |delta| + |touched keys| — the 100 TB history is never
+    // rescanned. n_delta_rows surfaces per-group delta attribution,
+    // proving the two legs really were computed separately before the
+    // merge.
+    "mv_incremental_refresh" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val isDelta = col("event_id") % 10 === 0
+      def partial(df: DataFrame) = df.groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v"))
+      val mv = partial(ev.filter(!isDelta))
+      val delta = partial(ev.filter(isDelta))
+      mv.as("b").join(delta.as("dl"), Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          (coalesce(col("b.n"), lit(0L)) +
+            coalesce(col("dl.n"), lit(0L))).as("n_events"),
+          ((coalesce(col("b.v"), lit(0L)) +
+            coalesce(col("dl.v"), lit(0L))) / 100.0).as("total_value"),
+          coalesce(col("dl.n"), lit(0L)).as("n_delta_rows"))
+        .orderBy("event_type", "day")
+    }),
+
     // Map-side (partial) aggregation visibility: pre-aggregate per
     // input partition before the shuffle, then merge — what Catalyst
     // does automatically for sum/count, expressed explicitly over the
@@ -453,6 +484,17 @@ object ScaleQueries extends QuerySuite {
          |  min(xt) AS min_t, max(xt) AS max_t
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    // The oracle is the FULL recompute over base ∪ delta — the hash
+    // match is the incremental-refresh correctness proof.
+    "mv_incremental_refresh" ->
+      s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |  count(*) AS n_events,
+         |  ${moneySumSql("value")} AS total_value,
+         |  CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_delta_rows
+         |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+         |ORDER BY event_type, day""".stripMargin,
 
     "agg_two_stage_user_day" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,

@@ -123,6 +123,41 @@ object StatQueries extends QuerySuite {
         .orderBy("rf")
     }),
 
+    // Per-event-type OLS trendline of daily event volume on the day
+    // index — the drift/trend monitor beside stat_corr_monthly: slope
+    // and intercept of count ~ day from the SAME cross-multiplied
+    // integer moments (n·Σxy−ΣxΣy over n·Σx²−(Σx)²), so the whole
+    // regression is exact integer arithmetic with two final IEEE
+    // divisions both engines round identically. Scale shape: the fact
+    // table aggregates once to the (type, day) count table
+    // (map-side-combined), every later step runs on the
+    // days×types-sized table. Day index = days since the corpus min
+    // day (a 1-row scalar), keeping Σx² small. Degenerate groups
+    // (single day: vx = 0) emit NULL slope/intercept per the SQL
+    // regr_slope convention.
+    "stat_trend_daily" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_type"), to_date(col("ts")).as("day"))
+      val d0 = ev.agg(min("day")).head.getDate(0).toString
+      val daily = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff(col("day"), lit(d0)).cast("long"))
+      val m = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("event_type"), col("n").as("n_days"),
+        when(vx === 0L, lit(null).cast("double"))
+          .otherwise(cov.cast("double") / vx.cast("double")).as("slope"),
+        when(vx === 0L, lit(null).cast("double"))
+          .otherwise((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / vx.cast("double")).as("intercept"))
+        .orderBy("event_type")
+    }),
+
     // Same-user cross-type event pairs within 30 s — burst/co-click
     // detection, the batch twin of the stream-stream interval join.
     // Scale shape: candidates come from a BANDED equi-join on
@@ -216,6 +251,30 @@ object StatQueries extends QuerySuite {
          |  sum(least(greatest(s.xc, c.lo), c.hi))/100.0/count(*) AS wmean
          |FROM src s JOIN c USING (rf)
          |GROUP BY s.rf, c.lo, c.hi ORDER BY s.rf""".stripMargin,
+
+    "stat_trend_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |dx AS (
+        |  SELECT event_type,
+        |    CAST(day - (SELECT d0 FROM d0) AS BIGINT) AS x, y
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM dx GROUP BY event_type)
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |       ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+        |            / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |       ELSE CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |            / CAST(n*sxx - sx*sx AS DOUBLE) END AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // The oracle spells the plain quadratic-within-user filter; the
     // banded plan equals it because any pair within 30 s lands in

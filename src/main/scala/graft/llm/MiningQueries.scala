@@ -22,6 +22,18 @@ object MiningQueries extends QuerySuite {
     * cumulative into a single-task scan at 100 TB). */
   val Checkpoints = 100L
 
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    * word [[WinK]]-grams, window of [[WinW]] consecutive k-gram
+    * hashes. The guarantee: at least one fingerprint per window, so
+    * any shared run of WinK+WinW−1 words between two documents shares
+    * a fingerprint; expected density ≈ 2/(WinW+1). */
+  val WinK = 4
+  val WinW = 5
+
+  /** ppm scale for the bigram LM conditional probabilities — integer
+    * fixed-point so every per-doc sum is exact. */
+  val LmScale = 1000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction over the documents table — every 7th doc plants a
     // deterministic synthetic contact line (the fixture-plant pattern:
@@ -49,6 +61,85 @@ object MiningQueries extends QuerySuite {
           (length(col("raw")) - length(col("scrubbed")))
             .cast("long").as("n_chars_removed"),
           md5(col("scrubbed").cast("binary")).as("scrubbed_digest"))
+        .orderBy("doc_id")
+    }),
+
+    // Bigram-LM plausibility scoring — the CCNet-style "does this doc
+    // look like the corpus" quality signal (Wenzek et al. LREC'20 use
+    // LM perplexity; here the LM is the corpus's own bigram model and
+    // the score is the mean conditional probability in exact ppm
+    // integers, so the whole pipeline is engine-exact: floats would
+    // make the per-doc sum order-dependent, ppm = cb·10⁶ div cu keeps
+    // every term integral and the ONLY float op is the final mean's
+    // one IEEE division). Scale shape: the text explodes once to
+    // bigram occurrences; the model is two aggregates on the bigram/
+    // prefix keys; scoring joins occurrences back on those keys —
+    // key-partitioned shuffle joins over token-sized rows, the
+    // document text itself never shuffles. Docs shorter than 2 words
+    // have no bigrams and drop out (none in this corpus).
+    "text_bigram_lm_score" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) >= 2 THEN
+            |  transform(sequence(1, size(ws)-1),
+            |    i -> struct(ws[i-1] AS w1, ws[i] AS w2))
+            |ELSE array() END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+      bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .withColumn("ppm", expr(s"cb * $LmScale div cu"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("sum_ppm"))
+        .withColumn("lm_score",
+          col("sum_ppm").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing document fingerprints (Schleimer et al. SIGMOD'03 —
+    // the MOSS algorithm): hash every word k-gram, then keep, from
+    // each window of WinW consecutive k-gram hashes, the minimum
+    // (rightmost position on ties — the robust-winnowing rule). Any
+    // two documents sharing a run of WinK+WinW−1 words share a
+    // fingerprint, with ≈2/(WinW+1) density — the guaranteed-recall
+    // substring-dedup primitive between exact segment dedup and
+    // MinHash. Scale shape: one explode to k-gram hashes (xxhash64 —
+    // oracle-replayable), a W-way bounded fan to the covering window
+    // starts, then plain per-(doc, window) aggregates — no per-doc
+    // global window, every shuffle keys on (doc, window). The per-doc
+    // summary digests the fingerprint SET (count + XOR + positions)
+    // so the driver hash pins every selected fingerprint without
+    // megabyte rows.
+    "text_winnowing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      val kg = docs
+        .select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(ws) >= $WinK THEN
+             |  transform(sequence(0, size(ws)-$WinK),
+             |    p -> concat_ws(' ', slice(ws, p+1, $WinK)))
+             |ELSE array() END""".stripMargin)))
+        .select(col("doc_id"), col("pos").cast("long").as("p"),
+          xxhash64(col("col")).as("h"))
+      val nk = docs.select(col("doc_id"),
+        greatest(lit(0), size(col("ws")) - WinK + 1).cast("long").as("nk"))
+      val fan = kg.select(col("doc_id"), col("p"), col("h"),
+        explode(sequence(greatest(lit(0L), col("p") - (WinW - 1)),
+          col("p"))).as("j"))
+        .join(nk, "doc_id").filter(col("j") <= col("nk") - WinW)
+      val mn = fan.groupBy("doc_id", "j").agg(min("h").as("mh"))
+      val fps = fan.join(mn, Seq("doc_id", "j"))
+        .filter(col("h") === col("mh"))
+        .groupBy("doc_id", "j", "mh").agg(max("p").as("fp_p"))
+        .select(col("doc_id"), col("fp_p"), col("mh")).distinct()
+      nk.join(fps.groupBy("doc_id").agg(
+          count(lit(1)).as("n_fps"), expr("bit_xor(mh)").as("fp_xor"),
+          min("fp_p").as("first_p"), max("fp_p").as("last_p")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nk").as("n_kgrams"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          col("fp_xor"), col("first_p"), col("last_p"))
         .orderBy("doc_id")
     }),
 
@@ -111,6 +202,65 @@ object MiningQueries extends QuerySuite {
          |    AS n_chars_removed,
          |  md5(scrubbed) AS scrubbed_digest
          |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_lm_score" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+         |  FROM ws WHERE len(w) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+         |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+         |sc AS (
+         |  SELECT bg.doc_id, (cb.cb * $LmScale) // cu.cu AS ppm
+         |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+         |  CAST(sum(ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm_score
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_winnowing" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, w,
+         |    unnest(range(1, len(w) - $WinK + 2)) AS g
+         |  FROM ws WHERE len(w) >= $WinK),
+         |kgsrc AS (
+         |  SELECT doc_id, g - 1 AS p,
+         |    array_to_string(w[g:g+${WinK - 1}], ' ') AS s0
+         |  FROM pos),
+         |${XxhSql.ctes("kgsrc", Seq("doc_id", "p"), "s0", "kh")},
+         |nk AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(0, len(w) - $WinK + 1) AS BIGINT) AS nk
+         |  FROM ws),
+         |fan AS (
+         |  SELECT k.doc_id, k.p, k.hv,
+         |    unnest(range(greatest(0, k.p - ${WinW - 1}), k.p + 1)) AS j
+         |  FROM kh_out k),
+         |vfan AS (
+         |  SELECT f.* FROM fan f JOIN nk USING (doc_id)
+         |  WHERE f.j <= nk.nk - $WinW),
+         |mn AS (SELECT doc_id, j, min(hv) AS mh
+         |       FROM vfan GROUP BY doc_id, j),
+         |sel AS (
+         |  SELECT v.doc_id, v.j, m.mh, max(v.p) AS fp_p
+         |  FROM vfan v JOIN mn m
+         |    ON m.doc_id = v.doc_id AND m.j = v.j AND v.hv = m.mh
+         |  GROUP BY v.doc_id, v.j, m.mh),
+         |fps AS (SELECT DISTINCT doc_id, fp_p, mh FROM sel),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_fps, bit_xor(mh) AS fp_xor,
+         |    min(fp_p) AS first_p, max(fp_p) AS last_p
+         |  FROM fps GROUP BY doc_id)
+         |SELECT n.doc_id, n.nk AS n_kgrams,
+         |  coalesce(a.n_fps, 0) AS n_fps, a.fp_xor, a.first_p, a.last_p
+         |FROM nk n LEFT JOIN agg a USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin,
 
     "text_heaps_law" ->
       """WITH wd AS (
