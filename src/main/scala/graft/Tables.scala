@@ -7,8 +7,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * factor; nothing here caches across sessions.
   */
 object Tables {
+  /** Parquet timestamps in the driver testdata carry
+    * isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ
+    * (spark.sql.parquet.inferTimestampNTZ.enabled defaults true) while
+    * DuckDB treats the same values as plain timestamps. Coerce NTZ
+    * columns to TIMESTAMP_LTZ at the loader boundary: under the
+    * session's pinned UTC zone the cast is value-identical, and every
+    * downstream operator (unix_micros, window(), watermarking) sees the
+    * one timestamp type the whole surface was built against. */
+  private def ltz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.withColumns(
+      ntz.map(f => f.name -> col(f.name).cast("timestamp")).toMap)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    ltz(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** events.parquet carries INT64 TIMESTAMP(NANOS) which the vectorized
     * parquet reader rejects; read it as raw nanos and floor-convert to a
