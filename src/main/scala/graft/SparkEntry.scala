@@ -13,6 +13,7 @@ object SparkEntry {
   private def suites: Seq[QuerySuite] = Seq(
     analytics.RoutingQueries,
     analytics.RelationalQueries,
+    analytics.TpchQueries,
     analytics.WindowQueries,
     analytics.ScalarQueries,
     analytics.ExtendedQueries,
