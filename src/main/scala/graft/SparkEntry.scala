@@ -14,6 +14,7 @@ object SparkEntry {
     analytics.RoutingQueries,
     analytics.RelationalQueries,
     analytics.TpchQueries,
+    analytics.KmvQueries,
     analytics.WindowQueries,
     analytics.ScalarQueries,
     analytics.ExtendedQueries,
