@@ -128,11 +128,15 @@ object MiningQueries extends QuerySuite {
         explode(sequence(greatest(lit(0L), col("p") - (WinW - 1)),
           col("p"))).as("j"))
         .join(nk, "doc_id").filter(col("j") <= col("nk") - WinW)
-      val mn = fan.groupBy("doc_id", "j").agg(min("h").as("mh"))
-      val fps = fan.join(mn, Seq("doc_id", "j"))
-        .filter(col("h") === col("mh"))
-        .groupBy("doc_id", "j", "mh").agg(max("p").as("fp_p"))
-        .select(col("doc_id"), col("fp_p"), col("mh")).distinct()
+      // per-window argmin in ONE aggregate: min over struct (h, −p) is
+      // lexicographic, so it selects the smallest hash and, on ties,
+      // the largest position (the robust-winnowing rule) — the fan is
+      // scanned once and shuffled once, with map-side partial min,
+      // instead of the groupBy-min + join-back double pass.
+      val mn = fan.groupBy("doc_id", "j")
+        .agg(min(struct(col("h"), (-col("p")).as("np"))).as("sel"))
+      val fps = mn.select(col("doc_id"), (-col("sel.np")).as("fp_p"),
+          col("sel.h").as("mh")).distinct()
       nk.join(fps.groupBy("doc_id").agg(
           count(lit(1)).as("n_fps"), expr("bit_xor(mh)").as("fp_xor"),
           min("fp_p").as("first_p"), max("fp_p").as("last_p")),
