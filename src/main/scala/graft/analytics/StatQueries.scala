@@ -188,6 +188,60 @@ object StatQueries extends QuerySuite {
       pairs.groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"), min("gap").as("min_gap_s"))
         .orderBy("user_id")
+    }),
+
+    // Robust location/scale per event type: exact MEDIAN and MAD
+    // (median absolute deviation) — the outlier-resistant twin of
+    // stat_zscore_daily's mean/σ. Rank selection over integer cents
+    // (lower-median convention, rank (n+1) div 2) involves no float
+    // interpolation. Scale shape: the fact table collapses to a
+    // (type, value)-COUNT table first, so the rank-selection window
+    // cumsum runs over distinct values per type, never raw rows; the
+    // second pass (deviations) re-aggregates against the broadcast
+    // 5-row median table map-side.
+    "stat_mad_daily" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("xc"))
+      def medianOf(df: DataFrame, valueCol: String, out: String) = {
+        val vc = df.groupBy("event_type", valueCol)
+          .agg(count(lit(1)).as("c"))
+        vc.withColumn("cum", sum("c").over(
+            Window.partitionBy("event_type").orderBy(valueCol)))
+          .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+          .withColumn("rk", expr("(n + 1) div 2"))
+          .filter(col("cum") - col("c") < col("rk") && col("rk") <= col("cum"))
+          .select(col("event_type"), col(valueCol).as(out), col("n"))
+      }
+      val med = medianOf(ev, "xc", "medc")
+      val dev = ev.join(broadcast(med.select("event_type", "medc")),
+          "event_type")
+        .select(col("event_type"), abs(col("xc") - col("medc")).as("dv"))
+      val mad = medianOf(dev, "dv", "madc")
+      med.select(col("event_type"), col("n"),
+          (col("medc") / 100.0).as("median_value"))
+        .join(mad.select(col("event_type"), (col("madc") / 100.0).as("mad")),
+          "event_type")
+        .orderBy("event_type")
+    }),
+
+    // Exact per-type MODE: most frequent value, smallest value on tie
+    // — deterministic by construction via a single lexicographic
+    // struct-max over the (type, value)-count table. Two aggregates
+    // total, both map-side-partial; no window, no sort.
+    "stat_mode_per_type" -> ((s, d) => {
+      val vc = Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("xc"))
+        .groupBy("event_type", "xc").agg(count(lit(1)).as("c"))
+      vc.groupBy("event_type")
+        .agg(max(struct(col("c"), (-col("xc")).as("nx"))).as("m"),
+          sum("c").as("n_events"),
+          count(lit(1)).as("n_distinct_values"))
+        .select(col("event_type"), col("n_events"),
+          col("n_distinct_values"),
+          (-col("m.nx") / 100.0).as("mode_value"),
+          col("m.c").as("n_mode"))
+        .orderBy("event_type")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -290,5 +344,47 @@ object StatQueries extends QuerySuite {
         |  ON x.user_id = y.user_id AND x.event_id < y.event_id
         |WHERE abs(x.tsec - y.tsec) <= 30
         |  AND x.event_type <> y.event_type
-        |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin)
+        |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin,
+
+    // The oracle spells the rank selection directly over ordered rows
+    // (row_number = the classic formulation); the value-count cumsum
+    // plan equals it because rank (n+1)//2 falls in the value whose
+    // cumulative range covers it.
+    "stat_mad_daily" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${centsSql("value")} AS xc FROM events),
+         |r AS (SELECT event_type, xc,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY xc) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM e),
+         |med AS (SELECT event_type, n, xc AS medc FROM r
+         |  WHERE rn = (n + 1) // 2),
+         |dv AS (SELECT e.event_type, abs(xc - medc) AS d
+         |  FROM e JOIN med ON e.event_type = med.event_type),
+         |r2 AS (SELECT event_type, d,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dv),
+         |mad AS (SELECT event_type, d AS madc FROM r2
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT med.event_type AS event_type, n, medc/100.0 AS median_value,
+         |  madc/100.0 AS mad
+         |FROM med JOIN mad ON med.event_type = mad.event_type
+         |ORDER BY event_type""".stripMargin,
+
+    // Independent formulation: rank values by (count DESC, value ASC)
+    // and take rank 1 — must equal the struct-max.
+    "stat_mode_per_type" ->
+      s"""WITH vc AS (
+         |  SELECT event_type, ${centsSql("value")} AS xc, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |rk AS (SELECT event_type, xc, c,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY c DESC, xc ASC) AS rn,
+         |    sum(c) OVER (PARTITION BY event_type) AS n_events,
+         |    count(*) OVER (PARTITION BY event_type) AS n_distinct_values
+         |  FROM vc)
+         |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+         |  n_distinct_values, xc/100.0 AS mode_value, c AS n_mode
+         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)
 }
