@@ -21,7 +21,10 @@ object Explain {
     "sim_ivfpq_topk", "text_bpe_encode", "multimodal_decoded_dims",
     "sim_kmeans_train", "sim_ivf_trained_topk", "dedup_fuzzy_names",
     "graph_pagerank_top", "multimodal_phash_dups", "cdc_point_in_time",
-    "window_session_native", "ts_ewma_user", "dq_key_skew")
+    "window_session_native", "ts_ewma_user", "dq_key_skew",
+    "q9_profit_by_nation_year", "q18_large_volume_customers",
+    "q21_waiting_suppliers", "sketch_kmv_users", "stat_mad_daily",
+    "text_winnowing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
