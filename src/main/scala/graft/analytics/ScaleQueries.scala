@@ -347,7 +347,46 @@ object ScaleQueries extends QuerySuite {
         .groupBy(col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v"))
-        .orderBy("user_id", "day"))
+        .orderBy("user_id", "day")),
+
+    // Histogram-quantile sketch: the HASH-CHECKED mergeable
+    // approximate-quantile — the glass-box counterpart to
+    // sketch_approx_quantiles (whose KLL internals are rows-only by
+    // design), completing the sketch family's oracle story alongside
+    // the KMV distinct twin. 64 equi-width integer-cents buckets
+    // between the global min/max (a 1-row broadcast); the p-quantile
+    // estimate is the UPPER EDGE of the first bucket whose cumulative
+    // count reaches ceil(p·n) — error bounded by one bucket width
+    // (surfaced as bucket_cents), counts mergeable by plain addition
+    // (the mv_incremental_refresh associativity argument). All
+    // arithmetic is integer until the final /100; the cum window runs
+    // over ≤ 64 rows per status.
+    "sketch_histogram_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 64L
+      val o = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+        cents(col("o_totalprice")).as("tp"))
+      val bounds = o.agg(min("tp").as("lo"), max("tp").as("hi"))
+      val hist = o.crossJoin(broadcast(bounds))
+        .select(col("status"), col("lo"), col("hi"),
+          expr(s"least(${B - 1L}, ((tp - lo) * $B) div (hi - lo + 1))")
+            .as("bucket"))
+        .groupBy("status", "lo", "hi", "bucket")
+        .agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("status").orderBy("bucket")))
+        .withColumn("n", sum("c").over(Window.partitionBy("status")))
+      def pick(p: Double, name: String) =
+        (min(when(col("cum") >= ceil(col("n") * p),
+          expr(s"lo + ((bucket + 1) * (hi - lo + 1)) div $B"))) / 100.0)
+          .as(name)
+      cum.groupBy("status")
+        .agg(max("n").as("n_orders"),
+          expr(s"(max(hi) - max(lo) + 1) div $B").as("bucket_cents"),
+          pick(0.5, "p50_est"), pick(0.9, "p90_est"), pick(0.99, "p99_est"))
+        .orderBy("status")
+    })
   )
 
   /** Per-(event_type, bucket) HLL registers — the shared body of
@@ -500,5 +539,30 @@ object ScaleQueries extends QuerySuite {
       s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
          |  ${moneySumSql("value")} AS v
          |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
-         |ORDER BY user_id, day""".stripMargin)
+         |ORDER BY user_id, day""".stripMargin,
+
+    "sketch_histogram_quantiles" ->
+      s"""WITH o AS (SELECT o_orderstatus AS status,
+         |    ${centsSql("o_totalprice")} AS tp FROM orders),
+         |b AS (SELECT min(tp) AS lo, max(tp) AS hi FROM o),
+         |h AS (SELECT status, lo, hi,
+         |    least(63, ((tp - lo) * 64) // (hi - lo + 1)) AS bucket,
+         |    count(*) AS c
+         |  FROM o, b GROUP BY 1, 2, 3, 4),
+         |cum AS (SELECT *,
+         |    sum(c) OVER (PARTITION BY status ORDER BY bucket) AS cm,
+         |    sum(c) OVER (PARTITION BY status) AS n
+         |  FROM h)
+         |SELECT status, CAST(max(n) AS BIGINT) AS n_orders,
+         |  (max(hi) - max(lo) + 1) // 64 AS bucket_cents,
+         |  min(CASE WHEN cm >= ceil(n * 0.5)
+         |    THEN lo + ((bucket + 1) * (hi - lo + 1)) // 64 END)/100.0
+         |    AS p50_est,
+         |  min(CASE WHEN cm >= ceil(n * 0.9)
+         |    THEN lo + ((bucket + 1) * (hi - lo + 1)) // 64 END)/100.0
+         |    AS p90_est,
+         |  min(CASE WHEN cm >= ceil(n * 0.99)
+         |    THEN lo + ((bucket + 1) * (hi - lo + 1)) // 64 END)/100.0
+         |    AS p99_est
+         |FROM cum GROUP BY status ORDER BY status""".stripMargin)
 }
