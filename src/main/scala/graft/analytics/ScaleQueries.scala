@@ -349,6 +349,52 @@ object ScaleQueries extends QuerySuite {
         .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v"))
         .orderBy("user_id", "day")),
 
+    // INTERVAL-OVERLAP join — the interval×interval join flavor (range
+    // join = point×interval, as-of = point×nearest; this is the third):
+    // per-user session intervals × globally "hot" activity hours
+    // (hours with > 1.5× the mean hourly volume, an integer-exact
+    // predicate). The naive plan is a quadratic theta-join on the
+    // overlap predicate; the scale shape BANDS each session to the
+    // hours it covers (bounded fan: span/hour rows per session) and
+    // equi-joins on the hour key against the broadcast hot set —
+    // overlap ⟺ sharing a covered hour, exactly, because hours tile
+    // the line. The oracle spells the plain overlap predicate
+    // (s.start < (h+1)·3600 ∧ s.end ≥ h·3600), so the hash proves the
+    // banding equivalence.
+    "join_interval_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val es = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"))
+      val perUser = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val lagT = lag("tsec", 1).over(perUser)
+      val sess = es
+        .withColumn("new_s",
+          when(lagT.isNull || col("tsec") - lagT > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(
+          perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("tsec").as("start_s"), max("tsec").as("end_s"),
+          count(lit(1)).as("n_events"))
+      val hourly = es.select(expr("tsec div 3600").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+      val tot = hourly.agg(sum("c").as("total"), count(lit(1)).as("n_hours"))
+      val hot = hourly.crossJoin(broadcast(tot))
+        .filter(col("c") * col("n_hours") * 10L > col("total") * 15L)
+        .select(col("h"), col("c").as("he"))
+      val fan = sess.withColumn("h",
+        explode(sequence(expr("start_s div 3600"), expr("end_s div 3600"))))
+      val ov = fan.join(broadcast(hot), "h")
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("nh"), min("h").as("fh"), sum("he").as("hhe"))
+      sess.join(ov, Seq("user_id", "sid"), "left")
+        .select(col("user_id"), col("sid").as("session_id"),
+          col("start_s"), col("end_s"), col("n_events"),
+          coalesce(col("nh"), lit(0L)).as("n_hot_hours"),
+          col("fh").as("first_hot_hour"),
+          coalesce(col("hhe"), lit(0L)).as("hot_hour_events"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Histogram-quantile sketch: the HASH-CHECKED mergeable
     // approximate-quantile — the glass-box counterpart to
     // sketch_approx_quantiles (whose KLL internals are rows-only by
@@ -540,6 +586,40 @@ object ScaleQueries extends QuerySuite {
          |  ${moneySumSql("value")} AS v
          |FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
          |ORDER BY user_id, day""".stripMargin,
+
+    "join_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |x AS (SELECT *, CASE WHEN tsec - lag(tsec) OVER
+        |      (PARTITION BY user_id ORDER BY tsec, event_id) > 1800
+        |      OR lag(tsec) OVER
+        |      (PARTITION BY user_id ORDER BY tsec, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sx AS (SELECT *, sum(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY tsec, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (SELECT user_id, sid, min(tsec) AS start_s,
+        |    max(tsec) AS end_s, count(*) AS n_events
+        |  FROM sx GROUP BY 1, 2),
+        |hourly AS (SELECT tsec // 3600 AS h, count(*) AS c
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total, count(*) AS n_hours FROM hourly),
+        |hot AS (SELECT h, c AS he FROM hourly, tot
+        |  WHERE c * n_hours * 10 > total * 15),
+        |ov AS (SELECT user_id, sid, count(*) AS nh, min(h) AS fh,
+        |    sum(he) AS hhe
+        |  FROM sess JOIN hot
+        |    ON sess.start_s < (h + 1) * 3600 AND sess.end_s >= h * 3600
+        |  GROUP BY 1, 2)
+        |SELECT sess.user_id AS user_id, sess.sid AS session_id,
+        |  start_s, end_s, n_events,
+        |  coalesce(nh, 0) AS n_hot_hours, fh AS first_hot_hour,
+        |  CAST(coalesce(hhe, 0) AS BIGINT) AS hot_hour_events
+        |FROM sess LEFT JOIN ov
+        |  ON sess.user_id = ov.user_id AND sess.sid = ov.sid
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "sketch_histogram_quantiles" ->
       s"""WITH o AS (SELECT o_orderstatus AS status,
