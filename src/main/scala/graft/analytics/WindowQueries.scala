@@ -65,6 +65,30 @@ object WindowQueries extends QuerySuite {
         (lag(cents(col("value")), 1).over(perUser) / 100.0).as("prev_value"))
         .orderBy("event_id")),
 
+    // The remaining positional window builtins in one per-user summary:
+    // nth_value over the FULL partition frame, lead with an explicit
+    // default (no NULL at the frontier), and conditional first() with
+    // ignoreNulls (first click, wherever it falls). One row per user —
+    // the window runs per user_id, then rn=1 projects the summary, so
+    // the shuffle is one user_id exchange like every perUser query.
+    // Integer cents end-to-end.
+    "window_nth_values" -> ((s, d) => {
+      val full = perUser.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("user_id"),
+        row_number().over(perUser).as("rn"),
+        count(lit(1)).over(full).cast("long").as("n_events"),
+        nth_value(cents(col("value")), 3).over(full).as("third_cents"),
+        first(when(col("event_type") === "click", cents(col("value"))),
+          ignoreNulls = true).over(full).as("first_click_cents"),
+        lead(cents(col("value")), 1, -1L).over(perUser).as("second_cents"))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_events", "third_cents", "first_click_cents",
+          "second_cents")
+        .orderBy("user_id")
+    }),
+
     // Per-channel top-3 users by exact total spend (top-k via window
     // rank — executes as shuffle + per-partition sort, no global sort).
     "window_topk_users" -> ((s, d) => {
@@ -352,6 +376,24 @@ object WindowQueries extends QuerySuite {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin,
+
+    "window_nth_values" ->
+      s"""SELECT user_id,
+         |  count(*) AS n_events,
+         |  min(CASE WHEN rn = 3 THEN xc END) AS third_cents,
+         |  min(CASE WHEN is_click = 1 AND crn = 1 THEN xc END)
+         |    AS first_click_cents,
+         |  coalesce(min(CASE WHEN rn = 2 THEN xc END), -1) AS second_cents
+         |FROM (
+         |  SELECT user_id, ${centsSql("value")} AS xc,
+         |    row_number() OVER w AS rn,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+         |    row_number() OVER (PARTITION BY user_id,
+         |      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+         |      ORDER BY ts, event_id) AS crn
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "window_month_growth" ->
       s"""WITH m AS (
