@@ -356,6 +356,33 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("rule_id")
     }),
 
+    // DEAD-LETTER SPLIT — the quarantine channel an ingest pipeline
+    // runs on semi-structured payloads: parse with an explicit schema
+    // in PERMISSIVE mode (the SURVEY O1 envelope-parse mapping) and
+    // route rows whose payload fails to parse into a dead-letter leg
+    // carrying the raw payload for replay, instead of dropping or
+    // poisoning the batch. Corruption is PLANTED deterministically
+    // (event_id % 97 → payload truncated) so both engines derive the
+    // same corrupt set at any sf; good rows surface the extracted
+    // field, dead rows surface reason + raw. Map-only — the split is
+    // a projection, no shuffle until the final presentation sort.
+    "dq_dead_letter_split" -> ((s, d) => {
+      val corrupted = when(col("event_id") % 97 === 0,
+        substring(col("props"), 1, 3)).otherwise(col("props"))
+      Tables.events(s, d)
+        .select(col("event_id"), corrupted.as("payload"))
+        .select(col("event_id"), col("payload"),
+          from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .select(col("event_id"),
+          when(col("k").isNotNull, "ok").otherwise("dead_letter")
+            .as("status"),
+          col("k"),
+          when(col("k").isNull, col("payload")).as("raw_payload"))
+        .orderBy("event_id")
+    }),
+
     // JOIN-KEY SKEW diagnostics — the audit a 100 TB pipeline runs
     // before shipping a shuffle join: per candidate key column, the
     // distinct-key count, total rows, the hottest key and its row
@@ -473,6 +500,24 @@ object ExtendedQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "dq_dead_letter_split" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 3)
+        |         ELSE props END AS payload
+        |  FROM events),
+        |x AS (
+        |  SELECT event_id, payload,
+        |    CASE WHEN json_valid(payload)
+        |         THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+        |    END AS k
+        |  FROM p)
+        |SELECT event_id,
+        |  CASE WHEN k IS NOT NULL THEN 'ok' ELSE 'dead_letter' END AS status,
+        |  k,
+        |  CASE WHEN k IS NULL THEN payload END AS raw_payload
+        |FROM x ORDER BY event_id""".stripMargin,
+
     "dq_violation_report" ->
       """SELECT CAST(1 AS BIGINT) AS rule_id, 'orders_fk_customer' AS rule,
         |  (SELECT count(*) FROM orders

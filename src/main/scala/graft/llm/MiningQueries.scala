@@ -34,6 +34,37 @@ object MiningQueries extends QuerySuite {
     * fixed-point so every per-doc sum is exact. */
   val LmScale = 1000000L
 
+  /** Shared winnowing-fingerprint pipeline: (fps, nk) where fps =
+    * (doc_id, fp_p, mh) — the selected fingerprint set — and nk =
+    * per-doc k-gram counts. One explode to k-gram hashes, a W-way
+    * bounded fan to covering window starts, then a single struct-min
+    * aggregate per (doc, window): the smallest hash with rightmost
+    * tie (robust winnowing), one shuffle over the fan. Used by
+    * text_winnowing and text_contamination_overlap. */
+  private def winnowed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    val kg = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(ws) >= $WinK THEN
+           |  transform(sequence(0, size(ws)-$WinK),
+           |    p -> concat_ws(' ', slice(ws, p+1, $WinK)))
+           |ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("p"),
+        xxhash64(col("col")).as("h"))
+    val nk = docs.select(col("doc_id"),
+      greatest(lit(0), size(col("ws")) - WinK + 1).cast("long").as("nk"))
+    val fan = kg.select(col("doc_id"), col("p"), col("h"),
+      explode(sequence(greatest(lit(0L), col("p") - (WinW - 1)),
+        col("p"))).as("j"))
+      .join(nk, "doc_id").filter(col("j") <= col("nk") - WinW)
+    val mn = fan.groupBy("doc_id", "j")
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("sel"))
+    val fps = mn.select(col("doc_id"), (-col("sel.np")).as("fp_p"),
+      col("sel.h").as("mh")).distinct()
+    (fps, nk)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction over the documents table — every 7th doc plants a
     // deterministic synthetic contact line (the fixture-plant pattern:
@@ -112,31 +143,7 @@ object MiningQueries extends QuerySuite {
     // so the driver hash pins every selected fingerprint without
     // megabyte rows.
     "text_winnowing" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      val kg = docs
-        .select(col("doc_id"), posexplode(expr(
-          s"""CASE WHEN size(ws) >= $WinK THEN
-             |  transform(sequence(0, size(ws)-$WinK),
-             |    p -> concat_ws(' ', slice(ws, p+1, $WinK)))
-             |ELSE array() END""".stripMargin)))
-        .select(col("doc_id"), col("pos").cast("long").as("p"),
-          xxhash64(col("col")).as("h"))
-      val nk = docs.select(col("doc_id"),
-        greatest(lit(0), size(col("ws")) - WinK + 1).cast("long").as("nk"))
-      val fan = kg.select(col("doc_id"), col("p"), col("h"),
-        explode(sequence(greatest(lit(0L), col("p") - (WinW - 1)),
-          col("p"))).as("j"))
-        .join(nk, "doc_id").filter(col("j") <= col("nk") - WinW)
-      // per-window argmin in ONE aggregate: min over struct (h, −p) is
-      // lexicographic, so it selects the smallest hash and, on ties,
-      // the largest position (the robust-winnowing rule) — the fan is
-      // scanned once and shuffled once, with map-side partial min,
-      // instead of the groupBy-min + join-back double pass.
-      val mn = fan.groupBy("doc_id", "j")
-        .agg(min(struct(col("h"), (-col("p")).as("np"))).as("sel"))
-      val fps = mn.select(col("doc_id"), (-col("sel.np")).as("fp_p"),
-          col("sel.h").as("mh")).distinct()
+      val (fps, nk) = winnowed(s, d)
       nk.join(fps.groupBy("doc_id").agg(
           count(lit(1)).as("n_fps"), expr("bit_xor(mh)").as("fp_xor"),
           min("fp_p").as("first_p"), max("fp_p").as("last_p")),
@@ -144,6 +151,33 @@ object MiningQueries extends QuerySuite {
         .select(col("doc_id"), col("nk").as("n_kgrams"),
           coalesce(col("n_fps"), lit(0L)).as("n_fps"),
           col("fp_xor"), col("first_p"), col("last_p"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark CONTAMINATION detection via winnowing fingerprints —
+    // the cross-set form of the decontamination problem: which
+    // training documents share verbatim runs (≥ WinK+WinW−1 words,
+    // the winnowing guarantee) with the held-out eval set? Eval :=
+    // doc_id % 50 == 0 (a deterministic ~2% "benchmark" subset), train
+    // := the rest; a train doc is flagged with the count of shared
+    // fingerprints and of eval docs hit. Scale shape: the join keys on
+    // the FINGERPRINT value — the eval side is benchmark-sized (tiny,
+    // broadcastable), the train side is the winnowed fingerprint set
+    // (≈ 2/(WinW+1) of corpus tokens), and no doc text is ever
+    // compared pairwise. Complements text_decontaminate's exact
+    // 13-gram containment with the sparser guaranteed-recall
+    // fingerprint form.
+    "text_contamination_overlap" -> ((s, d) => {
+      val (fps, _) = winnowed(s, d)
+      val isEval = col("doc_id") % 50 === 0
+      val evalFps = fps.filter(isEval)
+        .select(col("mh"), col("doc_id").as("eval_id")).distinct()
+      val trainFps = fps.filter(!isEval)
+        .select(col("doc_id"), col("mh")).distinct()
+      trainFps.join(broadcast(evalFps), "mh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("mh")).as("n_shared_fps"),
+          countDistinct(col("eval_id")).as("n_eval_docs_hit"))
         .orderBy("doc_id")
     }),
 
@@ -182,7 +216,52 @@ object MiningQueries extends QuerySuite {
         .orderBy("bucket")
     }))
 
+  /** Shared winnowing-fingerprint oracle CTE chain (through `fps` =
+    * (doc_id, fp_p, mh) and `nk`), the SQL twin of [[winnowed]]. */
+  private def winnowFpsSql: String =
+    s"""ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |    unnest(range(1, len(w) - $WinK + 2)) AS g
+       |  FROM ws WHERE len(w) >= $WinK),
+       |kgsrc AS (
+       |  SELECT doc_id, g - 1 AS p,
+       |    array_to_string(w[g:g+${WinK - 1}], ' ') AS s0
+       |  FROM pos),
+       |${XxhSql.ctes("kgsrc", Seq("doc_id", "p"), "s0", "kh")},
+       |nk AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(0, len(w) - $WinK + 1) AS BIGINT) AS nk
+       |  FROM ws),
+       |fan AS (
+       |  SELECT k.doc_id, k.p, k.hv,
+       |    unnest(range(greatest(0, k.p - ${WinW - 1}), k.p + 1)) AS j
+       |  FROM kh_out k),
+       |vfan AS (
+       |  SELECT f.* FROM fan f JOIN nk USING (doc_id)
+       |  WHERE f.j <= nk.nk - $WinW),
+       |mn AS (SELECT doc_id, j, min(hv) AS mh
+       |       FROM vfan GROUP BY doc_id, j),
+       |sel AS (
+       |  SELECT v.doc_id, v.j, m.mh, max(v.p) AS fp_p
+       |  FROM vfan v JOIN mn m
+       |    ON m.doc_id = v.doc_id AND m.j = v.j AND v.hv = m.mh
+       |  GROUP BY v.doc_id, v.j, m.mh),
+       |fps AS (SELECT DISTINCT doc_id, fp_p, mh FROM sel)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "text_contamination_overlap" ->
+      s"""WITH $winnowFpsSql,
+         |ev AS (SELECT DISTINCT mh, doc_id AS eval_id FROM fps
+         |  WHERE doc_id % 50 = 0),
+         |tr AS (SELECT DISTINCT doc_id, mh FROM fps
+         |  WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, count(DISTINCT tr.mh) AS n_shared_fps,
+         |  count(DISTINCT eval_id) AS n_eval_docs_hit
+         |FROM tr JOIN ev ON tr.mh = ev.mh
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       s"""WITH p AS (
          |  SELECT doc_id,
@@ -226,37 +305,7 @@ object MiningQueries extends QuerySuite {
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_winnowing" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS w
-         |  FROM documents),
-         |pos AS (
-         |  SELECT doc_id, w,
-         |    unnest(range(1, len(w) - $WinK + 2)) AS g
-         |  FROM ws WHERE len(w) >= $WinK),
-         |kgsrc AS (
-         |  SELECT doc_id, g - 1 AS p,
-         |    array_to_string(w[g:g+${WinK - 1}], ' ') AS s0
-         |  FROM pos),
-         |${XxhSql.ctes("kgsrc", Seq("doc_id", "p"), "s0", "kh")},
-         |nk AS (
-         |  SELECT doc_id,
-         |    CAST(greatest(0, len(w) - $WinK + 1) AS BIGINT) AS nk
-         |  FROM ws),
-         |fan AS (
-         |  SELECT k.doc_id, k.p, k.hv,
-         |    unnest(range(greatest(0, k.p - ${WinW - 1}), k.p + 1)) AS j
-         |  FROM kh_out k),
-         |vfan AS (
-         |  SELECT f.* FROM fan f JOIN nk USING (doc_id)
-         |  WHERE f.j <= nk.nk - $WinW),
-         |mn AS (SELECT doc_id, j, min(hv) AS mh
-         |       FROM vfan GROUP BY doc_id, j),
-         |sel AS (
-         |  SELECT v.doc_id, v.j, m.mh, max(v.p) AS fp_p
-         |  FROM vfan v JOIN mn m
-         |    ON m.doc_id = v.doc_id AND m.j = v.j AND v.hv = m.mh
-         |  GROUP BY v.doc_id, v.j, m.mh),
-         |fps AS (SELECT DISTINCT doc_id, fp_p, mh FROM sel),
+      s"""WITH $winnowFpsSql,
          |agg AS (
          |  SELECT doc_id, count(*) AS n_fps, bit_xor(mh) AS fp_xor,
          |    min(fp_p) AS first_p, max(fp_p) AS last_p
