@@ -343,9 +343,16 @@ object CurationQueries extends QuerySuite {
     // and backfills select the identical doc set. Map-only + two tiny
     // broadcast joins.
     "text_mixture_sample" -> ((s, d) => {
-      val bySrc = Tables.documents(s, d)
-        .withColumn("nw", size(words(col("text"))).cast("long"))
-        .groupBy("source").agg(sum("nw").as("tokens"))
+      // Tokenize ONCE: the 3-column count projection feeds both the
+      // rate derivation and the keep pass; persisted because the two
+      // consumers sit in one action and the alternative is tokenizing
+      // the full text twice (at 100 TB the text scan dominates — the
+      // cached projection is ~24 B/doc, smaller than the rates join).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("nw"))
+        .persist()
+      val bySrc = docs.groupBy("source").agg(sum("nw").as("tokens"))
       val tot = bySrc.agg(sum("tokens").as("total_tokens"),
         count(lit(1)).as("n_sources"))
       val rates = bySrc.crossJoin(broadcast(tot))
@@ -356,8 +363,7 @@ object CurationQueries extends QuerySuite {
       val thr = lpad(lower(hex(floor(col("rate") * 4294967296.0)
         .cast("long"))), 8, "0")
       val u8 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8)
-      Tables.documents(s, d)
-        .withColumn("nw", size(words(col("text"))).cast("long"))
+      docs
         .join(broadcast(rates), "source")
         .withColumn("keep",
           (col("rate") >= 1.0 || u8 <= thr).cast("long"))
