@@ -384,8 +384,11 @@ object CurationQueries extends QuerySuite {
     // corpus size (the oracle's single global window is the semantic
     // twin, not the physical plan).
     "text_pack_sequences" -> ((s, d) => {
+      // Same single-tokenization discipline as text_mixture_sample: the
+      // cumsum pass and the per-shard bases both consume this projection.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("long").as("n_tokens"))
+        .persist()
       val local = docs.withColumn("local_off",
         coalesce(sum("n_tokens").over(Window.partitionBy("source")
           .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
