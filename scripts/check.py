@@ -38,12 +38,24 @@ for name in sorted(os.listdir(out_dir)):
     if len(got) != len(want):
         fails.append((name, f"rows {len(got)} != {len(want)}"))
         continue
+    # Dtype-strict gate: the driver's hash is dtype-sensitive (DuckDB
+    # HUGEINT -> float64 vs Spark int64 hash-mismatches even when values
+    # are equal), so fail here BEFORE the value compare. Datetime unit
+    # (ns vs us) is the one normalization the driver also applies.
+    def _dt(s):
+        d = str(s.dtype)
+        return "datetime64" if d.startswith("datetime64") else d
+    bad_dtypes = [f"{c}: got={_dt(got[c])} want={_dt(want[c])}"
+                  for c in got.columns if _dt(got[c]) != _dt(want[c])]
+    if bad_dtypes:
+        fails.append((name, "dtype mismatch " + "; ".join(bad_dtypes[:4])))
+        continue
     g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     diff_cols = []
     for c in got.columns:
         gv = g[c]
-        wv = w[c].astype(gv.dtype, errors="ignore") if hasattr(w[c], "astype") else w[c]
+        wv = w[c]
         try:
             eq = (gv.values == wv.values) | (gv.isna().values & wv.isna().values)
         except Exception:

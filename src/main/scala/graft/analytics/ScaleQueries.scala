@@ -613,7 +613,8 @@ object ScaleQueries extends QuerySuite {
         |  FROM sess JOIN hot
         |    ON sess.start_s < (h + 1) * 3600 AND sess.end_s >= h * 3600
         |  GROUP BY 1, 2)
-        |SELECT sess.user_id AS user_id, sess.sid AS session_id,
+        |SELECT sess.user_id AS user_id,
+        |  CAST(sess.sid AS BIGINT) AS session_id,
         |  start_s, end_s, n_events,
         |  coalesce(nh, 0) AS n_hot_hours, fh AS first_hot_hour,
         |  CAST(coalesce(hhe, 0) AS BIGINT) AS hot_hour_events

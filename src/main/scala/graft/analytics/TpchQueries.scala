@@ -490,10 +490,10 @@ object TpchQueries extends QuerySuite {
       """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
         |            WHEN datediff('day', o_orderdate, l_shipdate) < 60 THEN 'NORMAL'
         |            ELSE 'SLOW' END AS ship_bucket,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -550,7 +550,7 @@ object TpchQueries extends QuerySuite {
 
     "q18_large_volume_customers" ->
       s"""WITH big AS (
-         |  SELECT l_orderkey, sum($qtyLSql) AS sum_qty FROM lineitem
+         |  SELECT l_orderkey, CAST(sum($qtyLSql) AS BIGINT) AS sum_qty FROM lineitem
          |  GROUP BY l_orderkey HAVING sum($qtyLSql) > 200)
          |SELECT c_name, c_custkey, o_orderkey,
          |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
