@@ -46,7 +46,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Intra-query persists (token-count projections etc.) must not
+      // leak storage-memory pressure into later measurements; cleared
+      // outside the timed region.
+      spark.catalog.clearCache()
+      (name, elapsed, ok)
     }
     // A failed query reports -1, never a fast-looking elapsed time, and
     // is listed in "failed" so a broken query can't pass as a quick win.

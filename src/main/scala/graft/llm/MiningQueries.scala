@@ -34,6 +34,20 @@ object MiningQueries extends QuerySuite {
     * fixed-point so every per-doc sum is exact. */
   val LmScale = 1000000L
 
+  /** Broadcast ceiling for the contamination eval fingerprint set —
+    * the GraphQueries.BroadcastNodeBudget pattern. The eval side here
+    * is a FRACTION of the corpus (doc_id % 50), so it grows with data
+    * volume and an unconditional broadcast breaks at 100×; real
+    * benchmark suites are constant-sized, but the guard makes the
+    * plan safe either way. 10^7 rows × ~24 B ≈ 240 MB — inside
+    * executor memory and Spark's broadcast limit with margin; above
+    * it the same join runs as a plain keyed shuffle join on `mh`.
+    * The budget is checked against the eval K-GRAM count (an upper
+    * bound on eval fingerprints, since winnowing selects ≤ 1
+    * fingerprint per k-gram position) — one cheap aggregate over the
+    * documents projection, no winnowing compute. */
+  val BroadcastFpBudget = 10000000L
+
   /** Shared winnowing-fingerprint pipeline: (fps, nk) where fps =
     * (doc_id, fp_p, mh) — the selected fingerprint set — and nk =
     * per-doc k-gram counts. One explode to k-gram hashes, a W-way
@@ -63,6 +77,33 @@ object MiningQueries extends QuerySuite {
     val fps = mn.select(col("doc_id"), (-col("sel.np")).as("fp_p"),
       col("sel.h").as("mh")).distinct()
     (fps, nk)
+  }
+
+  /** Body of text_contamination_overlap with the broadcast budget as a
+    * parameter (`private[graft]` so ContaminationSpec can assert both
+    * ship strategies — the GraphQueries.step pattern). */
+  private[graft] def contaminationOverlap(s: SparkSession, d: String,
+      budget: Long): DataFrame = {
+    val (fps, _) = winnowed(s, d)
+    val isEval = col("doc_id") % 50 === 0
+    // 1-row scalar: upper bound on eval fingerprint rows (n_fps ≤
+    // nk per doc) from the documents projection alone
+    val evalKgrams = Tables.documents(s, d).filter(isEval)
+      .agg(coalesce(sum(greatest(lit(0),
+        size(split(lower(col("text")), " ")) - WinK + 1).cast("long")),
+        lit(0L)))
+      .head.getLong(0)
+    val evalFps = fps.filter(isEval)
+      .select(col("mh"), col("doc_id").as("eval_id")).distinct()
+    val trainFps = fps.filter(!isEval)
+      .select(col("doc_id"), col("mh")).distinct()
+    val evalSide =
+      if (evalKgrams <= budget) broadcast(evalFps) else evalFps
+    trainFps.join(evalSide, "mh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("mh")).as("n_shared_fps"),
+        countDistinct(col("eval_id")).as("n_eval_docs_hit"))
+      .orderBy("doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,25 +202,16 @@ object MiningQueries extends QuerySuite {
     // doc_id % 50 == 0 (a deterministic ~2% "benchmark" subset), train
     // := the rest; a train doc is flagged with the count of shared
     // fingerprints and of eval docs hit. Scale shape: the join keys on
-    // the FINGERPRINT value — the eval side is benchmark-sized (tiny,
-    // broadcastable), the train side is the winnowed fingerprint set
-    // (≈ 2/(WinW+1) of corpus tokens), and no doc text is ever
-    // compared pairwise. Complements text_decontaminate's exact
-    // 13-gram containment with the sparser guaranteed-recall
-    // fingerprint form.
-    "text_contamination_overlap" -> ((s, d) => {
-      val (fps, _) = winnowed(s, d)
-      val isEval = col("doc_id") % 50 === 0
-      val evalFps = fps.filter(isEval)
-        .select(col("mh"), col("doc_id").as("eval_id")).distinct()
-      val trainFps = fps.filter(!isEval)
-        .select(col("doc_id"), col("mh")).distinct()
-      trainFps.join(broadcast(evalFps), "mh")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("mh")).as("n_shared_fps"),
-          countDistinct(col("eval_id")).as("n_eval_docs_hit"))
-        .orderBy("doc_id")
-    }),
+    // the FINGERPRINT value — the train side is the winnowed
+    // fingerprint set (≈ 2/(WinW+1) of corpus tokens) and no doc text
+    // is ever compared pairwise. The eval side ships broadcast only
+    // under [[BroadcastFpBudget]] (checked via the cheap eval k-gram
+    // upper bound); above it the join degrades to a plain keyed
+    // shuffle on mh — same budget-then-degrade as PageRank.
+    // Complements text_decontaminate's exact 13-gram containment with
+    // the sparser guaranteed-recall fingerprint form.
+    "text_contamination_overlap" ->
+      ((s, d) => contaminationOverlap(s, d, BroadcastFpBudget)),
 
     // Heaps-law telemetry: cumulative (tokens, distinct vocabulary)
     // at ~100 doc-id checkpoints — the dataset card's vocabulary

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Surface-wide executable plan gate (VERDICT r6 item 7): no query on
+  * the driver surface may plan a single-partition ShuffleExchange over
+  * data that grows with the corpus. The TPC-H sweep (TpchPlanSpec)
+  * pins cartesian/nested-loop shapes and WindowPlanSpec pins the two
+  * decomposed rank queries; this spec closes the gap by sweeping EVERY
+  * `SparkEntry.queries` entry, so a regression that funnels a
+  * corpus-sized frame through one task fails CI instead of needing a
+  * human to read plans.
+  *
+  * A single-partition exchange fed directly by a PARTIAL aggregate is
+  * exempt by construction: map-side combine ran, so the exchange moves
+  * one row per upstream partition (the global no-key aggregate
+  * finalization every engine does) — bounded at any data volume.
+  *
+  * Queries in [[boundedSinglePartition]] are audited exceptions: each
+  * one's single-partition stage runs over a frame bounded BY
+  * CONSTRUCTION (a ≤ ~100-row checkpoint/bucket/source table, never
+  * raw rows), documented at the query site. The allowlist is asserted
+  * exact in both directions — an entry that stops planning a
+  * single-partition exchange must be removed, so the list can't rot.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Exchange moves ≤ one row per upstream partition: its input is a
+    * partial (or partial-merge — the distinct-agg two-phase form)
+    * aggregate, i.e. map-side combine already collapsed the data. */
+  private def partialFed(e: ShuffleExchangeExec): Boolean = {
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        unwrap(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    unwrap(e.child) match {
+      case a: BaseAggregateExec => a.aggregateExpressions.nonEmpty &&
+        a.aggregateExpressions.forall(ae =>
+          ae.mode == Partial || ae.mode == PartialMerge)
+      case _ => false
+    }
+  }
+
+  private val boundedSinglePartition: Set[String] = Set(
+    // cumulative window over ≤ ~Checkpoints (100) id-bucket rows —
+    // bounded by MiningQueries.Checkpoints, never corpus size
+    "text_heaps_law",
+    // per-source base offsets: global window over one row per SOURCE
+    // shard (a handful), the doc-level cumsum is source-partitioned
+    "text_pack_sequences",
+    // lag over the already-aggregated month table — bounded by
+    // calendar span, never data volume (WindowQueries.scala:106)
+    "window_month_growth")
+
+  test("no single-partition shuffle outside the audited bounded set") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false") // AQE hides nodes behind QueryStageExec
+    try {
+      val withSingles = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, sf).queryExecution.executedPlan
+          val singles = plan.collect {
+            case e: ShuffleExchangeExec
+                if e.outputPartitioning.numPartitions == 1 &&
+                  !partialFed(e) => e
+          }
+          if (singles.nonEmpty) Some(name) else None
+      }.toSet
+      val offenders = withSingles -- boundedSinglePartition
+      assert(offenders.isEmpty,
+        s"unaudited single-partition exchanges in: ${offenders.toSeq.sorted}")
+      val stale = boundedSinglePartition -- withSingles
+      assert(stale.isEmpty,
+        s"allowlisted but no longer single-partition (remove): ${stale.toSeq.sorted}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+}

@@ -34,4 +34,30 @@ class ContaminationSpec extends SparkSpec {
     assert(!out.contains(102L), "disjoint-vocabulary doc must not be flagged")
     assert(out.keySet === Set(101L))
   }
+
+  test("past BroadcastFpBudget the eval join degrades to a shuffle join with identical rows") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(budget: Long) =
+      MiningQueries.contaminationOverlap(spark, sf, budget)
+        .collect().map(_.toSeq).toSeq
+    def plan(budget: Long) =
+      MiningQueries.contaminationOverlap(spark, sf, budget)
+        .queryExecution.executedPlan.toString()
+    // the assertions key on the mh join specifically — the winnowing
+    // pipeline legitimately broadcasts its tiny nk side either way
+    val mhBroadcast = "BroadcastHashJoin \\[mh".r
+    val mhShuffle = "(SortMergeJoin|ShuffledHashJoin) \\[mh".r
+    // below budget: the eval fingerprint side ships broadcast
+    val under = plan(MiningQueries.BroadcastFpBudget)
+    assert(mhBroadcast.findFirstIn(under).isDefined,
+      s"under-budget plan must broadcast the eval side of the mh join:\n$under")
+    // budget 0: every eval k-gram count exceeds it → keyed shuffle join
+    val degraded = plan(0L)
+    assert(mhBroadcast.findFirstIn(degraded).isEmpty,
+      s"budget-0 plan must not broadcast the mh join:\n$degraded")
+    assert(mhShuffle.findFirstIn(degraded).isDefined,
+      s"budget-0 plan must shuffle-join on the mh key:\n$degraded")
+    // both ship strategies produce the identical flagged set
+    assert(rows(0L) === rows(MiningQueries.BroadcastFpBudget))
+  }
 }
