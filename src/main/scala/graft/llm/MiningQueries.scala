@@ -79,6 +79,25 @@ object MiningQueries extends QuerySuite {
     (fps, nk)
   }
 
+  /** DSIR hashed-feature space (Xie et al. NeurIPS'23, "Data Selection
+    * for Language Models via Importance Resampling"): word bigrams
+    * hashed into a FIXED number of buckets. The fixed bucket count is
+    * the scale trick — both n-gram models collapse to ≤ NumBuckets
+    * rows no matter the corpus size, so the weight table is always
+    * broadcastable by construction (no budget guard needed, unlike
+    * the contamination eval set). Prime, so the pmod spreads hash
+    * structure. */
+  val NumBuckets = 10007L
+
+  /** Fixed-point scale for the importance ratio (same convention as
+    * [[LmScale]]) and a deterministic clamp on a single feature's
+    * weight: with uniform bucket loading the ratio is O(target/raw
+    * fraction), but a near-empty raw bucket could mint one huge
+    * weight and swamp a doc's sum — the clamp caps any feature at
+    * 1000× scale, identically in both engines. */
+  val DsirScale = 1000000L
+  val DsirWCap = 1000000000L
+
   /** Body of text_contamination_overlap with the broadcast budget as a
     * parameter (`private[graft]` so ContaminationSpec can assert both
     * ship strategies — the GraphQueries.step pattern). */
@@ -213,6 +232,52 @@ object MiningQueries extends QuerySuite {
     "text_contamination_overlap" ->
       ((s, d) => contaminationOverlap(s, d, BroadcastFpBudget)),
 
+    // DSIR importance weights (Xie et al. NeurIPS'23): score every
+    // raw/train document by how much its hashed-bigram distribution
+    // looks like the target split (doc_id % 50 — the same held-out
+    // subset contamination uses, here as the domain to SELECT toward).
+    // Feature = pmod(xxhash64(bigram), NumBuckets); per-bucket weight
+    // = (target_count+1)·scale div (raw_count+1) (add-1 smoothed
+    // count ratio — the normalizing totals are global constants that
+    // don't change the ranking, so the ratio stays exact integer);
+    // doc score = mean weight over its bigram occurrences. Scale
+    // shape: the corpus explodes to bigram occurrences ONCE (persisted
+    // — ~16 B/occurrence, far smaller than re-tokenizing the text for
+    // each of the three consumers; the harness clears the cache
+    // between queries); both count tables and the weight table are
+    // ≤ NumBuckets rows BY CONSTRUCTION, so the scoring join is a
+    // bounded broadcast at any corpus size; the only corpus-sized
+    // shuffles key on bucket (bounded key space → perfect partial
+    // aggregation) and doc_id.
+    "text_dsir_weights" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) >= 2 THEN
+            |  transform(sequence(1, size(ws)-1),
+            |    i -> concat(ws[i-1], ' ', ws[i]))
+            |ELSE array() END""".stripMargin)).as("bgram"))
+        .select(col("doc_id"),
+          pmod(xxhash64(col("bgram")), lit(NumBuckets)).as("b"))
+        .persist()
+      val isEval = col("doc_id") % 50 === 0
+      // both n-gram models from ONE bucket-keyed aggregate (conditional
+      // counts), restricted to buckets the raw split actually uses
+      val wt = bg.groupBy("b")
+        .agg(count(when(isEval, 1)).as("ct"),
+          count(when(!isEval, 1)).as("cr"))
+        .filter(col("cr") > 0)
+        .select(col("b"), least(
+          expr(s"((ct + 1L) * $DsirScale) div (cr + 1L)"),
+          lit(DsirWCap)).as("w"))
+      bg.filter(!isEval).join(broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("w").as("weight_sum"))
+        .withColumn("dsir_score",
+          col("weight_sum").cast("double") / col("n_feats").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // Heaps-law telemetry: cumulative (tokens, distinct vocabulary)
     // at ~100 doc-id checkpoints — the dataset card's vocabulary
     // growth curve, and the statistic that says when a crawl stops
@@ -335,6 +400,37 @@ object MiningQueries extends QuerySuite {
          |  CAST(sum(ppm) AS BIGINT) AS sum_ppm,
          |  CAST(sum(ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm_score
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_dsir_weights" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, w, unnest(range(2, len(w)+1)) AS i
+         |  FROM ws WHERE len(w) >= 2),
+         |bsrc AS (
+         |  SELECT doc_id, i, w[i-1] || ' ' || w[i] AS s0 FROM pos),
+         |${XxhSql.ctes("bsrc", Seq("doc_id", "i"), "s0", "bh")},
+         |occ AS (
+         |  SELECT doc_id,
+         |    ((hv % $NumBuckets) + $NumBuckets) % $NumBuckets AS b
+         |  FROM bh_out),
+         |ct AS (SELECT b, count(*) AS ct FROM occ
+         |  WHERE doc_id % 50 = 0 GROUP BY b),
+         |cr AS (SELECT b, count(*) AS cr FROM occ
+         |  WHERE doc_id % 50 <> 0 GROUP BY b),
+         |wt AS (
+         |  SELECT cr.b,
+         |    least(((coalesce(ct.ct, 0) + 1) * $DsirScale) // (cr.cr + 1),
+         |      $DsirWCap) AS w
+         |  FROM cr LEFT JOIN ct ON cr.b = ct.b)
+         |SELECT o.doc_id, count(*) AS n_feats,
+         |  CAST(sum(wt.w) AS BIGINT) AS weight_sum,
+         |  CAST(sum(wt.w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS dsir_score
+         |FROM occ o JOIN wt USING (b)
+         |WHERE o.doc_id % 50 <> 0
+         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
 
     "text_winnowing" ->
       s"""WITH $winnowFpsSql,
