@@ -464,8 +464,17 @@ object DedupQueries extends QuerySuite {
     // keeps. Oracle: DuckDB recursive CTE over the same edge set.
     "dedup_components" -> ((s, d) => {
       val dw = docsWithWords(s, d)
-      val edges = ngramJaccardPairs(dw).select("doc_a", "doc_b")
-      connectedComponents(dw.select("doc_id"), edges)
+      // persisted: consumed by the endpoint projection AND (twice,
+      // symmetrized) inside connectedComponents — without it the
+      // whole verify join would run three times. Harness clears it.
+      val edges = ngramJaccardPairs(dw).select("doc_a", "doc_b").persist()
+      // CC label frames over edge ENDPOINTS only: a doc without a
+      // near-dup pair is a singleton, and singletons are filtered
+      // below anyway — every round's join runs on the near-dup set,
+      // not the corpus (the label table at 100 TB is dup-sized).
+      val endpoints = edges.select(col("doc_a").as("doc_id"))
+        .unionByName(edges.select(col("doc_b").as("doc_id"))).distinct()
+      connectedComponents(endpoints, edges)
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("doc_id").as("canonical"))
         .filter(col("n_members") > 1)   // singletons are just "no dup"
@@ -488,8 +497,13 @@ object DedupQueries extends QuerySuite {
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
       val dw = withWordsFrame(s, kept)
-      val labels = connectedComponents(dw.select("doc_id"),
-        ngramJaccardPairs(dw).select("doc_a", "doc_b"))
+      // same endpoint restriction as dedup_components: docs without a
+      // pair label themselves and are never dropped — CC over the
+      // near-dup set only
+      val pairs = ngramJaccardPairs(dw).select("doc_a", "doc_b").persist()
+      val endpoints = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val labels = connectedComponents(endpoints, pairs)
       val dropped = labels
         .join(labels.groupBy("comp").agg(min("doc_id").as("keep_id")), "comp")
         .filter(col("doc_id") =!= col("keep_id"))
