@@ -98,6 +98,41 @@ object MiningQueries extends QuerySuite {
   val DsirScale = 1000000L
   val DsirWCap = 1000000000L
 
+  /** Per-source selection depth for text_dsir_sample. */
+  val DsirTopK = 50L
+
+  /** Per-train-doc DSIR importance scores (doc_id, n_feats,
+    * weight_sum, dsir_score), unordered — shared by
+    * text_dsir_weights and text_dsir_sample; see the query scaladoc
+    * for the design. */
+  private def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2 THEN
+          |  transform(sequence(1, size(ws)-1),
+          |    i -> concat(ws[i-1], ' ', ws[i]))
+          |ELSE array() END""".stripMargin)).as("bgram"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("bgram")), lit(NumBuckets)).as("b"))
+      .persist()
+    val isEval = col("doc_id") % 50 === 0
+    // both n-gram models from ONE bucket-keyed aggregate (conditional
+    // counts), restricted to buckets the raw split actually uses
+    val wt = bg.groupBy("b")
+      .agg(count(when(isEval, 1)).as("ct"),
+        count(when(!isEval, 1)).as("cr"))
+      .filter(col("cr") > 0)
+      .select(col("b"), least(
+        expr(s"((ct + 1L) * $DsirScale) div (cr + 1L)"),
+        lit(DsirWCap)).as("w"))
+    bg.filter(!isEval).join(broadcast(wt), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("weight_sum"))
+      .withColumn("dsir_score",
+        col("weight_sum").cast("double") / col("n_feats").cast("double"))
+  }
+
   /** Body of text_contamination_overlap with the broadcast budget as a
     * parameter (`private[graft]` so ContaminationSpec can assert both
     * ship strategies — the GraphQueries.step pattern). */
@@ -249,33 +284,24 @@ object MiningQueries extends QuerySuite {
     // bounded broadcast at any corpus size; the only corpus-sized
     // shuffles key on bucket (bounded key space → perfect partial
     // aggregation) and doc_id.
-    "text_dsir_weights" -> ((s, d) => {
-      val bg = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(ws) >= 2 THEN
-            |  transform(sequence(1, size(ws)-1),
-            |    i -> concat(ws[i-1], ' ', ws[i]))
-            |ELSE array() END""".stripMargin)).as("bgram"))
-        .select(col("doc_id"),
-          pmod(xxhash64(col("bgram")), lit(NumBuckets)).as("b"))
-        .persist()
-      val isEval = col("doc_id") % 50 === 0
-      // both n-gram models from ONE bucket-keyed aggregate (conditional
-      // counts), restricted to buckets the raw split actually uses
-      val wt = bg.groupBy("b")
-        .agg(count(when(isEval, 1)).as("ct"),
-          count(when(!isEval, 1)).as("cr"))
-        .filter(col("cr") > 0)
-        .select(col("b"), least(
-          expr(s"((ct + 1L) * $DsirScale) div (cr + 1L)"),
-          lit(DsirWCap)).as("w"))
-      bg.filter(!isEval).join(broadcast(wt), "b")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum("w").as("weight_sum"))
-        .withColumn("dsir_score",
-          col("weight_sum").cast("double") / col("n_feats").cast("double"))
-        .orderBy("doc_id")
+    "text_dsir_weights" -> ((s, d) =>
+      dsirScores(s, d).orderBy("doc_id")),
+
+    // The resampling half of DSIR: per SOURCE, the top-K train docs by
+    // importance score (ties broken by doc_id — the order is total, so
+    // both engines rank identically). A partitioned window over the
+    // per-doc score table — doc-count-sized rows of 4 columns, keyed
+    // on source; the corpus-scale work all happens inside dsirScores.
+    "text_dsir_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      dsirScores(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("dsir_score").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= DsirTopK)
+        .select("source", "rk", "doc_id", "dsir_score")
+        .orderBy("source", "rk")
     }),
 
     // Heaps-law telemetry: cumulative (tokens, distinct vocabulary)
@@ -348,6 +374,40 @@ object MiningQueries extends QuerySuite {
        |  GROUP BY v.doc_id, v.j, m.mh),
        |fps AS (SELECT DISTINCT doc_id, fp_p, mh FROM sel)""".stripMargin
 
+  /** Shared DSIR oracle CTE chain ending in `dsw` = (doc_id, n_feats,
+    * weight_sum, dsir_score) — the SQL twin of [[dsirScores]]. */
+  private def dsirSql: String =
+    s"""ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w, unnest(range(2, len(w)+1)) AS i
+       |  FROM ws WHERE len(w) >= 2),
+       |bsrc AS (
+       |  SELECT doc_id, i, w[i-1] || ' ' || w[i] AS s0 FROM pos),
+       |${XxhSql.ctes("bsrc", Seq("doc_id", "i"), "s0", "bh")},
+       |occ AS (
+       |  SELECT doc_id,
+       |    ((hv % $NumBuckets) + $NumBuckets) % $NumBuckets AS b
+       |  FROM bh_out),
+       |ct AS (SELECT b, count(*) AS ct FROM occ
+       |  WHERE doc_id % 50 = 0 GROUP BY b),
+       |cr AS (SELECT b, count(*) AS cr FROM occ
+       |  WHERE doc_id % 50 <> 0 GROUP BY b),
+       |wt AS (
+       |  SELECT cr.b,
+       |    least(((coalesce(ct.ct, 0) + 1) * $DsirScale) // (cr.cr + 1),
+       |      $DsirWCap) AS w
+       |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+       |dsw AS (
+       |  SELECT o.doc_id, count(*) AS n_feats,
+       |    CAST(sum(wt.w) AS BIGINT) AS weight_sum,
+       |    CAST(sum(wt.w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      AS dsir_score
+       |  FROM occ o JOIN wt USING (b)
+       |  WHERE o.doc_id % 50 <> 0
+       |  GROUP BY o.doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "text_contamination_overlap" ->
       s"""WITH $winnowFpsSql,
@@ -402,35 +462,19 @@ object MiningQueries extends QuerySuite {
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_dsir_weights" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS w
-         |  FROM documents),
-         |pos AS (
-         |  SELECT doc_id, w, unnest(range(2, len(w)+1)) AS i
-         |  FROM ws WHERE len(w) >= 2),
-         |bsrc AS (
-         |  SELECT doc_id, i, w[i-1] || ' ' || w[i] AS s0 FROM pos),
-         |${XxhSql.ctes("bsrc", Seq("doc_id", "i"), "s0", "bh")},
-         |occ AS (
-         |  SELECT doc_id,
-         |    ((hv % $NumBuckets) + $NumBuckets) % $NumBuckets AS b
-         |  FROM bh_out),
-         |ct AS (SELECT b, count(*) AS ct FROM occ
-         |  WHERE doc_id % 50 = 0 GROUP BY b),
-         |cr AS (SELECT b, count(*) AS cr FROM occ
-         |  WHERE doc_id % 50 <> 0 GROUP BY b),
-         |wt AS (
-         |  SELECT cr.b,
-         |    least(((coalesce(ct.ct, 0) + 1) * $DsirScale) // (cr.cr + 1),
-         |      $DsirWCap) AS w
-         |  FROM cr LEFT JOIN ct ON cr.b = ct.b)
-         |SELECT o.doc_id, count(*) AS n_feats,
-         |  CAST(sum(wt.w) AS BIGINT) AS weight_sum,
-         |  CAST(sum(wt.w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |    AS dsir_score
-         |FROM occ o JOIN wt USING (b)
-         |WHERE o.doc_id % 50 <> 0
-         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
+      s"""WITH $dsirSql
+         |SELECT doc_id, n_feats, weight_sum, dsir_score
+         |FROM dsw ORDER BY doc_id""".stripMargin,
+
+    "text_dsir_sample" ->
+      s"""WITH $dsirSql,
+         |src AS (
+         |  SELECT dsw.*, d.source,
+         |    CAST(row_number() OVER (PARTITION BY d.source
+         |      ORDER BY dsw.dsir_score DESC, dsw.doc_id) AS BIGINT) AS rk
+         |  FROM dsw JOIN documents d USING (doc_id))
+         |SELECT source, rk, doc_id, dsir_score FROM src
+         |WHERE rk <= $DsirTopK ORDER BY source, rk""".stripMargin,
 
     "text_winnowing" ->
       s"""WITH $winnowFpsSql,

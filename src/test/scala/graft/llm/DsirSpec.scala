@@ -39,5 +39,11 @@ class DsirSpec extends SparkSpec {
     assert(w2 === 6L * (MiningQueries.DsirScale / 2),
       "disjoint-doc weights are the exact smoothed floor")
     assert(w1 > 0L && s1 === w1.toDouble / n1.toDouble)
+
+    // the selection half ranks the in-domain doc first within the source
+    val sel = MiningQueries.queries("text_dsir_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sel.toSeq === Seq(("web", 1L, 1L), ("web", 2L, 2L)),
+      "per-source ranking must follow dsir_score desc, doc_id")
   }
 }
