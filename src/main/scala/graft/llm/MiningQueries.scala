@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-mining curation ops: PII scrubbing and vocabulary-growth
@@ -89,6 +90,22 @@ object MiningQueries extends QuerySuite {
     * structure. */
   val NumBuckets = 10007L
 
+  /** Exact-substring span-dedup parameters (the ExactSubstr variant
+    * of Lee et al., ACL'22 "Deduplicating Training Data Makes
+    * Language Models Better" — public algorithm; the reference
+    * architecture there is a suffix array, re-expressed here as a
+    * k-gram seed-and-extend join, the shape that distributes):
+    * [[SubK]]-token seed grams, spans reported at ≥ [[MinSpan]]
+    * tokens, and grams appearing in more than [[MaxDf]] distinct
+    * docs excluded as stop-grams. The df cap is the scale guard: a
+    * boilerplate gram shared by a million docs would otherwise emit
+    * a quadratic posting-list self-join; capping df bounds every
+    * block at C(MaxDf,2) pairs, and real span dedup drops those
+    * grams anyway (they are boilerplate, not provenance). */
+  val SubK = 8
+  val MinSpan = 12
+  val MaxDf = 16L
+
   /** Fixed-point scale for the importance ratio (same convention as
     * [[LmScale]]) and a deterministic clamp on a single feature's
     * weight: with uniform bucket loading the ratio is O(target/raw
@@ -161,6 +178,51 @@ object MiningQueries extends QuerySuite {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-substring span dedup (Lee et al. ACL'22, ExactSubstr):
+    // maximal shared token spans ≥ MinSpan between doc pairs, found
+    // by seed-and-extend — hash every SubK-token gram with its
+    // position, equi-join rare grams (df ≤ MaxDf) on the hash, then
+    // collapse runs of consecutive matches on the same alignment
+    // DIAGONAL (pa − pb) into maximal spans via gaps-and-islands: a
+    // run of m consecutive seed matches is a shared span of
+    // m + SubK − 1 tokens. Every stage is keyed: the gram join on the
+    // 64-bit hash (df-capped), the island window on (pair, diagonal)
+    // — candidate-pair-sized, never corpus-wide, no global sort until
+    // the final presentation orderBy. The suffix array the paper
+    // builds is a single-machine structure; the seed-and-extend join
+    // is the shape that survives a 1000-executor shuffle.
+    "dedup_substr_spans" -> ((s, d) => {
+      val kg = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(ws) >= $SubK THEN
+             |  transform(sequence(0, size(ws)-$SubK),
+             |    p -> concat_ws(' ', slice(ws, p+1, $SubK)))
+             |ELSE array() END""".stripMargin)))
+        .select(col("doc_id"), col("pos").cast("long").as("p"),
+          xxhash64(col("col")).as("h"))
+      val rare = kg.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= MaxDf).select("h")
+      val seeds = kg.join(rare, Seq("h"), "left_semi")
+      val m = seeds.select(col("h"), col("doc_id").as("doc_a"),
+          col("p").as("pa"))
+        .join(seeds.select(col("h"), col("doc_id").as("doc_b"),
+          col("p").as("pb")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+      val diag = m.withColumn("diag", col("pa") - col("pb"))
+      val isl = diag.withColumn("isl", col("pa") -
+        row_number().over(Window.partitionBy("doc_a", "doc_b", "diag")
+          .orderBy("pa")))
+      isl.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+          (count(lit(1)) + SubK - 1).as("span_tokens"))
+        .filter(col("span_tokens") >= MinSpan)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
+
     // PII redaction over the documents table — every 7th doc plants a
     // deterministic synthetic contact line (the fixture-plant pattern:
     // both engines construct the identical string, so the scrub
@@ -409,6 +471,42 @@ object MiningQueries extends QuerySuite {
        |  GROUP BY o.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // honest twin of the seed-and-extend span join: same xxhash64
+    // seeds (XxhSql replay), same df cap, same diagonal islands
+    "dedup_substr_spans" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, w, unnest(range(1, len(w) - $SubK + 2)) AS g
+         |  FROM ws WHERE len(w) >= $SubK),
+         |sgsrc AS (
+         |  SELECT doc_id, g - 1 AS p,
+         |    array_to_string(w[g:g+${SubK - 1}], ' ') AS s0
+         |  FROM pos),
+         |${XxhSql.ctes("sgsrc", Seq("doc_id", "p"), "s0", "sg")},
+         |rare AS (SELECT hv FROM sg_out
+         |  GROUP BY hv HAVING count(DISTINCT doc_id) <= $MaxDf),
+         |sd AS (SELECT k.* FROM sg_out k JOIN rare USING (hv)),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.p AS pa, b.p AS pb
+         |  FROM sd a JOIN sd b
+         |    ON a.hv = b.hv AND a.doc_id < b.doc_id),
+         |il AS (
+         |  SELECT *, pa - pb AS diag,
+         |    pa - row_number() OVER (
+         |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+         |  FROM m),
+         |sp AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(min(pa) AS BIGINT) AS a_start,
+         |    CAST(min(pb) AS BIGINT) AS b_start,
+         |    CAST(count(*) + $SubK - 1 AS BIGINT) AS span_tokens
+         |  FROM il GROUP BY doc_a, doc_b, diag, isl)
+         |SELECT doc_a, doc_b, a_start, b_start, span_tokens
+         |FROM sp WHERE span_tokens >= $MinSpan
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     "text_contamination_overlap" ->
       s"""WITH $winnowFpsSql,
          |ev AS (SELECT DISTINCT mh, doc_id AS eval_id FROM fps
