@@ -223,6 +223,35 @@ object MiningQueries extends QuerySuite {
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     }),
 
+    // Per-doc n-gram novelty: the fraction of a doc's distinct word
+    // WinK-grams whose global FIRST occurrence (minimum doc_id over
+    // all docs containing the gram) is this doc — the forward-dedup /
+    // data-pruning signal: a doc with novelty ~0 contributes nothing
+    // the corpus (in ingestion order) hasn't already seen, the
+    // streaming-dedup decision expressed as a batch score. Scale
+    // shape: one explode to distinct (doc, gram-hash) pairs, a
+    // min-aggregate on the 64-bit hash, a key join back, a per-doc
+    // aggregate — every shuffle keys on the hash or doc_id; the text
+    // never shuffles. Fixed-point ppm keeps both engines integral.
+    "text_ngram_novelty" -> ((s, d) => {
+      val kg = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(ws) >= $WinK THEN
+             |  transform(sequence(0, size(ws)-$WinK),
+             |    p -> concat_ws(' ', slice(ws, p+1, $WinK)))
+             |ELSE array() END""".stripMargin)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h")).distinct()
+      val first = kg.groupBy("h").agg(min("doc_id").as("first_doc"))
+      kg.join(first, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction over the documents table — every 7th doc plants a
     // deterministic synthetic contact line (the fixture-plant pattern:
     // both engines construct the identical string, so the scrub
@@ -471,6 +500,28 @@ object MiningQueries extends QuerySuite {
        |  GROUP BY o.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "text_ngram_novelty" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, w, unnest(range(1, len(w) - $WinK + 2)) AS g
+         |  FROM ws WHERE len(w) >= $WinK),
+         |nvsrc AS (
+         |  SELECT doc_id, g - 1 AS p,
+         |    array_to_string(w[g:g+${WinK - 1}], ' ') AS s0
+         |  FROM pos),
+         |${XxhSql.ctes("nvsrc", Seq("doc_id", "p"), "s0", "nv")},
+         |kg AS (SELECT DISTINCT doc_id, hv FROM nv_out),
+         |fst AS (SELECT hv, min(doc_id) AS first_doc FROM kg GROUP BY hv)
+         |SELECT kg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN fst.first_doc = kg.doc_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST((sum(CASE WHEN fst.first_doc = kg.doc_id
+         |    THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         |    AS novelty_ppm
+         |FROM kg JOIN fst USING (hv)
+         |GROUP BY kg.doc_id ORDER BY kg.doc_id""".stripMargin,
     // honest twin of the seed-and-extend span join: same xxhash64
     // seeds (XxhSql replay), same df cap, same diagonal islands
     "dedup_substr_spans" ->
