@@ -58,6 +58,15 @@ object GraphQueries extends QuerySuite {
     * pattern as the `text_token_ids` vocab broadcast. */
   val BroadcastNodeBudget = 10000000L
 
+  /** Hub cap for common-neighbor wedge enumeration: a part with more
+    * than this many distinct customers is excluded from pair
+    * generation (not from degree counts). Bounds any one part's
+    * emitted pairs at C(MaxFanout, 2) ≈ 2 · 10^3. */
+  val MaxFanout = 64L
+
+  /** Minimum shared parts for a reported customer pair. */
+  val MinCommon = 3L
+
   /** Symmetrized distinct edge list (src, dst). */
   private def edges(s: SparkSession, d: String): DataFrame = {
     val fwd = Tables.orders(s, d).select("o_orderkey", "o_custkey")
@@ -135,6 +144,47 @@ object GraphQueries extends QuerySuite {
   val LpaRounds = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Common-neighbor link prediction over the customer–PART
+    // bipartite graph (who buys the same parts — the selective
+    // relation; supplier fan-out in this schema is near-complete and
+    // carries no signal): for customer pairs sharing parts, the
+    // shared-part count and the exact Jaccard of their part sets
+    // (fixed-point ppm — integer-only, engine-exact). Pair generation
+    // enumerates wedges at the shared PART, with parts above
+    // [[MaxFanout]] customers excluded as hubs — the Adamic-Adar
+    // insight taken to a hard cap: a neighbor everyone shares carries
+    // no link signal but would emit C(deg,2) pairs, so the cap bounds
+    // every part's wedge set at C(MaxFanout,2) and total pair volume
+    // stays linear in the part count at ANY corpus size. Jaccard
+    // denominators use the UNCAPPED per-customer degrees (the cap
+    // gates candidate generation, not the measure); pairs below
+    // [[MinCommon]] shared parts are noise and drop.
+    "graph_common_neighbors" -> ((s, d) => {
+      val cs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_partkey").cast("long").as("sp"))
+        .distinct()
+      val degC = cs.groupBy("c").agg(count(lit(1)).as("nc"))
+      val fanOk = cs.groupBy("sp").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") <= MaxFanout).select("sp")
+      val capped = cs.join(fanOk, Seq("sp"), "left_semi")
+      val pairs = capped.select(col("sp"), col("c").as("c1"))
+        .join(capped.select(col("sp"), col("c").as("c2")), Seq("sp"))
+        .filter(col("c1") < col("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= MinCommon)
+      pairs
+        .join(degC.select(col("c").as("c1"), col("nc").as("n1")), "c1")
+        .join(degC.select(col("c").as("c2"), col("nc").as("n2")), "c2")
+        .select(col("c1").as("cust_a"), col("c2").as("cust_b"),
+          col("n_common"),
+          expr("n_common * 1000000 div (n1 + n2 - n_common)")
+            .as("jaccard_ppm"))
+        .orderBy("cust_a", "cust_b")
+    }),
+
     // Triangle census of the strong co-supply graph. Graph: suppliers
     // are linked when they co-occur in more orders than the global
     // mean pair does (the strict-integer compare cnt·n_pairs >
@@ -291,6 +341,27 @@ object GraphQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "graph_common_neighbors" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+         |    CAST(l_partkey AS BIGINT) AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |degc AS (SELECT c, count(*) AS nc FROM cs GROUP BY c),
+         |fan_ok AS (SELECT sp FROM cs GROUP BY sp
+         |           HAVING count(*) <= $MaxFanout),
+         |capped AS (SELECT cs.c, cs.sp FROM cs JOIN fan_ok USING (sp)),
+         |pairs AS (
+         |  SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM capped a JOIN capped b
+         |    ON a.sp = b.sp AND a.c < b.c
+         |  GROUP BY a.c, b.c HAVING count(*) >= $MinCommon)
+         |SELECT c1 AS cust_a, c2 AS cust_b, n_common,
+         |  CAST((n_common * 1000000) //
+         |    (d1.nc + d2.nc - n_common) AS BIGINT) AS jaccard_ppm
+         |FROM pairs
+         |JOIN degc d1 ON d1.c = c1
+         |JOIN degc d2 ON d2.c = c2
+         |ORDER BY cust_a, cust_b""".stripMargin,
     "graph_triangles" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
          |            FROM lineitem),

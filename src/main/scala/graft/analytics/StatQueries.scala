@@ -229,6 +229,58 @@ object StatQueries extends QuerySuite {
     // — deterministic by construction via a single lexicographic
     // struct-max over the (type, value)-count table. Two aggregates
     // total, both map-side-partial; no window, no sort.
+    // Two-sample Kolmogorov–Smirnov statistic between the order-value
+    // distributions of two customer segments — the distribution-drift
+    // test a data pipeline runs between corpus snapshots or sampling
+    // strata. Exact integer arithmetic end to end: values are money
+    // CENTS, and D = max|F1−F2| is computed on the cross-multiplied
+    // numerator |c1·n2 − c2·n1| so no per-row division ever happens;
+    // the single ppm division at the end is integral. Scale shape:
+    // the CDF is the two-stage cumulative the repo uses everywhere —
+    // per-value counts bucketed by value range (bucket count bounded
+    // by the price DOMAIN, not the row count), in-bucket cumsum keyed
+    // by bucket, plus a broadcast per-bucket base table — so no
+    // corpus-sized frame ever crosses a single-partition exchange.
+    // Integer headroom: c·n ≤ n1·n2 and the ppm multiply needs 10^6×
+    // that in BIGINT, safe to ~3·10^6 rows per side; past that,
+    // rescale counts (same InitMass-style note as PageRank).
+    "stat_ks_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg"))
+        .filter(col("seg").isin("BUILDING", "MACHINERY"))
+      val vc = Tables.orders(s, d)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("v"))
+        .join(seg, "o_custkey")
+        .groupBy("v")
+        .agg(sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("d1"),
+          sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("d2"))
+      val n = vc.agg(sum("d1").as("n1"), sum("d2").as("n2"))
+      val bucketed = vc.withColumn("b", expr("v div 1048576"))
+      val inB = Window.partitionBy("b").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumIn = bucketed
+        .withColumn("c1l", sum("d1").over(inB))
+        .withColumn("c2l", sum("d2").over(inB))
+      val bases = bucketed.groupBy("b")
+        .agg(sum("d1").as("t1"), sum("d2").as("t2"))
+        .withColumn("b1", coalesce(sum("t1").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("b2", coalesce(sum("t2").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "b1", "b2")
+      cumIn.join(broadcast(bases), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("dnum", abs((col("c1l") + col("b1")) * col("n2") -
+          (col("c2l") + col("b2")) * col("n1")))
+        .agg(max(struct(col("dnum"), (-col("v")).as("nv"))).as("m"),
+          max("n1").as("n1"), max("n2").as("n2"))
+        .select(col("n1"), col("n2"),
+          expr("(m.dnum * 1000000) div (n1 * n2)").as("ks_ppm"),
+          (-col("m.nv")).as("ks_at_cents"))
+    }),
+
     "stat_mode_per_type" -> ((s, d) => {
       val vc = Tables.events(s, d)
         .select(col("event_type"), cents(col("value")).as("xc"))
@@ -245,6 +297,34 @@ object StatQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    // honest global-window CDF twin of the two-stage bucketed plan
+    "stat_ks_segments" ->
+      s"""WITH seg AS (
+         |  SELECT c_custkey, c_mktsegment AS seg FROM customer
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         |vv AS (
+         |  SELECT ${centsSql("o_totalprice")} AS v, seg
+         |  FROM orders JOIN seg ON o_custkey = c_custkey),
+         |vc AS (
+         |  SELECT v,
+         |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d2
+         |  FROM vv GROUP BY v),
+         |n AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+         |             CAST(sum(d2) AS BIGINT) AS n2 FROM vc),
+         |cum AS (
+         |  SELECT v, sum(d1) OVER (ORDER BY v) AS c1,
+         |         sum(d2) OVER (ORDER BY v) AS c2
+         |  FROM vc),
+         |sc AS (SELECT v, abs(c1 * n2 - c2 * n1) AS dnum
+         |       FROM cum CROSS JOIN n)
+         |SELECT n.n1, n.n2,
+         |  CAST((s.dnum * 1000000) // (n.n1 * n.n2) AS BIGINT) AS ks_ppm,
+         |  CAST(s.v AS BIGINT) AS ks_at_cents
+         |FROM sc s CROSS JOIN n
+         |ORDER BY s.dnum DESC, s.v LIMIT 1""".stripMargin,
     "stat_zscore_daily" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day,

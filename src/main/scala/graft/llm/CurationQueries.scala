@@ -246,6 +246,41 @@ object CurationQueries extends QuerySuite {
         .orderBy("source")
     }),
 
+    // Temperature-scaled mixture weights (the multinomial α-sampling
+    // of GPT-3 / PaLM data recipes, α = 0.5): source probability
+    // ∝ (natural share)^α — upweights small sources without the
+    // uniform plan's hard cap. Engine-exactness: sqrt and double
+    // division are correctly-rounded IEEE ops identical in Spark and
+    // DuckDB, but a SUM of doubles is order-dependent — so the
+    // summed quantity is the FIXED-POINT weight floor(1e9·√share)
+    // (exact integers, any order), and doubles only ever appear in
+    // per-row correctly-rounded expressions over identical operands.
+    // Aggregate-only: two tiny shuffles, a broadcast of a one-row
+    // total — corpus text is scanned once.
+    "text_mixture_temperature" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .withColumn("nw", size(words(col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+      val tot = bySrc.agg(sum("tokens").as("total_tokens"))
+      val w = bySrc.crossJoin(broadcast(tot))
+        .withColumn("nat_frac",
+          col("tokens").cast("double") / col("total_tokens").cast("double"))
+        .withColumn("w_e9",
+          floor(sqrt(col("nat_frac")) * 1e9).cast("long"))
+      val totW = w.agg(sum("w_e9").as("tot_w"))
+      w.crossJoin(broadcast(totW))
+        .withColumn("temp_frac",
+          col("w_e9").cast("double") / col("tot_w").cast("double"))
+        .withColumn("boost", col("temp_frac") / col("nat_frac"))
+        .withColumn("planned_tokens",
+          floor(col("temp_frac") * col("total_tokens").cast("double"))
+            .cast("long"))
+        .select("source", "n_docs", "tokens", "nat_frac", "temp_frac",
+          "boost", "planned_tokens")
+        .orderBy("source")
+    }),
+
     // THE training-set build, end to end in one query: exact dedup
     // (content-digest keepers) → deterministic split → quality gate →
     // per-source token accounting. Every stage is the already-proven
@@ -538,6 +573,27 @@ object CurationQueries extends QuerySuite {
         |      CAST(total_tokens // n_sources AS DOUBLE) / tokens) * tokens)
         |    AS BIGINT) AS planned_tokens
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "text_mixture_temperature" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM s),
+        |w AS (
+        |  SELECT source, n_docs, tokens,
+        |    CAST(tokens AS DOUBLE) / total_tokens AS nat_frac,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE) / total_tokens) * 1e9)
+        |      AS BIGINT) AS w_e9,
+        |    total_tokens
+        |  FROM s CROSS JOIN t),
+        |tw AS (SELECT CAST(sum(w_e9) AS BIGINT) AS tot_w FROM w)
+        |SELECT source, n_docs, tokens, nat_frac,
+        |  CAST(w_e9 AS DOUBLE) / tot_w AS temp_frac,
+        |  (CAST(w_e9 AS DOUBLE) / tot_w) / nat_frac AS boost,
+        |  CAST(floor((CAST(w_e9 AS DOUBLE) / tot_w) *
+        |    CAST(total_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
+        |FROM w CROSS JOIN tw ORDER BY source""".stripMargin,
 
     "pipeline_training_set" ->
       s"""WITH $gopherFlagsCtes,

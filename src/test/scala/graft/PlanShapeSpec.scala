@@ -56,7 +56,11 @@ class PlanShapeSpec extends SparkSpec {
     "text_pack_sequences",
     // lag over the already-aggregated month table — bounded by
     // calendar span, never data volume (WindowQueries.scala:106)
-    "window_month_growth")
+    "window_month_growth",
+    // per-bucket CDF base offsets: global window over one row per
+    // VALUE-RANGE bucket (~60 — bounded by the price domain divided
+    // by the bucket width, never the row count; StatQueries KS doc)
+    "stat_ks_segments")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
