@@ -9,21 +9,18 @@ import org.apache.spark.sql.functions._
   * domain / record identifiers that differ by typos.
   *
   * Scale design (why this is not an all-pairs scan): candidates come
-  * from PIGEONHOLE SEGMENT BLOCKING (the partition scheme of
-  * HmSearch-style hamming joins, Zhang et al., SIGMOD'13 — public
-  * algorithm): the 9-digit suffix splits into [[NumSegs]] = MaxHamming
-  * + 1 equal segments, and hamming ≤ [[MaxHamming]] leaves at least
-  * one segment UNTOUCHED by pigeonhole, so every qualifying pair
-  * meets in the block keyed by (prefix, segment-index, exact segment
-  * value). COMPLETE by construction over the suite's predicate —
-  * equal prefix + suffix hamming ≤ 2 (FuzzyNameSpec proves equality
-  * to the brute-force join on real data and random registries). Cost
-  * is O(n·3) emitted keys — the prefix rides INSIDE the block key, so
-  * cross-prefix candidates never shuffle at all (the earlier
-  * two-wildcard-mask design emitted 36 keys/record and filtered
-  * prefixes post-join) — and the verify step — 9 integer digit
-  * compares on a precomputed LONG, no string allocation, no HOF, no
-  * UDF — runs on block-local candidates only.
+  * from SymSpell-style NEIGHBORHOOD BLOCKING — each record emits its
+  * C(9,2)=36 two-wildcard masks of the 9-char discriminative suffix,
+  * and only records sharing a mask meet. For hamming distance ≤ 2 the
+  * differing positions D (|D| ≤ 2) are covered by every wildcard pair
+  * ⊇ D, so the block join is COMPLETE by construction over the
+  * suite's predicate — equal prefix + suffix hamming ≤ 2
+  * (FuzzyNameSpec proves equality to the brute-force join on real
+  * data). Cost is O(n·36) emitted keys and block-local pairing; a
+  * constant mask position yields an agree-everywhere block (exact
+  * duplicates only), never an all-pairs bomb, and the verify step —
+  * 9 integer digit compares on a precomputed LONG, no string
+  * allocation, no HOF, no UDF — runs on candidates only.
   */
 object EntityQueries extends QuerySuite {
 
@@ -38,11 +35,6 @@ object EntityQueries extends QuerySuite {
   val NameLen = PrefixLen + SuffixLen
   val MaxHamming = 2
 
-  /** MaxHamming + 1 segments: ≤ MaxHamming differing positions cannot
-    * touch every segment, so one segment always matches exactly. */
-  val NumSegs = MaxHamming + 1
-  private val SegLen = SuffixLen / NumSegs
-
   /** Digit-wise hamming distance between two 9-digit ids held as
     * LONGs: 9 integer div/mod compares, pure codegen arithmetic — no
     * per-character string allocation on the (candidate-pair-sized)
@@ -54,14 +46,12 @@ object EntityQueries extends QuerySuite {
         1).otherwise(0)
     }.reduce(_ + _)
 
-  /** The [[NumSegs]] pigeonhole block keys: fixed-width concat of
-    * prefix (9 ch) + segment index (1 ch) + exact segment value
-    * (3 ch), so distinct (prefix, index, value) triples can never
-    * collide as strings. */
-  private def segKeys(pfx: Column, sfx: Column): Column =
-    array((0 until NumSegs).map(i =>
-      concat(pfx, lit(i.toString),
-        substring(sfx, i * SegLen + 1, SegLen))): _*)
+  /** The 36 two-wildcard masks of the suffix; the mask string itself
+    * encodes the wildcard positions, so it is the whole block key. */
+  private def masks(sfx: Column): Column =
+    array((for { p <- 1 to SuffixLen; q <- p + 1 to SuffixLen } yield
+      concat((1 to SuffixLen).map(i =>
+        if (i == p || i == q) lit("_") else substring(sfx, i, 1)): _*)): _*)
 
   /** Blocked candidate pairs (k1 < k2), hamming-verified. */
   private[llm] def nearPairs(s: SparkSession, d: String): DataFrame = {
@@ -76,16 +66,16 @@ object EntityQueries extends QuerySuite {
       // the verify step downstream touches only integers, never strings
       .filter(col("sfx").rlike("^[0-9]+$"))
       .withColumn("sn", col("sfx").cast("long"))
-    val keyed = c.select(col("k"), col("sn"),
-      explode(segKeys(col("pfx"), col("sfx"))).as("bkey"))
-    val a = keyed.select(col("bkey"), col("k").as("k1"), col("sn").as("sn1"))
-    val b = keyed.select(col("bkey"), col("k").as("k2"), col("sn").as("sn2"))
-    // prefix equality is enforced BY the block key (it is the key's
-    // first 9 chars), so the join carries only (key, id-long) pairs;
-    // verify runs BEFORE dedup, streaming straight out of the join —
-    // the only shuffled dedup state is the surviving bare (k1, k2)
+    val keyed = c.select(col("k"), col("pfx"), col("sn"),
+      explode(masks(col("sfx"))).as("bkey"))
+    val a = keyed.select(col("bkey"), col("k").as("k1"),
+      col("pfx").as("p1"), col("sn").as("sn1"))
+    val b = keyed.select(col("bkey"), col("k").as("k2"),
+      col("pfx").as("p2"), col("sn").as("sn2"))
+    // verify BEFORE dedup, streaming straight out of the join — the
+    // only shuffled dedup state is the surviving bare (k1, k2) pairs
     a.join(b, Seq("bkey"))
-      .filter(col("k1") < col("k2") &&
+      .filter(col("k1") < col("k2") && col("p1") === col("p2") &&
         digitHamming(col("sn1"), col("sn2")) <= MaxHamming)
       .select("k1", "k2").distinct()
   }
