@@ -274,7 +274,10 @@ object DedupQueries extends QuerySuite {
     * [[MaxPosting]], then ONE exact intersect per surviving candidate.
     * Threshold as integer arithmetic:
     * jac >= 0.2 <=> 6*|inter| >= |A|+|B|. */
-  private[llm] def ngramJaccardPairs(dw: DataFrame): DataFrame = {
+  private[llm] def ngramJaccardPairs(dw: DataFrame): DataFrame =
+    ngramJaccardPairs(dw, ordered = true)
+
+  private[llm] def ngramJaccardPairs(dw: DataFrame, ordered: Boolean): DataFrame = {
     graft.plans.NGramShingles.register(dw.sparkSession)
     // Shingle arrays feed four consumers (token explode, df counts and
     // both verify-join sides); one materialization beats four compiled
@@ -284,14 +287,18 @@ object DedupQueries extends QuerySuite {
       shinglesNative(col("w"), Shingle).as("sh"))
       .persist()
     val cands = jaccardCandidates(docs)
-    cands
+    val verified = cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 6 >=
         size(col("sh_a")) + size(col("sh_b")))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .select("source", "doc_a", "doc_b", "jac")
-      .orderBy("source", "doc_a", "doc_b")
+    // The global sort is presentation-only; CC consumers
+    // (dedup_components / dedup_pipeline_survivors) skip it — they
+    // re-shuffle the pairs by key immediately, so an ordered exchange
+    // here would be a wasted range partition + sort.
+    if (ordered) verified.orderBy("source", "doc_a", "doc_b") else verified
   }
 
   /** Connected components over an undirected edge list (doc_a, doc_b)
@@ -320,17 +327,20 @@ object DedupQueries extends QuerySuite {
         .join(labels.select(col("doc_id").as("v"), col("comp")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min("comp").as("neighbor_comp"))
-      // localCheckpoint (not persist): the frame below is referenced
-      // twice by the halving join, so without truncating the LOGICAL
-      // lineage the analyzer's plan tree doubles per round —
-      // exponential analysis cost by round ~15 even though execution
-      // reads from cache. One eager checkpoint per round; the halving
-      // self-join then runs over cached partitions.
+      // persist (lazy, not an eager checkpoint): the frame below is
+      // referenced twice by the halving join, so without caching the
+      // round's head the halving join would recompute it per side AND
+      // the analyzer's plan tree would double per round. The eager
+      // materialization happens ONCE per round, at `next`'s
+      // localCheckpoint below — one scheduled action per round instead
+      // of the previous two (checkpoint propagated, then action next),
+      // which halves the fixed per-round scheduling cost that
+      // dominates when the near-dup graph is small.
       val propagated = labels
         .join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .persist()
       // Path halving (pointer jumping): also adopt the label OF my
       // label. Neighbor-min alone walks one hop per round (rounds =
       // component diameter); the extra self-join doubles the chased
@@ -338,20 +348,23 @@ object DedupQueries extends QuerySuite {
       // difference between 3 and 50+ shuffles on a chain-shaped
       // component at 100 TB. Labels only ever decrease and stay inside
       // the component, so the monotone-sum convergence check is
-      // unchanged.
+      // unchanged. localCheckpoint(true) is the round's single action;
+      // it truncates lineage so plan depth stays constant per round.
       val next = propagated.as("a")
         .join(propagated.select(col("doc_id").as("comp"),
           col("comp").as("comp2")).as("b"), Seq("comp"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint(true)
       // Convergence via a monotone invariant: labels only ever
       // decrease, so sum(comp) is strictly smaller while anything
-      // changed — one aggregate instead of a join per round.
+      // changed — one aggregate over the just-checkpointed (in-memory)
+      // partitions, not a recompute.
       val nextSum = next.agg(sum("comp")).head().getLong(0)
       changed = if (nextSum == lastSum) 0L else 1L
       lastSum = nextSum
       labels.unpersist()
+      propagated.unpersist()
       labels = next
       rounds += 1
     }
@@ -467,7 +480,8 @@ object DedupQueries extends QuerySuite {
       // persisted: consumed by the endpoint projection AND (twice,
       // symmetrized) inside connectedComponents — without it the
       // whole verify join would run three times. Harness clears it.
-      val edges = ngramJaccardPairs(dw).select("doc_a", "doc_b").persist()
+      val edges = ngramJaccardPairs(dw, ordered = false)
+        .select("doc_a", "doc_b").persist()
       // CC label frames over edge ENDPOINTS only: a doc without a
       // near-dup pair is a singleton, and singletons are filtered
       // below anyway — every round's join runs on the near-dup set,
@@ -500,7 +514,8 @@ object DedupQueries extends QuerySuite {
       // same endpoint restriction as dedup_components: docs without a
       // pair label themselves and are never dropped — CC over the
       // near-dup set only
-      val pairs = ngramJaccardPairs(dw).select("doc_a", "doc_b").persist()
+      val pairs = ngramJaccardPairs(dw, ordered = false)
+        .select("doc_a", "doc_b").persist()
       val endpoints = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
       val labels = connectedComponents(endpoints, pairs)
