@@ -46,12 +46,20 @@ object EntityQueries extends QuerySuite {
         1).otherwise(0)
     }.reduce(_ + _)
 
-  /** The 36 two-wildcard masks of the suffix; the mask string itself
-    * encodes the wildcard positions, so it is the whole block key. */
-  private def masks(sfx: Column): Column =
-    array((for { p <- 1 to SuffixLen; q <- p + 1 to SuffixLen } yield
-      concat((1 to SuffixLen).map(i =>
-        if (i == p || i == q) lit("_") else substring(sfx, i, 1)): _*)): _*)
+  /** The 36 two-wildcard masks of the suffix, encoded as LONG block
+    * keys: for wildcard digit positions (i, j) (powers of ten), the
+    * key is (i*9+j)*10^9 + the id with digits i and j zeroed. Encoding
+    * the mask arithmetically instead of as a 9-char template string
+    * keeps the 36-per-row block-key emission pure codegen integer math
+    * (no string allocation) and shuffles 8-byte keys instead of
+    * 9-char strings — same blocks, same completeness argument. */
+  private def masks(sn: Column): Column = {
+    def digit(i: Int): Column =
+      (sn.divide(math.pow(10, i).toLong).cast("long") % 10) *
+        math.pow(10, i).toLong
+    array((for { i <- 0 until SuffixLen; j <- i + 1 until SuffixLen } yield
+      (sn - digit(i) - digit(j)) + lit((i * SuffixLen + j) * 1000000000L)): _*)
+  }
 
   /** Blocked candidate pairs (k1 < k2), hamming-verified. */
   private[llm] def nearPairs(s: SparkSession, d: String): DataFrame = {
@@ -67,7 +75,7 @@ object EntityQueries extends QuerySuite {
       .filter(col("sfx").rlike("^[0-9]+$"))
       .withColumn("sn", col("sfx").cast("long"))
     val keyed = c.select(col("k"), col("pfx"), col("sn"),
-      explode(masks(col("sfx"))).as("bkey"))
+      explode(masks(col("sn"))).as("bkey"))
     val a = keyed.select(col("bkey"), col("k").as("k1"),
       col("pfx").as("p1"), col("sn").as("sn1"))
     val b = keyed.select(col("bkey"), col("k").as("k2"),
