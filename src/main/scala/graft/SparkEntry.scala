@@ -23,6 +23,7 @@ object SparkEntry {
     analytics.StatQueries,
     analytics.AsofQueries,
     analytics.GraphQueries,
+    analytics.ProfileQueries,
     llm.DedupQueries,
     llm.TextQueries,
     llm.BpeQueries,

@@ -1,0 +1,292 @@
+package graft.analytics
+
+import graft.{QuerySuite, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling and distribution-audit operators — the checks a
+  * pipeline runs on every new snapshot BEFORE training jobs consume
+  * it: referential integrity, per-column profiles, distribution
+  * shape (Benford, Gini), segment comparison (Welch), and changepoint
+  * localization (CUSUM).
+  *
+  * Determinism follows the suite-wide integer-moments contract
+  * (StatQueries scaladoc): every aggregate is an exact BIGINT; floats
+  * appear only in final correctly-rounded divisions/sqrt, written with
+  * the identical expression tree in the DuckDB oracle.
+  */
+object ProfileQueries extends QuerySuite {
+
+  /** One foreign-key census row: child rows, orphans (child keys with
+    * no parent). The parent side is reduced to DISTINCT keys before
+    * the join, so the probe is key-sized; at warehouse scale the big
+    * fact-side relations shuffle on the key once — the same shape as
+    * the join they exist to pre-validate. */
+  private def fk(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(ck).as("k"))
+      .join(parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+
+  private def fkSql(name: String, child: String, ck: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$name' AS relation,
+       |  CAST(count(*) AS BIGINT) AS n_child,
+       |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_orphans
+       |FROM $child c LEFT JOIN
+       |  (SELECT DISTINCT $pk AS k FROM $parent) p ON c.$ck = p.k""".stripMargin
+
+  /** Per-column profile row over `events`: nulls + exact distincts. */
+  private val profCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Referential-integrity census over the whole star schema: every
+    // FK edge, its child cardinality and orphan count — the gate that
+    // runs before any snapshot is published. Each relation is one
+    // keyed left join against the parent's distinct keys; the 7 tiny
+    // (1-row) results union at the end, so the plan is 7 independent
+    // key-shuffles, nothing global.
+    "dq_referential_orphans" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      val p = Tables.part(s, d)
+      fk("customer_nation", c, "c_nationkey", n, "n_nationkey")
+        .unionByName(fk("lineitem_orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(fk("lineitem_part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(fk("lineitem_supplier", li, "l_suppkey", su, "s_suppkey"))
+        .unionByName(fk("nation_region", n, "n_regionkey", r, "r_regionkey"))
+        .unionByName(fk("orders_customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(fk("supplier_nation", su, "s_nationkey", n, "n_nationkey"))
+        .orderBy("relation")
+    }),
+
+    // Per-column profile of the events stream: rows, nulls, exact
+    // distinct counts — the schema-drift monitor. One aggregate with
+    // N count-distincts (Spark plans the standard expand — one pass
+    // over the fact table, rows × N in the shuffle but only the
+    // PROFILED COLUMN's bytes per lane), then an in-memory unpivot of
+    // the single 1-row result.
+    "dq_null_profile" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val one = ev.agg(count(lit(1)).as("n_rows"),
+        profCols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))): _*)
+      one.select(col("n_rows"), explode(array(profCols.map(c =>
+          struct(lit(c).as("column_name"), col(s"nn_$c").as("n_nulls"),
+            col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+        .select(col("p.column_name").as("column_name"), col("n_rows"),
+          col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"))
+        .orderBy("column_name")
+    }),
+
+    // Benford leading-digit audit of order totals — the classic
+    // fabricated-data screen. The digit comes from the DECIMAL STRING
+    // of exact integer cents (never float log10, whose boundary
+    // rounding differs per libm); share is integer ppm. One groupBy
+    // on a 9-value key + a broadcast 1-row total.
+    "stat_benford_digits" -> ((s, d) => {
+      val c = Exact.cents(col("o_totalprice"))
+      val byDigit = Tables.orders(s, d)
+        .select(substring(c.cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      byDigit.crossJoin(broadcast(byDigit.agg(sum("n").as("total"))))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("share_ppm"))
+        .orderBy("digit")
+    }),
+
+    // Gini coefficient of document length per source — the corpus
+    // inequality audit (is one crawl shard dominating the token
+    // budget?). Exact rank formulation G = (2·Σi·x_i − (n+1)·Σx_i) /
+    // (n·Σx_i) over lengths ranked ascending within source: one
+    // per-source window sort + one aggregate, both keyed on source.
+    // Headroom: Σi·x_i grows as n²·x̄ per source, so past ~10^6 docs
+    // per source the two sums swap to DECIMAL(38,0) (same plan shape,
+    // StatQueries scaladoc convention).
+    "stat_gini_sources" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sx"),
+          sum(col("i") * col("n_chars")).as("six"))
+        .select(col("source"), col("n_docs"),
+          ((lit(2L) * col("six") - (col("n_docs") + 1L) * col("sx"))
+            .cast("double") /
+            (col("n_docs") * col("sx")).cast("double")).as("gini"))
+        .orderBy("source")
+    }),
+
+    // Welch's t between weekend and weekday event values per type —
+    // the segment-shift detector (unequal variances, unequal n).
+    // Weekend from pure epoch-day arithmetic ((day+4) mod 7 ∈ {0,6},
+    // 0=Sunday) so both engines agree without timezone/locale DOW
+    // functions. Whole-unit quantization keeps n·Σx² in BIGINT
+    // headroom (StatQueries scaladoc); t's float tree — two means,
+    // two exact-ratio variances, one sqrt — is written identically in
+    // the oracle, so the hash matches bit-for-bit. Degenerate sides
+    // (n<2 or both variances 0) emit NULL.
+    "stat_welch_ttest" -> ((s, d) => {
+      val dow = (floor(unix_timestamp(col("ts")) / 86400L) + 4L) % 7L
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (dow === 0L || dow === 6L).as("wkend"),
+        round(col("value"), 0).cast("long").as("x"))
+      val m = ev.groupBy("event_type").agg(
+        sum(when(!col("wkend"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("wkend"), col("x")).otherwise(0L)).as("sx1"),
+        sum(when(!col("wkend"), col("x") * col("x")).otherwise(0L)).as("sq1"),
+        sum(when(col("wkend"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("wkend"), col("x")).otherwise(0L)).as("sx2"),
+        sum(when(col("wkend"), col("x") * col("x")).otherwise(0L)).as("sq2"))
+      def a(n: Column, sx: Column, sq: Column) = n * sq - sx * sx
+      val a1 = a(col("n1"), col("sx1"), col("sq1"))
+      val a2 = a(col("n2"), col("sx2"), col("sq2"))
+      val d1 = col("n1") * col("n1") * (col("n1") - 1L)
+      val d2 = col("n2") * col("n2") * (col("n2") - 1L)
+      m.select(col("event_type"), col("n1"), col("n2"),
+        when(col("n1") < 2L || col("n2") < 2L || (a1 === 0L && a2 === 0L),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("sx1").cast("double") / col("n1").cast("double") -
+              col("sx2").cast("double") / col("n2").cast("double")) /
+            sqrt(a1.cast("double") / d1.cast("double") +
+              a2.cast("double") / d2.cast("double"))).as("t_stat"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM changepoint per event type: the day where the cumulative
+    // deviation of daily totals from the per-type mean peaks — where
+    // the level shift happened. Integer-exact via n-scaling: c_i =
+    // n·cum_i − i·T needs no float mean. Plan: one fact aggregate to
+    // the (type, day) table, then windows over that bounded table;
+    // tie on |c| resolves to the earliest day on both engines.
+    "ts_cusum_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          round(col("value"), 0).cast("long").as("x"))
+        .groupBy("event_type", "day").agg(sum("x").as("y"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("t"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val cum = daily.join(broadcast(tot), "event_type")
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cy", sum("y").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("c", abs(col("n") * col("cy") - col("i") * col("t")))
+      cum.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("c").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("day").as("peak_day"), col("c").as("max_dev"))
+        .orderBy("event_type")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "dq_referential_orphans" -> Seq(
+      fkSql("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      fkSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkSql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      fkSql("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      fkSql("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+      fkSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fkSql("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation"),
+
+    "dq_null_profile" -> profCols.map(c =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM events""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "stat_benford_digits" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |byd AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |        FROM dg GROUP BY digit)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // (SELECT sum(n) FROM byd) AS BIGINT)
+        |    AS share_ppm
+        |FROM byd ORDER BY digit""".stripMargin,
+
+    "stat_gini_sources" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS i
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS sx,
+        |        CAST(sum(i * n_chars) AS BIGINT) AS six
+        |      FROM r GROUP BY source)
+        |SELECT source, n_docs,
+        |  CAST(2 * six - (n_docs + 1) * sx AS DOUBLE) /
+        |    CAST(n_docs * sx AS DOUBLE) AS gini
+        |FROM g ORDER BY source""".stripMargin,
+
+    "stat_welch_ttest" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
+        |      IN (0, 6) AS wkend,
+        |    CAST(round("value") AS BIGINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN NOT wkend THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT wkend THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN NOT wkend THEN x*x ELSE 0 END) AS BIGINT) AS sq1,
+        |    CAST(sum(CASE WHEN wkend THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN wkend THEN x ELSE 0 END) AS BIGINT) AS sx2,
+        |    CAST(sum(CASE WHEN wkend THEN x*x ELSE 0 END) AS BIGINT) AS sq2
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, n1, n2,
+        |  CASE WHEN n1 < 2 OR n2 < 2
+        |         OR (n1*sq1 - sx1*sx1 = 0 AND n2*sq2 - sx2*sx2 = 0)
+        |    THEN NULL
+        |    ELSE (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |          CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |         sqrt(CAST(n1*sq1 - sx1*sx1 AS DOUBLE) /
+        |                CAST(n1*n1*(n1-1) AS DOUBLE) +
+        |              CAST(n2*sq2 - sx2*sx2 AS DOUBLE) /
+        |                CAST(n2*n2*(n2-1) AS DOUBLE))
+        |  END AS t_stat
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "ts_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round("value") AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(y) AS BIGINT) AS t
+        |        FROM daily GROUP BY event_type),
+        |cum AS (
+        |  SELECT d.event_type, d.day, tot.n, tot.t,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(sum(y) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy
+        |  FROM daily d JOIN tot ON d.event_type = tot.event_type
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+        |scored AS (
+        |  SELECT event_type, n AS n_days, day AS peak_day,
+        |    abs(n * cy - i * t) AS c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cy - i * t) DESC, day) AS rk
+        |  FROM cum)
+        |SELECT event_type, n_days, peak_day, c AS max_dev
+        |FROM scored WHERE rk = 1 ORDER BY event_type""".stripMargin)
+}
