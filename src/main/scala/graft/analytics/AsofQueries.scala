@@ -86,8 +86,72 @@ object AsofQueries extends QuerySuite {
         .orderBy("event_id")
   }
 
+  /** NEAREST as-of: for every purchase, the click minimizing |Δt| in
+    * either direction, ties to the backward (at-or-before) side. Both
+    * directional lookups run as the already-proven union-tag window
+    * composition, each carrying the click's second so the final pick
+    * is pure arithmetic; the directional frames then join back on the
+    * purchase id — three shuffles total, all keyed, no inequality
+    * join. Same-second clicks have gap 0 on both sides and resolve to
+    * the backward side's max-id tiebreak, exactly like the oracle. */
+  private[analytics] def nearestClickAsof(ev: DataFrame): DataFrame = {
+    val clicksB = ev.filter(col("event_type") === "click")
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .groupBy("user_id", "ts_s").agg(max("event_id").as("click_id"))
+    val clicksF = ev.filter(col("event_type") === "click")
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .groupBy("user_id", "ts_s").agg(min("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    def side(cl: DataFrame, backward: Boolean): DataFrame = {
+      val cSide = if (backward) 0 else 1
+      val tagged = purchases
+        .select(col("user_id"), col("ts_s"), lit(1 - cSide).as("side"),
+          lit(null).cast("struct<cts:bigint,cid:bigint>").as("c"),
+          col("event_id"))
+        .unionByName(cl.select(col("user_id"), col("ts_s"),
+          lit(cSide).as("side"),
+          struct(col("ts_s").as("cts"), col("click_id").as("cid")).as("c"),
+          lit(null).cast("long").as("event_id")))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("side"), col("c.cid").asc_nulls_last)
+      val w =
+        if (backward) ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val pick = if (backward) last(col("c"), ignoreNulls = true)
+        else first(col("c"), ignoreNulls = true)
+      val tag = if (backward) "p" else "n"
+      tagged.withColumn("hit", pick.over(w))
+        .filter(col("side") === (1 - cSide))
+        .select(col("event_id"), col("user_id").as(s"${tag}_uid"),
+          col("ts_s").as(s"${tag}_ts"),
+          col(s"hit.cts").as(s"${tag}_cts"), col(s"hit.cid").as(s"${tag}_cid"))
+    }
+    val b = side(clicksB, backward = true)
+    val f = side(clicksF, backward = false)
+    b.join(f, Seq("event_id"))
+      .select(col("event_id"), col("p_uid").as("user_id"),
+        when(col("p_cid").isNull && col("n_cid").isNull,
+          lit(null).cast("long"))
+          .when(col("n_cid").isNull, col("p_cid"))
+          .when(col("p_cid").isNull, col("n_cid"))
+          .when(col("p_ts") - col("p_cts") <= col("n_cts") - col("p_ts"),
+            col("p_cid"))
+          .otherwise(col("n_cid")).as("nearest_click_id"),
+        when(col("p_cid").isNull && col("n_cid").isNull,
+          lit(null).cast("long"))
+          .when(col("n_cid").isNull, col("p_ts") - col("p_cts"))
+          .when(col("p_cid").isNull, col("n_cts") - col("p_ts"))
+          .otherwise(least(col("p_ts") - col("p_cts"),
+            col("n_cts") - col("p_ts"))).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_prev_click" -> ((s, d) => prevClickAsof(Tables.events(s, d))),
+
+    "asof_nearest_click" -> ((s, d) => nearestClickAsof(Tables.events(s, d))),
 
     "asof_next_click" -> ((s, d) => nextClickAsof(Tables.events(s, d))),
 
@@ -107,6 +171,39 @@ object AsofQueries extends QuerySuite {
         .orderBy("nationkey")))
 
   def oracles: Map[String, String] = Map(
+    "asof_nearest_click" ->
+      """WITH cb AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |cf AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         min(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |both_sides AS (
+        |  SELECT p.event_id, p.user_id, p.ts_s,
+        |    b.ts_s AS p_cts, b.click_id AS p_cid,
+        |    f.ts_s AS n_cts, f.click_id AS n_cid
+        |  FROM purchases p
+        |  ASOF LEFT JOIN cb b
+        |    ON p.user_id = b.user_id AND p.ts_s >= b.ts_s
+        |  ASOF LEFT JOIN cf f
+        |    ON p.user_id = f.user_id AND p.ts_s <= f.ts_s)
+        |SELECT event_id, user_id,
+        |  CASE WHEN p_cid IS NULL AND n_cid IS NULL THEN NULL
+        |       WHEN n_cid IS NULL THEN p_cid
+        |       WHEN p_cid IS NULL THEN n_cid
+        |       WHEN ts_s - p_cts <= n_cts - ts_s THEN p_cid
+        |       ELSE n_cid END AS nearest_click_id,
+        |  CASE WHEN p_cid IS NULL AND n_cid IS NULL THEN NULL
+        |       WHEN n_cid IS NULL THEN ts_s - p_cts
+        |       WHEN p_cid IS NULL THEN n_cts - ts_s
+        |       ELSE least(ts_s - p_cts, n_cts - ts_s) END AS gap_s
+        |FROM both_sides ORDER BY event_id""".stripMargin,
+
     "asof_prev_click" ->
       """WITH clicks AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

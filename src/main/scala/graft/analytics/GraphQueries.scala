@@ -67,6 +67,48 @@ object GraphQueries extends QuerySuite {
   /** Minimum shared parts for a reported customer pair. */
   val MinCommon = 3L
 
+  /** Strong co-supply edges (u < v): supplier pairs co-occurring in
+    * more orders than the global mean pair (strict integer compare
+    * cnt·n_pairs > total — no float threshold), from a basket-capped
+    * per-order projection so no giant order goes quadratic. Shared by
+    * graph_triangles and graph_degree_census; SQL twin in both
+    * oracles. */
+  private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val small = li.groupBy("ok").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= MaxBasket).select("ok")
+    val basket = li.join(small, "ok")
+    val pairCnt = basket.as("a")
+      .join(basket.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = pairCnt.agg(sum("cnt").as("total"),
+      count(lit(1)).as("n_pairs"))
+    pairCnt.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("n_pairs") > col("total"))
+      .select("u", "v")
+  }
+
+  /** SQL twin of [[coSupplyEdges]] ending in an `edges(u, v)` CTE. */
+  private def coSupplyEdgesSqlCtes: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |            FROM lineitem),
+       |small AS (SELECT ok FROM li GROUP BY ok
+       |          HAVING count(*) <= $MaxBasket),
+       |basket AS (SELECT li.ok, li.sk FROM li JOIN small USING (ok)),
+       |pair_cnt AS (
+       |  SELECT a.sk AS u, b.sk AS v, count(*) AS cnt
+       |  FROM basket a JOIN basket b
+       |    ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY a.sk, b.sk),
+       |tot AS (SELECT sum(cnt) AS total, count(*) AS n_pairs
+       |        FROM pair_cnt),
+       |edges AS (SELECT u, v FROM pair_cnt, tot
+       |          WHERE cnt * n_pairs > total)""".stripMargin
+
   /** Symmetrized distinct edge list (src, dst). */
   private def edges(s: SparkSession, d: String): DataFrame = {
     val fwd = Tables.orders(s, d).select("o_orderkey", "o_custkey")
@@ -185,6 +227,19 @@ object GraphQueries extends QuerySuite {
         .orderBy("cust_a", "cust_b")
     }),
 
+    // Degree census of the strong co-supply graph ([[coSupplyEdges]]):
+    // the shape audit run before any iterative graph algorithm (is the
+    // graph hub-heavy? will broadcast budgets hold?). Degree table +
+    // one groupBy on degree — bounded by the node count, never edges.
+    "graph_degree_census" -> ((s, d) => {
+      val edges = coSupplyEdges(s, d)
+      edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
+    }),
+
     // Triangle census of the strong co-supply graph. Graph: suppliers
     // are linked when they co-occur in more orders than the global
     // mean pair does (the strict-integer compare cnt·n_pairs >
@@ -201,22 +256,7 @@ object GraphQueries extends QuerySuite {
     // quadratic in a hub's degree. Global clustering coefficient =
     // 3T / ΣC(deg,2), both sides exact BIGINTs, divided once.
     "graph_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val small = li.groupBy("ok").agg(count(lit(1)).as("k"))
-        .filter(col("k") <= MaxBasket).select("ok")
-      val basket = li.join(small, "ok")
-      val pairCnt = basket.as("a")
-        .join(basket.as("b"), col("a.ok") === col("b.ok") &&
-          col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val tot = pairCnt.agg(sum("cnt").as("total"),
-        count(lit(1)).as("n_pairs"))
-      val edges = pairCnt.crossJoin(broadcast(tot))
-        .filter(col("cnt") * col("n_pairs") > col("total"))
-        .select("u", "v")
+      val edges = coSupplyEdges(s, d)
         .localCheckpoint() // referenced by deg + orientation + closure
       val deg = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node")))
@@ -362,21 +402,16 @@ object GraphQueries extends QuerySuite {
          |JOIN degc d1 ON d1.c = c1
          |JOIN degc d2 ON d2.c = c2
          |ORDER BY cust_a, cust_b""".stripMargin,
+    "graph_degree_census" ->
+      s"""$coSupplyEdgesSqlCtes,
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM edges
+         |    UNION ALL SELECT v AS node FROM edges) GROUP BY node)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
     "graph_triangles" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-         |            FROM lineitem),
-         |small AS (SELECT ok FROM li GROUP BY ok
-         |          HAVING count(*) <= $MaxBasket),
-         |basket AS (SELECT li.ok, li.sk FROM li JOIN small USING (ok)),
-         |pair_cnt AS (
-         |  SELECT a.sk AS u, b.sk AS v, count(*) AS cnt
-         |  FROM basket a JOIN basket b
-         |    ON a.ok = b.ok AND a.sk < b.sk
-         |  GROUP BY a.sk, b.sk),
-         |tot AS (SELECT sum(cnt) AS total, count(*) AS n_pairs
-         |        FROM pair_cnt),
-         |edges AS (SELECT u, v FROM pair_cnt, tot
-         |          WHERE cnt * n_pairs > total),
+      s"""$coSupplyEdgesSqlCtes,
          |deg AS (SELECT node, count(*) AS deg FROM (
          |    SELECT u AS node FROM edges
          |    UNION ALL SELECT v AS node FROM edges) GROUP BY node),

@@ -471,6 +471,33 @@ object DedupQueries extends QuerySuite {
     "dedup_ngram_jaccard_pairs" -> ((s, d) =>
       ngramJaccardPairs(docsWithWords(s, d))),
 
+    // Directional containment for every verified near-dup pair:
+    // |A∩B|/|A| and |A∩B|/|B| in integer ppm — the measure that tells
+    // REMOVE-WHICH-SIDE apart (a doc fully contained in a bigger one
+    // is quote/boilerplate inclusion, not mutual near-duplication;
+    // jaccard alone can't distinguish). Candidates and the verify join
+    // are the proven prefix-filter machinery; containment is two extra
+    // integer columns on the already-joined shingle arrays, complete
+    // over the suite's jac ≥ 0.2 predicate.
+    "dedup_pair_containment" -> ((s, d) => {
+      graft.plans.NGramShingles.register(s)
+      val docs = docsWithWords(s, d).select(col("doc_id"), col("source"),
+        shinglesNative(col("w"), Shingle).as("sh"))
+        .persist()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      jaccardCandidates(docs)
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(inter * 6 >= size(col("sh_a")) + size(col("sh_b")))
+        .withColumn("ni", inter.cast("long"))
+        .withColumn("na", size(col("sh_a")).cast("long"))
+        .withColumn("nb", size(col("sh_b")).cast("long"))
+        .select(col("source"), col("doc_a"), col("doc_b"),
+          expr("ni * 1000000 div na").as("cont_a_ppm"),
+          expr("ni * 1000000 div nb").as("cont_b_ppm"))
+        .orderBy("source", "doc_a", "doc_b")
+    }),
+
     // Transitive near-dup groups: connected components over the exact
     // jaccard pairs, then one row per component with its canonical
     // (minimum) doc and member count — what a dedup pipeline actually
@@ -938,6 +965,21 @@ object DedupQueries extends QuerySuite {
          |  WHERE len(w) >= 3)
          |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  ${jaccardSql("a.s", "b.s")} AS jac
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
+         |ORDER BY a.source, doc_a, doc_b""".stripMargin,
+
+    "dedup_pair_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingleSql AS s
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |        FROM documents)
+         |  WHERE len(w) >= 3)
+         |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.s, b.s)) * 1000000 // len(a.s)
+         |    AS BIGINT) AS cont_a_ppm,
+         |  CAST(len(list_intersect(a.s, b.s)) * 1000000 // len(b.s)
+         |    AS BIGINT) AS cont_b_ppm
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.s", "b.s")} >= 0.2
          |ORDER BY a.source, doc_a, doc_b""".stripMargin,
