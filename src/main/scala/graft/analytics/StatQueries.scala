@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Exact._
 
@@ -52,6 +53,49 @@ object StatQueries extends QuerySuite {
             .otherwise((col("xc") * col("n") - col("sx")).cast("double") /
               sqrt(denom.cast("double"))).as("z"))
         .orderBy("event_id")
+    }),
+
+    // Exact INTERPOLATED percentiles (R-7 / percentile_cont) of event
+    // values per type, by rank selection over the value-count table —
+    // no raw-row global sort, no approx sketch. The interpolation is
+    // RATIONAL: for p = k/10 the target rank h = (n−1)k/10 splits into
+    // integer quotient+remainder, and the result is the exact integer
+    // combination v_lo·(10−r) + v_hi·r over cents, divided by 1000
+    // ONCE — both engines do identical integer math plus one
+    // correctly-rounded division, so the hash matches bit-for-bit
+    // with no float floor/frac boundary risk. Plan: one fact
+    // aggregate to (type, value)-counts, windows + four rank probes
+    // on that bounded table.
+    "stat_percentile_cont" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        cents(col("value")).as("xc"))
+      val vc = ev.groupBy("event_type", "xc").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("xc")
+      val tot = vc.groupBy("event_type").agg(sum("cnt").as("n"))
+      val cum = vc
+        .withColumn("hi", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("lo", col("hi") - col("cnt") + 1L)
+        .join(broadcast(tot), "event_type")
+      def pick(k: Int, side: String): DataFrame = {
+        val idxLo = expr(s"(n - 1) * $k div 10 + 1")
+        val rem = expr(s"(n - 1) * $k % 10")
+        val idx = if (side == "lo") idxLo
+          else idxLo + when(rem > 0L, 1L).otherwise(0L)
+        cum.filter(col("lo") <= idx && idx <= col("hi"))
+          .select(col("event_type"), col("xc").as(s"v_${side}_$k"))
+      }
+      tot
+        .join(pick(5, "lo"), "event_type").join(pick(5, "hi"), "event_type")
+        .join(pick(9, "lo"), "event_type").join(pick(9, "hi"), "event_type")
+        .select(col("event_type"), col("n"),
+          ((col("v_lo_5") * (lit(10L) - expr("(n - 1) * 5 % 10")) +
+            col("v_hi_5") * expr("(n - 1) * 5 % 10")).cast("double") / 1000.0)
+            .as("p50"),
+          ((col("v_lo_9") * (lit(10L) - expr("(n - 1) * 9 % 10")) +
+            col("v_hi_9") * expr("(n - 1) * 9 % 10")).cast("double") / 1000.0)
+            .as("p90"))
+        .orderBy("event_type")
     }),
 
     // Pearson correlation of (quantity, whole-unit price) per
@@ -297,6 +341,47 @@ object StatQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "stat_percentile_cont" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${Exact.centsSql("\"value\"")} AS xc
+         |  FROM events),
+         |vc AS (SELECT event_type, xc, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM ev GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM vc GROUP BY event_type),
+         |cum AS (
+         |  SELECT vc.event_type, vc.xc, tot.n, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY vc.event_type ORDER BY xc
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |  FROM vc JOIN tot ON vc.event_type = tot.event_type),
+         |cum2 AS (SELECT event_type, xc, n, hi, hi - cnt + 1 AS lo
+         |         FROM cum),
+         |vlo5 AS (SELECT event_type, xc AS v_lo_5 FROM cum2
+         |  WHERE lo <= (n-1)*5 // 10 + 1 AND (n-1)*5 // 10 + 1 <= hi),
+         |vhi5 AS (SELECT event_type, xc AS v_hi_5 FROM cum2
+         |  WHERE lo <= (n-1)*5 // 10 + 1
+         |          + CASE WHEN (n-1)*5 % 10 > 0 THEN 1 ELSE 0 END
+         |    AND (n-1)*5 // 10 + 1
+         |          + CASE WHEN (n-1)*5 % 10 > 0 THEN 1 ELSE 0 END <= hi),
+         |vlo9 AS (SELECT event_type, xc AS v_lo_9 FROM cum2
+         |  WHERE lo <= (n-1)*9 // 10 + 1 AND (n-1)*9 // 10 + 1 <= hi),
+         |vhi9 AS (SELECT event_type, xc AS v_hi_9 FROM cum2
+         |  WHERE lo <= (n-1)*9 // 10 + 1
+         |          + CASE WHEN (n-1)*9 % 10 > 0 THEN 1 ELSE 0 END
+         |    AND (n-1)*9 // 10 + 1
+         |          + CASE WHEN (n-1)*9 % 10 > 0 THEN 1 ELSE 0 END <= hi)
+         |SELECT tot.event_type, tot.n,
+         |  CAST(v_lo_5 * (10 - (n-1)*5 % 10) + v_hi_5 * ((n-1)*5 % 10)
+         |    AS DOUBLE) / 1000.0 AS p50,
+         |  CAST(v_lo_9 * (10 - (n-1)*9 % 10) + v_hi_9 * ((n-1)*9 % 10)
+         |    AS DOUBLE) / 1000.0 AS p90
+         |FROM tot
+         |JOIN vlo5 ON tot.event_type = vlo5.event_type
+         |JOIN vhi5 ON tot.event_type = vhi5.event_type
+         |JOIN vlo9 ON tot.event_type = vlo9.event_type
+         |JOIN vhi9 ON tot.event_type = vhi9.event_type
+         |ORDER BY tot.event_type""".stripMargin,
+
     // honest global-window CDF twin of the two-stage bucketed plan
     "stat_ks_segments" ->
       s"""WITH seg AS (

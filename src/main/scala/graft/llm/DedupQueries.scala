@@ -592,6 +592,55 @@ object DedupQueries extends QuerySuite {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental-snapshot dedup — the shape a pipeline actually runs
+    // on every NEW crawl increment: new docs (doc_id ≡ 0 mod 10, an
+    // sf-invariant split) checked against the standing corpus, each
+    // classified exact-dup-of-old (same content digest), near-dup-of-
+    // old (LSH band collision with an old doc, verified by exact
+    // jaccard ≥ 0.2), or novel, with the matched old doc's min id.
+    // Scale shape: the standing side contributes only digests and
+    // band buckets to the joins (at 100 TB those live pre-computed in
+    // the snapshot's dedup index — this query IS the index probe);
+    // candidate volume is bounded by the same MaxBucket cap as
+    // full-corpus LSH. Docs too short to shingle skip the near check.
+    "dedup_incremental_new" -> ((s, d) => {
+      graft.plans.MinHashSig.register(s)
+      val all = Tables.documents(s, d)
+        .withColumn("is_new", col("doc_id") % 10 === 0)
+      val ex = all.filter(col("is_new"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+        .join(all.filter(!col("is_new"))
+          .select(md5(col("text").cast("binary")).as("dg"),
+            col("doc_id").as("od")), "dg")
+        .groupBy("doc_id").agg(min("od").as("ex_of"))
+      val docs = withWordsFrame(s, all)
+        .select(col("doc_id"), col("is_new"),
+          shinglesNative(col("w"), Shingle).as("sh"))
+        .withColumn("sig", minHashNative(col("sh"), K))
+        .persist()
+      val mixed = cappedBandPairs(docs)
+        .join(docs.select(col("doc_id").as("doc_a"),
+          col("is_new").as("new_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("is_new").as("new_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(col("new_a") =!= col("new_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 6 >=
+          size(col("sh_a")) + size(col("sh_b")))
+      val nr = mixed.select(
+          when(col("new_a"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+          when(col("new_a"), col("doc_b")).otherwise(col("doc_a")).as("od"))
+        .groupBy("doc_id").agg(min("od").as("near_of"))
+      all.filter(col("is_new")).select("doc_id")
+        .join(ex, Seq("doc_id"), "left")
+        .join(nr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_of").isNotNull, "exact")
+            .when(col("near_of").isNotNull, "near")
+            .otherwise("novel").as("status"),
+          coalesce(col("ex_of"), col("near_of")).as("match_old"))
+        .orderBy("doc_id")
+    }),
+
     // Estimator calibration: signature-agreement jaccard estimate vs
     // the exact value on every LSH candidate pair — the view that
     // tells you whether K/Bands/R fit the corpus before a 100 TB run.
@@ -925,6 +974,33 @@ object DedupQueries extends QuerySuite {
          |FROM pr JOIN shl a ON pr.doc_a = a.doc_id
          |        JOIN shl b ON pr.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_incremental_new" ->
+      s"""WITH $lshPairsSql,
+         |ex AS (
+         |  SELECT n.doc_id, min(o.doc_id) AS ex_of
+         |  FROM documents n JOIN documents o
+         |    ON md5(n.text) = md5(o.text)
+         |   AND n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+         |  GROUP BY n.doc_id),
+         |mixed AS (
+         |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS nd,
+         |         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS od
+         |  FROM pr JOIN shl a ON pr.doc_a = a.doc_id
+         |          JOIN shl b ON pr.doc_b = b.doc_id
+         |  WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+         |    AND ${jaccardSql("a.sh", "b.sh")} >= 0.2),
+         |nr AS (SELECT nd AS doc_id, min(od) AS near_of
+         |       FROM mixed GROUP BY nd)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex_of IS NOT NULL THEN 'exact'
+         |       WHEN near_of IS NOT NULL THEN 'near'
+         |       ELSE 'novel' END AS status,
+         |  coalesce(ex_of, near_of) AS match_old
+         |FROM documents d
+         |LEFT JOIN ex ON d.doc_id = ex.doc_id
+         |LEFT JOIN nr ON d.doc_id = nr.doc_id
+         |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
 
     "dedup_minhash_est_vs_exact" ->
       s"""WITH $lshPairsSql
