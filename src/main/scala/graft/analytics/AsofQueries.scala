@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object AsofQueries extends QuerySuite {
 
+  /** Freshness tolerance for asof_prev_click_tol (seconds). */
+  val TolSeconds = 600L
+
   /** The composed as-of dataflow, extracted so specs can drive it with
     * fixture frames (tie coverage: two clicks in the purchase's own
     * second must resolve to the max event_id on BOTH engines). Input
@@ -153,6 +156,42 @@ object AsofQueries extends QuerySuite {
 
     "asof_nearest_click" -> ((s, d) => nearestClickAsof(Tables.events(s, d))),
 
+    // As-of with a staleness TOLERANCE — the feature-store lookup rule
+    // ("use the last click only if it is fresh enough, else treat as
+    // missing"; pandas merge_asof's `tolerance=`). Same backward
+    // union-tag pass as asof_prev_click but carrying the click's
+    // second, with the match nulled past [[TolSeconds]].
+    "asof_prev_click_tol" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("ts_s", unix_timestamp(col("ts")))
+        .groupBy("user_id", "ts_s").agg(max("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      val tagged = clicks
+        .select(col("user_id"), col("ts_s"), lit(0).as("side"),
+          struct(col("ts_s").as("cts"), col("click_id").as("cid")).as("c"),
+          lit(null).cast("long").as("event_id"))
+        .unionByName(purchases
+          .select(col("user_id"), col("ts_s"), lit(1).as("side"),
+            lit(null).cast("struct<cts:bigint,cid:bigint>").as("c"),
+            col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("side"), col("c.cid").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("hit", last(col("c"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .withColumn("fresh",
+          col("hit.cid").isNotNull &&
+            col("ts_s") - col("hit.cts") <= TolSeconds)
+        .select(col("event_id"), col("user_id"),
+          when(col("fresh"), col("hit.cid")).as("prev_click_id"),
+          when(col("fresh"), col("ts_s") - col("hit.cts")).as("gap_s"))
+        .orderBy("event_id")
+    }),
+
     "asof_next_click" -> ((s, d) => nextClickAsof(Tables.events(s, d))),
 
     // Multiset difference: EXCEPT ALL keeps duplicate cardinality
@@ -203,6 +242,26 @@ object AsofQueries extends QuerySuite {
         |       WHEN p_cid IS NULL THEN n_cts - ts_s
         |       ELSE least(ts_s - p_cts, n_cts - ts_s) END AS gap_s
         |FROM both_sides ORDER BY event_id""".stripMargin,
+
+    "asof_prev_click_tol" ->
+      s"""WITH clicks AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         |         max(event_id) AS click_id
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |purchases AS (
+         |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id,
+         |  CASE WHEN c.click_id IS NOT NULL
+         |         AND p.ts_s - c.ts_s <= $TolSeconds
+         |    THEN c.click_id END AS prev_click_id,
+         |  CASE WHEN c.click_id IS NOT NULL
+         |         AND p.ts_s - c.ts_s <= $TolSeconds
+         |    THEN p.ts_s - c.ts_s END AS gap_s
+         |FROM purchases p
+         |ASOF LEFT JOIN clicks c
+         |  ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+         |ORDER BY p.event_id""".stripMargin,
 
     "asof_prev_click" ->
       """WITH clicks AS (

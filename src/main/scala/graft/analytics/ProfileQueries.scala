@@ -163,6 +163,54 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Theil–Sen robust trend per event type: the MEDIAN of all
+    // pairwise slopes between daily totals — outlier-days shift OLS
+    // fits but barely move this. Slopes live on the C(n_days, 2)
+    // pair set of the bounded DAILY table (never raw rows), and the
+    // median is rank-selected with row_number so tied doubles pick
+    // the same VALUE on any ordering; even counts average the two
+    // middles. Every double here is one exact-integer division, so
+    // both engines produce identical bits.
+    "stat_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("x"),
+          round(col("value"), 0).cast("long").as("v"))
+        .groupBy("event_type", "x").agg(sum("v").as("y"))
+      val slopes = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.x") < col("b.x"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      val ranked = slopes.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy("slope")))
+      val np = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+      val mid = ranked.join(broadcast(np), "event_type")
+        .filter(col("rk") === (col("n_pairs") + 1L) / 2L ||
+          col("rk") === col("n_pairs") / 2L + 1L)
+        .groupBy("event_type")
+        .agg((sum("slope") / count(lit(1))).as("ts_slope"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nd.join(np, "event_type").join(mid, "event_type")
+        .select("event_type", "n_days", "n_pairs", "ts_slope")
+        .orderBy("event_type")
+    }),
+
+    // Snapshot freshness per event type: how far each type's newest
+    // event lags the snapshot's global high-water mark — the
+    // is-this-feed-stale monitor. Two tiny aggregates, one broadcast.
+    "dq_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      val byType = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("ts_s").as("last_s"))
+      byType.crossJoin(broadcast(byType.agg(max("last_s").as("hwm"))))
+        .select(col("event_type"), col("n"), col("last_s"),
+          (col("hwm") - col("last_s")).as("lag_s"))
+        .orderBy("event_type")
+    }),
+
     // CUSUM changepoint per event type: the day where the cumulative
     // deviation of daily totals from the per-type mean peaks — where
     // the level shift happened. Integer-exact via n-scaling: c_i =
@@ -266,6 +314,45 @@ object ProfileQueries extends QuerySuite {
         |                CAST(n2*n2*(n2-1) AS DOUBLE))
         |  END AS t_stat
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "stat_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round("value") AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |ranked AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope)
+        |      AS rk
+        |  FROM slopes),
+        |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM slopes GROUP BY event_type),
+        |mid AS (
+        |  SELECT r.event_type, sum(slope) / count(*) AS ts_slope
+        |  FROM ranked r JOIN np ON r.event_type = np.event_type
+        |  WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1
+        |  GROUP BY r.event_type),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY event_type)
+        |SELECT nd.event_type, n_days, n_pairs, ts_slope
+        |FROM nd JOIN np ON nd.event_type = np.event_type
+        |JOIN mid ON nd.event_type = mid.event_type
+        |ORDER BY nd.event_type""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH bt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS last_s
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, last_s,
+        |  (SELECT max(last_s) FROM bt) - last_s AS lag_s
+        |FROM bt ORDER BY event_type""".stripMargin,
 
     "ts_cusum_changepoint" ->
       """WITH daily AS (
