@@ -25,6 +25,53 @@ object WindowQueries extends QuerySuite {
   private def epochS(c: String) = unix_timestamp(col(c))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 7-day ROLLING EXACT MEDIAN of daily totals per event type — the
+    // robust smoother (one outlier day shifts a rolling mean for a
+    // week; the median shrugs). Spark has no median window function;
+    // the trailing window is collected per (type, day) as a ≤7-slot
+    // CENTS array — bounded by the frame width, never data volume —
+    // sorted in-row, and mid-selected with exact odd/even averaging.
+    // The daily table this runs on is calendar-bounded, so the
+    // collect_list frame is safe at any corpus size.
+    "window_rolling_median" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("win", array_sort(collect_list(col("yc")).over(w)))
+        .withColumn("k", size(col("win")))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          (col("yc").cast("double") / 100.0).as("day_total"),
+          col("k").cast("long").as("n_window"),
+          ((element_at(col("win"), expr("(k + 1) div 2").cast("int")) +
+            element_at(col("win"), expr("k div 2 + 1").cast("int")))
+            .cast("double") / 2.0 / 100.0).as("rolling_median"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Per-user maximum drawdown of the cumulative value series — the
+    // running-extremes composition (cummax of a cumsum, then the max
+    // gap). All in exact cents over the per-user ROWS frame;
+    // deterministic under the unique (ts, event_id) ordering.
+    "window_max_drawdown" -> ((s, d) => {
+      val w = perUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("xc"))
+        .withColumn("cum", sum("xc").over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          (max(col("peak") - col("cum")).cast("double") / 100.0)
+            .as("max_drawdown"),
+          (max("peak").cast("double") / 100.0).as("peak_value"))
+        .orderBy("user_id")
+    }),
+
     // Calendar gap-fill + forward-fill — the time-series densification
     // every metrics pipeline needs: build each user's full day spine
     // with sequence()/explode (no calendar table, no cross join against
@@ -339,6 +386,40 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "window_rolling_median" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(sum(${Exact.centsSql("\"value\"")}) AS BIGINT) AS yc
+         |  FROM events GROUP BY 1, 2),
+         |win AS (
+         |  SELECT event_type, day, yc,
+         |    list_sort(list(yc) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
+         |  FROM daily)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  CAST(yc AS DOUBLE) / 100.0 AS day_total,
+         |  CAST(len(w) AS BIGINT) AS n_window,
+         |  CAST(w[(len(w) + 1) // 2] + w[len(w) // 2 + 1] AS DOUBLE)
+         |    / 2.0 / 100.0 AS rolling_median
+         |FROM win ORDER BY event_type, day""".stripMargin,
+
+    "window_max_drawdown" ->
+      s"""WITH c AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(sum(${Exact.centsSql("\"value\"")}) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, cum,
+         |    CAST(max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+         |  FROM c)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(max(peak - cum) AS DOUBLE) / 100.0 AS max_drawdown,
+         |  CAST(max(peak) AS DOUBLE) / 100.0 AS peak_value
+         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "window_dist_ranks" ->
       """SELECT o_orderkey, o_orderstatus,
         |  cume_dist() OVER (PARTITION BY o_orderstatus
