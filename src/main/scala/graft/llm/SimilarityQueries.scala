@@ -140,6 +140,28 @@ object SimilarityQueries extends QuerySuite {
 
     "sim_bruteforce_topk" -> (bruteTopk _),
 
+    // MIPS (maximum inner product search) top-k — the retrieval-model
+    // flavor where magnitude matters (recommendation/two-tower
+    // scoring): rank by the RAW dot, no normalization, so a long
+    // vector can beat a better-aligned short one. Same broadcast
+    // query-sample shape as the cosine brute force, but the per-query
+    // top-k runs on the custom TopKPerKey operator: the map-side
+    // partial caps every (partition, query) at k rows BEFORE the
+    // exchange — the shuffle never carries the corpus.
+    "sim_mips_topk" -> ((s, d) => {
+      val e = corpus(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dot", Vectors.dotNative(col("q_emb"), col("embedding")))
+        .select("q_id", "vec_id", "dot")
+      graft.plans.TopKPerKey(scored, Seq("q_id"),
+          Seq(col("dot").desc, col("vec_id").asc), k = TopK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("dot"))
+        .orderBy("q_id", "rk")
+    }),
+
     "sim_lsh_topk" -> (lshTopk _),
 
     // Recall@k audit — the acceptance gate every ANN rollout needs:
@@ -591,6 +613,21 @@ object SimilarityQueries extends QuerySuite {
          |ORDER BY src, rk""".stripMargin,
 
     "sim_bruteforce_topk" -> bruteTopkSql,
+
+    "sim_mips_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${Vectors.dotSql("q.q_emb", "e.embedding")} AS dot
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, dot,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dot DESC, vec_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, dot FROM ranked WHERE rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin,
 
     "sim_lsh_topk" -> lshTopkSql,
 
