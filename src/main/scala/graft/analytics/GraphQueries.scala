@@ -73,7 +73,7 @@ object GraphQueries extends QuerySuite {
     * per-order projection so no giant order goes quadratic. Shared by
     * graph_triangles and graph_degree_census; SQL twin in both
     * oracles. */
-  private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
+  private[analytics] def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()

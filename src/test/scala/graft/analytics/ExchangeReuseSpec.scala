@@ -1,0 +1,63 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Pins the exchange-reuse property that makes the self-referencing
+  * graph queries single-pass WITHOUT explicit caching: coSupplyEdges
+  * consumes its pair-count aggregate twice (threshold broadcast +
+  * main filter) and graph_common_neighbors consumes its distinct
+  * (customer, part) projection four times (degrees, fan-cap, both
+  * join sides) — Catalyst dedupes the identical exchange subtrees
+  * into ReusedExchange, so the expensive shuffle is produced once and
+  * READ many times. A measured A/B confirmed an explicit .persist()
+  * is strictly worse here (adds cache serialization and splits the
+  * plan at the cache boundary): min 8.4 s vs 13.0 s for
+  * graph_triangles at sf0.1. This spec fails if a refactor breaks the
+  * subtree identity that reuse depends on.
+  */
+class ExchangeReuseSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def reusedCount(name: String): Int = {
+    // Under AQE, reuse happens at runtime as query-stage reuse on the
+    // same canonicalized-exchange identity; the static ReuseExchange
+    // rule (AQE off) checks the identical property deterministically
+    // at plan time, so pin it that way.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan
+      assert(!plan.isInstanceOf[AdaptiveSparkPlanExec])
+      plan.collectWithSubqueries { case r: ReusedExchangeExec => r }.size
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("coSupplyEdges reuses the pair-count exchange (threshold + filter)") {
+    // graph_triangles eagerly localCheckpoints the edge list, so the
+    // reuse lives inside that materialization; probe the builder
+    // directly (same plan the checkpoint executes)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = GraphQueries.coSupplyEdges(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collectWithSubqueries {
+        case r: ReusedExchangeExec => r }.nonEmpty)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("graph_common_neighbors reuses the (customer, part) projection exchange") {
+    assert(reusedCount("graph_common_neighbors") >= 1)
+  }
+}
