@@ -253,11 +253,13 @@ object DedupQueries extends QuerySuite {
         Window.partitionBy(col("source"), col("t"))))
       .filter(col("plist_n") <= MaxPosting)
       .select(col("doc_id"), col("source"), col("t"))
-      .persist()
-    // Materialize NOW: both join sides otherwise race to compute the
-    // same uncached partitions (block-lock contention). One count does
-    // the index build once; the join below reads only cached blocks.
-    prefix.count()
+    // No persist: the prefix subtree ends in the posting-list window's
+    // shuffle exchange, so Catalyst's exchange reuse (static
+    // ReuseExchange / AQE stage reuse) already shares the index build
+    // between both self-join sides — the earlier persist + eager
+    // count() only added cache serialization on top of that
+    // (ExchangeReuseSpec pins the same property for the graph
+    // builders; JaccardReuseSpec pins it here).
     prefix.as("x").join(prefix.as("y"),
         col("x.source") === col("y.source") && col("x.t") === col("y.t") &&
         col("x.doc_id") < col("y.doc_id"))
