@@ -289,6 +289,63 @@ object ScaleQueries extends QuerySuite {
     // oracle hash-proves the layout assignment is reproducible. The
     // tight per-bucket min/max spans in the output are the pruning
     // power a writer would get.
+    // Write-layout planner: per source shard, the file count a 128 MB
+    // target implies for the TEXT payload and the skew ratio against
+    // the mean shard — the numbers that decide repartition() before a
+    // corpus lands on object storage (one giant shard → one straggler
+    // writer; thousands of tiny ones → small-files problem). Byte
+    // estimate is the exact n_chars sum; ratios in integer ppm.
+    "layout_partition_stats" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+      val tot = bySrc.agg(sum("bytes").as("total_bytes"),
+        count(lit(1)).as("n_sources"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("bytes"),
+          ceil(col("bytes").cast("double") / 134217728.0).cast("long")
+            .as("target_files"),
+          expr("bytes * n_sources * 1000000 div total_bytes")
+            .as("vs_mean_ppm"))
+        .orderBy("source")
+    }),
+
+    // Distribution drift between the stream's two TIME HALVES per
+    // event type — the retrain-trigger monitor. Distance is TOTAL
+    // VARIATION over 10 equal-width value bins, computed as the exact
+    // integer Σ|n1·N2 − n2·N1| over the common denominator with ONE
+    // final division to ppm — no logs (PSI's ln is not guaranteed
+    // identically rounded across engines), no float accumulation.
+    // Plan: two fact aggregates (split point, binned counts) and
+    // arithmetic on the bounded (type, bin) table.
+    "dq_distribution_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("xc"))
+      val span = ev.agg(min("ts_s").as("t0"), max("ts_s").as("t1"),
+        min("xc").as("x0"), max("xc").as("x1"))
+      val binned = ev.crossJoin(broadcast(span))
+        .select(col("event_type"),
+          (col("ts_s") * 2 >= col("t0") + col("t1")).as("late"),
+          expr("least((xc - x0) * 10 div (x1 - x0 + 1), 9)").as("bin"))
+      val counts = binned.groupBy("event_type", "bin")
+        .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n2"))
+      val totals = counts.groupBy("event_type")
+        .agg(sum("n1").as("tn1"), sum("n2").as("tn2"))
+      counts.join(broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(max("tn1").as("n_early"), max("tn2").as("n_late"),
+          sum(abs(col("n1") * col("tn2") - col("n2") * col("tn1")))
+            .as("num"))
+        .select(col("event_type"), col("n_early"), col("n_late"),
+          // exact integer num (≤ 2·N1·N2, inside BIGINT to ~10^9 rows
+          // per half) then one float scale — ×10^6 BEFORE the divide
+          // would overflow BIGINT three decades earlier
+          (col("num").cast("double") * 1000000.0 /
+            (lit(2L) * col("n_early") * col("n_late")).cast("double"))
+            .as("tvd_ppm"))
+        .orderBy("event_type")
+    }),
+
     "layout_zorder_stats" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("xu", col("user_id") % 65536L)
@@ -554,6 +611,45 @@ object ScaleQueries extends QuerySuite {
          |  sum(${centsSql("e.value")} * d.w)/100.0 AS weighted_value
          |FROM events e JOIN dim d USING (event_type)
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "layout_partition_stats" ->
+      """WITH bs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |          CAST(count(*) AS BIGINT) AS n_sources FROM bs)
+        |SELECT source, n_docs, bytes,
+        |  CAST(ceil(CAST(bytes AS DOUBLE) / 134217728.0) AS BIGINT)
+        |    AS target_files,
+        |  bytes * n_sources * 1000000 // total_bytes AS vs_mean_ppm
+        |FROM bs, tot ORDER BY source""".stripMargin,
+
+    "dq_distribution_drift" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         |    ${Exact.centsSql("\"value\"")} AS xc
+         |  FROM events),
+         |span AS (SELECT min(ts_s) AS t0, max(ts_s) AS t1,
+         |           min(xc) AS x0, max(xc) AS x1 FROM ev),
+         |binned AS (
+         |  SELECT event_type, ts_s * 2 >= t0 + t1 AS late,
+         |    least((xc - x0) * 10 // (x1 - x0 + 1), 9) AS bin
+         |  FROM ev, span),
+         |counts AS (
+         |  SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM binned GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT event_type, CAST(sum(n1) AS BIGINT) AS tn1,
+         |    CAST(sum(n2) AS BIGINT) AS tn2
+         |  FROM counts GROUP BY event_type)
+         |SELECT c.event_type, max(tn1) AS n_early, max(tn2) AS n_late,
+         |  CAST(sum(abs(n1 * tn2 - n2 * tn1)) AS DOUBLE) * 1000000.0 /
+         |    CAST(2 * max(tn1) * max(tn2) AS DOUBLE) AS tvd_ppm
+         |FROM counts c JOIN totals t ON c.event_type = t.event_type
+         |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
 
     "layout_zorder_stats" -> {
       val zTerms = (0 until 16).flatMap(i => Seq(
