@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QuerySuite, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextOps._
@@ -33,6 +33,35 @@ object TextQueries extends QuerySuite {
       |     ELSE 'es' END""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Shared boilerplate affixes per source — the crawl-template
+    // detector (every page of a shard opening with the same header /
+    // closing with the same footer). Order-theory shortcut: over any
+    // string set, the common prefix of ALL strings equals the common
+    // prefix of just the lexicographic MIN and MAX — so the corpus
+    // reduces to TWO strings per source in one aggregate (suffixes via
+    // the same trick on reversed text), and the per-source LCP scan is
+    // a linear character HOF on those two strings only.
+    "text_boilerplate_affixes" -> ((s, d) => {
+      def lcp(a: Column, b: Column): Column = {
+        val l = least(length(a), length(b))
+        val firstMismatch = array_min(filter(sequence(lit(1), l),
+          i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
+        coalesce(firstMismatch - 1, l).cast("long")
+      }
+      Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("text")).as("mn"), max(col("text")).as("mx"),
+          min(reverse(col("text"))).as("rmn"),
+          max(reverse(col("text"))).as("rmx"))
+        .select(col("source"), col("n_docs"),
+          lcp(col("mn"), col("mx")).as("prefix_len"),
+          lcp(col("rmn"), col("rmx")).as("suffix_len"),
+          col("mn").substr(lit(1),
+            least(lcp(col("mn"), col("mx")), lit(24L)).cast("int"))
+            .as("prefix_sample"))
+        .orderBy("source")
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex tokens +
     // exact mean token length.
     "text_token_stats" -> ((s, d) => {
@@ -205,6 +234,28 @@ object TextQueries extends QuerySuite {
     s"CAST(len(list_filter($wsExpr, x -> list_contains($set, x))) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "text_boilerplate_affixes" ->
+      """WITH agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    min(text) AS mn, max(text) AS mx,
+        |    min(reverse(text)) AS rmn, max(reverse(text)) AS rmx
+        |  FROM documents GROUP BY source),
+        |lens AS (
+        |  SELECT source, n_docs, mn,
+        |    CAST(coalesce(list_min(list_filter(
+        |        range(1, least(len(mn), len(mx)) + 1),
+        |        i -> substr(mn, i, 1) <> substr(mx, i, 1))) - 1,
+        |      least(len(mn), len(mx))) AS BIGINT) AS prefix_len,
+        |    CAST(coalesce(list_min(list_filter(
+        |        range(1, least(len(rmn), len(rmx)) + 1),
+        |        i -> substr(rmn, i, 1) <> substr(rmx, i, 1))) - 1,
+        |      least(len(rmn), len(rmx))) AS BIGINT) AS suffix_len
+        |  FROM agg)
+        |SELECT source, n_docs, prefix_len, suffix_len,
+        |  substr(mn, 1, CAST(least(prefix_len, 24) AS INTEGER))
+        |    AS prefix_sample
+        |FROM lens ORDER BY source""".stripMargin,
+
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
