@@ -197,6 +197,65 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Lag-1 autocorrelation of daily totals per event type — the
+    // is-today-like-yesterday signal that separates trending series
+    // from noise before anyone fits a forecast. Pearson between the
+    // daily series and its one-day shift over the bounded daily
+    // table, in the suite's exact integer moments (n·Σxy−ΣxΣy forms);
+    // the only floats are the final division and sqrt, written
+    // identically in the oracle. Degenerate series (under 2 pairs or
+    // zero variance on either side) emit NULL.
+    "ts_autocorrelation" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("x"),
+          round(col("value"), 0).cast("long").as("v"))
+        .groupBy("event_type", "x").agg(sum("v").as("y"))
+      val w = Window.partitionBy("event_type").orderBy("x")
+      val pairs = daily
+        .withColumn("y_prev", lag("y", 1).over(w))
+        .withColumn("x_prev", lag("x", 1).over(w))
+        // only CONSECUTIVE days form a lag-1 pair; calendar gaps drop
+        .filter(col("x_prev") === col("x") - 1L)
+      val m = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("y").as("sa"), sum("y_prev").as("sb"),
+        sum(col("y") * col("y")).as("saa"),
+        sum(col("y_prev") * col("y_prev")).as("sbb"),
+        sum(col("y") * col("y_prev")).as("sab"))
+      val va = col("n") * col("saa") - col("sa") * col("sa")
+      val vb = col("n") * col("sbb") - col("sb") * col("sb")
+      val cov = col("n") * col("sab") - col("sa") * col("sb")
+      m.select(col("event_type"), col("n").as("n_pairs"),
+          when(col("n") < 2L || va === 0L || vb === 0L,
+            lit(null).cast("double"))
+            .otherwise(cov.cast("double") /
+              sqrt(va.cast("double") * vb.cast("double"))).as("acf1"))
+        .orderBy("event_type")
+    }),
+
+    // Hour-of-day seasonality profile per event type: volume and
+    // exact mean value by UTC hour, plus each type's peak hour — the
+    // shape check behind load forecasting and anomaly baselines. Pure
+    // integer epoch arithmetic for the hour bucket; one fact
+    // aggregate to the bounded (type, hour) table.
+    "ts_seasonality_profile" -> ((s, d) => {
+      val byHour = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600L) % 24L).as("hod"),
+          Exact.cents(col("value")).as("xc"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"), sum("xc").as("sxc"))
+      val peak = byHour.groupBy("event_type")
+        .agg(max(struct(col("n"), (-col("hod")).as("nh"))).as("p"))
+        .select(col("event_type"), (-col("p.nh")).as("peak_hour"))
+      byHour.join(broadcast(peak), "event_type")
+        .select(col("event_type"), col("hod"), col("n"),
+          (col("sxc").cast("double") / 100.0 / col("n").cast("double"))
+            .as("mean_value"),
+          col("peak_hour"))
+        .orderBy("event_type", "hod")
+    }),
+
     // Snapshot freshness per event type: how far each type's newest
     // event lags the snapshot's global high-water mark — the
     // is-this-feed-stale monitor. Two tiny aggregates, one broadcast.
@@ -344,6 +403,53 @@ object ProfileQueries extends QuerySuite {
         |FROM nd JOIN np ON nd.event_type = np.event_type
         |JOIN mid ON nd.event_type = mid.event_type
         |ORDER BY nd.event_type""".stripMargin,
+
+    "ts_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round("value") AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, x, y,
+        |    lag(y) OVER w AS y_prev, lag(x) OVER w AS x_prev
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+        |pairs AS (SELECT * FROM lagged WHERE x_prev = x - 1),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sa,
+        |    CAST(sum(y_prev) AS BIGINT) AS sb,
+        |    CAST(sum(y*y) AS BIGINT) AS saa,
+        |    CAST(sum(y_prev*y_prev) AS BIGINT) AS sbb,
+        |    CAST(sum(y*y_prev) AS BIGINT) AS sab
+        |  FROM pairs GROUP BY event_type)
+        |SELECT event_type, n AS n_pairs,
+        |  CASE WHEN n < 2 OR n*saa - sa*sa = 0 OR n*sbb - sb*sb = 0
+        |    THEN NULL
+        |    ELSE CAST(n*sab - sa*sb AS DOUBLE) /
+        |         sqrt(CAST(n*saa - sa*sa AS DOUBLE) *
+        |              CAST(n*sbb - sb*sb AS DOUBLE))
+        |  END AS acf1
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "ts_seasonality_profile" ->
+      s"""WITH bh AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(${Exact.centsSql("\"value\"")}) AS BIGINT) AS sxc
+         |  FROM events GROUP BY 1, 2),
+         |pk AS (
+         |  SELECT event_type, hod AS peak_hour FROM (
+         |    SELECT event_type, hod,
+         |      row_number() OVER (PARTITION BY event_type
+         |        ORDER BY n DESC, hod) AS rk
+         |    FROM bh) WHERE rk = 1)
+         |SELECT bh.event_type, hod, n,
+         |  CAST(sxc AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_value,
+         |  peak_hour
+         |FROM bh JOIN pk ON bh.event_type = pk.event_type
+         |ORDER BY bh.event_type, hod""".stripMargin,
 
     "dq_freshness" ->
       """WITH bt AS (
