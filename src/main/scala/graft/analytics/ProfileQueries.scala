@@ -77,7 +77,8 @@ object ProfileQueries extends QuerySuite {
       val ev = Tables.events(s, d)
       val one = ev.agg(count(lit(1)).as("n_rows"),
         profCols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"nn_$c"),
           countDistinct(col(c)).as(s"nd_$c"))): _*)
       one.select(col("n_rows"), explode(array(profCols.map(c =>
           struct(lit(c).as("column_name"), col(s"nn_$c").as("n_nulls"),
@@ -312,8 +313,8 @@ object ProfileQueries extends QuerySuite {
 
     "dq_null_profile" -> profCols.map(c =>
       s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_nulls,
+         |  CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_nulls,
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
          |FROM events""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),

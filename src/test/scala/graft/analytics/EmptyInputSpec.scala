@@ -90,6 +90,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(bal.length == 2 && bal.forall(_.getLong(1) == 0L))
   }
 
+  test("round-7 profile/drift/percentile queries survive an empty events table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty5").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    for (q <- Seq("stat_percentile_cont", "ts_cusum_changepoint",
+        "ts_autocorrelation", "ts_seasonality_profile", "stat_theil_sen",
+        "dq_distribution_drift", "dq_freshness", "stat_welch_ttest",
+        "window_rolling_median", "window_max_drawdown",
+        "asof_nearest_click", "asof_prev_click_tol")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+      assert(out.count() == 0L, s"$q must be empty, not crash")
+    }
+    // the column profile keeps one row per profiled column (global
+    // aggregates yield a row on empty input), all zeros
+    val prof = SparkEntry.queries("dq_null_profile")(spark, dir).collect()
+    assert(prof.length == 6 && prof.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
   test("pivot_unpivot_roundtrip derives the status domain from the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
     // a status outside the usual {F, O, P} domain must survive
