@@ -72,6 +72,31 @@ object WindowQueries extends QuerySuite {
         .orderBy("user_id")
     }),
 
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands composition (island id = day index minus
+    // per-user rank; consecutive days share it). Two keyed shuffles
+    // over the DISTINCT (user, day) table: the island window and the
+    // per-user argmax, which is a deterministic struct-max (longest,
+    // then earliest start), never a second sort.
+    "window_streak_lengths" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+        .distinct()
+      val islands = days
+        .withColumn("island", col("day") - row_number().over(
+          Window.partitionBy("user_id").orderBy("day")).cast("long"))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      islands.groupBy("user_id")
+        .agg(sum("len").as("n_active_days"),
+          max(struct(col("len"), (-col("start_day")).as("ns"))).as("b"))
+        .select(col("user_id"), col("n_active_days"),
+          col("b.len").as("longest_streak"),
+          (-col("b.ns")).as("streak_start_day"))
+        .orderBy("user_id")
+    }),
+
     // Calendar gap-fill + forward-fill — the time-series densification
     // every metrics pipeline needs: build each user's full day spine
     // with sequence()/explode (no calendar table, no cross join against
@@ -386,6 +411,33 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "window_streak_lengths" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(min(day) AS BIGINT) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, len AS longest_streak,
+        |    start_day AS streak_start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day) AS rk
+        |  FROM runs),
+        |tot AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days
+        |        FROM runs GROUP BY user_id)
+        |SELECT tot.user_id, n_active_days, longest_streak,
+        |  streak_start_day
+        |FROM tot JOIN best ON tot.user_id = best.user_id AND rk = 1
+        |ORDER BY tot.user_id""".stripMargin,
+
     "window_rolling_median" ->
       s"""WITH daily AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
