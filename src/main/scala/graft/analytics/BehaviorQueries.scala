@@ -48,6 +48,29 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("stage")
     }),
 
+    // Monthly stickiness (avg-DAU / MAU): the engagement ratio product
+    // teams track — what fraction of a month's users show up on an
+    // average day. All counts are exact distincts over the slim
+    // (month, day, user) projection; the ratio is one float tree
+    // (user_days / n_days / mau) written identically in the oracle.
+    // Month from pure epoch arithmetic (30-day buckets) so both
+    // engines bucket identically without calendar functions.
+    "cohort_stickiness" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+        .distinct()
+        .withColumn("month", expr("day div 30"))
+      days.groupBy("month")
+        .agg(count(lit(1)).as("user_days"),
+          countDistinct("day").as("n_days"),
+          countDistinct("user_id").as("mau"))
+        .select(col("month"), col("user_days"), col("n_days"), col("mau"),
+          (col("user_days").cast("double") / col("n_days").cast("double") /
+            col("mau").cast("double")).as("stickiness"))
+        .orderBy("month")
+    }),
+
     // Weekly cohort retention: users bucketed by first-activity week,
     // counted in each later week they return. The classic retention
     // triangle; all integer week arithmetic.
@@ -234,6 +257,19 @@ object BehaviorQueries extends QuerySuite {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p
          |ORDER BY stage""".stripMargin,
+
+    "cohort_stickiness" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |m AS (SELECT user_id, day, day // 30 AS month FROM days)
+        |SELECT month, CAST(count(*) AS BIGINT) AS user_days,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+        |  CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT day) AS DOUBLE)
+        |    / CAST(count(DISTINCT user_id) AS DOUBLE) AS stickiness
+        |FROM m GROUP BY month ORDER BY month""".stripMargin,
 
     "cohort_weekly_retention" ->
       s"""WITH weeks AS (
