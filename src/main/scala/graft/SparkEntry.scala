@@ -24,6 +24,7 @@ object SparkEntry {
     analytics.AsofQueries,
     analytics.GraphQueries,
     analytics.ProfileQueries,
+    analytics.InsightQueries,
     llm.DedupQueries,
     llm.TextQueries,
     llm.BpeQueries,
