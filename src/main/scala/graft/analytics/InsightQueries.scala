@@ -182,9 +182,21 @@ object InsightQueries extends QuerySuite {
       val vc = g.groupBy("v").agg(
         sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"),
         count(lit(1)).as("t_v"))
-      val cum = vc.withColumn("below",
-        coalesce(sum("t_v").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // Two-level prefix sum: the only GLOBAL window runs over the
+      // price-domain bucket table (~price range / $10k — bounded by
+      // the business domain, never the row count); the within-bucket
+      // cumulative is partitioned by bucket and parallelizes.
+      val bk = vc.withColumn("bk", expr("v div 1000000L"))
+      val base = bk.groupBy("bk").agg(sum("t_v").as("bt"))
+        .withColumn("base",
+          coalesce(sum("bt").over(Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "base")
+      val cum = bk.join(broadcast(base), "bk")
+        .withColumn("within",
+          coalesce(sum("t_v").over(Window.partitionBy("bk").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("below", col("base") + col("within"))
       val agg0 = cum.agg(
         sum(col("na_v") * (col("below") * 2L + col("t_v") + 1L))
           .as("r2a"),
@@ -252,6 +264,220 @@ object InsightQueries extends QuerySuite {
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice"))
         .orderBy("o_orderkey")
+    }),
+
+    // RFM (recency / frequency / monetary) customer segmentation —
+    // the classic CRM scoring grid. Each dimension is bucketed 1–4 by
+    // EXACT quartile thresholds (value at rank ceil(q·n), rank-
+    // selected from the value-count table — never a global ntile sort
+    // over raw customers; the three threshold frames are 1-row
+    // broadcasts and the scoring pass is map-side). Bucket rule:
+    // 1 + (v>t1) + (v>t2) + (v>t3); recency inverts (recent = best).
+    // Output is the segment grid with exact-integer user counts and
+    // cents-exact average monetary value.
+    "behavior_rfm_segments" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(dayCol(col("o_orderdate"))).as("lastd"),
+          count(lit(1)).as("frq"),
+          sum(cents(col("o_totalprice"))).as("mon"))
+      val maxd = perCust.agg(max("lastd").as("maxd"),
+        count(lit(1)).as("n_cust"))
+      val rfm = perCust.crossJoin(broadcast(maxd))
+        .select(col("o_custkey"), (col("maxd") - col("lastd")).as("rec"),
+          col("frq"), col("mon"), col("n_cust"))
+      // Exact quartile thresholds by rank selection with the same
+      // two-level prefix sum as stat_mann_whitney: the global window
+      // runs only over each dimension's BUCKET table (bounded by the
+      // domain ÷ bucket width — days / order counts / lifetime spend,
+      // none of which grow with the customer count), the within-bucket
+      // cumulative is bucket-partitioned.
+      def thresholds(dim: String, bucketW: Long): DataFrame = {
+        val vc = rfm.groupBy(col(dim).as("v"))
+          .agg(count(lit(1)).as("cnt"), first("n_cust").as("n"))
+          .withColumn("bk", expr(s"v div ${bucketW}L"))
+        val base = vc.groupBy("bk").agg(sum("cnt").as("bt"))
+          .withColumn("base",
+            coalesce(sum("bt").over(Window.orderBy("bk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bk", "base")
+        vc.join(broadcast(base), "bk")
+          .withColumn("hi", col("base") +
+            sum("cnt").over(Window.partitionBy("bk").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .agg(
+            min(when(col("hi") >= expr("(n + 3) div 4"), col("v")))
+              .as(s"${dim}_t1"),
+            min(when(col("hi") >= expr("(n + 1) div 2"), col("v")))
+              .as(s"${dim}_t2"),
+            min(when(col("hi") >= expr("(3 * n + 3) div 4"), col("v")))
+              .as(s"${dim}_t3"))
+      }
+      def bucket(dim: String): Column =
+        lit(1L) + when(col(dim) > col(s"${dim}_t1"), 1L).otherwise(0L) +
+          when(col(dim) > col(s"${dim}_t2"), 1L).otherwise(0L) +
+          when(col(dim) > col(s"${dim}_t3"), 1L).otherwise(0L)
+      rfm.crossJoin(broadcast(thresholds("rec", 32L)))
+        .crossJoin(broadcast(thresholds("frq", 8L)))
+        .crossJoin(broadcast(thresholds("mon", 10000000L)))
+        .select((lit(5L) - bucket("rec")).as("score_r"),
+          bucket("frq").as("score_f"), bucket("mon").as("score_m"),
+          col("mon"))
+        .groupBy("score_r", "score_f", "score_m")
+        .agg(count(lit(1)).as("n_users"),
+          (sum("mon").cast("double") / 100.0 /
+            count(lit(1)).cast("double")).as("avg_monetary"))
+        .orderBy("score_r", "score_f", "score_m")
+    }),
+
+    // Daily new vs cumulative distinct users — the growth-accounting
+    // curve. Running COUNT(DISTINCT) is quadratic-state at scale; the
+    // identity "cumulative distinct = cumulative sum of first-seen
+    // counts" makes it one per-user min-day aggregate + one per-day
+    // count + a running sum over the DAY table (calendar-bounded, same
+    // argument as agg_pareto_orders' day window).
+    "behavior_cumulative_users" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        dayCol(col("ts")).as("od"))
+      val firstDay = ev.groupBy("user_id").agg(min("od").as("fd"))
+      val newPerDay = firstDay.groupBy(col("fd").as("od"))
+        .agg(count(lit(1)).as("new_users"))
+      val days = ev.select("od").distinct()
+      days.join(newPerDay, Seq("od"), "left")
+        .select(col("od"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users",
+          sum("new_users").over(Window.orderBy("od")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("od")
+    }),
+
+    // Candidate-key / uniqueness profiling across the warehouse — the
+    // data-quality sweep run before declaring join keys. One exact
+    // count-distinct aggregate per profiled column (each a single
+    // keyed shuffle); uniqueness is reported in exact integer ppm so
+    // no float sum exists anywhere. is_key = exact distinct == rows.
+    "dq_uniqueness_report" -> ((s, d) => {
+      def prof(df: DataFrame, table: String, colName: String,
+               cols: Seq[String]): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
+          .select(lit(s"$table.$colName").as("column_name"),
+            col("n_rows"), col("n_distinct"),
+            expr("n_distinct * 1000000 div n_rows").as("uniq_ppm"),
+            (col("n_distinct") === col("n_rows")).as("is_key"))
+      val specs: Seq[DataFrame] = Seq(
+        prof(Tables.orders(s, d), "orders", "o_orderkey", Seq("o_orderkey")),
+        prof(Tables.orders(s, d), "orders", "o_custkey", Seq("o_custkey")),
+        prof(Tables.customer(s, d), "customer", "c_custkey", Seq("c_custkey")),
+        prof(Tables.customer(s, d), "customer", "c_name", Seq("c_name")),
+        prof(Tables.lineitem(s, d), "lineitem", "l_orderkey_l_linenumber",
+          Seq("l_orderkey", "l_linenumber")),
+        prof(Tables.events(s, d), "events", "event_id", Seq("event_id")),
+        prof(Tables.events(s, d), "events", "user_id", Seq("user_id")),
+        prof(Tables.documents(s, d), "documents", "doc_id", Seq("doc_id")),
+        prof(Tables.part(s, d), "part", "p_name", Seq("p_name")))
+      specs.reduce(_.unionByName(_)).orderBy("column_name")
+    }),
+
+    // Resource-allocation link prediction (Zhou, Lü & Zhang, EPJ B
+    // 2009) on the customer–part bipartite graph: candidate customer
+    // pairs scored by Σ 1/deg(shared part) — the log-free cousin of
+    // Adamic-Adar that consistently matches or beats it in published
+    // benchmarks, and here EXACT in integer ppb (10⁹ div deg — no
+    // transcendental, no float sum). Same hub-cap candidate generation
+    // as graph_common_neighbors: parts with fan > MaxFanout are
+    // excluded (bounding wedge volume at C(MaxFanout,2) per part AND
+    // truncating only tail terms, each < 10⁹/MaxFanout ppb).
+    "graph_resource_alloc" -> ((s, d) => {
+      val cs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_partkey").cast("long").as("sp"))
+        .distinct()
+      val fan = cs.groupBy("sp").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") <= GraphQueries.MaxFanout)
+      val capped = cs.join(fan, Seq("sp"))
+        .select(col("sp"), col("c"), expr("1000000000L div nf").as("inv_ppb"))
+      capped.select(col("sp"), col("c").as("cust_a"), col("inv_ppb"))
+        .join(capped.select(col("sp"), col("c").as("cust_b")), Seq("sp"))
+        .filter(col("cust_a") < col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(count(lit(1)).as("n_common"), sum("inv_ppb").as("ra_ppb"))
+        .filter(col("n_common") >= GraphQueries.MinCommon)
+        .orderBy(desc("ra_ppb"), col("cust_a"), col("cust_b"))
+        .limit(100)
+    }),
+
+    // Hour-of-day activity-profile cosine similarity between event
+    // types — "do errors follow the click diurnal curve?". The 24-bin
+    // count vectors make dot products and norms exact integers; the
+    // cosine is the single final division over two correctly-rounded
+    // sqrts. Profile table is (types × 24)-sized: the pair join is
+    // trivially broadcast at any corpus size.
+    "ts_profile_cosine" -> ((s, d) => {
+      val prof = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600L) % 24L).as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+      val norms = prof.groupBy("event_type")
+        .agg(sum(col("c") * col("c")).as("nrm"))
+      val dots = prof.select(col("hr"), col("event_type").as("type_a"),
+          col("c").as("ca"))
+        .join(prof.select(col("hr"), col("event_type").as("type_b"),
+          col("c").as("cb")), Seq("hr"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("event_type").as("type_a"),
+          col("nrm").as("na"))), "type_a")
+        .join(broadcast(norms.select(col("event_type").as("type_b"),
+          col("nrm").as("nb"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("dot"),
+          (col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cosine"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Corpus-mixture similarity: Bhattacharyya affinity / Hellinger
+    // distance between per-SOURCE unigram distributions — the "which
+    // crawls duplicate each other's mix" matrix a pretraining-data
+    // curator reads before setting mixture weights. Same ppb
+    // quantization as stat_hellinger_segments, per source pair. Scale
+    // shape: the corpus explodes to tokens ONCE; the term-count table
+    // is keyed by term for the pair join (sources per term ≤ the
+    // source count, so pair volume is #terms · C(sources,2) at worst
+    // and the shuffle key is the term); totals are a source-count-
+    // sized broadcast.
+    "text_source_affinity" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val tot = tc.groupBy("source").agg(sum("c").as("n"))
+      val pairs = tc.select(col("term"), col("source").as("src_a"),
+          col("c").as("ca"))
+        .join(tc.select(col("term"), col("source").as("src_b"),
+          col("c").as("cb")), Seq("term"))
+        .filter(col("src_a") < col("src_b"))
+      pairs
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"),
+          floor(sqrt((col("ca") * col("cb")).cast("double") /
+            (col("na") * col("nb")).cast("double")) * 1.0e9)
+            .cast("long").as("b_ppb"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_common_terms"), sum("b_ppb").as("b_sum"))
+        .select(col("src_a"), col("src_b"), col("n_common_terms"),
+          (col("b_sum").cast("double") / 1.0e9).as("bhattacharyya"),
+          sqrt(lit(1.0) - col("b_sum").cast("double") / 1.0e9)
+            .as("hellinger"))
+        .orderBy("src_a", "src_b")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -384,5 +610,159 @@ object InsightQueries extends QuerySuite {
         |  FROM orders o2 JOIN customer ON o2.o_custkey = c_custkey
         |  WHERE c_mktsegment = 'AUTOMOBILE'
         |    AND o2.o_orderpriority = o.o_orderpriority)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "behavior_rfm_segments" -> {
+      def thr(dim: String, p: String): String =
+        s"""${p}vc AS (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM rfm GROUP BY 1),
+           |${p}hi AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |  AS hi FROM ${p}vc),
+           |${p}t AS (SELECT
+           |  min(CASE WHEN hi >= (n + 3) // 4 THEN v END) AS ${dim}_t1,
+           |  min(CASE WHEN hi >= (n + 1) // 2 THEN v END) AS ${dim}_t2,
+           |  min(CASE WHEN hi >= (3 * n + 3) // 4 THEN v END) AS ${dim}_t3
+           |  FROM ${p}hi, tot)""".stripMargin
+      s"""WITH pc AS (
+         |  SELECT o_custkey,
+         |    CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT)
+         |      AS lastd,
+         |    CAST(count(*) AS BIGINT) AS frq,
+         |    CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS mon
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT max(lastd) AS maxd, CAST(count(*) AS BIGINT) AS n
+         |        FROM pc),
+         |rfm AS (SELECT o_custkey, tot.maxd - lastd AS rec, frq, mon
+         |        FROM pc, tot),
+         |${thr("rec", "r")},
+         |${thr("frq", "f")},
+         |${thr("mon", "m")},
+         |scored AS (
+         |  SELECT
+         |    5 - (1 + CASE WHEN rec > rec_t1 THEN 1 ELSE 0 END
+         |           + CASE WHEN rec > rec_t2 THEN 1 ELSE 0 END
+         |           + CASE WHEN rec > rec_t3 THEN 1 ELSE 0 END) AS score_r,
+         |    1 + CASE WHEN frq > frq_t1 THEN 1 ELSE 0 END
+         |      + CASE WHEN frq > frq_t2 THEN 1 ELSE 0 END
+         |      + CASE WHEN frq > frq_t3 THEN 1 ELSE 0 END AS score_f,
+         |    1 + CASE WHEN mon > mon_t1 THEN 1 ELSE 0 END
+         |      + CASE WHEN mon > mon_t2 THEN 1 ELSE 0 END
+         |      + CASE WHEN mon > mon_t3 THEN 1 ELSE 0 END AS score_m,
+         |    mon
+         |  FROM rfm, rt, ft, mt)
+         |SELECT CAST(score_r AS BIGINT) AS score_r,
+         |  CAST(score_f AS BIGINT) AS score_f,
+         |  CAST(score_m AS BIGINT) AS score_m,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(mon) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)
+         |    AS avg_monetary
+         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+
+    "behavior_cumulative_users" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od
+        |  FROM events),
+        |fd AS (SELECT user_id, min(od) AS fd FROM ev GROUP BY 1),
+        |np AS (SELECT fd AS od, CAST(count(*) AS BIGINT) AS new_users
+        |       FROM fd GROUP BY 1),
+        |days AS (SELECT DISTINCT od FROM ev)
+        |SELECT days.od,
+        |  CAST(coalesce(np.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(np.new_users, 0)) OVER (ORDER BY days.od
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM days LEFT JOIN np USING (od)
+        |ORDER BY days.od""".stripMargin,
+
+    "dq_uniqueness_report" -> {
+      def prof(table: String, label: String, distinctExpr: String): String =
+        s"""SELECT '$table.$label' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $distinctExpr) AS BIGINT) AS n_distinct,
+           |  CAST(count(DISTINCT $distinctExpr) * 1000000 // count(*)
+           |    AS BIGINT) AS uniq_ppm,
+           |  count(DISTINCT $distinctExpr) = count(*) AS is_key
+           |FROM $table""".stripMargin
+      Seq(
+        prof("orders", "o_orderkey", "o_orderkey"),
+        prof("orders", "o_custkey", "o_custkey"),
+        prof("customer", "c_custkey", "c_custkey"),
+        prof("customer", "c_name", "c_name"),
+        prof("lineitem", "l_orderkey_l_linenumber",
+          "(l_orderkey, l_linenumber)"),
+        prof("events", "event_id", "event_id"),
+        prof("events", "user_id", "user_id"),
+        prof("documents", "doc_id", "doc_id"),
+        prof("part", "p_name", "p_name"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "graph_resource_alloc" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+         |    CAST(l_partkey AS BIGINT) AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |fan AS (SELECT sp, CAST(count(*) AS BIGINT) AS nf
+         |        FROM cs GROUP BY sp
+         |        HAVING count(*) <= ${GraphQueries.MaxFanout}),
+         |capped AS (
+         |  SELECT cs.sp, cs.c,
+         |    CAST(1000000000 // nf AS BIGINT) AS inv_ppb
+         |  FROM cs JOIN fan USING (sp)),
+         |pairs AS (
+         |  SELECT a.c AS cust_a, b.c AS cust_b,
+         |    CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(a.inv_ppb) AS BIGINT) AS ra_ppb
+         |  FROM capped a JOIN capped b ON a.sp = b.sp AND a.c < b.c
+         |  GROUP BY 1, 2 HAVING count(*) >= ${GraphQueries.MinCommon})
+         |SELECT cust_a, cust_b, n_common, ra_ppb
+         |FROM pairs
+         |ORDER BY ra_ppb DESC, cust_a, cust_b
+         |LIMIT 100""".stripMargin,
+
+    "ts_profile_cosine" ->
+      """WITH prof AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |norms AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS nrm
+        |          FROM prof GROUP BY 1),
+        |dots AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM prof a JOIN prof b
+        |    ON a.hr = b.hr AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, dot,
+        |  CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+        |    AS cosine
+        |FROM dots
+        |JOIN norms na ON type_a = na.event_type
+        |JOIN norms nb ON type_b = nb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "text_source_affinity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |        FROM tc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(floor(sqrt(CAST(a.c * b.c AS DOUBLE) /
+        |      CAST(ta.n * tb.n AS DOUBLE)) * 1.0e9) AS BIGINT) AS b_ppb
+        |  FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source
+        |  JOIN tot ta ON a.source = ta.source
+        |  JOIN tot tb ON b.source = tb.source)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_common_terms,
+        |  CAST(sum(b_ppb) AS DOUBLE) / 1.0e9 AS bhattacharyya,
+        |  sqrt(1.0 - CAST(sum(b_ppb) AS DOUBLE) / 1.0e9) AS hellinger
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

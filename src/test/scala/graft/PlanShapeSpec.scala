@@ -60,7 +60,20 @@ class PlanShapeSpec extends SparkSpec {
     // per-bucket CDF base offsets: global window over one row per
     // VALUE-RANGE bucket (~60 — bounded by the price domain divided
     // by the bucket width, never the row count; StatQueries KS doc)
-    "stat_ks_segments")
+    "stat_ks_segments",
+    // running max over the per-DAY max table — bounded by calendar
+    // span, never data volume (InsightQueries pareto doc)
+    "agg_pareto_orders",
+    // running sum over the per-DAY new-user table — calendar-bounded
+    "behavior_cumulative_users",
+    // quartile rank selection: global window only over each
+    // dimension's bucket table (day span / order-count domain /
+    // lifetime-spend domain ÷ bucket width — InsightQueries doc)
+    "behavior_rfm_segments",
+    // two-level prefix sum: global window only over the price-domain
+    // bucket table (~price range / $10k), within-bucket cumulative is
+    // bucket-partitioned (InsightQueries stat_mann_whitney doc)
+    "stat_mann_whitney")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
