@@ -478,6 +478,114 @@ object InsightQueries extends QuerySuite {
           sqrt(lit(1.0) - col("b_sum").cast("double") / 1.0e9)
             .as("hellinger"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // Holt's linear trend (double exponential smoothing, α=β=½) over
+    // each event type's daily-total series — level + trend + one-step
+    // forecast. The recursion is a SEQUENTIAL fold, so both engines
+    // run the IDENTICAL ordered op sequence: Spark `aggregate` over
+    // the sorted per-type day array, DuckDB `list_reduce` over the
+    // same ordered list — same IEEE ops on same inputs, bit-identical
+    // out (the ts_ewma_user pattern, extended to a struct
+    // accumulator). α=β=½ keeps every smoothing multiply exact. The
+    // collected array is day-count-sized (calendar-bounded, per the
+    // pareto/day-window argument), grouped per type — never raw rows.
+    "ts_holt_linear" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      daily.groupBy("event_type")
+        .agg(expr("array_sort(collect_list(struct(od, yc)))").as("arr"))
+        .select(col("event_type"),
+          expr("CAST(size(arr) AS BIGINT)").as("n_days"),
+          expr(
+            """aggregate(
+              |  slice(arr, 2, greatest(size(arr) - 1, 0)),
+              |  named_struct(
+              |    'l', CAST(arr[0].yc AS DOUBLE),
+              |    'b', CAST(0.0 AS DOUBLE)),
+              |  (acc, x) -> named_struct(
+              |    'l', 0.5D * CAST(x.yc AS DOUBLE) + 0.5D * (acc.l + acc.b),
+              |    'b', 0.5D * ((0.5D * CAST(x.yc AS DOUBLE)
+              |           + 0.5D * (acc.l + acc.b)) - acc.l)
+              |         + 0.5D * acc.b))""".stripMargin).as("st"))
+        .select(col("event_type"), col("n_days"),
+          (col("st.l") / 100.0).as("level"),
+          (col("st.b") / 100.0).as("trend"),
+          ((col("st.l") + col("st.b")) / 100.0).as("forecast"))
+        .orderBy("event_type")
+    }),
+
+    // Spearman rank correlation between the click and purchase daily
+    // totals — the monotone-association check robust to the heavy
+    // right tail that wrecks Pearson. Mid-ranks in DOUBLED integers
+    // (2·minrank + t − 1), then the Pearson formula on those exact
+    // integer ranks — cross-multiplied moments, one final sqrt/div
+    // (the StatQueries integer-moments trick; ranks ≤ 2n keep n·Σr²
+    // far inside BIGINT at any calendar span). Rank windows run over
+    // the DAY table only.
+    "stat_spearman_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(dayCol(col("ts")).as("od"))
+        .agg(
+          sum(when(col("event_type") === "click", cents(col("value")))
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", cents(col("value")))
+            .otherwise(0L)).as("y"))
+      def rank2(c: String): Column =
+        lit(2L) * rank().over(Window.orderBy(col(c))) +
+          count(lit(1)).over(Window.partitionBy(col(c))) - lit(1L)
+      val ranked = daily.select(rank2("x").as("rx"), rank2("y").as("ry"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      m.select(col("n").as("n_days"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("spearman_rho"))
+    }),
+
+    // Kendall tau-b between the same daily series: exact concordant/
+    // discordant counting over the C(n_days, 2) pair set of the DAY
+    // table (the stat_theil_sen pair-set precedent — bounded by
+    // calendar, never rows). Tie-adjusted denominator; everything
+    // integer until the final sqrt product.
+    "stat_kendall_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(dayCol(col("ts")).as("od"))
+        .agg(
+          sum(when(col("event_type") === "click", cents(col("value")))
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", cents(col("value")))
+            .otherwise(0L)).as("y"))
+      val a = daily.select(col("od").as("i"), col("x").as("xi"),
+        col("y").as("yi"))
+      val b = daily.select(col("od").as("j"), col("x").as("xj"),
+        col("y").as("yj"))
+      val pairs = a.join(b, col("i") < col("j"))
+        .select(
+          ((col("xi") - col("xj")) * (col("yi") - col("yj"))).as("prod"),
+          (col("xi") === col("xj")).as("tx"),
+          (col("yi") === col("yj")).as("ty"))
+      val agg0 = pairs.agg(
+        sum(when(col("prod") > 0L, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("prod") < 0L, 1L).otherwise(0L)).as("nd"),
+        count(lit(1)).as("n0"),
+        sum(when(col("tx"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ty"), 1L).otherwise(0L)).as("n2"))
+      agg0.select(col("nc").as("n_concordant"), col("nd").as("n_discordant"),
+        ((col("nc") - col("nd")).cast("double") /
+          (sqrt((col("n0") - col("n1")).cast("double")) *
+            sqrt((col("n0") - col("n2")).cast("double")))).as("kendall_tau_b"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -764,5 +872,102 @@ object InsightQueries extends QuerySuite {
         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_common_terms,
         |  CAST(sum(b_ppb) AS DOUBLE) / 1.0e9 AS bhattacharyya,
         |  sqrt(1.0 - CAST(sum(b_ppb) AS DOUBLE) / 1.0e9) AS hellinger
-        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // NOTE: the natural list_reduce spelling is unusable here —
+    // DuckDB v1.0 aliases the struct accumulator buffer across lambda
+    // applications, so a field expression that reads another field
+    // (b reads l) sees the CURRENT step's already-written value from
+    // the second application on. An explicit recursive CTE steps the
+    // same recursion with correct old-value semantics.
+    "ts_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+        |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS yc
+        |  FROM events WHERE "value" IS NOT NULL
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, yc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY od)
+        |      AS i,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, i, n, CAST(yc AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.n,
+        |    0.5 * CAST(idx.yc AS DOUBLE) + 0.5 * (rec.l + rec.b),
+        |    0.5 * ((0.5 * CAST(idx.yc AS DOUBLE)
+        |        + 0.5 * (rec.l + rec.b)) - rec.l) + 0.5 * rec.b
+        |  FROM rec JOIN idx
+        |    ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
+        |SELECT event_type, n AS n_days, l / 100.0 AS level,
+        |  b / 100.0 AS trend, (l + b) / 100.0 AS forecast
+        |FROM rec WHERE i = n ORDER BY event_type""".stripMargin,
+
+    "stat_spearman_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events
+        |  WHERE "value" IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY x)
+        |      + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |  CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |  CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |  CAST(sum(rx * ry) AS BIGINT) AS sxy FROM ranked)
+        |SELECT n AS n_days,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+        |FROM m""".stripMargin,
+
+    "stat_kendall_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events
+        |  WHERE "value" IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT (a.x - b.x) * (a.y - b.y) AS prod,
+        |    a.x = b.x AS tx, a.y = b.y AS ty
+        |  FROM daily a JOIN daily b ON a.od < b.od),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |  CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN tx THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN ty THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM p)
+        |SELECT nc AS n_concordant, nd AS n_discordant,
+        |  CAST(nc - nd AS DOUBLE) /
+        |    (sqrt(CAST(n0 - n1 AS DOUBLE)) *
+        |     sqrt(CAST(n0 - n2 AS DOUBLE))) AS kendall_tau_b
+        |FROM m""".stripMargin)
+
 }

@@ -261,6 +261,92 @@ class InsightQueriesSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("ts_holt_linear equals scalar recursion") {
+    val daily = Tables.events(spark, sf)
+      .filter("value IS NOT NULL")
+      .selectExpr("event_type",
+        "cast(floor(unix_timestamp(ts) / 86400) as long) as od",
+        "cast(round(value * 100) as long) as yc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { rs =>
+        rs.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (_, g) => g.map(_._3).sum } }.toMap
+    val expect = daily.map { case (t, ys) =>
+      var l = ys.head.toDouble; var b = 0.0
+      ys.tail.foreach { y =>
+        val l2 = 0.5 * y.toDouble + 0.5 * (l + b)
+        b = 0.5 * ((0.5 * y.toDouble + 0.5 * (l + b)) - l) + 0.5 * b
+        l = l2
+      }
+      t -> (ys.size.toLong, l / 100.0, b / 100.0, (l + b) / 100.0)
+    }
+    val got = q("ts_holt_linear").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(got === expect)
+  }
+
+  test("stat_spearman_daily equals brute-force rank correlation") {
+    val daily = Tables.events(spark, sf)
+      .filter("value IS NOT NULL AND event_type IN ('click','purchase')")
+      .selectExpr("cast(floor(unix_timestamp(ts) / 86400) as long) as od",
+        "case when event_type = 'click' " +
+          "then cast(round(value * 100) as long) else 0L end as x",
+        "case when event_type = 'purchase' " +
+          "then cast(round(value * 100) as long) else 0L end as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (_, rs) => (rs.map(_._2).sum, rs.map(_._3).sum) }
+    def rank2(vs: Seq[Long]): Seq[Long] = {
+      val sorted = vs.sorted
+      vs.map { v =>
+        val below = sorted.count(_ < v).toLong
+        val t = sorted.count(_ == v).toLong
+        2L * (below + 1L) + t - 1L // 2·minrank + t − 1
+      }
+    }
+    val rx = rank2(daily.map(_._1)); val ry = rank2(daily.map(_._2))
+    val n = daily.size.toLong
+    val sx = rx.sum; val sy = ry.sum
+    val sxx = rx.map(v => v * v).sum; val syy = ry.map(v => v * v).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val rho = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    val row = q("stat_spearman_daily").collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getDouble(1) === rho)
+    assert(math.abs(row.getDouble(1)) <= 1.0)
+  }
+
+  test("stat_kendall_daily equals brute-force concordance count") {
+    val daily = Tables.events(spark, sf)
+      .filter("value IS NOT NULL AND event_type IN ('click','purchase')")
+      .selectExpr("cast(floor(unix_timestamp(ts) / 86400) as long) as od",
+        "case when event_type = 'click' " +
+          "then cast(round(value * 100) as long) else 0L end as x",
+        "case when event_type = 'purchase' " +
+          "then cast(round(value * 100) as long) else 0L end as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (_, rs) => (rs.map(_._2).sum, rs.map(_._3).sum) }
+    var nc = 0L; var nd = 0L; var n1 = 0L; var n2 = 0L; var n0 = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.size) {
+      val (xi, yi) = daily(i); val (xj, yj) = daily(j)
+      n0 += 1
+      if (xi == xj) n1 += 1
+      if (yi == yj) n2 += 1
+      val p = (xi - xj) * (yi - yj)
+      if (p > 0) nc += 1 else if (p < 0) nd += 1
+    }
+    val tau = (nc - nd).toDouble /
+      (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))
+    val row = q("stat_kendall_daily").collect().head
+    assert(row.getLong(0) === nc)
+    assert(row.getLong(1) === nd)
+    assert(row.getDouble(2) === tau)
+  }
+
   test("dq_uniqueness_report: primary keys flagged, ppm consistent") {
     val rows = q("dq_uniqueness_report").collect()
     val byName = rows.map(r => r.getString(0) ->
