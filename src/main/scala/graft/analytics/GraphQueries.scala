@@ -182,6 +182,11 @@ object GraphQueries extends QuerySuite {
     * cap-before-the-self-join pattern as DedupQueries.MaxPosting. */
   val MaxBasket = 32
 
+  /** BFS round bound: rounds scale with graph DIAMETER (co-supply
+    * graphs are small-world — single digits), never node count. Loud
+    * failure past this, per the CC non-convergence precedent. */
+  val MaxBfsRounds = 30
+
   /** LPA rounds (synchronous; labels move ≤ Rounds hops). */
   val LpaRounds = 3
 
@@ -231,6 +236,49 @@ object GraphQueries extends QuerySuite {
     // the shape audit run before any iterative graph algorithm (is the
     // graph hub-heavy? will broadcast budgets hold?). Degree table +
     // one groupBy on degree — bounded by the node count, never edges.
+    // BFS hop distance over the strong co-supply graph from the
+    // smallest node id — the reachability/diameter probe run before
+    // any path-dependent analysis. Level-synchronous frontier
+    // expansion: each round is one keyed join of the (shrinking)
+    // frontier against the checkpointed symmetric edge list, an
+    // anti-join against settled nodes, and one localCheckpoint — the
+    // CC loop's one-action-per-round discipline. Rounds are bounded by
+    // the graph DIAMETER (loud failure past [[MaxBfsRounds]], the CC
+    // non-convergence precedent), never by node count; every shuffle
+    // keys on the node id. The oracle replays the same levels as a
+    // recursive CTE taking min(dist) per node.
+    "graph_bfs_depth" -> ((s, d) => {
+      val e0 = coSupplyEdges(s, d)
+      val sym = e0.select(col("u").as("a"), col("v").as("b"))
+        .union(e0.select(col("v").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(true) // read every round — truncate lineage once
+      val src = sym.agg(min("a").as("node"))
+        .withColumn("dist", lit(0L))
+      var settled = src.localCheckpoint(true)
+      var frontier = settled
+      var round = 0
+      var converged = false
+      while (!converged && round < MaxBfsRounds) {
+        round += 1
+        val next = frontier.select(col("node").as("a"))
+          .join(sym, "a").select(col("b").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .withColumn("dist", lit(round.toLong))
+          .localCheckpoint(true) // the round's single action
+        if (next.isEmpty) converged = true
+        else {
+          settled = settled.union(next).localCheckpoint(true)
+          frontier = next
+        }
+      }
+      if (!converged) throw new IllegalStateException(
+        s"graph_bfs_depth: frontier still live after $MaxBfsRounds " +
+          "rounds — diameter exceeds the bound; raise MaxBfsRounds " +
+          "deliberately rather than silently truncating distances")
+      settled.orderBy("node")
+    }),
+
     "graph_degree_census" -> ((s, d) => {
       val edges = coSupplyEdges(s, d)
       edges.select(col("u").as("node"))
@@ -402,6 +450,20 @@ object GraphQueries extends QuerySuite {
          |JOIN degc d1 ON d1.c = c1
          |JOIN degc d2 ON d2.c = c2
          |ORDER BY cust_a, cust_b""".stripMargin,
+    "graph_bfs_depth" ->
+      s"""${coSupplyEdgesSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT u AS a, v AS b FROM edges
+         |        UNION SELECT v AS a, u AS b FROM edges),
+         |src AS (SELECT min(a) AS node FROM sym),
+         |bfs AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS dist FROM src
+         |  UNION
+         |  SELECT sym.b AS node, bfs.dist + 1 AS dist
+         |  FROM bfs JOIN sym ON sym.a = bfs.node
+         |  WHERE bfs.dist < $MaxBfsRounds)
+         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
     "graph_degree_census" ->
       s"""$coSupplyEdgesSqlCtes,
          |deg AS (SELECT node, count(*) AS deg FROM (

@@ -73,7 +73,10 @@ class PlanShapeSpec extends SparkSpec {
     // two-level prefix sum: global window only over the price-domain
     // bucket table (~price range / $10k), within-bucket cumulative is
     // bucket-partitioned (InsightQueries stat_mann_whitney doc)
-    "stat_mann_whitney")
+    "stat_mann_whitney",
+    // mid-rank windows over the per-DAY click/purchase total table —
+    // calendar-bounded (InsightQueries stat_spearman_daily doc)
+    "stat_spearman_daily")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"

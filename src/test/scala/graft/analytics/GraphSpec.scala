@@ -207,4 +207,42 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === expect)
   }
+
+  test("graph_bfs_depth equals queue-based BFS from the min node") {
+    val sf = "/root/testdata/sf0.001"
+    // rebuild the co-supply edge set brute-force (the coSupplyEdges
+    // contract: distinct (order, supplier), basket cap, strict
+    // above-mean pair count)
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      .filter(_._2.length <= GraphQueries.MaxBasket).toMap
+    val pairCnt = baskets.values.flatMap { ss =>
+      for (i <- ss.indices; j <- (i + 1) until ss.length)
+        yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = pairCnt.values.sum
+    val nPairs = pairCnt.size.toLong
+    // same Map.collect-to-tuples trap the triangle test documents:
+    // filter + keySet, never collect to (u, v) pairs
+    val edges = pairCnt.filter { case (_, c) => c * nPairs > total }.keySet
+    val adj = (edges ++ edges.map { case (u, v) => (v, u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val srcNode = adj.keys.min
+    val dist = scala.collection.mutable.Map(srcNode -> 0L)
+    var frontier = Set(srcNode)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+      val d = dist(frontier.head) + 1L
+      next.foreach(n => dist(n) = d)
+      frontier = next
+    }
+    val got = GraphQueries.queries("graph_bfs_depth")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap === dist.toMap)
+    // level-synchronous: rows ordered by node, distances start at 0
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    assert(got.toMap.apply(srcNode) === 0L)
+  }
 }
