@@ -190,6 +190,17 @@ object GraphQueries extends QuerySuite {
   /** LPA rounds (synchronous; labels move ≤ Rounds hops). */
   val LpaRounds = 3
 
+  /** k-core order: peel to the maximal subgraph of min-degree ≥ K. */
+  val KCoreK = 3L
+
+  /** Peel-round bound. Peeling rounds scale with the graph's
+    * DEGENERACY ORDERING depth — small-world co-supply graphs settle
+    * in single digits; a pathological chain could need O(n), and that
+    * case must fail loudly (the CC/BFS non-convergence precedent)
+    * because the oracle replays exactly this many rounds and silently
+    * stopping early would diverge from it. */
+  val MaxPeelRounds = 12
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Common-neighbor link prediction over the customer–PART
     // bipartite graph (who buys the same parts — the selective
@@ -277,6 +288,54 @@ object GraphQueries extends QuerySuite {
           "rounds — diameter exceeds the bound; raise MaxBfsRounds " +
           "deliberately rather than silently truncating distances")
       settled.orderBy("node")
+    }),
+
+    // k-core decomposition (membership of the K-core) of the strong
+    // co-supply graph: iteratively peel nodes of induced degree < K
+    // until fixpoint — the classic cohesion primitive (Seidman, Social
+    // Networks '83) that finds the dense trading nucleus hub-degree
+    // alone misses. Each round is two left-semi joins of the
+    // checkpointed symmetric edge list against the (shrinking) node
+    // set plus one keyed count — every shuffle keys on a node id,
+    // nothing is quadratic. The survivor-set count per round is the
+    // round's single action, and because peeling is MONOTONE
+    // (node sets only shrink) an unchanged count proves an unchanged
+    // set — the cheap fixpoint test. The oracle replays exactly
+    // [[MaxPeelRounds]] rounds; once the fixpoint is reached the
+    // extra rounds are identities, so Spark loud-fails if it hasn't
+    // converged inside the bound rather than silently diverging.
+    "graph_kcore" -> ((s, d) => {
+      val e0 = coSupplyEdges(s, d)
+      val sym = e0.select(col("u").as("a"), col("v").as("b"))
+        .union(e0.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true) // read every round — truncate lineage once
+      def induced(nodes: DataFrame): DataFrame = sym
+        .join(nodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+      var nodes = sym.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= KCoreK).select("node")
+        .localCheckpoint(true)
+      var size = nodes.count()
+      var round = 0
+      var converged = false
+      while (!converged && round < MaxPeelRounds) {
+        round += 1
+        val next = induced(nodes).filter(col("dg") >= KCoreK)
+          .select("node").localCheckpoint(true)
+        val m = next.count()
+        if (m == size) converged = true
+        nodes = next
+        size = m
+      }
+      if (!converged) throw new IllegalStateException(
+        s"graph_kcore: peeling still live after $MaxPeelRounds rounds " +
+          "— raise MaxPeelRounds (and the oracle's replay depth) " +
+          "deliberately rather than silently truncating the peel")
+      induced(nodes)
+        .select(col("node"), col("dg").as("core_deg"))
+        .orderBy("node")
     }),
 
     "graph_degree_census" -> ((s, d) => {
@@ -463,6 +522,31 @@ object GraphQueries extends QuerySuite {
          |  WHERE bfs.dist < $MaxBfsRounds)
          |SELECT node, CAST(min(dist) AS BIGINT) AS dist
          |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    "graph_kcore" -> {
+      // AS MATERIALIZED is load-bearing: every round references the
+      // previous node set TWICE, so DuckDB's default CTE inlining
+      // would expand the plan 2^rounds-fold.
+      val rounds = (1 to MaxPeelRounds).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT s.a AS node, count(*) AS dg FROM sym s
+           |  JOIN n${r - 1} x ON s.a = x.node
+           |  JOIN n${r - 1} y ON s.b = y.node
+           |  GROUP BY s.a),
+           |n$r AS MATERIALIZED (
+           |  SELECT node FROM d$r WHERE dg >= $KCoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""$coSupplyEdgesSqlCtes,
+         |sym AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM edges
+         |  UNION ALL SELECT v AS a, u AS b FROM edges),
+         |n0 AS MATERIALIZED (
+         |  SELECT a AS node FROM sym GROUP BY a
+         |  HAVING count(*) >= $KCoreK),
+         |$rounds
+         |SELECT node, CAST(dg AS BIGINT) AS core_deg
+         |FROM d$MaxPeelRounds WHERE dg >= $KCoreK ORDER BY node""".stripMargin
+    },
 
     "graph_degree_census" ->
       s"""$coSupplyEdgesSqlCtes,

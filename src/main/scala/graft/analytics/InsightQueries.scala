@@ -490,6 +490,43 @@ object InsightQueries extends QuerySuite {
     // accumulator). α=β=½ keeps every smoothing multiply exact. The
     // collected array is day-count-sized (calendar-bounded, per the
     // pareto/day-window argument), grouped per type — never raw rows.
+    // MASE (Hyndman & Koehler '06) of the SEASONAL-naive forecast
+    // (weekly period) against the plain-naive baseline, per event
+    // type — the scale-free forecast-accuracy metric that makes
+    // "does weekly seasonality help" comparable across types with
+    // wildly different volumes. mase < 1 ⇒ y[t−7] beats y[t−1].
+    // Exact arithmetic: daily totals in integer cents, both error
+    // sums are integer |Δ| sums, and the final ratio cross-multiplies
+    // the integer (sum, count) pairs so ONE double division decides
+    // the metric. The lag windows run over the per-type DAY table
+    // (bounded by calendar span), never raw events.
+    "ts_mase_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val w = Window.partitionBy("event_type").orderBy("od")
+      daily
+        .withColumn("l1", lag("yc", 1).over(w))
+        .withColumn("l7", lag("yc", 7).over(w))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_days"),
+          sum(when(col("l7").isNotNull, abs(col("yc") - col("l7")))
+            .otherwise(0L)).as("sn_err_c"),
+          sum(when(col("l7").isNotNull, 1L).otherwise(0L)).as("sn_n"),
+          sum(when(col("l1").isNotNull, abs(col("yc") - col("l1")))
+            .otherwise(0L)).as("nv_err_c"),
+          sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("nv_n"))
+        .select(col("event_type"), col("n_days"),
+          (col("sn_err_c").cast("double") /
+            (col("sn_n") * 100L).cast("double")).as("sn_mae"),
+          (col("nv_err_c").cast("double") /
+            (col("nv_n") * 100L).cast("double")).as("naive_mae"),
+          ((col("sn_err_c") * col("nv_n")).cast("double") /
+            (col("sn_n") * col("nv_err_c")).cast("double")).as("mase"))
+        .orderBy("event_type")
+    }),
+
     "ts_holt_linear" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .filter(col("value").isNotNull)
@@ -879,6 +916,39 @@ object InsightQueries extends QuerySuite {
     // (b reads l) sees the CURRENT step's already-written value from
     // the second application on. An explicit recursive CTE steps the
     // same recursion with correct old-value semantics.
+    "ts_mase_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+        |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS yc
+        |  FROM events WHERE "value" IS NOT NULL
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, yc,
+        |    lag(yc, 1) OVER (PARTITION BY event_type ORDER BY od) AS l1,
+        |    lag(yc, 7) OVER (PARTITION BY event_type ORDER BY od) AS l7
+        |  FROM daily),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN l7 IS NOT NULL
+        |             THEN abs(yc - l7) ELSE 0 END) AS BIGINT) AS sn_err_c,
+        |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sn_n,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL
+        |             THEN abs(yc - l1) ELSE 0 END) AS BIGINT) AS nv_err_c,
+        |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv_n
+        |  FROM lagged GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CAST(sn_err_c AS DOUBLE) / CAST(sn_n * 100 AS DOUBLE) AS sn_mae,
+        |  CAST(nv_err_c AS DOUBLE) / CAST(nv_n * 100 AS DOUBLE)
+        |    AS naive_mae,
+        |  CAST(sn_err_c * nv_n AS DOUBLE) / CAST(sn_n * nv_err_c AS DOUBLE)
+        |    AS mase
+        |FROM agg ORDER BY event_type""".stripMargin,
+
     "ts_holt_linear" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type,

@@ -23,6 +23,10 @@ object CurationQueries extends QuerySuite {
   /** Fixed token budget per packed training sequence. */
   val SeqLen = 512L
 
+  /** Candidate min-length cutoffs for the filter sweep — spanning the
+    * corpus' n_chars range so every row of the sweep is informative. */
+  val SweepThresholds = Seq(100L, 200L, 300L, 400L, 500L)
+
   /** Docs kept per stratum by the stratified sampler. */
   val SampleK = 10
 
@@ -82,6 +86,34 @@ object CurationQueries extends QuerySuite {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Length-filter threshold sweep — the knob-tuning table a curator
+    // reads BEFORE committing to a min-length cutoff: for each
+    // candidate threshold, how many documents and how much text
+    // survive (absolute + ppm of corpus). One corpus scan: the grid
+    // is a compile-time constant folded into conditional aggregates
+    // (no row multiplication), then a 5-row stack un-pivots the
+    // single aggregate row — the whole query is map-side until a
+    // scalar aggregate. Integer ppm shares, engine-exact.
+    "text_filter_sweep" -> ((s, d) => {
+      val aggs = Seq(count(lit(1)).as("n_all"),
+        sum("n_chars").as("c_all")) ++
+        SweepThresholds.flatMap(t => Seq(
+          sum(when(col("n_chars") >= t, 1L).otherwise(0L)).as(s"d$t"),
+          sum(when(col("n_chars") >= t, col("n_chars")).otherwise(0L))
+            .as(s"c$t")))
+      val row = Tables.documents(s, d).agg(aggs.head, aggs.tail: _*)
+      val stacked = SweepThresholds
+        .map(t => s"${t}L, d$t, c$t").mkString(", ")
+      row.select(
+          expr(s"stack(${SweepThresholds.size}, $stacked) " +
+            "AS (min_chars, n_docs, n_chars_kept)"),
+          col("n_all"), col("c_all"))
+        .select(col("min_chars"), col("n_docs"), col("n_chars_kept"),
+          expr("n_docs * 1000000 div n_all").as("docs_ppm"),
+          expr("n_chars_kept * 1000000 div c_all").as("chars_ppm"))
+        .orderBy("min_chars")
+    }),
+
     // TEMPORAL split with an embargo gap — the time-series evaluation
     // discipline (train strictly before, test strictly after, a
     // dropped buffer between so near-boundary leakage can't inflate
@@ -475,6 +507,25 @@ object CurationQueries extends QuerySuite {
     |  FROM wagg JOIN m ON wagg.doc_id = m.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "text_filter_sweep" -> {
+      val vals = SweepThresholds.map(t => s"($t)").mkString(", ")
+      s"""WITH g AS (SELECT * FROM (VALUES $vals) t(min_chars)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+         |          CAST(sum(n_chars) AS BIGINT) AS c_all
+         |        FROM documents),
+         |k AS (
+         |  SELECT CAST(g.min_chars AS BIGINT) AS min_chars,
+         |    CAST(sum(CASE WHEN d.n_chars >= g.min_chars
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN d.n_chars >= g.min_chars
+         |             THEN d.n_chars ELSE 0 END) AS BIGINT) AS n_chars_kept
+         |  FROM documents d CROSS JOIN g GROUP BY g.min_chars)
+         |SELECT min_chars, n_docs, n_chars_kept,
+         |  CAST(n_docs * 1000000 // n_all AS BIGINT) AS docs_ppm,
+         |  CAST(n_chars_kept * 1000000 // c_all AS BIGINT) AS chars_ppm
+         |FROM k, tot ORDER BY min_chars""".stripMargin
+    },
+
     "curation_temporal_split" ->
       """SELECT
         |  CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'

@@ -392,6 +392,23 @@ object DedupQueries extends QuerySuite {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
         .orderBy("digest")),
 
+    // Duplicate-cluster SIZE histogram — the one-page dup-mass profile
+    // every dedup report leads with (is duplication a few mega
+    // clusters or a long tail of pairs? what fraction of the corpus
+    // evaporates on survivor-only retention?). Two keyed aggregates:
+    // digest → cluster size, size → cluster count; n_docs/n_dups are
+    // pure arithmetic on the histogram row. Output is bounded by the
+    // DISTINCT cluster sizes — at any corpus scale a few dozen rows.
+    "dedup_cluster_size_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1L) * col("n_clusters")).as("n_dups"))
+        .orderBy("cluster_size")),
+
     // Normalized exact dedup: casefold + whitespace-collapse + trim
     // BEFORE digesting — catches trivially-reformatted duplicates
     // (case changes, re-wrapped whitespace) that byte-exact dedup
@@ -1020,6 +1037,16 @@ object DedupQueries extends QuerySuite {
       """SELECT md5(text) AS digest, count(*) AS n_copies,
         |  min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "dedup_cluster_size_hist" ->
+      """WITH cl AS (
+        |  SELECT md5(text) AS digest, CAST(count(*) AS BIGINT)
+        |    AS cluster_size
+        |  FROM documents GROUP BY md5(text))
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dups
+        |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "dedup_normalized_groups" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))

@@ -49,6 +49,49 @@ object MiningQueries extends QuerySuite {
     * documents projection, no winnowing compute. */
   val BroadcastFpBudget = 10000000L
 
+  /** Shared per-doc bigram-LM aggregate: (doc_id, n_bigrams, sum_ppm)
+    * where each bigram scores its corpus conditional probability in
+    * [[LmScale]] fixed point. Model and scoring are key-partitioned
+    * joins over token-sized rows; document text never shuffles. Docs
+    * shorter than 2 words have no bigrams and drop out. Consumed by
+    * text_bigram_lm_score and text_ccnet_buckets. */
+  private def lmDocScores(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2 THEN
+          |  transform(sequence(1, size(ws)-1),
+          |    i -> struct(ws[i-1] AS w1, ws[i] AS w2))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .withColumn("ppm", expr(s"cb * $LmScale div cu"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("sum_ppm"))
+  }
+
+  /** SQL twin of [[lmDocScores]], ending in a
+    * `lm(doc_id, n_bigrams, sum_ppm)` CTE. */
+  private def lmDocScoresSqlCtes: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+       |  FROM ws WHERE len(w) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+       |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+       |sc AS (
+       |  SELECT bg.doc_id, (cb.cb * $LmScale) // cu.cu AS ppm
+       |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)),
+       |lm AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(ppm) AS BIGINT) AS sum_ppm
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
   /** Shared winnowing-fingerprint pipeline: (fps, nk) where fps =
     * (doc_id, fp_p, mh) — the selected fingerprint set — and nk =
     * per-doc k-gram counts. One explode to k-gram hashes, a W-way
@@ -294,24 +337,48 @@ object MiningQueries extends QuerySuite {
     // key-partitioned shuffle joins over token-sized rows, the
     // document text itself never shuffles. Docs shorter than 2 words
     // have no bigrams and drop out (none in this corpus).
-    "text_bigram_lm_score" -> ((s, d) => {
-      val bg = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(ws) >= 2 THEN
-            |  transform(sequence(1, size(ws)-1),
-            |    i -> struct(ws[i-1] AS w1, ws[i] AS w2))
-            |ELSE array() END""".stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-      bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
-        .withColumn("ppm", expr(s"cb * $LmScale div cu"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("sum_ppm"))
+    "text_bigram_lm_score" -> ((s, d) =>
+      lmDocScores(s, d)
         .withColumn("lm_score",
           col("sum_ppm").cast("double") / col("n_bigrams").cast("double"))
-        .orderBy("doc_id")
+        .select("doc_id", "n_bigrams", "sum_ppm", "lm_score")
+        .orderBy("doc_id")),
+
+    // CCNet-style quality bucketing (Wenzek et al. LREC'20): split
+    // each LANGUAGE's documents into head/middle/tail terciles by LM
+    // score — the standard curation triage that trains on the head,
+    // samples the middle, and drops the tail. The score is the bigram
+    // LM's integer fixed-point per-doc average (s = Σppm·1000 div n),
+    // so tercile THRESHOLDS come from exact rank selection over the
+    // per-language (score → count) value-count table — the
+    // stat_mann_whitney pattern — never an ntile window over raw
+    // docs: the only per-language window runs over distinct score
+    // values (bounded by doc count but tiny rows), and the threshold
+    // table that routes every doc is languages × 2 values, broadcast.
+    // t1/t2 are the smallest scores whose cumulative count reaches
+    // n/3 and 2n/3; buckets are closed on the left at those cuts, so
+    // every engine places boundary docs identically — pure integer
+    // compares end to end.
+    "text_ccnet_buckets" -> ((s, d) => {
+      val sc = lmDocScores(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn("s", expr("sum_ppm * 1000 div n_bigrams"))
+      val vc = sc.groupBy("lang", "s").agg(count(lit(1)).as("cnt"))
+      val cum = vc.withColumn("cum", sum("cnt").over(
+          Window.partitionBy("lang").orderBy("s")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+      val thr = cum.groupBy("lang").agg(
+        min(when(col("cum") * 3 >= col("n"), col("s"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("s"))).as("t2"))
+      sc.join(broadcast(thr), "lang")
+        .withColumn("bucket",
+          when(col("s") <= col("t1"), "tail")
+            .when(col("s") <= col("t2"), "middle")
+            .otherwise("head"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("s").as("min_s"), max("s").as("max_s"))
+        .orderBy("lang", "bucket")
     }),
 
     // Winnowing document fingerprints (Schleimer et al. SIGMOD'03 —
@@ -593,22 +660,37 @@ object MiningQueries extends QuerySuite {
          |FROM s2 ORDER BY doc_id""".stripMargin,
 
     "text_bigram_lm_score" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS w
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id,
-         |    unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
-         |  FROM ws WHERE len(w) >= 2),
-         |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
-         |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
-         |sc AS (
-         |  SELECT bg.doc_id, (cb.cb * $LmScale) // cu.cu AS ppm
-         |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1))
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(ppm) AS BIGINT) AS sum_ppm,
-         |  CAST(sum(ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm_score
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$lmDocScoresSqlCtes
+         |SELECT doc_id, n_bigrams, sum_ppm,
+         |  CAST(sum_ppm AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS lm_score
+         |FROM lm ORDER BY doc_id""".stripMargin,
+
+    "text_ccnet_buckets" ->
+      s"""$lmDocScoresSqlCtes,
+         |scd AS (
+         |  SELECT lm.doc_id, d.lang,
+         |    (lm.sum_ppm * 1000) // lm.n_bigrams AS s
+         |  FROM lm JOIN documents d USING (doc_id)),
+         |vc AS (SELECT lang, s, count(*) AS cnt
+         |       FROM scd GROUP BY lang, s),
+         |cum AS (
+         |  SELECT lang, s, cnt,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY s) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM vc),
+         |thr AS (
+         |  SELECT lang,
+         |    min(CASE WHEN cum * 3 >= n THEN s END) AS t1,
+         |    min(CASE WHEN cum * 3 >= n * 2 THEN s END) AS t2
+         |  FROM cum GROUP BY lang)
+         |SELECT scd.lang,
+         |  CASE WHEN s <= t1 THEN 'tail'
+         |       WHEN s <= t2 THEN 'middle'
+         |       ELSE 'head' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(s) AS BIGINT) AS min_s, CAST(max(s) AS BIGINT) AS max_s
+         |FROM scd JOIN thr USING (lang)
+         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "text_dsir_weights" ->
       s"""WITH $dsirSql

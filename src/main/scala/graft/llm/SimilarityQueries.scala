@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries extends QuerySuite {
 
   val TopK = 5
+
+  /** Cosine threshold for the radius search — below the near-dup band
+    * (0.9+) on purpose: the query exercises the unknown-cardinality
+    * selection, and this corpus' random background concentrates near
+    * 0, so τ=0.3 keeps a nonempty, still-selective answer at every
+    * tested scale factor. */
+  val RadiusTau = 0.3
   /** Deterministic centroid rule: every 50th vector. */
   val CentroidStride = 50
 
@@ -139,6 +146,31 @@ object SimilarityQueries extends QuerySuite {
     }),
 
     "sim_bruteforce_topk" -> (bruteTopk _),
+
+    // Radius (range) search — the "all neighbors within τ" dual of
+    // top-k, what near-duplicate retrieval and diversity filters ask
+    // for when the neighbor COUNT is unknown a priori. Same broadcast
+    // query-sample scan as the brute-force top-k, but the selection is
+    // a cosine threshold, not a rank: one corpus pass, a map-side
+    // filter, no per-query window at all — the result is however many
+    // rows clear τ. Both engines compute the identical double (the
+    // dot/norm kernels are the hash-matched ones from the top-k
+    // family), so the τ boundary cuts identically. At scale this is
+    // the exact-scan baseline; the LSH-bucketed variant
+    // (sim_lsh_topk's routing with this threshold) is the index path.
+    "sim_radius_search" -> ((s, d) => {
+      val e = corpus(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .filter(col("cos") >= RadiusTau)
+        .select("q_id", "vec_id", "cos")
+        .orderBy("q_id", "vec_id")
+    }),
 
     // MIPS (maximum inner product search) top-k — the retrieval-model
     // flavor where magnitude matters (recommendation/two-tower
@@ -613,6 +645,16 @@ object SimilarityQueries extends QuerySuite {
          |ORDER BY src, rk""".stripMargin,
 
     "sim_bruteforce_topk" -> bruteTopkSql,
+
+    "sim_radius_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10)
+         |SELECT q.q_id, e.vec_id,
+         |  ${cosSql("q.q_emb", "e.embedding")} AS cos
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> q.q_id
+         |  AND ${cosSql("q.q_emb", "e.embedding")} >= $RadiusTau
+         |ORDER BY q.q_id, e.vec_id""".stripMargin,
 
     "sim_mips_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb

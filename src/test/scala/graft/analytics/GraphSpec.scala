@@ -245,4 +245,32 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
     assert(got.toMap.apply(srcNode) === 0L)
   }
+
+  test("k-core membership equals an exact driver-side peel") {
+    val k = GraphQueries.KCoreK
+    val edges = GraphQueries.coSupplyEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sym = edges ++ edges.map { case (u, v) => (v, u) }
+    def degrees(nodes: Set[Long]): Map[Long, Long] = sym.toSeq
+      .filter { case (a, b) => nodes(a) && nodes(b) }
+      .groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var nodes = sym.toSeq.groupBy(_._1)
+      .collect { case (n, es) if es.size >= k => n }.toSet
+    var changed = true
+    while (changed) {
+      val next = degrees(nodes).collect {
+        case (n, dg) if dg >= k => n
+      }.toSet
+      changed = next != nodes
+      nodes = next
+    }
+    val expect = degrees(nodes)
+    val got = GraphQueries.queries("graph_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap === expect)
+    // core property: every member keeps ≥ k neighbors inside the core
+    assert(got.forall(_._2 >= k))
+    // output is ordered by node id (presentation contract)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+  }
 }

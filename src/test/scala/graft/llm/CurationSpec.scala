@@ -268,4 +268,27 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"vocab ranking must not funnel through one partition: $plan")
   }
+
+  test("filter sweep: one row per threshold, monotone, exact at the extremes") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("n_chars").collect().map(_.getLong(0))
+    val rows = CurationQueries.queries("text_filter_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq ===
+      CurationQueries.SweepThresholds.sorted)
+    // each row equals a direct recount at its threshold
+    for ((t, nd, nc, dppm, cppm) <- rows) {
+      val kept = docs.filter(_ >= t)
+      assert(nd == kept.length, s"t=$t docs")
+      assert(nc == kept.sum, s"t=$t chars")
+      assert(dppm == nd * 1000000L / docs.length)
+      assert(cppm == nc * 1000000L / docs.sum)
+    }
+    // retention is monotone non-increasing in the threshold
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted.reverse)
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted.reverse)
+  }
 }

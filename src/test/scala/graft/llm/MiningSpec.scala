@@ -39,4 +39,32 @@ class MiningSpec extends SparkSpec {
       .select(countDistinct("t")).head.getLong(0)
     assert(rows.last._2 == totTokens && rows.last._3 == totVocab)
   }
+
+  test("ccnet buckets: per-lang totals conserved, terciles bounded, value-ordered") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = MiningQueries.queries("text_ccnet_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val perLangDocs = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, bs) <- rows.groupBy(_._1)) {
+      val n = bs.map(_._3).sum
+      // every doc has ≥ 2 words in this corpus, so none drop out
+      assert(n == perLangDocs(lang), s"$lang: $n != ${perLangDocs(lang)}")
+      val byB = bs.map(b => b._2 -> b).toMap
+      // tercile cut rule: cum(t1)·3 ≥ n ⇒ tail·3 ≥ n; head·3 ≤ n
+      byB.get("tail").foreach(t => assert(t._3 * 3 >= n, s"$lang tail"))
+      byB.get("head").foreach(h => assert(h._3 * 3 <= n, s"$lang head"))
+      // buckets are value-contiguous: tail < middle < head by score
+      for {
+        lo <- byB.get("tail"); hi <- byB.get("middle")
+      } assert(lo._5 < hi._4, s"$lang tail/middle overlap")
+      for {
+        lo <- byB.get("middle"); hi <- byB.get("head")
+      } assert(lo._5 < hi._4, s"$lang middle/head overlap")
+    }
+  }
 }
