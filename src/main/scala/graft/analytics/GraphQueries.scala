@@ -74,16 +74,24 @@ object GraphQueries extends QuerySuite {
     * graph_triangles and graph_degree_census; SQL twin in both
     * oracles. */
   private[analytics] def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // Pair generation by per-order combination explode, not a basket
+    // self-join: ONE shuffle keys the lineitems on the order
+    // (collect_set dedups suppliers in the same pass the old version
+    // spent a distinct + count + join + self-join on), the C(k,2)
+    // fan-out happens map-side inside the ≤[[MaxBasket]] cap, and the
+    // only other shuffle is the (u, v) count. The transient per-order
+    // supplier set is bounded by the basket-size distribution — the
+    // cap drops oversized baskets immediately after collection, the
+    // same exposure class the old count-then-join had.
+    val pairCnt = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val small = li.groupBy("ok").agg(count(lit(1)).as("k"))
-      .filter(col("k") <= MaxBasket).select("ok")
-    val basket = li.join(small, "ok")
-    val pairCnt = basket.as("a")
-      .join(basket.as("b"), col("a.ok") === col("b.ok") &&
-        col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .groupBy("ok").agg(sort_array(collect_set("sk")).as("ss"))
+      .filter(size(col("ss")) <= MaxBasket)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val tot = pairCnt.agg(sum("cnt").as("total"),
       count(lit(1)).as("n_pairs"))
