@@ -391,6 +391,12 @@ object GraphQueries extends QuerySuite {
         // dst is the higher-(deg,id) endpoint, so its degree is the
         // max of the two (also right on ties, where both are equal)
         greatest(col("du"), col("dv")).as("ddst"))
+      // wedge enumeration stays a self-join on src (NOT the
+      // coSupplyEdges combination-explode trick: measured 6.5 -> 10.5 s
+      // at sf0.1 — the wedge fan is ~10x the basket fan, and paying a
+      // collect_list sort per src to save one reused exchange loses;
+      // ReuseExchange already shares the oriented build between the
+      // join sides)
       val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.ddst") < col("e2.ddst") ||
