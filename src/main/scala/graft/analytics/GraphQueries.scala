@@ -346,6 +346,37 @@ object GraphQueries extends QuerySuite {
         .orderBy("node")
     }),
 
+    // Degree assortativity (Newman PRL'02) of the strong co-supply
+    // graph: the Pearson correlation of endpoint degrees over edges —
+    // do hubs trade with hubs (assortative, r > 0) or with leaves
+    // (disassortative, r < 0)? Decides whether hub-caps / skew salting
+    // will matter downstream. Exact integer moments over the
+    // symmetrized edge list (S1 = Σ j·k, S2 = Σ j, S3 = Σ j²; by
+    // symmetry the j- and k-marginals coincide), ONE double division:
+    // r = (M·S1 − S2²) / (M·S3 − S2²). Integer headroom: with max
+    // degree D and M sym-edges, M·S1 ≤ M²·D² — fine to M ≈ 10^7 at
+    // D ≈ 10^4; a bigger graph moves the moments to ppb fixed point
+    // the way stat_chi_square does. Shapes: one deg aggregate, two
+    // keyed joins edge⋈deg, one scalar aggregate.
+    "graph_assortativity" -> ((s, d) => {
+      val e0 = coSupplyEdges(s, d)
+      val sym = e0.select(col("u").as("a"), col("v").as("b"))
+        .union(e0.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("dg"))
+      sym
+        .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+        .agg(count(lit(1)).as("m"),
+          sum(col("da") * col("db")).as("s1"),
+          sum(col("da")).as("s2"),
+          sum(col("da") * col("da")).as("s3"))
+        .select(col("m").as("n_edges_sym"),
+          ((col("m") * col("s1") - col("s2") * col("s2")).cast("double") /
+            (col("m") * col("s3") - col("s2") * col("s2")).cast("double"))
+            .as("assortativity"))
+    }),
+
     "graph_degree_census" -> ((s, d) => {
       val edges = coSupplyEdges(s, d)
       edges.select(col("u").as("node"))
@@ -561,6 +592,25 @@ object GraphQueries extends QuerySuite {
          |SELECT node, CAST(dg AS BIGINT) AS core_deg
          |FROM d$MaxPeelRounds WHERE dg >= $KCoreK ORDER BY node""".stripMargin
     },
+
+    "graph_assortativity" ->
+      s"""$coSupplyEdgesSqlCtes,
+         |sym AS (SELECT u AS a, v AS b FROM edges
+         |        UNION ALL SELECT v AS a, u AS b FROM edges),
+         |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS dg
+         |        FROM sym GROUP BY a),
+         |mom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(da.dg * db.dg) AS BIGINT) AS s1,
+         |    CAST(sum(da.dg) AS BIGINT) AS s2,
+         |    CAST(sum(da.dg * da.dg) AS BIGINT) AS s3
+         |  FROM sym
+         |  JOIN deg da ON da.node = sym.a
+         |  JOIN deg db ON db.node = sym.b)
+         |SELECT m AS n_edges_sym,
+         |  CAST(m * s1 - s2 * s2 AS DOUBLE) /
+         |    CAST(m * s3 - s2 * s2 AS DOUBLE) AS assortativity
+         |FROM mom""".stripMargin,
 
     "graph_degree_census" ->
       s"""$coSupplyEdgesSqlCtes,

@@ -50,6 +50,13 @@ object InsightQueries extends QuerySuite {
   /** Deterministic result cap for ranked pair outputs. */
   private val TopPairs = 200
 
+  /** Bootstrap resample count and the 2.5% / 97.5% rank statistics of
+    * the sorted resample means (1-based; ceil(0.025·B) and
+    * B − ceil(0.025·B) + 1). */
+  private[analytics] val BootB = 200L
+  private[analytics] val BootLoRank = 5L
+  private[analytics] val BootHiRank = 196L
+
   private def dayCol(ts: Column): Column =
     floor(unix_timestamp(ts) / 86400L).cast("long")
 
@@ -490,6 +497,53 @@ object InsightQueries extends QuerySuite {
     // accumulator). α=β=½ keeps every smoothing multiply exact. The
     // collected array is day-count-sized (calendar-bounded, per the
     // pareto/day-window argument), grouped per type — never raw rows.
+    // Bootstrap confidence interval for the mean DAILY revenue-event
+    // total — the uncertainty band a metrics pipeline attaches to its
+    // headline number. Classic multinomial day-resampling (Efron '79),
+    // made engine-exact by DERIVING every draw from xxhash64: resample
+    // b picks day pmod(xxhash64("b:j"), n) for j < n, so both engines
+    // rebuild the identical [[BootB]] resamples (the XxhSql replay —
+    // the same machinery that hash-checks the MinHash family). All
+    // resample sums are integer cents; the CI bounds are rank
+    // statistics ([[BootLoRank]]/[[BootHiRank]] of the sorted means)
+    // with a single final division each. Scale shape: the grid is
+    // B·n_days rows (calendar-bounded, NOT data-bounded), the pick
+    // join keys on the day index, and the only windows run over the
+    // n-day and B-row tables.
+    "stat_bootstrap_ci" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val idx = daily.withColumn("i",
+        (row_number().over(Window.orderBy("od")) - 1).cast("long"))
+      val nn = idx.agg(count(lit(1)).as("n"),
+        sum("yc").as("tot_c"))
+      val picks = s.range(BootB).select(col("id").as("b"))
+        .crossJoin(broadcast(nn))
+        .select(col("b"), col("n"), col("tot_c"),
+          explode(expr("sequence(0L, n - 1)")).as("j"))
+        .withColumn("di", pmod(xxhash64(
+          concat(col("b").cast("string"), lit(":"),
+            col("j").cast("string"))), col("n")))
+      val means = picks
+        .join(idx.select(col("i").as("di"), col("yc")), "di")
+        .groupBy("b", "n", "tot_c").agg(sum("yc").as("syc"))
+      means
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("syc"), col("b"))))
+        .groupBy("n", "tot_c").agg(
+          min(when(col("rk") === BootLoRank, col("syc"))).as("lo_c"),
+          min(when(col("rk") === BootHiRank, col("syc"))).as("hi_c"))
+        .select(col("n").as("n_days"), lit(BootB).as("n_boot"),
+          (col("tot_c").cast("double") /
+            (col("n") * 100L).cast("double")).as("mean_daily"),
+          (col("lo_c").cast("double") /
+            (col("n") * 100L).cast("double")).as("ci_lo"),
+          (col("hi_c").cast("double") /
+            (col("n") * 100L).cast("double")).as("ci_hi"))
+    }),
+
     // MASE (Hyndman & Koehler '06) of the SEASONAL-naive forecast
     // (weekly period) against the plain-naive baseline, per event
     // type — the scale-free forecast-accuracy metric that makes
@@ -916,6 +970,42 @@ object InsightQueries extends QuerySuite {
     // (b reads l) sees the CURRENT step's already-written value from
     // the second application on. An explicit recursive CTE steps the
     // same recursion with correct old-value semantics.
+    "stat_bootstrap_ci" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+         |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+         |      AS yc
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+         |idx AS (
+         |  SELECT od, yc,
+         |    CAST(row_number() OVER (ORDER BY od) - 1 AS BIGINT) AS i
+         |  FROM daily),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(yc) AS BIGINT) AS tot_c FROM idx),
+         |gsrc AS (
+         |  SELECT b.b, x.i AS j,
+         |    CAST(b.b AS VARCHAR) || ':' || CAST(x.i AS VARCHAR) AS s0
+         |  FROM range(0, $BootB) b(b), idx x),
+         |${graft.llm.XxhSql.ctes("gsrc", Seq("b", "j"), "s0", "gh")},
+         |picks AS (
+         |  SELECT g.b, ((g.hv % nn.n) + nn.n) % nn.n AS di
+         |  FROM gh_out g, nn),
+         |means AS (
+         |  SELECT p.b, CAST(sum(x.yc) AS BIGINT) AS syc
+         |  FROM picks p JOIN idx x ON x.i = p.di
+         |  GROUP BY p.b),
+         |ranked AS (
+         |  SELECT syc, row_number() OVER (ORDER BY syc, b) AS rk
+         |  FROM means)
+         |SELECT nn.n AS n_days, CAST($BootB AS BIGINT) AS n_boot,
+         |  CAST(nn.tot_c AS DOUBLE) / CAST(nn.n * 100 AS DOUBLE)
+         |    AS mean_daily,
+         |  CAST(l.syc AS DOUBLE) / CAST(nn.n * 100 AS DOUBLE) AS ci_lo,
+         |  CAST(h.syc AS DOUBLE) / CAST(nn.n * 100 AS DOUBLE) AS ci_hi
+         |FROM nn,
+         |  (SELECT syc FROM ranked WHERE rk = $BootLoRank) l,
+         |  (SELECT syc FROM ranked WHERE rk = $BootHiRank) h""".stripMargin,
+
     "ts_mase_naive" ->
       """WITH daily AS (
         |  SELECT event_type,

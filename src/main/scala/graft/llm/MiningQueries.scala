@@ -49,6 +49,13 @@ object MiningQueries extends QuerySuite {
     * documents projection, no winnowing compute. */
   val BroadcastFpBudget = 10000000L
 
+  /** Fingerprint fan cap for the source-overlap pair join: an fp
+    * present in more sources than this is boilerplate, carries no
+    * pairwise-leakage signal, and would emit C(n,2) pairs — dropped
+    * from pair generation (the MaxFanout / prefix-filter cap
+    * pattern). */
+  val MaxFpSources = 64L
+
   /** Shared per-doc bigram-LM aggregate: (doc_id, n_bigrams, sum_ppm)
     * where each bigram scores its corpus conditional probability in
     * [[LmScale]] fixed point. Model and scoring are key-partitioned
@@ -395,6 +402,35 @@ object MiningQueries extends QuerySuite {
     // summary digests the fingerprint SET (count + XOR + positions)
     // so the driver hash pins every selected fingerprint without
     // megabyte rows.
+    // Cross-SOURCE content leakage matrix: for every source pair, how
+    // many distinct winnowing fingerprints they share — the audit
+    // that catches one feed mirroring another (scraped re-posts,
+    // aggregator duplication) before mixture planning double-counts
+    // the shared text. Same fingerprint key join as contamination
+    // detection, lifted to the source level: fps collapse to DISTINCT
+    // (source, fp) first (a source re-using its own boilerplate
+    // contributes once), fingerprints shared by more than
+    // [[MaxFpSources]] sources are dropped as boilerplate hubs (the
+    // prefix-filter/MaxFanout cap pattern — a universal header would
+    // otherwise emit C(n_sources, 2) pairs per fp), and the pair join
+    // keys on the fingerprint value. Output is bounded by source
+    // pairs, never corpus size.
+    "text_source_overlap" -> ((s, d) => {
+      val (fps, _) = winnowed(s, d)
+      val srcFp = fps
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("source", "mh").distinct()
+      val fanOk = srcFp.groupBy("mh").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") <= MaxFpSources).select("mh")
+      val capped = srcFp.join(fanOk, Seq("mh"), "left_semi")
+      capped.as("a").join(capped.as("b"),
+          col("a.mh") === col("b.mh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_fps"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "text_winnowing" -> ((s, d) => {
       val (fps, nk) = winnowed(s, d)
       nk.join(fps.groupBy("doc_id").agg(
@@ -706,6 +742,19 @@ object MiningQueries extends QuerySuite {
          |  FROM dsw JOIN documents d USING (doc_id))
          |SELECT source, rk, doc_id, dsir_score FROM src
          |WHERE rk <= $DsirTopK ORDER BY source, rk""".stripMargin,
+
+    "text_source_overlap" ->
+      s"""WITH $winnowFpsSql,
+         |sfp AS (
+         |  SELECT DISTINCT d.source, f.mh
+         |  FROM fps f JOIN documents d USING (doc_id)),
+         |fok AS (SELECT mh FROM sfp GROUP BY mh
+         |        HAVING count(*) <= $MaxFpSources),
+         |cap AS (SELECT sfp.source, sfp.mh FROM sfp JOIN fok USING (mh))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_fps
+         |FROM cap a JOIN cap b ON a.mh = b.mh AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     "text_winnowing" ->
       s"""WITH $winnowFpsSql,
