@@ -235,11 +235,18 @@ object GraphQueries extends QuerySuite {
       val degC = cs.groupBy("c").agg(count(lit(1)).as("nc"))
       val fanOk = cs.groupBy("sp").agg(count(lit(1)).as("nf"))
         .filter(col("nf") <= MaxFanout).select("sp")
-      val capped = cs.join(fanOk, Seq("sp"), "left_semi")
-      val pairs = capped.select(col("sp"), col("c").as("c1"))
-        .join(capped.select(col("sp"), col("c").as("c2")), Seq("sp"))
-        .filter(col("c1") < col("c2"))
-        .groupBy("c1", "c2").agg(count(lit(1)).as("n_common"))
+      // wedge generation by per-part combination explode — the cap
+      // bounds the collected list at MaxFanout, so C(k,2) ordered
+      // pairs stream out map-side instead of the k² self-join rows
+      // the old filter discarded half of (the coSupplyEdges trick)
+      val pairs = cs.join(fanOk, Seq("sp"), "left_semi")
+        .groupBy("sp").agg(sort_array(collect_list("c")).as("cc"))
+        .select(explode(expr(
+          """flatten(transform(cc, (x, i) ->
+            |  transform(slice(cc, i + 2, size(cc)),
+            |    y -> struct(x AS c1, y AS c2))))""".stripMargin)).as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(count(lit(1)).as("n_common"))
         .filter(col("n_common") >= MinCommon)
       pairs
         .join(degC.select(col("c").as("c1"), col("nc").as("n1")), "c1")

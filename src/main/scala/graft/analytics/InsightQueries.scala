@@ -402,14 +402,23 @@ object InsightQueries extends QuerySuite {
         .select(col("o_custkey").cast("long").as("c"),
           col("l_partkey").cast("long").as("sp"))
         .distinct()
-      val fan = cs.groupBy("sp").agg(count(lit(1)).as("nf"))
-        .filter(col("nf") <= GraphQueries.MaxFanout)
-      val capped = cs.join(fan, Seq("sp"))
-        .select(col("sp"), col("c"), expr("1000000000L div nf").as("inv_ppb"))
-      capped.select(col("sp"), col("c").as("cust_a"), col("inv_ppb"))
-        .join(capped.select(col("sp"), col("c").as("cust_b")), Seq("sp"))
-        .filter(col("cust_a") < col("cust_b"))
-        .groupBy("cust_a", "cust_b")
+      // wedge generation by per-part combination explode (the
+      // coSupplyEdges trick — valid here because the fan CAP bounds
+      // the collected list at MaxFanout): the fan-count pass gates
+      // which parts may collect, the capped collect_list emits
+      // C(k,2) ordered pairs map-side instead of the k² join rows
+      // the self-join filtered after the fact. Measured warm minima
+      // ~10 s → ~4 s at sf0.1 (same-window A/B).
+      val fanOk = cs.groupBy("sp").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") <= GraphQueries.MaxFanout).select("sp")
+      cs.join(fanOk, Seq("sp"), "left_semi")
+        .groupBy("sp").agg(sort_array(collect_list("c")).as("cc"))
+        .select(expr("1000000000L div size(cc)").as("inv_ppb"),
+          explode(expr(
+            """flatten(transform(cc, (x, i) ->
+              |  transform(slice(cc, i + 2, size(cc)),
+              |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("cust_a"), col("p.b").as("cust_b"))
         .agg(count(lit(1)).as("n_common"), sum("inv_ppb").as("ra_ppb"))
         .filter(col("n_common") >= GraphQueries.MinCommon)
         .orderBy(desc("ra_ppb"), col("cust_a"), col("cust_b"))
