@@ -506,6 +506,37 @@ object InsightQueries extends QuerySuite {
     // accumulator). α=β=½ keeps every smoothing multiply exact. The
     // collected array is day-count-sized (calendar-bounded, per the
     // pareto/day-window argument), grouped per type — never raw rows.
+    // Classical additive seasonal decomposition (the moving-average
+    // method every textbook opens with): detrend the daily series
+    // with a CENTERED 7-day moving sum, then average the detrended
+    // residual by day-of-week — the weekly seasonal profile net of
+    // trend, which the raw dow means (ts_seasonality_profile)
+    // conflate with growth. Exactness: the MA stays a SUM (×7 instead
+    // of /7 — detrended_x7 = 7·y − Σwindow, pure integers), only the
+    // per-dow mean divides, once. Edge days without a full 7-day
+    // window drop (both engines count the same ROWS frame). The only
+    // unpartitioned window runs over the DAY table — calendar-bounded.
+    "ts_classical_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val w = Window.orderBy("od").rowsBetween(-3, 3)
+      daily
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("tsum", sum("yc").over(w))
+        .filter(col("wn") === 7)
+        .select(((col("od") + 4L) % 7L).as("dow"),
+          (col("yc") * 7L - col("tsum")).as("det7"))
+        .groupBy("dow").agg(
+          count(lit(1)).as("n_days"),
+          sum("det7").as("s7"))
+        .select(col("dow"), col("n_days"),
+          (col("s7").cast("double") /
+            (col("n_days") * 700L).cast("double")).as("seasonal"))
+        .orderBy("dow")
+    }),
+
     // Bootstrap confidence interval for the mean DAILY revenue-event
     // total — the uncertainty band a metrics pipeline attaches to its
     // headline number. Classic multinomial day-resampling (Efron '79),
@@ -979,6 +1010,27 @@ object InsightQueries extends QuerySuite {
     // (b reads l) sees the CURRENT step's already-written value from
     // the second application on. An explicit recursive CTE steps the
     // same recursion with correct old-value semantics.
+    "ts_classical_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+        |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS yc
+        |  FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+        |ma AS (
+        |  SELECT od, yc,
+        |    CAST(count(*) OVER w AS BIGINT) AS wn,
+        |    CAST(sum(yc) OVER w AS BIGINT) AS tsum
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY od
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT (od + 4) % 7 AS dow, yc * 7 - tsum AS det7
+        |  FROM ma WHERE wn = 7)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(det7) AS DOUBLE) /
+        |    CAST(count(*) * 700 AS DOUBLE) AS seasonal
+        |FROM det GROUP BY dow ORDER BY dow""".stripMargin,
+
     "stat_bootstrap_ci" ->
       s"""WITH daily AS (
          |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,

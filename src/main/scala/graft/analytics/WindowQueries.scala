@@ -25,6 +25,34 @@ object WindowQueries extends QuerySuite {
   private def epochS(c: String) = unix_timestamp(col(c))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OHLC downsampling — the canonical time-series resample (open /
+    // high / low / close per bucket) that turns a raw tick stream
+    // into the bar series every monitoring or charting consumer
+    // reads. One groupBy over (type, hour): open/close are struct
+    // min/max over the (μs, event_id, value) total order — an argmin
+    // without a per-bucket window — and the whole bar is integer
+    // cents until one final /100.0 per column. The oracle replays the
+    // same total order with rank-1 windows. Buckets are
+    // calendar-bounded; nothing global.
+    "window_ohlc_hourly" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("hr"),
+          unix_micros(col("ts")).as("tu"), col("event_id"),
+          cents(col("value")).as("xc"))
+      ev.groupBy("event_type", "hr").agg(
+          count(lit(1)).as("n_events"),
+          min(struct(col("tu"), col("event_id"), col("xc"))).as("os"),
+          max(struct(col("tu"), col("event_id"), col("xc"))).as("cs"),
+          max("xc").as("hc"), min("xc").as("lc"))
+        .select(col("event_type"), col("hr"), col("n_events"),
+          (col("os.xc") / 100.0).as("open"),
+          (col("hc") / 100.0).as("high"),
+          (col("lc") / 100.0).as("low"),
+          (col("cs.xc") / 100.0).as("close"))
+        .orderBy("event_type", "hr")
+    }),
+
     // 7-day ROLLING EXACT MEDIAN of daily totals per event type — the
     // robust smoother (one outlier day shifts a rolling mean for a
     // week; the median shrugs). Spark has no median window function;
@@ -411,6 +439,28 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "window_ohlc_hourly" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+        |    epoch_us(ts) AS tu, event_id,
+        |    CAST(round("value" * 100) AS BIGINT) AS xc
+        |  FROM events WHERE "value" IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tu, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tu DESC, event_id DESC) AS rd
+        |  FROM ev)
+        |SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(CASE WHEN ra = 1 THEN xc END) / 100.0 AS open,
+        |  max(xc) / 100.0 AS high,
+        |  min(xc) / 100.0 AS low,
+        |  max(CASE WHEN rd = 1 THEN xc END) / 100.0 AS close
+        |FROM r GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin,
+
     "window_streak_lengths" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
