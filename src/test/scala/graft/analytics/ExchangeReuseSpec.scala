@@ -8,8 +8,8 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * graph queries single-pass WITHOUT explicit caching: coSupplyEdges
   * consumes its pair-count aggregate twice (threshold broadcast +
   * main filter) and graph_common_neighbors consumes its distinct
-  * (customer, part) projection four times (degrees, fan-cap, both
-  * join sides) — Catalyst dedupes the identical exchange subtrees
+  * (customer, part) projection three times (degrees, fan-cap, the
+  * capped collect) — Catalyst dedupes the identical exchange subtrees
   * into ReusedExchange, so the expensive shuffle is produced once and
   * READ many times. A measured A/B confirmed an explicit .persist()
   * is strictly worse here (adds cache serialization and splits the
@@ -59,5 +59,19 @@ class ExchangeReuseSpec extends SparkSpec {
 
   test("graph_common_neighbors reuses the (customer, part) projection exchange") {
     assert(reusedCount("graph_common_neighbors") >= 1)
+  }
+
+  test("wedge/pair generation is a map-side explode, not a pair self-join") {
+    // the capped combination-explode rewrites (coSupplyEdges,
+    // graph_common_neighbors, graph_resource_alloc) must keep their
+    // C(k,2) fan inside a Generate — a regression back to a k² join
+    // shows up as the Generate disappearing from the plan
+    for (q <- Seq("graph_degree_census", "graph_common_neighbors",
+        "graph_resource_alloc")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Generate explode"),
+        s"$q lost its combination-explode wedge stage:\n$plan")
+    }
   }
 }
