@@ -561,6 +561,11 @@ object InsightQueries extends QuerySuite {
         sum("yc").as("tot_c"))
       val picks = s.range(BootB).select(col("id").as("b"))
         .crossJoin(broadcast(nn))
+        // n > 0 guard: on an empty series, sequence(0, -1) would step
+        // BACKWARDS (Spark defaults step to -1 when start > stop) and
+        // pmod(·, 0) would raise under ANSI — an empty day table must
+        // yield an empty result, not a crash
+        .filter(col("n") > 0L)
         .select(col("b"), col("n"), col("tot_c"),
           explode(expr("sequence(0L, n - 1)")).as("j"))
         .withColumn("di", pmod(xxhash64(

@@ -108,9 +108,17 @@ object CurationQueries extends QuerySuite {
           expr(s"stack(${SweepThresholds.size}, $stacked) " +
             "AS (min_chars, n_docs, n_chars_kept)"),
           col("n_all"), col("c_all"))
-        .select(col("min_chars"), col("n_docs"), col("n_chars_kept"),
-          expr("n_docs * 1000000 div n_all").as("docs_ppm"),
-          expr("n_chars_kept * 1000000 div c_all").as("chars_ppm"))
+        .select(col("min_chars"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_chars_kept"), lit(0L)).as("n_chars_kept"),
+          // zero-fill on an empty corpus (ANSI div-by-zero guard; the
+          // dq_null_profile empty-input convention)
+          when(col("n_all") > 0L,
+            expr("n_docs * 1000000 div n_all")).otherwise(0L)
+            .as("docs_ppm"),
+          when(coalesce(col("c_all"), lit(0L)) > 0L,
+            expr("n_chars_kept * 1000000 div c_all")).otherwise(0L)
+            .as("chars_ppm"))
         .orderBy("min_chars")
     }),
 
@@ -520,9 +528,13 @@ object CurationQueries extends QuerySuite {
          |    CAST(sum(CASE WHEN d.n_chars >= g.min_chars
          |             THEN d.n_chars ELSE 0 END) AS BIGINT) AS n_chars_kept
          |  FROM documents d CROSS JOIN g GROUP BY g.min_chars)
-         |SELECT min_chars, n_docs, n_chars_kept,
-         |  CAST(n_docs * 1000000 // n_all AS BIGINT) AS docs_ppm,
-         |  CAST(n_chars_kept * 1000000 // c_all AS BIGINT) AS chars_ppm
+         |SELECT min_chars, n_docs, coalesce(n_chars_kept, 0) AS n_chars_kept,
+         |  CAST(CASE WHEN n_all > 0
+         |       THEN n_docs * 1000000 // n_all ELSE 0 END
+         |    AS BIGINT) AS docs_ppm,
+         |  CAST(CASE WHEN coalesce(c_all, 0) > 0
+         |       THEN n_chars_kept * 1000000 // c_all ELSE 0 END
+         |    AS BIGINT) AS chars_ppm
          |FROM k, tot ORDER BY min_chars""".stripMargin
     },
 

@@ -110,6 +110,44 @@ class EmptyInputSpec extends SparkSpec {
       r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
   }
 
+  test("round-7b additions survive empty tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty6").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    Seq.empty[(Long, Long, String, Double, java.sql.Date, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long, Long, Double, Double, java.sql.Date, String, String)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_shipdate", "l_returnflag", "l_linestatus")
+      .repartition(1).write.parquet(s"$dir/lineitem.parquet")
+    for (q <- Seq("ts_mase_naive", "ts_classical_decompose",
+        "window_ohlc_hourly", "stat_bootstrap_ci", "text_ccnet_buckets",
+        "text_source_overlap", "dedup_cluster_size_hist",
+        "sim_radius_search", "graph_kcore")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+      assert(out.count() == 0L, s"$q must be empty, not crash")
+    }
+    // the sweep keeps one row per threshold (global aggregate), zeros
+    val sweep = SparkEntry.queries("text_filter_sweep")(spark, dir)
+      .collect()
+    assert(sweep.length == 5 && sweep.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L && r.getLong(4) == 0L))
+    // assortativity degenerates to a single all-null-moment row
+    val as = SparkEntry.queries("graph_assortativity")(spark, dir)
+      .collect()
+    assert(as.length == 1 && as(0).getLong(0) == 0L)
+  }
+
   test("pivot_unpivot_roundtrip derives the status domain from the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
     // a status outside the usual {F, O, P} domain must survive
