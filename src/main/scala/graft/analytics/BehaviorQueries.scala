@@ -19,12 +19,58 @@ import org.apache.spark.sql.functions._
   */
 object BehaviorQueries extends QuerySuite {
 
+  /** Attribution lookback: clicks within this many seconds before a
+    * purchase get the credit. */
+  val AttribWindowSec = 3600L
+
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("user_id"), col("event_type"), col("event_id"),
       unix_timestamp(col("ts")).as("sec"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Last-hour click attribution — the marketing staple: credit each
+    // purchase to the clicks in the preceding [[AttribWindowSec]]
+    // seconds by the same user. The purchase⋈click range join is
+    // BANDED to hour buckets (each purchase probes its own and the
+    // previous hour bucket, the join_interval_overlap discipline), so
+    // the equi-join keys on (user, hour-band) and the time predicate
+    // is a residual filter — never a theta join over raw events. The
+    // oracle IS the naive theta join: the hash match proves band
+    // coverage is exact (a window of W seconds spans at most
+    // ceil(W/3600)+1 hour buckets). Output is per-user integer
+    // counts/cents.
+    "behavior_attribution" -> ((s, d) => {
+      val base = Tables.events(s, d)
+      val purch = base
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_timestamp(col("ts")).as("pt"),
+          Exact.cents(col("value")).as("vc"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ct"))
+        .withColumn("hb", expr("ct div 3600"))
+      val probes = purch.withColumn("hb",
+        explode(sequence(expr(s"(pt - $AttribWindowSec) div 3600"),
+          expr("pt div 3600"))))
+      val touched = probes.join(clicks, Seq("user_id", "hb"))
+        .filter(col("ct") > col("pt") - AttribWindowSec &&
+          col("ct") <= col("pt"))
+        .groupBy("user_id", "pid", "vc")
+        .agg(count(lit(1)).as("n_touches"))
+      purch.join(touched.select(col("pid"), col("n_touches")),
+          Seq("pid"), "left")
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("n_touches").isNotNull, 1L).otherwise(0L))
+            .as("n_attributed"),
+          sum(when(col("n_touches").isNotNull, col("vc")).otherwise(0L))
+            .as("attributed_cents"),
+          sum(coalesce(col("n_touches"), lit(0L))).as("n_click_touches"))
+        .filter(col("n_attributed") > 0L)
+        .orderBy("user_id")
+    }),
+
     // Conversion funnel view -> click -> purchase: a user advances a
     // stage only with an event STRICTLY after their previous-stage
     // entry. Joins are user-keyed aggregates of the already-reduced
@@ -238,6 +284,35 @@ object BehaviorQueries extends QuerySuite {
   private val secSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "behavior_attribution" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id AS pid,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS pt,
+         |    CAST(round("value" * 100) AS BIGINT) AS vc
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND "value" IS NOT NULL),
+         |c AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ct
+         |  FROM events WHERE event_type = 'click'),
+         |t AS (
+         |  SELECT p.user_id, p.pid, p.vc, CAST(count(*) AS BIGINT)
+         |    AS n_touches
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND c.ct > p.pt - $AttribWindowSec AND c.ct <= p.pt
+         |  GROUP BY 1, 2, 3)
+         |SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(sum(CASE WHEN t.n_touches IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+         |  CAST(sum(CASE WHEN t.n_touches IS NOT NULL
+         |           THEN p.vc ELSE 0 END) AS BIGINT) AS attributed_cents,
+         |  CAST(sum(coalesce(t.n_touches, 0)) AS BIGINT)
+         |    AS n_click_touches
+         |FROM p LEFT JOIN t ON t.pid = p.pid
+         |GROUP BY p.user_id
+         |HAVING sum(CASE WHEN t.n_touches IS NOT NULL
+         |           THEN 1 ELSE 0 END) > 0
+         |ORDER BY p.user_id""".stripMargin,
+
     "funnel_stages" ->
       s"""WITH e AS (SELECT user_id, event_type, $secSql AS sec FROM events),
          |v AS (SELECT user_id, min(sec) AS v_sec FROM e
