@@ -94,6 +94,44 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("stage")
     }),
 
+    // Funnel latency quartiles — not just HOW MANY users convert
+    // (funnel_stages) but HOW FAST: exact p25/p50/p75 of the
+    // stage-to-stage delay, per transition, by rank selection over
+    // the (transition, delay)-count table — the stat_percentile_cont
+    // discipline, so the only windows run over distinct delay values.
+    // Quartile convention: smallest delay whose cumulative count
+    // reaches ⌈n·q⌉ (cum·k ≥ n integer compares — no float ranks).
+    "funnel_latency_quantiles" -> ((s, d) => {
+      val e = ev(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("sec").as("v_sec"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("sec") > col("v_sec"))
+        .groupBy("user_id").agg(min("sec").as("c_sec"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("sec") > col("c_sec"))
+        .groupBy("user_id").agg(min("sec").as("p_sec"))
+      val d1 = c.join(v, "user_id")
+        .select(lit("1_view_to_click").as("transition"),
+          (col("c_sec") - col("v_sec")).as("dsec"))
+      val d2 = p.join(c, "user_id")
+        .select(lit("2_click_to_purchase").as("transition"),
+          (col("p_sec") - col("c_sec")).as("dsec"))
+      val vc = d1.union(d2).groupBy("transition", "dsec")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = vc
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("transition").orderBy("dsec")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("transition")))
+      cum.groupBy("transition").agg(
+          max("n").as("n_users"),
+          min(when(col("cum") * 4 >= col("n"), col("dsec"))).as("p25_sec"),
+          min(when(col("cum") * 2 >= col("n"), col("dsec"))).as("p50_sec"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("dsec")))
+            .as("p75_sec"))
+        .orderBy("transition")
+    }),
+
     // Monthly stickiness (avg-DAU / MAU): the engagement ratio product
     // teams track — what fraction of a month's users show up on an
     // average day. All counts are exact distincts over the slim
@@ -312,6 +350,42 @@ object BehaviorQueries extends QuerySuite {
          |HAVING sum(CASE WHEN t.n_touches IS NOT NULL
          |           THEN 1 ELSE 0 END) > 0
          |ORDER BY p.user_id""".stripMargin,
+
+    "funnel_latency_quantiles" ->
+      s"""WITH e AS (SELECT user_id, event_type, $secSql AS sec FROM events),
+         |v AS (SELECT user_id, min(sec) AS v_sec FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.sec) AS c_sec
+         |      FROM e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.sec > v.v_sec
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.sec) AS p_sec
+         |      FROM e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.sec > c.c_sec
+         |      GROUP BY e.user_id),
+         |ds AS (
+         |  SELECT '1_view_to_click' AS transition,
+         |    c.c_sec - v.v_sec AS dsec
+         |  FROM c JOIN v USING (user_id)
+         |  UNION ALL
+         |  SELECT '2_click_to_purchase' AS transition,
+         |    p.p_sec - c.c_sec AS dsec
+         |  FROM p JOIN c USING (user_id)),
+         |vc AS (SELECT transition, dsec, count(*) AS cnt
+         |       FROM ds GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT transition, dsec,
+         |    sum(cnt) OVER (PARTITION BY transition ORDER BY dsec) AS cum,
+         |    sum(cnt) OVER (PARTITION BY transition) AS n
+         |  FROM vc)
+         |SELECT transition, CAST(max(n) AS BIGINT) AS n_users,
+         |  CAST(min(CASE WHEN cum * 4 >= n THEN dsec END) AS BIGINT)
+         |    AS p25_sec,
+         |  CAST(min(CASE WHEN cum * 2 >= n THEN dsec END) AS BIGINT)
+         |    AS p50_sec,
+         |  CAST(min(CASE WHEN cum * 4 >= n * 3 THEN dsec END) AS BIGINT)
+         |    AS p75_sec
+         |FROM cum GROUP BY transition ORDER BY transition""".stripMargin,
 
     "funnel_stages" ->
       s"""WITH e AS (SELECT user_id, event_type, $secSql AS sec FROM events),

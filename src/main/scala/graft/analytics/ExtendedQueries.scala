@@ -393,6 +393,25 @@ object ExtendedQueries extends QuerySuite {
     // hottest key rides the same pass as a deterministic struct-max —
     // (n, -k) orders by count then lower key, so ties break exactly
     // like the oracle's min(k)-among-argmax.
+    // Sequence-gap audit — the ingest-completeness check on a
+    // monotonically-assigned id column: bucket the id space into
+    // fixed-width ranges and report, per bucket, ids present vs the
+    // bucket's covered span (max−min+1) — a bucket whose present
+    // count falls short has holes (dropped ingest batches, failed
+    // writes). One scan, one keyed aggregate over bucket ids —
+    // bounded by id-space/width, never row count. The ids are assumed
+    // unique (dq_uniqueness_report audits that separately).
+    "dq_sequence_gaps" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(expr("event_id div 10000").as("bucket"), col("event_id"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_present"),
+          min("event_id").as("lo"), max("event_id").as("hi"))
+        .select(col("bucket"), col("n_present"), col("lo"), col("hi"),
+          (col("hi") - col("lo") + 1L - col("n_present")).as("n_missing"))
+        .orderBy("bucket")
+    }),
+
     "dq_key_skew" -> ((s, d) => {
       def skewOf(df: DataFrame, keyCol: String, label: String) = {
         // NULL keys are a referential-integrity concern
@@ -621,6 +640,15 @@ object ExtendedQueries extends QuerySuite {
         |        ORDER BY ts DESC, event_id DESC) AS rk
         |      FROM events)
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "dq_sequence_gaps" ->
+      """SELECT event_id // 10000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_present,
+        |  CAST(min(event_id) AS BIGINT) AS lo,
+        |  CAST(max(event_id) AS BIGINT) AS hi,
+        |  CAST(max(event_id) - min(event_id) + 1 - count(*) AS BIGINT)
+        |    AS n_missing
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "dq_key_skew" -> {
       def arm(table: String, key: String) =
