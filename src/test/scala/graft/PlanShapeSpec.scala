@@ -76,7 +76,13 @@ class PlanShapeSpec extends SparkSpec {
     "stat_mann_whitney",
     // mid-rank windows over the per-DAY click/purchase total table —
     // calendar-bounded (InsightQueries stat_spearman_daily doc)
-    "stat_spearman_daily")
+    "stat_spearman_daily",
+    // centered 7-day moving sum over the DAY table — calendar-bounded
+    // (InsightQueries ts_classical_decompose doc)
+    "ts_classical_decompose",
+    // rank window over the BootB (200) resample means — bounded by
+    // the bootstrap constant, never data (stat_bootstrap_ci doc)
+    "stat_bootstrap_ci")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
