@@ -13,6 +13,11 @@ object ScaleQueries extends QuerySuite {
 
   val Salts = 16
 
+  /** Dictionary-encoding verdict: recommend when distinct values are
+    * at most 1/DictMaxRatio of the rows (the parquet-writer
+    * dictionary-page heuristic, integer-exact). */
+  val DictMaxRatio = 20L
+
   /** Hand-rolled CMS shape: d rows × w counters (eps = 2/w ≈ 0.001). */
   val CmsDepth = 4
   val CmsWidth = 2048
@@ -307,6 +312,39 @@ object ScaleQueries extends QuerySuite {
           expr("bytes * n_sources * 1000000 div total_bytes")
             .as("vs_mean_ppm"))
         .orderBy("source")
+    }),
+
+    // Column-encoding advisor — the write-side profile that decides
+    // dictionary vs plain encoding (and flags sort-friendly columns)
+    // before a table lands as parquet: per audited column, row count,
+    // distinct count, the hottest value's share (ppm), and the
+    // dictionary verdict (distinct·[[DictMaxRatio]] ≤ rows — integer
+    // compare, the parquet-writer heuristic). One scan + one
+    // keys-space aggregate per column, unioned (the hottest value
+    // itself stays out of the report, so no tie-break convention is
+    // needed — only its count; string-encoding the key lets one
+    // report cover every column type).
+    "layout_encoding_stats" -> ((s, d) => {
+      def prof(df: DataFrame, c: String, label: String): DataFrame = {
+        val vc = df.filter(col(c).isNotNull)
+          .groupBy(col(c).cast("string").as("v"))
+          .agg(count(lit(1)).as("n"))
+        vc.agg(sum("n").as("n_rows"), count(lit(1)).as("n_distinct"),
+            max("n").as("top_count"))
+          .select(lit(label).as("column_name"), col("n_rows"),
+            col("n_distinct"), col("top_count"),
+            expr("top_count * 1000000 div n_rows").as("top_ppm"),
+            (col("n_distinct") * DictMaxRatio <= col("n_rows"))
+              .cast("long").as("dict_recommended"))
+      }
+      prof(Tables.lineitem(s, d), "l_returnflag", "lineitem.l_returnflag")
+        .union(prof(Tables.lineitem(s, d), "l_suppkey", "lineitem.l_suppkey"))
+        .union(prof(Tables.orders(s, d), "o_orderpriority",
+          "orders.o_orderpriority"))
+        .union(prof(Tables.events(s, d), "event_type", "events.event_type"))
+        .union(prof(Tables.events(s, d), "user_id", "events.user_id"))
+        .union(prof(Tables.documents(s, d), "lang", "documents.lang"))
+        .orderBy("column_name")
     }),
 
     // Distribution drift between the stream's two TIME HALVES per
@@ -611,6 +649,26 @@ object ScaleQueries extends QuerySuite {
          |  sum(${centsSql("e.value")} * d.w)/100.0 AS weighted_value
          |FROM events e JOIN dim d USING (event_type)
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "layout_encoding_stats" -> {
+      def prof(table: String, c: String, label: String): String =
+        s"""SELECT '$label' AS column_name,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(max(n) AS BIGINT) AS top_count,
+           |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_ppm,
+           |  CAST(CASE WHEN count(*) * $DictMaxRatio <= sum(n)
+           |       THEN 1 ELSE 0 END AS BIGINT) AS dict_recommended
+           |FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS n
+           |      FROM $table WHERE $c IS NOT NULL GROUP BY 1)""".stripMargin
+      Seq(prof("lineitem", "l_returnflag", "lineitem.l_returnflag"),
+        prof("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+        prof("orders", "o_orderpriority", "orders.o_orderpriority"),
+        prof("events", "event_type", "events.event_type"),
+        prof("events", "user_id", "events.user_id"),
+        prof("documents", "lang", "documents.lang"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     "layout_partition_stats" ->
       """WITH bs AS (
