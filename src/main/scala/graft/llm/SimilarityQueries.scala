@@ -31,6 +31,9 @@ object SimilarityQueries extends QuerySuite {
   /** Deterministic centroid rule: every 50th vector. */
   val CentroidStride = 50
 
+  /** Probe counts for the IVF recall/cost sweep. */
+  val ProbeSweep = Seq(1L, 2L, 4L)
+
   /** Product-quantization geometry: 64-d vectors split into PqM
     * subspaces of PqDsub dims, PqK centroids per subspace drawn by the
     * deterministic stride rule (production swaps in k-means without
@@ -253,6 +256,64 @@ object SimilarityQueries extends QuerySuite {
         .filter(col("rk") <= TopK)
         .select("q_id", "cluster", "rk", "vec_id", "cos")
         .orderBy("q_id", "rk")
+    }),
+
+    // IVF nprobe sweep — the tuning table an ANN rollout reads before
+    // fixing its recall/cost point: for each probe count in
+    // [[ProbeSweep]], the vectors scanned and the recall@k against the
+    // exact top-k. Queries rank ALL centroids once (a query×centroid
+    // broadcast product — bounded by the centroid count, never the
+    // corpus), the probe grid explodes map-side, and candidates come
+    // from the already-assigned cluster partitions; every vector
+    // belongs to exactly one cluster, so scanned counts are exact
+    // without dedup. Recall is an integer ppm over n_queries·k.
+    "sim_ivf_probe_sweep" -> ((s, d) => {
+      graft.plans.NearestCentroid.register(s)
+      val e = corpus(s, d).filter(col("nrm") > 0)
+      val centArr = e.filter(col("vec_id") % CentroidStride === 0)
+        .agg(collect_list(struct(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("nrm").as("c_nrm"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(centArr))
+        .select(col("vec_id"),
+          call_function(graft.plans.NearestCentroid.Name,
+            col("embedding"), col("nrm"), col("cents")).as("cluster"),
+          col("embedding"), col("nrm"))
+      val cents = e.filter(col("vec_id") % CentroidStride === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val qc = qs.crossJoin(broadcast(cents))
+        .withColumn("crk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(cosPre(col("q_emb"), col("q_nrm"),
+            col("c_emb"), col("c_nrm")).desc, col("c_id"))))
+      val probes = qc
+        .select(col("q_id"), col("q_emb"), col("q_nrm"),
+          col("c_id").as("cluster"), col("crk"),
+          explode(array(ProbeSweep.map(lit): _*)).as("nprobe"))
+        .filter(col("crk") <= col("nprobe"))
+      val cand = broadcast(probes)
+        .join(assigned, Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosPre(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+      val scanned = cand.groupBy("nprobe").agg(
+        countDistinct("q_id").as("n_queries"),
+        count(lit(1)).as("n_scanned"))
+      val hits = cand.withColumn("rk", row_number().over(
+          Window.partitionBy("nprobe", "q_id")
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= TopK)
+        .join(bruteTopk(s, d).select("q_id", "vec_id"),
+          Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      scanned.join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"), col("n_queries"), col("n_scanned"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr(s"coalesce(n_hits, CAST(0 AS BIGINT)) * 1000000" +
+            s" div (n_queries * $TopK)").as("recall_ppm"))
+        .orderBy("nprobe")
     }),
 
     // Scalar int8 quantization — the compression step an embedding
@@ -708,6 +769,69 @@ object SimilarityQueries extends QuerySuite {
          |  FROM scored)
          |SELECT q_id, cluster, rk, vec_id, cos FROM ranked WHERE rk <= $TopK
          |ORDER BY q_id, rk""".stripMargin,
+
+    "sim_ivf_probe_sweep" -> {
+      val vals = ProbeSweep.map(p => s"($p)").mkString(", ")
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE ${Vectors.normSql("embedding")} > 0),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |      FROM nz WHERE vec_id % $CentroidStride = 0),
+         |assigned AS (
+         |  SELECT vec_id, cluster, embedding FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id)
+         |        AS c_rk
+         |    FROM nz e CROSS JOIN c)
+         |  WHERE c_rk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |      FROM nz WHERE vec_id < 10),
+         |qc AS (
+         |  SELECT q.q_id, q.q_emb, c.c_id AS cluster,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_emb", "c.c_emb")} DESC, c.c_id)
+         |      AS crk
+         |  FROM q CROSS JOIN c),
+         |g AS (SELECT * FROM (VALUES $vals) t(nprobe)),
+         |probes AS (
+         |  SELECT CAST(g.nprobe AS BIGINT) AS nprobe, qc.q_id, qc.q_emb,
+         |    qc.cluster
+         |  FROM qc CROSS JOIN g WHERE qc.crk <= g.nprobe),
+         |cand AS (
+         |  SELECT p.nprobe, p.q_id, a.vec_id,
+         |    ${cosSql("p.q_emb", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a USING (cluster)
+         |  WHERE a.vec_id <> p.q_id),
+         |scanned AS (
+         |  SELECT nprobe, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+         |    CAST(count(*) AS BIGINT) AS n_scanned
+         |  FROM cand GROUP BY 1),
+         |rk AS (
+         |  SELECT nprobe, q_id, vec_id,
+         |    row_number() OVER (PARTITION BY nprobe, q_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM cand),
+         |tq AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id < 10),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT tq.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY tq.q_id
+         |        ORDER BY ${cosSql("tq.q_emb", "e.embedding")} DESC,
+         |          e.vec_id) AS trk
+         |    FROM embeddings e CROSS JOIN tq WHERE e.vec_id <> tq.q_id)
+         |  WHERE trk <= $TopK),
+         |hits AS (
+         |  SELECT r.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM rk r JOIN truth t ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+         |  WHERE r.rk <= $TopK GROUP BY 1)
+         |SELECT s.nprobe, s.n_queries, s.n_scanned,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 //
+         |    (s.n_queries * $TopK) AS BIGINT) AS recall_ppm
+         |FROM scanned s LEFT JOIN hits h USING (nprobe)
+         |ORDER BY s.nprobe""".stripMargin
+    },
 
     "sim_quantize_int8" ->
       """WITH t AS (
