@@ -122,6 +122,33 @@ object CurationQueries extends QuerySuite {
         .orderBy("min_chars")
     }),
 
+    // Quality × dedup joint census — the two independent keep gates
+    // every curation run applies, CROSSED per source: how much of each
+    // feed survives the quality filter, exact dedup (canonical-only
+    // retention), and BOTH — the number that actually lands in the
+    // training set. Quality is the map-side Gopher gate
+    // ([[rowQualityKeep]] — same predicate as text_gopher_filter);
+    // canonical is min-doc_id per content digest (dedup_exact_groups'
+    // convention). One digest aggregate, one keyed join, one per-source
+    // rollup.
+    "curation_quality_dup_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val canon = docs
+        .groupBy(md5(col("text").cast("binary")).as("dg"))
+        .agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(1L).as("is_canon"))
+      docs
+        .withColumn("q", rowQualityKeep(col("text")).cast("long"))
+        .join(canon, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("q").as("n_quality"),
+          sum(coalesce(col("is_canon"), lit(0L))).as("n_canonical"),
+          sum(when(col("q") === 1L && col("is_canon") === 1L, 1L)
+            .otherwise(0L)).as("n_train_ready"))
+        .orderBy("source")
+    }),
+
     // TEMPORAL split with an embargo gap — the time-series evaluation
     // discipline (train strictly before, test strictly after, a
     // dropped buffer between so near-boundary leakage can't inflate
@@ -572,6 +599,27 @@ object CurationQueries extends QuerySuite {
          |  least(ok_words, ok_mean_len, ok_top_word, ok_dup_word, ok_lang)
          |    AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "curation_quality_dup_matrix" ->
+      s"""WITH $gopherFlagsCtes,
+         |ql AS (
+         |  SELECT doc_id,
+         |    least(ok_words, ok_mean_len, ok_top_word, ok_dup_word,
+         |      ok_lang) AS q
+         |  FROM f),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text))
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ql.q) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_canonical,
+         |  CAST(sum(CASE WHEN ql.q = 1 AND c.doc_id IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_train_ready
+         |FROM documents d
+         |JOIN ql ON ql.doc_id = d.doc_id
+         |LEFT JOIN canon c ON c.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "text_scrub" ->
       """SELECT doc_id,
