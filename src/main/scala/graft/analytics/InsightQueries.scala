@@ -506,6 +506,40 @@ object InsightQueries extends QuerySuite {
     // accumulator). α=β=½ keeps every smoothing multiply exact. The
     // collected array is day-count-sized (calendar-bounded, per the
     // pareto/day-window argument), grouped per type — never raw rows.
+    // Wald–Wolfowitz runs test on the daily total's up/down moves —
+    // "is the series a random walk or does it trend/mean-revert?"
+    // (too few runs ⇒ trending, too many ⇒ oscillating). The runs
+    // count, n_up and n_down are exact integers from lag compares
+    // (ties count as down — a fixed deterministic convention shared
+    // with the oracle); the z statistic's float tree — one division
+    // for μ, one for σ², one sqrt, one final division — is written
+    // identically on both sides. All windows run over the DAY table.
+    "stat_runs_test" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val w = Window.orderBy("od")
+      val sgn = daily.withColumn("prev", lag("yc", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("up", (col("yc") > col("prev")).cast("long"))
+      val runs = sgn.withColumn("pu", lag("up", 1).over(w))
+        .withColumn("chg",
+          when(col("pu").isNull || col("up") =!= col("pu"), 1L)
+            .otherwise(0L))
+      runs.agg(count(lit(1)).as("n"), sum("up").as("n_up"),
+          sum("chg").as("n_runs"))
+        .select(col("n"), col("n_up"), (col("n") - col("n_up")).as("n_down"),
+          col("n_runs"),
+          {
+            val two = lit(2L) * col("n_up") * (col("n") - col("n_up"))
+            val mu = two.cast("double") / col("n").cast("double") + lit(1.0)
+            val va = (two * (two - col("n"))).cast("double") /
+              (col("n") * col("n") * (col("n") - 1L)).cast("double")
+            ((col("n_runs").cast("double") - mu) / sqrt(va)).as("z")
+          })
+    }),
+
     // Classical additive seasonal decomposition (the moving-average
     // method every textbook opens with): detrend the daily series
     // with a CENTERED 7-day moving sum, then average the detrended
@@ -1015,6 +1049,36 @@ object InsightQueries extends QuerySuite {
     // (b reads l) sees the CURRENT step's already-written value from
     // the second application on. An explicit recursive CTE steps the
     // same recursion with correct old-value semantics.
+    "stat_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+        |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS yc
+        |  FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+        |sg AS (
+        |  SELECT od, yc,
+        |    lag(yc) OVER (ORDER BY od) AS prev
+        |  FROM daily),
+        |up AS (
+        |  SELECT od, CAST(yc > prev AS BIGINT) AS up
+        |  FROM sg WHERE prev IS NOT NULL),
+        |ch AS (
+        |  SELECT up, lag(up) OVER (ORDER BY od) AS pu FROM up),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(up) AS BIGINT) AS n_up,
+        |    CAST(sum(CASE WHEN pu IS NULL OR up <> pu
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM ch)
+        |SELECT n, n_up, n - n_up AS n_down, n_runs,
+        |  (CAST(n_runs AS DOUBLE) -
+        |    (CAST(2 * n_up * (n - n_up) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 1.0)) /
+        |  sqrt(CAST(2 * n_up * (n - n_up) *
+        |      (2 * n_up * (n - n_up) - n) AS DOUBLE) /
+        |    CAST(n * n * (n - 1) AS DOUBLE)) AS z
+        |FROM agg""".stripMargin,
+
     "ts_classical_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,

@@ -54,6 +54,33 @@ object RoutingQueries extends QuerySuite {
       Membership.channels(Membership.nodeChannels(c), c).orderBy("channel")
     }),
 
+    // Delivery-load Gini — the routing-fairness audit: how unequally
+    // are deliveries spread across subscribed clients? (Load per
+    // client = Σ message volume of its channels — the fan-out's
+    // per-client bill without materializing the fan-out.) Gini comes
+    // from the sorted-rank formula evaluated on the (load →
+    // client-count) VALUE-COUNT table: for value v with count c after
+    // cumulative B, Σ(2i−n−1)·v over its rank block is
+    // v·(2(cB + c(c+1)/2) − c(n+1)) — exact integers, one final
+    // division. The only unpartitioned window runs over distinct load
+    // values (≪ clients), the mann_whitney prefix-sum discipline.
+    "route_delivery_gini" -> ((s, d) => {
+      val chCnt = Tables.events(s, d)
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("m"))
+      val loads = cc(s, d).join(broadcast(chCnt), "channel")
+        .groupBy("cid").agg(sum("m").as("x"))
+      val vc = loads.groupBy("x").agg(count(lit(1)).as("c"))
+      val cum = vc.withColumn("b",
+        coalesce(sum("c").over(Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      cum.agg(sum("c").as("n"), sum(col("x") * col("c")).as("sx"),
+          sum(expr("x * 2 * (b * c + (c * (c + 1)) div 2)")).as("s2i"))
+        .select(col("n").as("n_clients"), col("sx").as("total_load"),
+          ((col("s2i") - (col("n") + 1L) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double")).as("gini"))
+    }),
+
     // O6/O12 — subscriptions per node: channel count + client count.
     "member_subs_per_node" -> ((s, d) =>
       cc(s, d).groupBy("sid")
@@ -181,6 +208,33 @@ object RoutingQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    "route_delivery_gini" ->
+      s"""WITH chc AS (
+         |  SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |loads AS (
+         |  SELECT cc.cid, CAST(sum(chc.m) AS BIGINT) AS x
+         |  FROM ($ccSql) cc JOIN chc USING (channel)
+         |  GROUP BY cc.cid),
+         |vc AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+         |       FROM loads GROUP BY x),
+         |cum AS (
+         |  SELECT x, c,
+         |    CAST(coalesce(sum(c) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS b
+         |  FROM vc),
+         |agg AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(x * c) AS BIGINT) AS sx,
+         |    CAST(sum(x * 2 * (b * c + (c * (c + 1)) // 2)) AS BIGINT)
+         |      AS s2i
+         |  FROM cum)
+         |SELECT n AS n_clients, sx AS total_load,
+         |  CAST(s2i - (n + 1) * sx AS DOUBLE) /
+         |    CAST(n * sx AS DOUBLE) AS gini
+         |FROM agg""".stripMargin,
+
     "member_client_channels" ->
       s"""WITH cc AS ($ccSql)
          |SELECT channel, cid, sid FROM cc ORDER BY channel, cid""".stripMargin,

@@ -82,7 +82,13 @@ class PlanShapeSpec extends SparkSpec {
     "ts_classical_decompose",
     // rank window over the BootB (200) resample means — bounded by
     // the bootstrap constant, never data (stat_bootstrap_ci doc)
-    "stat_bootstrap_ci")
+    "stat_bootstrap_ci",
+    // lag windows over the DAY table — calendar-bounded
+    // (InsightQueries stat_runs_test doc)
+    "stat_runs_test",
+    // prefix sum over the distinct-LOAD value-count table (≪ client
+    // count — the mann_whitney discipline; RoutingQueries gini doc)
+    "route_delivery_gini")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
