@@ -81,10 +81,17 @@ object EntityQueries extends QuerySuite {
     val b = keyed.select(col("bkey"), col("k").as("k2"),
       col("pfx").as("p2"), col("sn").as("sn2"))
     // verify BEFORE dedup, streaming straight out of the join — the
-    // only shuffled dedup state is the surviving bare (k1, k2) pairs
+    // only shuffled dedup state is the surviving bare (k1, k2) pairs.
+    // No hamming re-check on block-mates: sharing the (i, j) mask key
+    // means the ids' digits outside {i, j} are EQUAL (the key is the
+    // id with those two digits zeroed plus the (i, j) tag, and the
+    // tag·10^9 offset cannot collide with a 9-digit id), so hamming
+    // ≤ 2 holds by construction — the old digitHamming filter was a
+    // per-pair tautology costing 18 div/mods on the join's hottest
+    // path (FuzzyNameSpec still pins equality to the brute-force
+    // predicate, hamming check included, on real data).
     a.join(b, Seq("bkey"))
-      .filter(col("k1") < col("k2") && col("p1") === col("p2") &&
-        digitHamming(col("sn1"), col("sn2")) <= MaxHamming)
+      .filter(col("k1") < col("k2") && col("p1") === col("p2"))
       .select("k1", "k2").distinct()
   }
 
