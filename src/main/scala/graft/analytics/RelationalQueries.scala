@@ -28,6 +28,32 @@ object RelationalQueries extends QuerySuite {
     s"${centsSql("l_extendedprice")} * (100 - CAST(round(l_discount*100) AS BIGINT))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Yannakakis-style semi-join reduction, written out explicitly:
+    // before the fact⋈fact join materializes anything, the middle
+    // relation (orders) is REDUCED by left-semi probes from both
+    // selective ends (BUILDING customers, recent lineitems), so the
+    // expensive join only ever sees rows that contribute to the
+    // output — the acyclic-join discipline Catalyst does not apply on
+    // its own, load-bearing at 100 TB when the reducers are selective.
+    // The oracle is the plain 3-way join: the hash match proves the
+    // reduction is semantics-preserving.
+    "join_semijoin_reduction" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val lf = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date"))
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
+      val reduced = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(lf, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      reduced.join(lf, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_orderkey").as("n_orders"),
+          (sum("pc") / 100.0).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q1-style pricing summary: scan + filter + groupBy/agg.
     "q1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -229,6 +255,18 @@ object RelationalQueries extends QuerySuite {
         .orderBy("y", "m")))
 
   def oracles: Map[String, String] = Map(
+    "join_semijoin_reduction" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+         |  sum(${centsSql("l_extendedprice")}) / 100.0 AS revenue
+         |FROM orders
+         |JOIN customer ON c_custkey = o_custkey
+         |  AND c_mktsegment = 'BUILDING'
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |  AND l_shipdate >= DATE '1996-01-01'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  sum(l_quantity) AS sum_qty,
