@@ -94,6 +94,33 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("stage")
     }),
 
+    // Daily bounce rate — the engagement-health staple: what share of
+    // sessions (30-min-gap sessionization, the join_interval_overlap
+    // convention) end after a single event? Sessions build from ONE
+    // per-user window over (sec, event_id); the census is a keyed
+    // aggregate by session then by day (a session belongs to the day
+    // it starts). Integer ppm share.
+    "behavior_bounce_rate" -> ((s, d) => {
+      val e = ev(s, d)
+      val perUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val lagT = lag("sec", 1).over(perUser)
+      val sess = e
+        .withColumn("new_s",
+          when(lagT.isNull || col("sec") - lagT > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(
+          perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("sec").as("start_s"), count(lit(1)).as("n_events"))
+      sess
+        .groupBy(expr("start_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounce"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"))
+        .orderBy("day")
+    }),
+
     // Funnel latency quartiles — not just HOW MANY users convert
     // (funnel_stages) but HOW FAST: exact p25/p50/p75 of the
     // stage-to-stage delay, per transition, by rank selection over
@@ -350,6 +377,33 @@ object BehaviorQueries extends QuerySuite {
          |HAVING sum(CASE WHEN t.n_touches IS NOT NULL
          |           THEN 1 ELSE 0 END) > 0
          |ORDER BY p.user_id""".stripMargin,
+
+    "behavior_bounce_rate" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, $secSql AS sec FROM events),
+         |x AS (
+         |  SELECT *, CASE WHEN lag(sec) OVER
+         |      (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+         |      OR sec - lag(sec) OVER
+         |      (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |sx AS (
+         |  SELECT *, sum(new_s) OVER
+         |      (PARTITION BY user_id ORDER BY sec, event_id
+         |       ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM x),
+         |sess AS (
+         |  SELECT user_id, sid, min(sec) AS start_s,
+         |    count(*) AS n_events
+         |  FROM sx GROUP BY user_id, sid)
+         |SELECT start_s // 86400 AS day,
+         |  CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bounce,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS bounce_ppm
+         |FROM sess GROUP BY 1 ORDER BY day""".stripMargin,
 
     "funnel_latency_quantiles" ->
       s"""WITH e AS (SELECT user_id, event_type, $secSql AS sec FROM events),

@@ -25,6 +25,29 @@ object WindowQueries extends QuerySuite {
   private def epochS(c: String) = unix_timestamp(col(c))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RATIO_TO_REPORT — per-nation order revenue as a share of its
+    // REGION's total (the BI percent-of-parent staple). The share
+    // window partitions by region over the 25-row nation aggregate —
+    // the raw facts reduce FIRST, so the window never sees fact rows
+    // at any scale. Shares in integer ppm over exact cents; revenue
+    // surfaced via one /100.0.
+    "window_share_of_total" -> ((s, d) => {
+      val byNation = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("rc"))
+      byNation
+        .withColumn("region_rc",
+          sum("rc").over(Window.partitionBy("r_name")))
+        .select(col("r_name"), col("n_name"),
+          (col("rc") / 100.0).as("revenue"),
+          expr("rc * 1000000 div region_rc").as("share_ppm"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // OHLC downsampling — the canonical time-series resample (open /
     // high / low / close per bucket) that turns a raw tick stream
     // into the bar series every monitoring or charting consumer
@@ -439,6 +462,20 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "window_share_of_total" ->
+      s"""WITH bn AS (
+         |  SELECT r_name, n_name,
+         |    CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rc
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY r_name, n_name)
+         |SELECT r_name, n_name, rc / 100.0 AS revenue,
+         |  CAST(rc * 1000000 //
+         |    sum(rc) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+         |FROM bn ORDER BY r_name, n_name""".stripMargin,
+
     "window_ohlc_hourly" ->
       """WITH ev AS (
         |  SELECT event_type,
