@@ -314,6 +314,33 @@ object ScaleQueries extends QuerySuite {
         .orderBy("source")
     }),
 
+    // Equi-depth histogram boundaries — the optimizer-statistics
+    // artifact (DuckDB/Spark CBO both bin this way): the 8 bucket
+    // upper bounds that split order totals into equal-count bands, by
+    // rank selection over the value-count table (smallest value whose
+    // cumulative count reaches k·n/8 — integer cum·8 ≥ k·n compares,
+    // the percentile_cont discipline). The ×8 bucket fan is a
+    // broadcast of a constant grid over the (distinct value)-count
+    // table — never raw rows.
+    "layout_equidepth_hist" -> ((s, d) => {
+      val vc = Tables.orders(s, d)
+        .select(cents(col("o_totalprice")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val cum = vc.withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+      val n = vc.agg(sum("c").as("n"))
+      cum.crossJoin(broadcast(n))
+        .select(col("v"), col("cum"), col("n"),
+          explode(sequence(lit(1L), lit(8L))).as("bucket"))
+        .filter(col("cum") * 8L >= col("bucket") * col("n"))
+        .groupBy("bucket")
+        .agg(min(struct(col("v"), col("cum"))).as("sel"),
+          max("n").as("n_rows"))
+        .select(col("bucket"), (col("sel.v") / 100.0).as("upper_bound"),
+          col("sel.cum").as("rows_leq"), col("n_rows"))
+        .orderBy("bucket")
+    }),
+
     // Column-encoding advisor — the write-side profile that decides
     // dictionary vs plain encoding (and flags sort-friendly columns)
     // before a table lands as parquet: per audited column, row count,
@@ -649,6 +676,28 @@ object ScaleQueries extends QuerySuite {
          |  sum(${centsSql("e.value")} * d.w)/100.0 AS weighted_value
          |FROM events e JOIN dim d USING (event_type)
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "layout_equidepth_hist" ->
+      s"""WITH vc AS (
+         |  SELECT ${centsSql("o_totalprice")} AS v,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1),
+         |cum AS (
+         |  SELECT v, c,
+         |    CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+         |  FROM vc),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+         |g AS (SELECT unnest(range(1, 9)) AS bucket),
+         |sel AS (
+         |  SELECT g.bucket, min(cum.v) AS ub_c
+         |  FROM cum CROSS JOIN nn CROSS JOIN g
+         |  WHERE cum.cum * 8 >= g.bucket * nn.n
+         |  GROUP BY g.bucket)
+         |SELECT CAST(s.bucket AS BIGINT) AS bucket,
+         |  s.ub_c / 100.0 AS upper_bound,
+         |  (SELECT cum FROM cum WHERE cum.v = s.ub_c) AS rows_leq,
+         |  nn.n AS n_rows
+         |FROM sel s, nn ORDER BY bucket""".stripMargin,
 
     "layout_encoding_stats" -> {
       def prof(table: String, c: String, label: String): String =

@@ -88,7 +88,10 @@ class PlanShapeSpec extends SparkSpec {
     "stat_runs_test",
     // prefix sum over the distinct-LOAD value-count table (≪ client
     // count — the mann_whitney discipline; RoutingQueries gini doc)
-    "route_delivery_gini")
+    "route_delivery_gini",
+    // prefix sum over the distinct order-total value-count table
+    // (ScaleQueries layout_equidepth_hist doc)
+    "layout_equidepth_hist")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
