@@ -393,6 +393,62 @@ object ExtendedQueries extends QuerySuite {
     // hottest key rides the same pass as a deterministic struct-max —
     // (n, -k) orders by count then lower key, so ties break exactly
     // like the oracle's min(k)-among-argmax.
+    // Token-bucket quota audit — the BATCH twin of
+    // streaming.RateLimitStream (same constants, same event-time
+    // refill, same (ts, id) processing order), replayed per (user,
+    // DAY): how many events would the admission gate have passed?
+    // The fold is a sequential recurrence, so it runs as an
+    // `aggregate` HOF over the (user, day) event list — bounded by a
+    // principal's daily activity, the natural partition for a quota
+    // audit (state resets at midnight; at 100 TB this is one
+    // day-partition scan). The oracle replays the identical fold via
+    // DuckDB list_reduce (first-element-init convention — the mapped
+    // first element IS the post-first-event state, since a full
+    // bucket always admits the first event). RateLimitStreamSpec pins
+    // this twin event-for-event against the streaming processor.
+    "dq_rate_limit_audit" -> ((s, d) => {
+      val cap = graft.streaming.RateLimitStream.CapacityMilli
+      val cost = graft.streaming.RateLimitStream.CostMilli
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000").as("ms"), col("event_id"))
+        .withColumn("day", expr("ms div 86400000"))
+      ev.groupBy("user_id", "day")
+        .agg(sort_array(collect_list(
+          struct(col("ms"), col("event_id")))).as("arr"))
+        .select(col("day"), expr("CAST(size(arr) AS BIGINT)").as("n"),
+          expr(
+            s"""aggregate(
+               |  slice(arr, 2, greatest(size(arr) - 1, 0)),
+               |  named_struct(
+               |    'tok', CAST(${cap - cost} AS BIGINT),
+               |    'last', arr[0].ms,
+               |    'allowed', CAST(1 AS BIGINT)),
+               |  (acc, x) -> named_struct(
+               |    'tok', CASE WHEN least(CAST($cap AS BIGINT),
+               |        acc.tok + greatest(CAST(0 AS BIGINT),
+               |          x.ms - acc.last)) >= $cost
+               |      THEN least(CAST($cap AS BIGINT),
+               |        acc.tok + greatest(CAST(0 AS BIGINT),
+               |          x.ms - acc.last)) - $cost
+               |      ELSE least(CAST($cap AS BIGINT),
+               |        acc.tok + greatest(CAST(0 AS BIGINT),
+               |          x.ms - acc.last)) END,
+               |    'last', greatest(acc.last, x.ms),
+               |    'allowed', acc.allowed +
+               |      CASE WHEN least(CAST($cap AS BIGINT),
+               |          acc.tok + greatest(CAST(0 AS BIGINT),
+               |            x.ms - acc.last)) >= $cost
+               |        THEN CAST(1 AS BIGINT)
+               |        ELSE CAST(0 AS BIGINT) END)
+               |).allowed""".stripMargin).as("allowed"))
+        .groupBy("day").agg(
+          sum("n").as("n_events"),
+          sum("allowed").as("n_allowed"),
+          (sum("n") - sum("allowed")).as("n_denied"))
+        .orderBy("day")
+    }),
+
     // Sequence-gap audit — the ingest-completeness check on a
     // monotonically-assigned id column: bucket the id space into
     // fixed-width ranges and report, per bucket, ids present vs the
@@ -640,6 +696,41 @@ object ExtendedQueries extends QuerySuite {
         |        ORDER BY ts DESC, event_id DESC) AS rk
         |      FROM events)
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "dq_rate_limit_audit" -> {
+      val cap = graft.streaming.RateLimitStream.CapacityMilli
+      val cost = graft.streaming.RateLimitStream.CostMilli
+      val refill = s"least($cap, acc.tok + greatest(0, x.last - acc.last))"
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+         |    (epoch_us(ts) // 1000) // 86400000 AS day
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, day,
+         |    list_sort(list(struct_pack(ms := ms,
+         |      event_id := event_id))) AS arr
+         |  FROM ev GROUP BY user_id, day),
+         |f AS (
+         |  SELECT day, CAST(len(arr) AS BIGINT) AS n,
+         |    list_reduce(
+         |      list_transform(arr, x -> struct_pack(
+         |        tok := CAST(${cap - cost} AS BIGINT),
+         |        last := x.ms,
+         |        allowed := CAST(1 AS BIGINT))),
+         |      (acc, x) -> struct_pack(
+         |        tok := CAST(CASE WHEN $refill >= $cost
+         |          THEN $refill - $cost ELSE $refill END AS BIGINT),
+         |        last := greatest(acc.last, x.last),
+         |        allowed := acc.allowed +
+         |          CASE WHEN $refill >= $cost THEN 1 ELSE 0 END)
+         |    ).allowed AS allowed
+         |  FROM g)
+         |SELECT CAST(day AS BIGINT) AS day,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(sum(allowed) AS BIGINT) AS n_allowed,
+         |  CAST(sum(n) - sum(allowed) AS BIGINT) AS n_denied
+         |FROM f GROUP BY day ORDER BY day""".stripMargin
+    },
 
     "dq_sequence_gaps" ->
       """SELECT event_id // 10000 AS bucket,

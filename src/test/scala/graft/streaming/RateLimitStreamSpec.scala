@@ -60,6 +60,42 @@ class RateLimitStreamSpec extends SparkSpec {
       "late event must not mint tokens from a negative elapsed")
   }
 
+  test("batch twin parity: dq_rate_limit_audit equals the streaming gate per (user, day)") {
+    // planted DENSE fixture (the real testdata never exceeds the
+    // burst budget, which would make this pin vacuous): bursts, exact
+    // refills, a midnight boundary and two users — written as a temp
+    // events.parquet so the batch query runs its real path
+    val dayMs = 86400000L
+    val rows = Seq.newBuilder[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    var id = 0L
+    def ev(user: Long, ms: Long): Unit = {
+      id += 1
+      rows += ((id, new java.sql.Timestamp(ms), user, "click", 1.0, "{}"))
+    }
+    val base = 400L * dayMs
+    for (i <- 0L until 8L) ev(1L, base + i)            // burst: 5 allow, 3 deny
+    ev(1L, base + 2000L); ev(1L, base + 2001L)          // +2 tok → 2 allow... minus
+    for (i <- 0L until 7L) ev(2L, base + i)             // user 2 isolated
+    for (i <- 0L until 6L) ev(1L, base + dayMs + i)     // next day: reset
+    val dir = java.nio.file.Files.createTempDirectory("graft_rl").toString
+    rows.result().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+
+    val stream = run(Seq(rows.result().map(r =>
+      (r._1, r._3 * 100000L + r._2.getTime / dayMs, r._2.getTime))))
+    val streamByDay = stream.groupBy(_.ts_ms / dayMs)
+      .map { case (d, vs) => d -> vs.count(_.allowed).toLong }
+    val batch = graft.analytics.ExtendedQueries
+      .queries("dq_rate_limit_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.map(b => b._2 - b._3).sum > 0L,
+      "fixture produced no denials — parity test is vacuous")
+    for ((day, _, allowed) <- batch) {
+      assert(streamByDay(day) == allowed,
+        s"day $day: stream ${streamByDay(day)} vs batch $allowed")
+    }
+  }
+
   test("replay determinism: same batches, same verdicts") {
     val t0 = 42000L
     val batches = Seq(
