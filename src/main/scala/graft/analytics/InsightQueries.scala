@@ -506,6 +506,35 @@ object InsightQueries extends QuerySuite {
     // accumulator). α=β=½ keeps every smoothing multiply exact. The
     // collected array is day-count-sized (calendar-bounded, per the
     // pareto/day-window argument), grouped per type — never raw rows.
+    // Value heatmap — exact p50/p95 per (event type × hour-of-day),
+    // the SLA/ops grid a monitoring dashboard renders. Rank selection
+    // over the (type, hour, value)-count table: the quantile windows
+    // partition by (type, hour) and run over DISTINCT cent values —
+    // never raw events, never unpartitioned. Quantile convention:
+    // smallest value whose cumulative count reaches ⌈n·q⌉ (integer
+    // cum·k ≥ n·j compares).
+    "ts_value_heatmap" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600L) % 24L).as("hr"),
+          cents(col("value")).as("xc"))
+      val vc = ev.groupBy("event_type", "hr", "xc")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type", "hr").orderBy("xc")
+      val cum = vc.withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(
+          Window.partitionBy("event_type", "hr")))
+      cum.groupBy("event_type", "hr").agg(
+          max("n").as("n_events"),
+          min(when(col("cum") * 2L >= col("n"), col("xc"))).as("p50_c"),
+          min(when(col("cum") * 20L >= col("n") * 19L, col("xc")))
+            .as("p95_c"))
+        .select(col("event_type"), col("hr"), col("n_events"),
+          (col("p50_c") / 100.0).as("p50"),
+          (col("p95_c") / 100.0).as("p95"))
+        .orderBy("event_type", "hr")
+    }),
+
     // Wald–Wolfowitz runs test on the daily total's up/down moves —
     // "is the series a random walk or does it trend/mean-revert?"
     // (too few runs ⇒ trending, too many ⇒ oscillating). The runs
@@ -1049,6 +1078,25 @@ object InsightQueries extends QuerySuite {
     // (b reads l) sees the CURRENT step's already-written value from
     // the second application on. An explicit recursive CTE steps the
     // same recursion with correct old-value semantics.
+    "ts_value_heatmap" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hr,
+        |    CAST(round("value" * 100) AS BIGINT) AS xc
+        |  FROM events WHERE "value" IS NOT NULL),
+        |vc AS (SELECT event_type, hr, xc, count(*) AS c
+        |       FROM ev GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT event_type, hr, xc,
+        |    sum(c) OVER (PARTITION BY event_type, hr ORDER BY xc) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type, hr) AS n
+        |  FROM vc)
+        |SELECT event_type, hr, CAST(max(n) AS BIGINT) AS n_events,
+        |  min(CASE WHEN cum * 2 >= n THEN xc END) / 100.0 AS p50,
+        |  min(CASE WHEN cum * 20 >= n * 19 THEN xc END) / 100.0 AS p95
+        |FROM cum GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin,
+
     "stat_runs_test" ->
       """WITH daily AS (
         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
