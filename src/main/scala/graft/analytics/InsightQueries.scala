@@ -506,6 +506,36 @@ object InsightQueries extends QuerySuite {
     // accumulator). α=β=½ keeps every smoothing multiply exact. The
     // collected array is day-count-sized (calendar-bounded, per the
     // pareto/day-window argument), grouped per type — never raw rows.
+    // Per-category boxplot (Tukey): exact quartiles by rank selection
+    // over the (type, price)-count table plus the 1.5·IQR outlier
+    // census — fences kept in DOUBLED cents (2v ≶ 2q₁−3·IQR …) so the
+    // half-cent 1.5× never touches floats. The quartile windows
+    // partition by p_type over distinct cent values; the outlier pass
+    // re-joins the broadcast per-type quartile table map-side.
+    "stat_boxplot_types" -> ((s, d) => {
+      val pv = Tables.part(s, d)
+        .select(col("p_type"), cents(col("p_retailprice")).as("v"))
+      val vc = pv.groupBy("p_type", "v").agg(count(lit(1)).as("c"))
+      val cum = vc.withColumn("cum", sum("c").over(
+          Window.partitionBy("p_type").orderBy("v")))
+        .withColumn("n", sum("c").over(Window.partitionBy("p_type")))
+      val qs = cum.groupBy("p_type").agg(
+        max("n").as("n"),
+        min(when(col("cum") * 4L >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 2L >= col("n"), col("v"))).as("med"),
+        min(when(col("cum") * 4L >= col("n") * 3L, col("v"))).as("q3"))
+      vc.join(broadcast(qs), "p_type")
+        .groupBy(col("p_type"), col("n"), col("q1"), col("med"), col("q3"))
+        .agg(sum(when(
+          col("v") * 2L < col("q1") * 2L - (col("q3") - col("q1")) * 3L ||
+          col("v") * 2L > col("q3") * 2L + (col("q3") - col("q1")) * 3L,
+          col("c")).otherwise(0L)).as("n_outliers"))
+        .select(col("p_type"), col("n"),
+          (col("q1") / 100.0).as("q1"), (col("med") / 100.0).as("median"),
+          (col("q3") / 100.0).as("q3"), col("n_outliers"))
+        .orderBy("p_type")
+    }),
+
     // Value heatmap — exact p50/p95 per (event type × hour-of-day),
     // the SLA/ops grid a monitoring dashboard renders. Rank selection
     // over the (type, hour, value)-count table: the quantile windows
@@ -1078,6 +1108,32 @@ object InsightQueries extends QuerySuite {
     // (b reads l) sees the CURRENT step's already-written value from
     // the second application on. An explicit recursive CTE steps the
     // same recursion with correct old-value semantics.
+    "stat_boxplot_types" ->
+      s"""WITH pv AS (
+         |  SELECT p_type, ${centsSql("p_retailprice")} AS v FROM part),
+         |vc AS (SELECT p_type, v, CAST(count(*) AS BIGINT) AS c
+         |       FROM pv GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT p_type, v, c,
+         |    sum(c) OVER (PARTITION BY p_type ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY p_type) AS n
+         |  FROM vc),
+         |qs AS (
+         |  SELECT p_type, CAST(max(n) AS BIGINT) AS n,
+         |    min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+         |    min(CASE WHEN cum * 2 >= n THEN v END) AS med,
+         |    min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+         |  FROM cum GROUP BY p_type)
+         |SELECT vc.p_type, qs.n,
+         |  qs.q1 / 100.0 AS q1, qs.med / 100.0 AS median,
+         |  qs.q3 / 100.0 AS q3,
+         |  CAST(sum(CASE WHEN vc.v * 2 < qs.q1 * 2 - (qs.q3 - qs.q1) * 3
+         |             OR vc.v * 2 > qs.q3 * 2 + (qs.q3 - qs.q1) * 3
+         |           THEN vc.c ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM vc JOIN qs USING (p_type)
+         |GROUP BY vc.p_type, qs.n, qs.q1, qs.med, qs.q3
+         |ORDER BY vc.p_type""".stripMargin,
+
     "ts_value_heatmap" ->
       """WITH ev AS (
         |  SELECT event_type,
