@@ -28,6 +28,23 @@ object RelationalQueries extends QuerySuite {
     s"${centsSql("l_extendedprice")} * (100 - CAST(round(l_discount*100) AS BIGINT))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LISTAGG/string_agg — the reporting staple that folds a group's
+    // members into one ordered CSV cell. Determinism: collect then
+    // sort_array BEFORE concat (collect order is partition-dependent,
+    // the sorted array is not) — the exact pitfall Spark's
+    // concat_ws(collect_list(...)) hides; the oracle's ORDER BY
+    // inside string_agg is the same contract. Member lists are
+    // region-sized (bounded domain), never fact-sized.
+    "agg_string_agg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          concat_ws(",", sort_array(collect_list(col("n_name"))))
+            .as("nations_csv"))
+        .orderBy("r_name")),
+
     // Yannakakis-style semi-join reduction, written out explicitly:
     // before the fact⋈fact join materializes anything, the middle
     // relation (orders) is REDUCED by left-semi probes from both
@@ -255,6 +272,12 @@ object RelationalQueries extends QuerySuite {
         .orderBy("y", "m")))
 
   def oracles: Map[String, String] = Map(
+    "agg_string_agg" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
     "join_semijoin_reduction" ->
       s"""SELECT o_orderpriority,
          |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
