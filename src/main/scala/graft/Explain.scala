@@ -24,7 +24,9 @@ object Explain {
     "window_session_native", "ts_ewma_user", "dq_key_skew",
     "q9_profit_by_nation_year", "q18_large_volume_customers",
     "q21_waiting_suppliers", "sketch_kmv_users", "stat_mad_daily",
-    "text_winnowing")
+    "text_winnowing", "graph_kcore", "behavior_attribution",
+    "sim_ivf_probe_sweep", "dq_rate_limit_audit", "text_source_overlap",
+    "join_semijoin_reduction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
