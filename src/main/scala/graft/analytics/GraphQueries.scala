@@ -38,6 +38,45 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries extends QuerySuite {
 
+  /** The k-core peel loop on a SYMMETRIC (a, b) edge list: iterate
+    * "drop nodes of induced degree < k" to fixpoint, loud failure
+    * past `maxRounds` (the CC/BFS non-convergence precedent — the
+    * oracle replays exactly that many rounds, so stopping early
+    * silently would diverge from it). Monotonicity makes the
+    * count-only fixpoint test sound: node sets only shrink, so an
+    * unchanged count proves an unchanged set. Returns (node,
+    * core_deg) of the surviving core. Factored out of the query so
+    * KCorePeelSpec can drive it with planted graphs, including the
+    * deep-path case that must THROW. */
+  private[analytics] def kcorePeel(sym: DataFrame, k: Long,
+      maxRounds: Int): DataFrame = {
+    def induced(nodes: DataFrame): DataFrame = sym
+      .join(nodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+    var nodes = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= k).select("node")
+      .localCheckpoint(true)
+    var size = nodes.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = induced(nodes).filter(col("dg") >= k)
+        .select("node").localCheckpoint(true)
+      val m = next.count()
+      if (m == size) converged = true
+      nodes = next
+      size = m
+    }
+    if (!converged) throw new IllegalStateException(
+      s"graph_kcore: peeling still live after $maxRounds rounds " +
+        "— raise MaxPeelRounds (and the oracle's replay depth) " +
+        "deliberately rather than silently truncating the peel")
+    induced(nodes).select(col("node"), col("dg").as("core_deg"))
+  }
+
   /** Supplier node ids live above customers: dst = SuppBase + suppkey.
     * 2^40 keeps the ranges disjoint to ~10^12 customers (TPC-H mints
     * 150k custkeys per sf, so collision would need sf ≈ 7·10^6 — far
@@ -324,32 +363,7 @@ object GraphQueries extends QuerySuite {
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
         .localCheckpoint(true) // read every round — truncate lineage once
-      def induced(nodes: DataFrame): DataFrame = sym
-        .join(nodes.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(nodes.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
-      var nodes = sym.groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= KCoreK).select("node")
-        .localCheckpoint(true)
-      var size = nodes.count()
-      var round = 0
-      var converged = false
-      while (!converged && round < MaxPeelRounds) {
-        round += 1
-        val next = induced(nodes).filter(col("dg") >= KCoreK)
-          .select("node").localCheckpoint(true)
-        val m = next.count()
-        if (m == size) converged = true
-        nodes = next
-        size = m
-      }
-      if (!converged) throw new IllegalStateException(
-        s"graph_kcore: peeling still live after $MaxPeelRounds rounds " +
-          "— raise MaxPeelRounds (and the oracle's replay depth) " +
-          "deliberately rather than silently truncating the peel")
-      induced(nodes)
-        .select(col("node"), col("dg").as("core_deg"))
+      kcorePeel(sym, KCoreK, MaxPeelRounds)
         .orderBy("node")
     }),
 
