@@ -53,6 +53,30 @@ object WindowedStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming OHLC bars — the incremental twin of the batch
+    * window_ohlc_hourly resample: per (hour window, channel), open /
+    * high / low / close over integer cents, with open/close as struct
+    * min/max over the (event-time μs, value) total order — an argmin
+    * that runs as a plain streaming aggregate (no per-window sort, no
+    * custom state). Watermark finalizes and evicts bars one hour
+    * after their window closes. OhlcSpec pins bar-for-bar equality
+    * with the batch query's convention on a planted tape. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withColumn("tu", unix_micros(col("ts")))
+      .withColumn("xc", round(col("value") * 100, 0).cast("long"))
+      .withWatermark("ts", "60 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("tu"), col("xc"))).as("os"),
+        max(struct(col("tu"), col("xc"))).as("cs"),
+        max("xc").as("hc"), min("xc").as("lc"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"),
+        (col("os.xc") / 100.0).as("open"), (col("hc") / 100.0).as("high"),
+        (col("lc") / 100.0).as("low"), (col("cs.xc") / 100.0).as("close"))
+
   /** Per-user session reconstruction (join→leave spans of the example
     * hub, `example/engine-io.server.js:72-124`): 30-minute inactivity
     * gap closes a session. */

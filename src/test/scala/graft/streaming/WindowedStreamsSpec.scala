@@ -73,6 +73,28 @@ class WindowedStreamsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("event_type") == "other"))
   }
 
+  test("streaming OHLC bars: open/close by event time, extremes exact, channels isolated") {
+    val rows = run(WindowedStreams.ohlcBars, Seq(
+      Seq(E(t(1), "px", 1, 5.0), E(t(10), "px", 2, 1.0),
+          E(t(20), "px", 1, 9.0), E(t(59), "px", 3, 3.0),
+          E(t(15), "other", 1, 7.5)),
+      Seq(E(t(130), "px", 9, 2.0))), // advances watermark past the bar
+      OutputMode.Append)
+    val px = rows.filter(_.getAs[String]("event_type") == "px")
+      .filter(_.getAs[Timestamp]("win_start").getTime == 0L)
+    assert(px.length == 1, s"exactly one finalized bar: $rows")
+    val b = px.head
+    assert(b.getAs[Long]("n_events") == 4L)
+    assert(b.getAs[Double]("open") == 5.0, "first event by time opens")
+    assert(b.getAs[Double]("high") == 9.0)
+    assert(b.getAs[Double]("low") == 1.0)
+    assert(b.getAs[Double]("close") == 3.0, "last event by time closes")
+    val other = rows.filter(_.getAs[String]("event_type") == "other").head
+    assert(other.getAs[Double]("open") == 7.5 &&
+      other.getAs[Double]("close") == 7.5,
+      "single-event channel: open = close")
+  }
+
   test("session window merges events within gap and splits across it") {
     val rows = run(WindowedStreams.userSessions, Seq(
       Seq(E(t(0), "x", 1, 1.0), E(t(10), "x", 1, 1.0),   // one session
