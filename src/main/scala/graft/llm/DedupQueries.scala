@@ -611,6 +611,34 @@ object DedupQueries extends QuerySuite {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Empirical MinHash-LSH S-curve — the measured detection-rate
+    // table the (bands, rows) parameter choice is supposed to
+    // produce: for each exact-Jaccard decile of true near-dup pairs,
+    // what fraction did the banded index actually catch? The
+    // theoretical curve 1−(1−s^r)^b is an expectation; this query
+    // audits the REAL one (band-bucket caps included), the
+    // dedup-family counterpart of sim_recall_audit. Truth side is the
+    // prefix-filtered exact join (complete ≥ 0.2 by the prefix
+    // guarantee); candidate side is the capped band pairs; both
+    // sides' pairs are (a < b)-canonical so the probe is one keyed
+    // left join. Detection rates in integer ppm.
+    "dedup_lsh_s_curve" -> ((s, d) => {
+      graft.plans.MinHashSig.register(s)
+      val dw = docsWithWords(s, d)
+      val truth = ngramJaccardPairs(dw, ordered = false)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+      val docs = dw.select(col("doc_id"),
+          shinglesNative(col("w"), Shingle).as("sh"))
+        .withColumn("sig", minHashNative(col("sh"), K))
+      val cand = cappedBandPairs(docs).withColumn("hit", lit(1L))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy(floor(col("jac") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .withColumn("catch_ppm", expr("n_caught * 1000000 div n_pairs"))
+        .orderBy("bucket")
+    }),
+
     // Incremental-snapshot dedup — the shape a pipeline actually runs
     // on every NEW crawl increment: new docs (doc_id ≡ 0 mod 10, an
     // sf-invariant split) checked against the standing corpus, each
@@ -993,6 +1021,29 @@ object DedupQueries extends QuerySuite {
          |FROM pr JOIN shl a ON pr.doc_a = a.doc_id
          |        JOIN shl b ON pr.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_lsh_s_curve" ->
+      s"""WITH $lshPairsSql,
+         |sh2 AS (
+         |  SELECT doc_id, source, $shingleSql AS s
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |        FROM documents)
+         |  WHERE len(w) >= 3),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ${jaccardSql("a.s", "b.s")} AS jac
+         |  FROM sh2 a JOIN sh2 b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.2)
+         |SELECT CAST(floor(t.jac * 10) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN pr.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_caught,
+         |  CAST(sum(CASE WHEN pr.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS catch_ppm
+         |FROM truth t LEFT JOIN pr
+         |  ON pr.doc_a = t.doc_a AND pr.doc_b = t.doc_b
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "dedup_incremental_new" ->
       s"""WITH $lshPairsSql,
