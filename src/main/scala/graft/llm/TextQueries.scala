@@ -192,6 +192,41 @@ object TextQueries extends QuerySuite {
         .orderBy("split", "lang")
     }),
 
+    // Train→test n-gram coverage — "how much of the eval set's
+    // surface does the training split even contain?", the
+    // generalization-vs-memorization telemetry beside contamination
+    // detection (which asks the opposite question). Splits use the
+    // text_dataset_split hash rule; coverage = share of the TEST
+    // split's distinct word trigrams present in the TRAIN split —
+    // one explode per side reduced to DISTINCT n-grams, one left-semi
+    // probe on the n-gram key, integer ppm. N-gram tables are
+    // vocabulary-sized (≪ corpus); the corpus text never shuffles.
+    "text_split_ngram_coverage" -> ((s, d) => {
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val split = when(bucket < "c0", "train")
+        .when(bucket < "e6", "val").otherwise("test")
+      val tri = Tables.documents(s, d)
+        .select(split.as("split"), org.apache.spark.sql.functions
+          .split(lower(col("text")), " ").as("ws"))
+        .select(col("split"), explode(expr(
+          """CASE WHEN size(ws) >= 3 THEN
+            |  transform(sequence(2, size(ws) - 1),
+            |    i -> concat_ws(' ', ws[i-2], ws[i-1], ws[i]))
+            |ELSE array() END""".stripMargin)).as("g"))
+      val train = tri.filter(col("split") === "train")
+        .select("g").distinct()
+      val test = tri.filter(col("split") === "test")
+        .select("g").distinct()
+      val covered = test.join(train, Seq("g"), "left_semi")
+      test.agg(count(lit(1)).as("n_test_ngrams"))
+        .crossJoin(broadcast(
+          covered.agg(count(lit(1)).as("n_covered"))))
+        .select(col("n_test_ngrams"), col("n_covered"),
+          expr("n_covered * 1000000 div n_test_ngrams")
+            .as("coverage_ppm"))
+    }),
+
     // Rare-token scoring: per-document corpus-frequency profile of its
     // distinct vocabulary — min document frequency (the rarest term),
     // hapax count (terms appearing in only this document), and mean df.
@@ -342,6 +377,30 @@ object TextQueries extends QuerySuite {
         |    ORDER BY tfidf DESC, term) AS rk FROM sc)
         |SELECT source, rk, term, tf, df, tfidf FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
+
+    "text_split_ngram_coverage" ->
+      """WITH sp AS (
+        |  SELECT
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+        |         THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |tri AS (
+        |  SELECT split, unnest(list_transform(range(3, len(w) + 1),
+        |    i -> w[i-2] || ' ' || w[i-1] || ' ' || w[i])) AS g
+        |  FROM sp WHERE len(w) >= 3),
+        |tr AS (SELECT DISTINCT g FROM tri WHERE split = 'train'),
+        |te AS (SELECT DISTINCT g FROM tri WHERE split = 'test'),
+        |cov AS (SELECT CAST(count(*) AS BIGINT) AS n_covered
+        |        FROM te WHERE g IN (SELECT g FROM tr)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_test_ngrams FROM te)
+        |SELECT tot.n_test_ngrams, cov.n_covered,
+        |  CAST(cov.n_covered * 1000000 // tot.n_test_ngrams AS BIGINT)
+        |    AS coverage_ppm
+        |FROM tot, cov""".stripMargin,
 
     "text_dataset_split" ->
       """WITH t AS (
