@@ -506,6 +506,37 @@ object InsightQueries extends QuerySuite {
     // accumulator). α=β=½ keeps every smoothing multiply exact. The
     // collected array is day-count-sized (calendar-bounded, per the
     // pareto/day-window argument), grouped per type — never raw rows.
+    // Q–Q deciles — the distribution-comparison table a Q–Q plot
+    // renders: matching exact deciles of BUILDING vs MACHINERY order
+    // totals side by side (the same segment pairing stat_mann_whitney
+    // tests; this shows WHERE the distributions diverge, not just
+    // whether). Rank selection over per-segment value counts (decile
+    // k = smallest value with cum·10 ≥ k·n); the ×9 decile fan is a
+    // constant grid over the value-count table.
+    "stat_qq_deciles" -> ((s, d) => {
+      val g = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"),
+          cents(col("o_totalprice")).as("v"))
+      val vc = g.groupBy("seg", "v").agg(count(lit(1)).as("c"))
+      val cum = vc
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("seg").orderBy("v")))
+        .withColumn("n", sum("c").over(Window.partitionBy("seg")))
+      val qs = cum
+        .select(col("seg"), col("v"), col("cum"), col("n"),
+          explode(sequence(lit(1L), lit(9L))).as("decile"))
+        .filter(col("cum") * 10L >= col("decile") * col("n"))
+        .groupBy("seg", "decile").agg(min("v").as("q"))
+      qs.filter(col("seg") === "BUILDING")
+        .select(col("decile"), (col("q") / 100.0).as("q_building"))
+        .join(qs.filter(col("seg") === "MACHINERY")
+          .select(col("decile"), (col("q") / 100.0).as("q_machinery")),
+          "decile")
+        .orderBy("decile")
+    }),
+
     // Per-category boxplot (Tukey): exact quartiles by rank selection
     // over the (type, price)-count table plus the 1.5·IQR outlier
     // census — fences kept in DOUBLED cents (2v ≶ 2q₁−3·IQR …) so the
@@ -1108,6 +1139,32 @@ object InsightQueries extends QuerySuite {
     // (b reads l) sees the CURRENT step's already-written value from
     // the second application on. An explicit recursive CTE steps the
     // same recursion with correct old-value semantics.
+    "stat_qq_deciles" ->
+      s"""WITH g AS (
+         |  SELECT c_mktsegment AS seg,
+         |    ${centsSql("o_totalprice")} AS v
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         |vc AS (SELECT seg, v, CAST(count(*) AS BIGINT) AS c
+         |       FROM g GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT seg, v,
+         |    sum(c) OVER (PARTITION BY seg ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY seg) AS n
+         |  FROM vc),
+         |dk AS (SELECT unnest(range(1, 10)) AS decile),
+         |qs AS (
+         |  SELECT seg, CAST(dk.decile AS BIGINT) AS decile,
+         |    min(v) AS q
+         |  FROM cum CROSS JOIN dk
+         |  WHERE cum * 10 >= dk.decile * n
+         |  GROUP BY seg, dk.decile)
+         |SELECT b.decile, b.q / 100.0 AS q_building,
+         |  m.q / 100.0 AS q_machinery
+         |FROM qs b JOIN qs m ON b.decile = m.decile
+         |WHERE b.seg = 'BUILDING' AND m.seg = 'MACHINERY'
+         |ORDER BY b.decile""".stripMargin,
+
     "stat_boxplot_types" ->
       s"""WITH pv AS (
          |  SELECT p_type, ${centsSql("p_retailprice")} AS v FROM part),

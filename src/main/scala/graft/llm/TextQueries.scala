@@ -227,6 +227,38 @@ object TextQueries extends QuerySuite {
             .as("coverage_ppm"))
     }),
 
+    // Occurrence-weighted OOV rate — the unigram companion to the
+    // trigram coverage: what fraction of the TEST split's token
+    // OCCURRENCES are types absent from the train vocabulary? This is
+    // the number that predicts tokenizer fallback / LM <unk> pressure
+    // (type-level coverage overweights rare junk). Test tokens reduce
+    // to a (type → occurrence-count) table first, so the anti-join
+    // against the train vocab is vocabulary-sized on both sides.
+    "text_oov_rate" -> ((s, d) => {
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val split = when(bucket < "c0", "train")
+        .when(bucket < "e6", "val").otherwise("test")
+      val tok = Tables.documents(s, d)
+        .select(split.as("split"),
+          explode(org.apache.spark.sql.functions
+            .split(lower(col("text")), " ")).as("t"))
+      val trainVocab = tok.filter(col("split") === "train")
+        .select("t").distinct()
+      val testCounts = tok.filter(col("split") === "test")
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val oov = testCounts.join(trainVocab, Seq("t"), "left_anti")
+      testCounts.agg(sum("c").as("n_test_tokens"),
+          count(lit(1)).as("n_test_types"))
+        .crossJoin(broadcast(oov.agg(
+          coalesce(sum("c"), lit(0L)).as("n_oov_tokens"),
+          count(lit(1)).as("n_oov_types"))))
+        .select(col("n_test_tokens"), col("n_test_types"),
+          col("n_oov_tokens"), col("n_oov_types"),
+          expr("n_oov_tokens * 1000000 div n_test_tokens")
+            .as("oov_ppm"))
+    }),
+
     // Rare-token scoring: per-document corpus-frequency profile of its
     // distinct vocabulary — min document frequency (the rarest term),
     // hapax count (terms appearing in only this document), and mean df.
@@ -377,6 +409,33 @@ object TextQueries extends QuerySuite {
         |    ORDER BY tfidf DESC, term) AS rk FROM sc)
         |SELECT source, rk, term, tf, df, tfidf FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH sp AS (
+        |  SELECT
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+        |         THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tv AS (SELECT DISTINCT t FROM sp WHERE split = 'train'),
+        |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |       FROM sp WHERE split = 'test' GROUP BY t),
+        |oov AS (
+        |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_oov_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_oov_types
+        |  FROM tc WHERE t NOT IN (SELECT t FROM tv)),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_test_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_test_types
+        |  FROM tc)
+        |SELECT tot.n_test_tokens, tot.n_test_types,
+        |  oov.n_oov_tokens, oov.n_oov_types,
+        |  CAST(oov.n_oov_tokens * 1000000 // tot.n_test_tokens AS BIGINT)
+        |    AS oov_ppm
+        |FROM tot, oov""".stripMargin,
 
     "text_split_ngram_coverage" ->
       """WITH sp AS (
