@@ -398,7 +398,36 @@ object Multimodal extends QuerySuite {
     // true positives; MultimodalSpec proves the blocked output equals
     // the brute-force pair scan.
     "multimodal_phash_dups" -> ((s, d) =>
-      phashPairs(phashTable(s, d))))
+      phashPairs(phashTable(s, d))),
+
+    // Candidate-distance histogram — the banding calibration audit
+    // for the image index: among band-mate CANDIDATE pairs (no
+    // accept-threshold filter), how are XOR-popcount distances
+    // distributed? A healthy index shows planted twins at ≤ 3 bits
+    // and a background hump far above — if the hump creeps toward the
+    // threshold, the bands are too coarse. Same banded join as the
+    // dup query; the oracle replays it from the pixel-formula sigs
+    // with hamming as the SUM of per-band 16-bit popcounts (bands
+    // partition the 64 bits).
+    "multimodal_phash_cand_hist" -> ((s, d) => {
+      val sigs = phashTable(s, d)
+      val banded = sigs.select(col("doc_id"), col("phash"),
+        explode(array((0 until PhashBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            bandVal(col("phash"), b).as("band_val"))): _*)).as("bd"))
+        .select(col("doc_id"), col("phash"),
+          col("bd.band_idx"), col("bd.band_val"))
+      banded.as("x").join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("CAST(bit_count(x.phash ^ y.phash) AS BIGINT)")
+            .as("hamming"))
+        .distinct()
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")
+    }))
 
   /** The WITH-body both phash oracles share: predicts every dHash
     * band in DuckDB from the fixture's integer pixel formula (incl.
@@ -514,6 +543,19 @@ object Multimodal extends QuerySuite {
     // guarantees a shared band by pigeonhole, so the blocked Spark
     // plan and this brute-force SQL are equal BY THEOREM (and
     // MultimodalSpec proves the blocking equivalence executably).
+    "multimodal_phash_cand_hist" ->
+      s"""WITH $phashSigsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |      AS BIGINT) AS hamming
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
+         |        OR a.b3 = b.b3))
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM cand GROUP BY hamming ORDER BY hamming""".stripMargin,
+
     "multimodal_phash_dups" ->
       s"""WITH $phashSigsSql
          |SELECT doc_a, doc_b, hamming FROM (
