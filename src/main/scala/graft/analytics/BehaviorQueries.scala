@@ -121,6 +121,36 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("day")
     }),
 
+    // User-lifetime survival curve — the churn staple beside
+    // cohort_weekly_retention (which grids cohort × week; this is the
+    // LIFETIME DISTRIBUTION itself): for every observed lifetime t
+    // (days between a user's first and last event), how many users
+    // are still "at risk" at t — i.e. S(t) = |{u : lifetime(u) ≥ t}|
+    // / n_users, the exact empirical survival function (the
+    // Kaplan-Meier estimator with no mid-study censoring collapses to
+    // exactly this). All integer: per-user min/max day aggregate →
+    // value-count table keyed by lifetime → one descending cumulative
+    // sum. Scale shape: the raw log shuffles once on user_id; every
+    // later step runs on the lifetime-count table, whose size is
+    // bounded by the CALENDAR SPAN in days — a constant-bounded
+    // global window (the PlanShapeSpec category), never data-sized.
+    "behavior_lifetime_survival" -> ((s, d) => {
+      val life = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id")
+        .agg(datediff(max("day"), min("day")).cast("long")
+          .as("lifetime_days"))
+      val counts = life.groupBy("lifetime_days")
+        .agg(count(lit(1)).as("n_ending"))
+      val w = Window.orderBy(col("lifetime_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.withColumn("at_risk", sum("n_ending").over(w))
+        .crossJoin(broadcast(life.agg(count(lit(1)).as("n_users"))))
+        .select(col("lifetime_days"), col("n_ending"), col("at_risk"),
+          expr("at_risk * 1000000 div n_users").as("survival_ppm"))
+        .orderBy("lifetime_days")
+    }),
+
     // Funnel latency quartiles — not just HOW MANY users convert
     // (funnel_stages) but HOW FAST: exact p25/p50/p75 of the
     // stage-to-stage delay, per transition, by rank selection over
@@ -404,6 +434,25 @@ object BehaviorQueries extends QuerySuite {
          |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
          |    // count(*) AS BIGINT) AS bounce_ppm
          |FROM sess GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "behavior_lifetime_survival" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+        |      AS lifetime_days
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT lifetime_days, CAST(count(*) AS BIGINT) AS n_ending
+        |  FROM life GROUP BY lifetime_days),
+        |n AS (SELECT count(*) AS n_users FROM life),
+        |cum AS (
+        |  SELECT lifetime_days, n_ending,
+        |    CAST(sum(n_ending) OVER (ORDER BY lifetime_days DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk
+        |  FROM c)
+        |SELECT lifetime_days, n_ending, at_risk,
+        |  CAST(at_risk * 1000000 // n_users AS BIGINT) AS survival_ppm
+        |FROM cum, n ORDER BY lifetime_days""".stripMargin,
 
     "funnel_latency_quantiles" ->
       s"""WITH e AS (SELECT user_id, event_type, $secSql AS sec FROM events),

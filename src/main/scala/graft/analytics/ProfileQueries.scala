@@ -271,6 +271,44 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Watermark-delay tuning table: for each candidate watermark
+    // delay, what fraction of events would a streaming 5-min tumbling
+    // aggregation DROP as too late? Arrival time is simulated as
+    // event time + a deterministic hash-derived network delay in
+    // [0, 600) s (pmod(xxhash64('lat:'||id), 600) — the
+    // stat_bootstrap_ci convention, so the oracle replays the exact
+    // same jitter via XxhSql); an event is dropped under delay D iff
+    // arrival > its window end + D. This is the batch study run
+    // BEFORE picking `withWatermark` for streaming.Ingest — the grid
+    // answers "1 min loses 8%, 5 min loses 0.4%". Scale shape: pure
+    // map-side arithmetic + ONE global aggregate (3 conditional sums
+    // with map-side partials), then a 3-row stack — no shuffle
+    // carries raw events, no window at all.
+    "dq_watermark_lateness" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("delay_s", pmod(xxhash64(
+          concat(lit("lat:"), col("event_id").cast("string"))), lit(600L)))
+        .withColumn("late_by", col("tsec") + col("delay_s")
+          - (expr("tsec div 300") + 1L) * 300L)
+      val agg = e.agg(
+        count(lit(1)).as("total"),
+        coalesce(sum(when(col("late_by") > 60L, 1L).otherwise(0L)), lit(0L))
+          .as("d60"),
+        coalesce(sum(when(col("late_by") > 120L, 1L).otherwise(0L)), lit(0L))
+          .as("d120"),
+        coalesce(sum(when(col("late_by") > 300L, 1L).otherwise(0L)), lit(0L))
+          .as("d300"))
+      agg.select(
+          expr("stack(3, 60L, d60, 120L, d120, 300L, d300)")
+            .as(Seq("watermark_delay_s", "dropped")), col("total"))
+        .select(col("watermark_delay_s"), col("dropped"), col("total"),
+          when(col("total") === 0L, lit(0L))
+            .otherwise(expr("dropped * 1000000 div total"))
+            .as("dropped_ppm"))
+        .orderBy("watermark_delay_s")
+    }),
+
     // CUSUM changepoint per event type: the day where the cumulative
     // deviation of daily totals from the per-type mean peaks — where
     // the level shift happened. Integer-exact via n-scaling: c_i =
@@ -460,6 +498,37 @@ object ProfileQueries extends QuerySuite {
         |SELECT event_type, n, last_s,
         |  (SELECT max(last_s) FROM bt) - last_s AS lag_s
         |FROM bt ORDER BY event_type""".stripMargin,
+
+    "dq_watermark_lateness" ->
+      s"""WITH lsrc AS (
+         |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         |    'lat:' || CAST(event_id AS VARCHAR) AS s0
+         |  FROM events),
+         |${graft.llm.XxhSql.ctes("lsrc", Seq("event_id", "tsec"), "s0", "wl")},
+         |lb AS (
+         |  SELECT tsec + ((hv % 600) + 600) % 600
+         |       - ((tsec // 300) + 1) * 300 AS late_by
+         |  FROM wl_out),
+         |agg AS (
+         |  SELECT count(*) AS total,
+         |    CAST(coalesce(sum(CASE WHEN late_by > 60 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS d60,
+         |    CAST(coalesce(sum(CASE WHEN late_by > 120 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS d120,
+         |    CAST(coalesce(sum(CASE WHEN late_by > 300 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS d300
+         |  FROM lb),
+         |g AS (SELECT CAST(v.d AS BIGINT) AS watermark_delay_s
+         |      FROM (VALUES (60), (120), (300)) v(d))
+         |SELECT g.watermark_delay_s,
+         |  CAST(CASE g.watermark_delay_s WHEN 60 THEN d60
+         |       WHEN 120 THEN d120 ELSE d300 END AS BIGINT) AS dropped,
+         |  CAST(total AS BIGINT) AS total,
+         |  CAST(CASE WHEN total = 0 THEN 0
+         |       ELSE (CASE g.watermark_delay_s WHEN 60 THEN d60
+         |             WHEN 120 THEN d120 ELSE d300 END) * 1000000 // total
+         |  END AS BIGINT) AS dropped_ppm
+         |FROM g, agg ORDER BY g.watermark_delay_s""".stripMargin,
 
     "ts_cusum_changepoint" ->
       """WITH daily AS (

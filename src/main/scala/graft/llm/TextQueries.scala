@@ -12,6 +12,9 @@ import TextOps._
   */
 object TextQueries extends QuerySuite {
 
+  /** Top-K cut for the Zipf constancy audit. */
+  val ZipfTopK = 50
+
   // The lang-ID classifier, defined ONCE and shared by text_lang_id
   // and its confusion audit — so the audit can never drift from the
   // classifier it measures. (Spark column + DuckDB CASE twins.)
@@ -292,7 +295,68 @@ object TextQueries extends QuerySuite {
           sum("nw").as("total_words"),
           sum("n_chars").as("total_chars"),
           max("n_chars").as("max_chars"))
-        .orderBy("lang", "source")))
+        .orderBy("lang", "source")),
+
+    // Tokenizer fertility per language — tokens-per-word and
+    // chars-per-token in integer ppm. The standard multilingual
+    // tokenizer-bias audit (a tokenizer trained on English spends
+    // 2-4× more tokens per word on under-represented scripts, which
+    // silently taxes their effective context length and training
+    // budget — cf. the fertility metric in the XLM/BLOOM tokenizer
+    // papers). Scale shape: one map-side projection of per-doc
+    // counts, one partial-agg groupBy on `lang` (cardinality ~ 10²)
+    // — no join, no window; ratios are single integer divisions of
+    // exact BIGINT sums. `words` of a non-empty string is never
+    // empty (split(" ") yields [""] at worst) so total_words ≥
+    // n_docs > 0 for every group; total_tokens CAN be 0 (whitespace
+    // -only docs) and guards its division.
+    "text_fertility_by_lang" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(words(col("text"))).cast("long").as("nw"),
+          size(regexTokens(col("text"))).cast("long").as("nt"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("total_words"),
+          sum("nt").as("total_tokens"),
+          sum("n_chars").as("total_chars"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          col("total_tokens"),
+          expr("total_tokens * 1000000 div total_words")
+            .as("fertility_ppm"),
+          when(col("total_tokens") === 0L, lit(null).cast("long"))
+            .otherwise(expr("total_chars * 1000000 div total_tokens"))
+            .as("chars_per_token_ppm"))
+        .orderBy("lang")),
+
+    // Zipf's-law constancy audit over the corpus unigram frequencies:
+    // for the top-[[ZipfTopK]] tokens, rank·freq should be ≈ constant
+    // (≈ the rank-1 frequency), emitted as an integer ppm ratio —
+    // the log-free Zipf check (log() is banned by the determinism
+    // contract; rank·freq/C IS the Zipf-ness measure, exact). A
+    // heavy-tailed corpus reads ≈ 10⁶ down the table; boilerplate-
+    // or spam-dominated corpora bulge far above it. Scale shape: one
+    // explode + partial-agg token count, then a TOP-K via
+    // TakeOrderedAndProject (no global sort shuffle of the vocab
+    // table) and a row_number window over the constant K rows.
+    // Integer headroom: rank·freq·10⁶ < 2⁶³ holds while the top
+    // token's count < 1.8·10¹¹ at K = 50; a 100 TB corpus (top token
+    // ~10¹²) swaps the product to DECIMAL(38,0) — same plan shape.
+    "text_zipf_constancy" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val top = tf.orderBy(col("freq").desc, col("token")).limit(ZipfTopK)
+      val w = Window.orderBy(col("freq").desc, col("token"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(tf.agg(max("freq").as("c1"))))
+        .select(col("rank"), col("token"), col("freq"),
+          (col("rank") * col("freq")).as("rank_freq"),
+          expr("rank * freq * 1000000 div c1").as("constancy_ppm"))
+        .orderBy("rank")
+    }))
 
   private val enSetSql = EnMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
   private val deSetSql = DeMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -492,5 +556,39 @@ object TextQueries extends QuerySuite {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin)
+        |ORDER BY lang, source""".stripMargin,
+
+    "text_fertility_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        |      AS nt,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS total_words,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nt) * 1000000 // sum(nw) AS BIGINT) AS fertility_ppm,
+        |  CASE WHEN sum(nt) = 0 THEN NULL
+        |       ELSE CAST(sum(n_chars) * 1000000 // sum(nt) AS BIGINT)
+        |  END AS chars_per_token_ppm
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_zipf_constancy" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tok WHERE token <> '' GROUP BY token),
+        |top AS (
+        |  SELECT token, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |      AS rank
+        |  FROM tf ORDER BY freq DESC, token LIMIT 50),
+        |c AS (SELECT max(freq) AS c1 FROM tf)
+        |SELECT rank, token, freq,
+        |  CAST(rank * freq AS BIGINT) AS rank_freq,
+        |  CAST(rank * freq * 1000000 // c1 AS BIGINT) AS constancy_ppm
+        |FROM top, c ORDER BY rank""".stripMargin)
 }

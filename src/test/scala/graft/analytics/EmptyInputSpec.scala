@@ -148,6 +148,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(as.length == 1 && as(0).getLong(0) == 0L)
   }
 
+  test("round-7c additions survive empty tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty7").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    for (q <- Seq("text_fertility_by_lang", "text_zipf_constancy",
+        "behavior_lifetime_survival")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+      assert(out.count() == 0L, s"$q must be empty, not crash")
+    }
+    // the lateness grid keeps one row per candidate delay (global
+    // aggregate), all counters zero under the total=0 guard
+    val wm = SparkEntry.queries("dq_watermark_lateness")(spark, dir)
+      .collect()
+    assert(wm.length == 3 && wm.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
   test("pivot_unpivot_roundtrip derives the status domain from the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
     // a status outside the usual {F, O, P} domain must survive
