@@ -164,6 +164,152 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Brown–Forsythe robust spread-equality test between the click
+    // and view value distributions — Levene's test with the group
+    // MEDIAN as center (the robust variant): z = |x − med_g|, then
+    // the two-sample pooled-variance t on z (for k = 2 groups the
+    // Brown–Forsythe ANOVA F is exactly t²; both are emitted). The
+    // question it answers — "do these two segments merely sit at
+    // different levels (Welch), or is one genuinely more VOLATILE?" —
+    // is the other half of the drift story stat_welch_ttest tells.
+    // Exactness: whole-unit quantization (the Welch headroom note),
+    // medians by rank selection over the (type, value)-count table,
+    // every aggregate an exact BIGINT; the float tree (two means,
+    // pooled variance, one sqrt) is written identically in the
+    // oracle. Scale shape: one value-count aggregate for medians
+    // (windows run over distinct values, never raw rows), one
+    // broadcast of the 2-row median table, one global conditional-sum
+    // aggregate with map-side partials — no raw-row window, no
+    // self-join. Degenerate sides (n < 2, or zero pooled spread)
+    // emit NULL.
+    "stat_brown_forsythe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), round(col("value"), 0).cast("long").as("x"))
+      val vc = ev.groupBy("event_type", "x").agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy("event_type").orderBy("x")
+      val med = vc
+        .withColumn("cum", sum("c").over(wOrd))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        .withColumn("rk", expr("(n + 1) div 2"))
+        .filter(col("cum") - col("c") < col("rk") && col("rk") <= col("cum"))
+        .select(col("event_type"), col("x").as("med"))
+      val z = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("x") - col("med")).as("z"))
+      val isC = col("event_type") === "click"
+      val m = z.agg(
+        sum(when(isC, 1L).otherwise(0L)).as("n1"),
+        sum(when(isC, col("z")).otherwise(0L)).as("s1"),
+        sum(when(isC, col("z") * col("z")).otherwise(0L)).as("q1"),
+        sum(when(!isC, 1L).otherwise(0L)).as("n2"),
+        sum(when(!isC, col("z")).otherwise(0L)).as("s2"),
+        sum(when(!isC, col("z") * col("z")).otherwise(0L)).as("q2"))
+      val a1 = col("n1") * col("q1") - col("s1") * col("s1")
+      val a2 = col("n2") * col("q2") - col("s2") * col("s2")
+      // pooled t on the deviations: SS_g = A_g/n_g exactly, then the
+      // fixed float tree sp2 = (SS1+SS2)/(n1+n2-2),
+      // t = (z̄1−z̄2)/sqrt(sp2·(1/n1+1/n2))
+      val ss1 = a1.cast("double") / col("n1").cast("double")
+      val ss2 = a2.cast("double") / col("n2").cast("double")
+      val sp2 = (ss1 + ss2) / (col("n1") + col("n2") - 2L).cast("double")
+      val tEx = (col("s1").cast("double") / col("n1").cast("double") -
+        col("s2").cast("double") / col("n2").cast("double")) /
+        sqrt(sp2 * (lit(1.0) / col("n1").cast("double") +
+          lit(1.0) / col("n2").cast("double")))
+      val medp = med.agg(
+        max(when(col("event_type") === "click", col("med"))).as("med_click"),
+        max(when(col("event_type") === "view", col("med"))).as("med_view"))
+      m.crossJoin(broadcast(medp))
+        .select(col("n1"), col("n2"), col("med_click"), col("med_view"),
+          when(col("n1") === 0L, lit(null).cast("double"))
+            .otherwise(col("s1").cast("double") / col("n1").cast("double"))
+            .as("mean_dev_click"),
+          when(col("n2") === 0L, lit(null).cast("double"))
+            .otherwise(col("s2").cast("double") / col("n2").cast("double"))
+            .as("mean_dev_view"),
+          when(col("n1") < 2L || col("n2") < 2L || (a1 === 0L && a2 === 0L),
+            lit(null).cast("double")).otherwise(tEx).as("bf_t"),
+          when(col("n1") < 2L || col("n2") < 2L || (a1 === 0L && a2 === 0L),
+            lit(null).cast("double")).otherwise(tEx * tEx).as("bf_f"))
+    }),
+
+    // Pre-join fan-out estimator — the CBO sanity check a pipeline
+    // runs BEFORE a self-join or user-level pair analysis: from the
+    // per-key count table alone, the exact output cardinality of the
+    // events-by-user self join (Σ n_u²) and the hottest keys'
+    // contribution share. Answers "will behavior_pair_bursts-style
+    // pair generation explode, and which keys would need salting?"
+    // without running the join. Scale shape: one keyed aggregate to
+    // the per-user count table, one TOP-K via TakeOrderedAndProject,
+    // one 1-row total broadcast — the join itself never runs.
+    // Integer headroom: Σ n_u² ≤ (Σ n_u)² needs n_total < 3·10⁹ in
+    // BIGINT; past that the contributions rescale to thousands
+    // first (same note as stat_ks_segments).
+    "dq_join_fanout_estimate" -> ((s, d) => {
+      val pk = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          (col("n_events") * col("n_events")).as("pair_contrib"))
+      val tot = pk.agg(
+        coalesce(sum("n_events"), lit(0L)).as("t_rows"),
+        coalesce(sum("pair_contrib"), lit(0L)).as("t_pairs"))
+      val top = pk.orderBy(col("pair_contrib").desc, col("user_id"))
+        .limit(10)
+      val summary = tot.select(lit(null).cast("long").as("user_id"),
+        col("t_rows").as("n_events"), col("t_pairs").as("pair_contrib"),
+        when(col("t_pairs") === 0L, lit(0L)).otherwise(lit(1000000L))
+          .as("share_ppm"))
+      top.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n_events"), col("pair_contrib"),
+          when(col("t_pairs") === 0L, lit(0L))
+            .otherwise(expr("pair_contrib * 1000000 div t_pairs"))
+            .as("share_ppm"))
+        .unionByName(summary)
+        .orderBy(col("user_id").isNotNull, col("pair_contrib").desc,
+          col("user_id"))
+    }),
+
+    // Inclusion-dependency DISCOVERY — FK-candidate inference from
+    // the data alone (dq_referential_orphans VALIDATES declared FKs;
+    // this one asks which column pairs LOOK like FKs): for each
+    // candidate (A ⊆ B), the share of A's DISTINCT values present in
+    // B, in integer ppm, with a verdict at full containment. The
+    // grid includes one deliberate non-FK (customer ⊆ orders — a
+    // customer with no orders breaks containment) so the verdict
+    // column is exercised in both directions. Scale shape: per pair,
+    // two distinct-key aggregates and one left-semi join ON THE
+    // DISTINCT-KEY TABLES — the fact tables collapse before any
+    // join; no row-level comparison survives.
+    "dq_inclusion_deps" -> ((s, d) => {
+      def dep(name: String, a: DataFrame, ak: String,
+          b: DataFrame, bk: String): DataFrame = {
+        val da = a.select(col(ak).cast("long").as("k")).distinct()
+        val db = b.select(col(bk).cast("long").as("k")).distinct()
+        val nA = da.agg(count(lit(1)).as("n_left_distinct"))
+        val nM = da.join(db, Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("n_matched"))
+        nA.crossJoin(nM).select(lit(name).as("dep"),
+          col("n_left_distinct"), col("n_matched"),
+          when(col("n_left_distinct") === 0L, lit(0L))
+            .otherwise(expr("n_matched * 1000000 div n_left_distinct"))
+            .as("containment_ppm"),
+          (col("n_left_distinct") > 0L &&
+            col("n_matched") === col("n_left_distinct"))
+            .as("fk_candidate"))
+      }
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val li = Tables.lineitem(s, d)
+      dep("customer.c_custkey<orders.o_custkey", c, "c_custkey",
+          o, "o_custkey")
+        .unionByName(dep("lineitem.l_orderkey<orders.o_orderkey",
+          li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(dep("lineitem.l_partkey<part.p_partkey",
+          li, "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(dep("orders.o_custkey<customer.c_custkey",
+          o, "o_custkey", c, "c_custkey"))
+        .orderBy("dep")
+    }),
+
     // Theil–Sen robust trend per event type: the MEDIAN of all
     // pairwise slopes between daily totals — outlier-days shift OLS
     // fits but barely move this. Slopes live on the C(n_days, 2)
@@ -412,6 +558,113 @@ object ProfileQueries extends QuerySuite {
         |                CAST(n2*n2*(n2-1) AS DOUBLE))
         |  END AS t_stat
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "stat_brown_forsythe" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round("value") AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |med AS (SELECT event_type, x AS med FROM r
+        |  WHERE rn = (n + 1) // 2),
+        |z AS (SELECT ev.event_type, abs(x - med) AS z
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN z ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN z*z ELSE 0 END)
+        |      AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN z ELSE 0 END)
+        |      AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN z*z ELSE 0 END)
+        |      AS BIGINT) AS q2
+        |  FROM z),
+        |medp AS (
+        |  SELECT max(CASE WHEN event_type = 'click' THEN med END)
+        |      AS med_click,
+        |    max(CASE WHEN event_type = 'view' THEN med END) AS med_view
+        |  FROM med),
+        |tv AS (
+        |  SELECT n1, n2, med_click, med_view,
+        |    n1*q1 - s1*s1 AS a1, n2*q2 - s2*s2 AS a2,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |     CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |    sqrt(((CAST(n1*q1 - s1*s1 AS DOUBLE) / CAST(n1 AS DOUBLE) +
+        |           CAST(n2*q2 - s2*s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |          CAST(n1 + n2 - 2 AS DOUBLE)) *
+        |         (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        |      AS t,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS md1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md2
+        |  FROM m, medp)
+        |SELECT n1, n2, med_click, med_view,
+        |  CASE WHEN n1 = 0 THEN NULL ELSE md1 END AS mean_dev_click,
+        |  CASE WHEN n2 = 0 THEN NULL ELSE md2 END AS mean_dev_view,
+        |  CASE WHEN n1 < 2 OR n2 < 2 OR (a1 = 0 AND a2 = 0) THEN NULL
+        |       ELSE t END AS bf_t,
+        |  CASE WHEN n1 < 2 OR n2 < 2 OR (a1 = 0 AND a2 = 0) THEN NULL
+        |       ELSE t * t END AS bf_f
+        |FROM tv""".stripMargin,
+
+    "dq_join_fanout_estimate" ->
+      """WITH pk AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(*) * count(*) AS BIGINT) AS pair_contrib
+        |  FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT CAST(coalesce(sum(n_events), 0) AS BIGINT) AS t_rows,
+        |    CAST(coalesce(sum(pair_contrib), 0) AS BIGINT) AS t_pairs
+        |  FROM pk),
+        |top AS (
+        |  SELECT user_id, n_events, pair_contrib FROM pk
+        |  ORDER BY pair_contrib DESC, user_id LIMIT 10)
+        |SELECT user_id, n_events, pair_contrib, share_ppm FROM (
+        |  SELECT top.user_id, top.n_events, top.pair_contrib,
+        |    CAST(CASE WHEN t_pairs = 0 THEN 0
+        |         ELSE pair_contrib * 1000000 // t_pairs END AS BIGINT)
+        |      AS share_ppm
+        |  FROM top, tot
+        |  UNION ALL
+        |  SELECT NULL, t_rows, t_pairs,
+        |    CAST(CASE WHEN t_pairs = 0 THEN 0 ELSE 1000000 END AS BIGINT)
+        |  FROM tot) u
+        |ORDER BY user_id IS NOT NULL, pair_contrib DESC, user_id"""
+        .stripMargin,
+
+    "dq_inclusion_deps" ->
+      """WITH d AS (
+        |  SELECT 'customer.c_custkey<orders.o_custkey' AS dep,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer) AS nl,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer
+        |     WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS nm
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey<orders.o_orderkey',
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey<part.p_partkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |     WHERE l_partkey IN (SELECT p_partkey FROM part))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey<customer.c_custkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(DISTINCT o_custkey) FROM orders
+        |     WHERE o_custkey IN (SELECT c_custkey FROM customer)))
+        |SELECT dep, CAST(nl AS BIGINT) AS n_left_distinct,
+        |  CAST(nm AS BIGINT) AS n_matched,
+        |  CAST(CASE WHEN nl = 0 THEN 0
+        |       ELSE nm * 1000000 // nl END AS BIGINT) AS containment_ppm,
+        |  nl > 0 AND nm = nl AS fk_candidate
+        |FROM d ORDER BY dep""".stripMargin,
 
     "stat_theil_sen" ->
       """WITH daily AS (

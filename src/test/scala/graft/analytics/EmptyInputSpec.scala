@@ -167,6 +167,28 @@ class EmptyInputSpec extends SparkSpec {
       .collect()
     assert(wm.length == 3 && wm.forall(r =>
       r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // Brown–Forsythe degenerates to a single all-null row (global
+    // aggregate over zero groups, guards trip)
+    val bf = SparkEntry.queries("stat_brown_forsythe")(spark, dir)
+      .collect()
+    assert(bf.length == 1 && bf(0).isNullAt(6) && bf(0).isNullAt(7))
+    // the fan-out estimator keeps only its zeroed summary row
+    val fo = SparkEntry.queries("dq_join_fanout_estimate")(spark, dir)
+      .collect()
+    assert(fo.length == 1 && fo(0).isNullAt(0) && fo(0).getLong(2) == 0L)
+    Seq.empty[(Long, String)].toDF("c_custkey", "c_name")
+      .repartition(1).write.parquet(s"$dir/customer.parquet")
+    Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+      .repartition(1).write.parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, String)].toDF("p_partkey", "p_name")
+      .repartition(1).write.parquet(s"$dir/part.parquet")
+    // all four inclusion rows survive with zero counts, no candidate
+    val inc = SparkEntry.queries("dq_inclusion_deps")(spark, dir)
+      .collect()
+    assert(inc.length == 4 && inc.forall(r =>
+      r.getLong(1) == 0L && r.getLong(3) == 0L && !r.getBoolean(4)))
   }
 
   test("pivot_unpivot_roundtrip derives the status domain from the data") {
