@@ -55,6 +55,55 @@ class WindowedStreamsSpec extends SparkSpec {
     assert(w0.map(_.getAs[Long]("n_events")).sum == 1) // late row not counted
   }
 
+  test("watermark-drop parity: the batch lateness predictor reproduces streaming drops event-for-event") {
+    // The rule dq_watermark_lateness models — an event is dropped iff
+    // its window end ≤ (watermark at the batch it arrives in), where
+    // the watermark is max-event-time-so-far − delay carried over
+    // from the PREVIOUS micro-batch. This test replays that exact
+    // recurrence in plain Scala over a planted arrival schedule and
+    // asserts the streaming query keeps/drops the identical events.
+    // Fixture avoids boundary equality (no window end exactly ON a
+    // watermark) so parity is not a <=-vs-< accident.
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val delaySec = 60L
+    val winSec = 300L
+    val batches: Seq[Seq[E]] = Seq(
+      Seq(E(t(1), "a", 1, 1.0), E(t(4), "a", 2, 1.0)),
+      Seq(E(t(10), "a", 3, 1.0), E(t(2), "a", 4, 1.0)),  // 2min: kept (wm 3min < wend 5min)
+      Seq(E(t(20), "a", 5, 1.0), E(t(3), "a", 6, 1.0)),  // 3min: dropped (wm 9min ≥ wend 5min)
+      Seq(E(t(21), "a", 7, 1.0), E(t(16), "a", 8, 1.0)), // 16min: kept (wm 19min < wend 20min)
+      Seq(E(t(90), "flush", 9, 1.0)))
+    val rows = run(df => df.withWatermark("ts", "60 seconds")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n")),
+      batches, OutputMode.Append)
+    val streamed = rows.map(r =>
+      (r.getAs[Timestamp]("win_start").getTime / 1000, r.getAs[Long]("n")))
+      .toMap
+    // batch replay of the same recurrence
+    var wm = Long.MinValue
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long] // window starts
+    for (b <- batches) {
+      for (e <- b) {
+        val sec = e.ts.getTime / 1000
+        val wend = (sec / winSec + 1) * winSec
+        if (wend > wm) kept += wend - winSec
+      }
+      wm = math.max(wm, b.map(_.ts.getTime / 1000).max - delaySec)
+    }
+    val predicted = kept.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .filter { case (ws, _) => ws + winSec <= wm } // only finalized windows emit
+    assert(streamed == predicted,
+      s"streamed=$streamed predicted=$predicted")
+    // and the planted intent holds: of the 8 data events exactly one
+    // (user 6, the 3-min straggler behind a 9-min watermark) dropped,
+    // and the flush event's own unfinalized window never emitted
+    assert(streamed.values.sum == 7L)
+    assert(streamed(0L) == 3L) // [0,5min): users 1, 2, 4 — straggler gone
+  }
+
   test("dedup within watermark drops in-horizon duplicates, re-admits after expiry") {
     val rows = run(WindowedStreams.dedupedIngest, Seq(
       // duplicate payload twice inside the horizon -> one survivor
