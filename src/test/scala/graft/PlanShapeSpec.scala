@@ -91,7 +91,10 @@ class PlanShapeSpec extends SparkSpec {
     "route_delivery_gini",
     // prefix sum over the distinct order-total value-count table
     // (ScaleQueries layout_equidepth_hist doc)
-    "layout_equidepth_hist")
+    "layout_equidepth_hist",
+    // descending cumulative over the lifetime-count table — bounded
+    // by the calendar span in days (BehaviorQueries survival doc)
+    "behavior_lifetime_survival")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
