@@ -777,6 +777,62 @@ object InsightQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Holt–Winters additive (level + trend + 7-slot weekly season,
+    // α=β=γ=0.5) over daily per-type totals — the seasonal upgrade of
+    // ts_holt_linear for series where a naive trend forecast is
+    // wrecked by day-of-week shape (which ts_classical_decompose
+    // showed these series have). Same execution discipline as
+    // holt_linear: daily totals in integer cents, one ordered
+    // collect_list per type (bounded by calendar span), and ONE
+    // deterministic left-fold whose float tree — built from a shared
+    // generator so level/trend/season updates are literally the same
+    // expression text everywhere — is replayed operation-for-
+    // operation by the oracle's recursive CTE, so the doubles are
+    // bit-identical. The seasonal state rides as 7 named struct
+    // slots (s0..s6) selected by CASE on the fold index — no
+    // per-step array rebuild. Seasonal slots initialize to 0 and
+    // burn in over the first weeks (documented semantics, identical
+    // in the twin).
+    "ts_holt_winters" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val sSlot = "CASE acc.i % 7 " +
+        (0 to 6).map(k => s"WHEN $k THEN acc.s$k").mkString(" ") + " END"
+      val y = "CAST(x.yc AS DOUBLE)"
+      val lNew = s"0.5D * ($y - ($sSlot)) + 0.5D * (acc.l + acc.b)"
+      val bNew = s"0.5D * (($lNew) - acc.l) + 0.5D * acc.b"
+      val sUpd = (0 to 6).map(k =>
+        s"'s$k', IF(acc.i % 7 = $k, " +
+          s"0.5D * ($y - ($lNew)) + 0.5D * acc.s$k, acc.s$k)")
+        .mkString(", ")
+      val init = "named_struct('l', CAST(arr[0].yc AS DOUBLE), " +
+        "'b', CAST(0.0 AS DOUBLE), " +
+        (0 to 6).map(k => s"'s$k', CAST(0.0 AS DOUBLE)").mkString(", ") +
+        ", 'i', 1)"
+      // the fold ends with st.i = size(arr), so the NEXT day's slot
+      // is st.i % 7
+      val fcSlot = "CASE st.i % 7 " +
+        (0 to 6).map(k => s"WHEN $k THEN st.s$k").mkString(" ") + " END"
+      daily.groupBy("event_type")
+        .agg(expr("array_sort(collect_list(struct(od, yc)))").as("arr"))
+        .select(col("event_type"),
+          expr("CAST(size(arr) AS BIGINT)").as("n_days"),
+          expr(
+            s"""aggregate(
+               |  slice(arr, 2, greatest(size(arr) - 1, 0)),
+               |  $init,
+               |  (acc, x) -> named_struct('l', $lNew, 'b', $bNew,
+               |    $sUpd, 'i', acc.i + 1))""".stripMargin).as("st"))
+        .select(col("event_type"), col("n_days"),
+          (col("st.l") / 100.0).as("level"),
+          (col("st.b") / 100.0).as("trend"),
+          expr(s"($fcSlot) / 100.0").as("season_next"),
+          expr(s"(st.l + st.b + ($fcSlot)) / 100.0").as("forecast"))
+        .orderBy("event_type")
+    }),
+
     // Spearman rank correlation between the click and purchase daily
     // totals — the monotone-association check robust to the heavy
     // right tail that wrecks Pearson. Mid-ranks in DOUBLED integers
@@ -1359,6 +1415,51 @@ object InsightQueries extends QuerySuite {
         |SELECT event_type, n AS n_days, l / 100.0 AS level,
         |  b / 100.0 AS trend, (l + b) / 100.0 AS forecast
         |FROM rec WHERE i = n ORDER BY event_type""".stripMargin,
+
+    "ts_holt_winters" -> {
+      // same generator discipline as the Spark fold: level/trend/
+      // season updates share one expression text, so the float trees
+      // are operation-identical across engines
+      val sSlot = "CASE rec.i % 7 " +
+        (0 to 6).map(k => s"WHEN $k THEN rec.s$k").mkString(" ") + " END"
+      val y = "CAST(idx.yc AS DOUBLE)"
+      val lNew = s"0.5 * ($y - ($sSlot)) + 0.5 * (rec.l + rec.b)"
+      val bNew = s"0.5 * (($lNew) - rec.l) + 0.5 * rec.b"
+      val sCols = (0 to 6).map(k =>
+        s"CASE WHEN rec.i % 7 = $k THEN 0.5 * ($y - ($lNew)) " +
+          s"+ 0.5 * rec.s$k ELSE rec.s$k END AS s$k").mkString(", ")
+      val s0Cols = (0 to 6).map(k => s"CAST(0.0 AS DOUBLE) AS s$k")
+        .mkString(", ")
+      val fcSlot = "CASE i % 7 " +
+        (0 to 6).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+         |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+         |      AS yc
+         |  FROM events WHERE "value" IS NOT NULL
+         |  GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT event_type, yc,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY od)
+         |      AS i,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS n
+         |  FROM daily),
+         |rec AS (
+         |  SELECT event_type, i, n, CAST(yc AS DOUBLE) AS l,
+         |    CAST(0.0 AS DOUBLE) AS b, $s0Cols
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT idx.event_type, idx.i, idx.n, $lNew, $bNew, $sCols
+         |  FROM rec JOIN idx
+         |    ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
+         |SELECT event_type, n AS n_days, l / 100.0 AS level,
+         |  b / 100.0 AS trend,
+         |  ($fcSlot) / 100.0 AS season_next,
+         |  (l + b + ($fcSlot)) / 100.0 AS forecast
+         |FROM rec WHERE i = n ORDER BY event_type""".stripMargin
+    },
 
     "stat_spearman_daily" ->
       """WITH daily AS (
