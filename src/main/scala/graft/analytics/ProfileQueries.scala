@@ -164,6 +164,45 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Effect sizes for the weekend/weekday value shift per event
+    // type — the MAGNITUDE companion to stat_welch_ttest's
+    // significance: Cohen's d (pooled-sd standardized mean
+    // difference) and the small-sample-corrected Hedges' g. A 100 TB
+    // pipeline makes every tiny shift "significant"; d/g answer
+    // whether it MATTERS. Same exact integer moments as Welch
+    // (whole-unit quantization, identical headroom), same split, and
+    // a fixed float tree ((n1−1)s1² = A1/n1 exactly) mirrored
+    // operation-for-operation in the oracle. Degenerate groups
+    // (n < 2 or zero pooled spread) emit NULL.
+    "stat_effect_sizes" -> ((s, d) => {
+      val dow = (floor(unix_timestamp(col("ts")) / 86400L) + 4L) % 7L
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (dow === 0L || dow === 6L).as("wkend"),
+        round(col("value"), 0).cast("long").as("x"))
+      val m = ev.groupBy("event_type").agg(
+        sum(when(!col("wkend"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("wkend"), col("x")).otherwise(0L)).as("sx1"),
+        sum(when(!col("wkend"), col("x") * col("x")).otherwise(0L)).as("sq1"),
+        sum(when(col("wkend"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("wkend"), col("x")).otherwise(0L)).as("sx2"),
+        sum(when(col("wkend"), col("x") * col("x")).otherwise(0L)).as("sq2"))
+      val a1 = col("n1") * col("sq1") - col("sx1") * col("sx1")
+      val a2 = col("n2") * col("sq2") - col("sx2") * col("sx2")
+      val sp2 = (a1.cast("double") / col("n1").cast("double") +
+        a2.cast("double") / col("n2").cast("double")) /
+        (col("n1") + col("n2") - 2L).cast("double")
+      val dEx = (col("sx1").cast("double") / col("n1").cast("double") -
+        col("sx2").cast("double") / col("n2").cast("double")) / sqrt(sp2)
+      val corr = lit(1.0) - lit(3.0) /
+        (lit(4.0) * (col("n1") + col("n2")).cast("double") - lit(9.0))
+      val bad = col("n1") < 2L || col("n2") < 2L || (a1 === 0L && a2 === 0L)
+      m.select(col("event_type"), col("n1"), col("n2"),
+        when(bad, lit(null).cast("double")).otherwise(dEx).as("cohens_d"),
+        when(bad, lit(null).cast("double")).otherwise(dEx * corr)
+          .as("hedges_g"))
+        .orderBy("event_type")
+    }),
+
     // Brown–Forsythe robust spread-equality test between the click
     // and view value distributions — Levene's test with the group
     // MEDIAN as center (the robust variant): z = |x − med_g|, then
@@ -558,6 +597,39 @@ object ProfileQueries extends QuerySuite {
         |                CAST(n2*n2*(n2-1) AS DOUBLE))
         |  END AS t_stat
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "stat_effect_sizes" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
+        |      IN (0, 6) AS wkend,
+        |    CAST(round("value") AS BIGINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN NOT wkend THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT wkend THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN NOT wkend THEN x*x ELSE 0 END) AS BIGINT) AS sq1,
+        |    CAST(sum(CASE WHEN wkend THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN wkend THEN x ELSE 0 END) AS BIGINT) AS sx2,
+        |    CAST(sum(CASE WHEN wkend THEN x*x ELSE 0 END) AS BIGINT) AS sq2
+        |  FROM ev GROUP BY event_type),
+        |tv AS (
+        |  SELECT event_type, n1, n2,
+        |    n1*sq1 - sx1*sx1 AS a1, n2*sq2 - sx2*sx2 AS a2,
+        |    (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |     CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |    sqrt((CAST(n1*sq1 - sx1*sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) +
+        |          CAST(n2*sq2 - sx2*sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |         CAST(n1 + n2 - 2 AS DOUBLE)) AS d,
+        |    1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0) AS corr
+        |  FROM m)
+        |SELECT event_type, n1, n2,
+        |  CASE WHEN n1 < 2 OR n2 < 2 OR (a1 = 0 AND a2 = 0) THEN NULL
+        |       ELSE d END AS cohens_d,
+        |  CASE WHEN n1 < 2 OR n2 < 2 OR (a1 = 0 AND a2 = 0) THEN NULL
+        |       ELSE d * corr END AS hedges_g
+        |FROM tv ORDER BY event_type""".stripMargin,
 
     "stat_brown_forsythe" ->
       """WITH ev AS (

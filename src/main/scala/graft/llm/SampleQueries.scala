@@ -125,9 +125,56 @@ object SampleQueries extends QuerySuite {
           col("l_suppkey").cast("string"), col("l_returnflag"),
           col("l_linestatus")))
       o.union(l).orderBy("tbl")
+    }),
+
+    // GROUP-aware train/val/test split — the leakage guard a
+    // training-set build needs when rows of one entity correlate
+    // (a user's events, a domain's pages): the split key is the
+    // GROUP (user_id), not the row, so every row of a user lands in
+    // exactly ONE split by construction and near-duplicate rows
+    // within a user can never straddle train/test (the
+    // contamination-by-split failure mode text_dataset_split's
+    // row-level split cannot rule out). Deterministic 80/10/10 by
+    // hash bucket (the suite's no-rand contract); output is the
+    // split census + event-share ppm. Scale shape: one map-side
+    // hash + one aggregate carrying (split, user) partials; no join,
+    // no window.
+    "sample_group_split" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("b", pmod(xxhash64(
+          concat(lit("grp:"), col("user_id").cast("string"))), lit(10L)))
+        .withColumn("split",
+          when(col("b") < 8L, "train")
+            .when(col("b") === 8L, "val").otherwise("test"))
+      val tot = ev.agg(count(lit(1)).as("t_events"))
+      ev.groupBy("split")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("n_users"), col("n_events"),
+          expr("n_events * 1000000 div t_events").as("event_share_ppm"))
+        .orderBy("split")
     }))
 
   def oracles: Map[String, String] = Map(
+    "sample_group_split" ->
+      s"""WITH gsrc AS (
+         |  SELECT user_id, event_id,
+         |    'grp:' || CAST(user_id AS VARCHAR) AS s0
+         |  FROM events),
+         |${XxhSql.ctes("gsrc", Seq("user_id", "event_id"), "s0", "gs")},
+         |b AS (
+         |  SELECT user_id,
+         |    CASE WHEN ((hv % 10) + 10) % 10 < 8 THEN 'train'
+         |         WHEN ((hv % 10) + 10) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM gs_out),
+         |tot AS (SELECT count(*) AS t FROM events)
+         |SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(*) * 1000000 // t AS BIGINT) AS event_share_ppm
+         |FROM b, tot GROUP BY split, t ORDER BY split""".stripMargin,
     "sample_stratified_hash" ->
       s"""WITH esrc AS (
          |  SELECT event_type, event_id, CAST(event_id AS VARCHAR) AS s0

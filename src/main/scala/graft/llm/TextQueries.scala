@@ -15,6 +15,9 @@ object TextQueries extends QuerySuite {
   /** Top-K cut for the Zipf constancy audit. */
   val ZipfTopK = 50
 
+  /** Sliding-window size (tokens) for MATTR lexical diversity. */
+  val MattrWindow = 50
+
   // The lang-ID classifier, defined ONCE and shared by text_lang_id
   // and its confusion audit — so the audit can never drift from the
   // classifier it measures. (Spark column + DuckDB CASE twins.)
@@ -356,6 +359,42 @@ object TextQueries extends QuerySuite {
           (col("rank") * col("freq")).as("rank_freq"),
           expr("rank * freq * 1000000 div c1").as("constancy_ppm"))
         .orderBy("rank")
+    }),
+
+    // MATTR lexical diversity (moving-average type-token ratio,
+    // Covington & McFall 2010): mean distinct-token count over all
+    // [[MattrWindow]]-token sliding windows, in integer ppm — the
+    // length-invariant replacement for raw TTR (which text_quality_
+    // scores' vocab_ratio is, and which collapses as docs grow; MATTR
+    // is comparable ACROSS document lengths, the property a corpus-
+    // wide quality threshold needs). Exactness: the per-window
+    // distinct counts are integers, summed exactly; ONE integer
+    // division yields ppm. Docs shorter than the window fall back to
+    // plain TTR and are flagged. Scale shape: pure per-row map (a
+    // bounded O(n_tokens · W) fold inside the row) — no shuffle, no
+    // state; embarrassingly parallel at any corpus size.
+    "text_mattr" -> ((s, d) => {
+      val W = MattrWindow
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_types"),
+          expr(
+            s"""CASE WHEN size(ws) >= $W THEN
+               |  aggregate(sequence(1, size(ws) - $W + 1), 0L,
+               |    (acc, i) ->
+               |      acc + CAST(size(array_distinct(slice(ws, i, $W)))
+               |        AS BIGINT))
+               |ELSE CAST(size(array_distinct(ws)) AS BIGINT)
+               |END""".stripMargin).as("dsum"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_tokens") < W).as("is_short"),
+          when(col("n_tokens") >= W,
+            expr(s"dsum * 1000000 div ((n_tokens - $W + 1) * $W)"))
+            .otherwise(expr("dsum * 1000000 div n_tokens"))
+            .as("mattr_ppm"))
+        .orderBy("doc_id")
     }))
 
   private val enSetSql = EnMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -590,5 +629,29 @@ object TextQueries extends QuerySuite {
         |SELECT rank, token, freq,
         |  CAST(rank * freq AS BIGINT) AS rank_freq,
         |  CAST(rank * freq * 1000000 // c1 AS BIGINT) AS constancy_ppm
-        |FROM top, c ORDER BY rank""".stripMargin)
+        |FROM top, c ORDER BY rank""".stripMargin,
+
+    "text_mattr" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+         |    CASE WHEN len(ws) >= $MattrWindow THEN
+         |      CAST(list_sum(list_transform(
+         |        range(1, len(ws) - $MattrWindow + 2),
+         |        i -> len(list_distinct(
+         |          list_slice(ws, i, i + ${MattrWindow - 1})))))
+         |        AS BIGINT)
+         |    ELSE CAST(len(list_distinct(ws)) AS BIGINT) END AS dsum
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_types,
+         |  n_tokens < $MattrWindow AS is_short,
+         |  CAST(CASE WHEN n_tokens >= $MattrWindow
+         |       THEN dsum * 1000000
+         |            // ((n_tokens - $MattrWindow + 1) * $MattrWindow)
+         |       ELSE dsum * 1000000 // n_tokens END AS BIGINT)
+         |    AS mattr_ppm
+         |FROM s ORDER BY doc_id""".stripMargin)
 }

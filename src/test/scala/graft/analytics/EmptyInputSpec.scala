@@ -157,7 +157,8 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(1).write.parquet(s"$dir/documents.parquet")
     for (q <- Seq("text_fertility_by_lang", "text_zipf_constancy",
-        "behavior_lifetime_survival")) {
+        "behavior_lifetime_survival", "sample_group_split", "text_mattr",
+        "stat_effect_sizes", "ts_holt_winters")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
