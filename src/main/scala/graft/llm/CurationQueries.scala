@@ -234,6 +234,19 @@ object CurationQueries extends QuerySuite {
     // token accounting rolled into one pass — the report a dataset
     // build publishes. Entirely map-side until the final small
     // aggregation; at 100 TB this is one linear scan.
+    // Pipeline-ORDER ablation — filter→dedup vs dedup→filter over the
+    // same normalized-dedup + Gopher-quality building blocks: the two
+    // orders disagree exactly when a normalized-dup group's min-id
+    // member fails quality while a sibling (same text modulo case/
+    // whitespace, hence different tokenization) passes —
+    // filter-then-dedup keeps the best PASSING member, dedup-then-
+    // filter loses the whole group. Real pipelines debate this order;
+    // this query prices it in docs and tokens. Scale shape: one doc
+    // scan projecting (digest, keep, nw), then digest-only shuffles
+    // (the dedup-family discipline) and two global roll-ups; min_by
+    // on unique doc_id is deterministic on both engines.
+    "curation_order_ablation" -> ((s, d) => orderAblation(s, d)),
+
     "curation_funnel" -> ((s, d) => {
       val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
       val split = when(bucket < "c0", "train")
@@ -509,6 +522,28 @@ object CurationQueries extends QuerySuite {
         .orderBy("doc_id")
     }))
 
+  /** Pipeline-order ablation query (Spark side): see the entry in
+    * [[queries]] registered via [[orderAblation]]. */
+  private[llm] def orderAblation(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      md5(norm.cast("binary")).as("digest"),
+      rowQualityKeep(col("text")).cast("long").as("keep"),
+      size(words(col("text"))).cast("long").as("nw"))
+    def census(surv: DataFrame, ordering: String) = surv
+      .agg(count(lit(1)).as("n_final"),
+        coalesce(sum("nw"), lit(0L)).as("tokens_final"))
+      .select(lit(ordering).as("ordering"), col("n_final"),
+        col("tokens_final"))
+    val a = census(base.filter(col("keep") === 1L).groupBy("digest")
+      .agg(min_by(col("nw"), col("doc_id")).as("nw")), "filter_then_dedup")
+    val b = census(base.groupBy("digest")
+      .agg(min_by(col("keep"), col("doc_id")).as("keep"),
+        min_by(col("nw"), col("doc_id")).as("nw"))
+      .filter(col("keep") === 1L), "dedup_then_filter")
+    a.unionByName(b).orderBy("ordering")
+  }
+
   private val markerSetSql =
     (EnMarkers ++ DeMarkers ++ EsMarkers).distinct
       .map(m => s"'$m'").mkString("[", ", ", "]")
@@ -630,6 +665,36 @@ object CurationQueries extends QuerySuite {
         |  md5(regexp_replace(text, '\b(key|hash|scan)\b', '<X>', 'g'))
         |    AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curation_order_ablation" ->
+      s"""WITH $gopherFlagsCtes,
+         |k AS (SELECT doc_id, n_words,
+         |        least(ok_words, ok_mean_len, ok_top_word, ok_dup_word,
+         |              ok_lang) AS keep
+         |      FROM f),
+         |base AS (
+         |  SELECT d.doc_id,
+         |    md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+         |      AS digest,
+         |    k.keep, k.n_words AS nw
+         |  FROM documents d JOIN k ON d.doc_id = k.doc_id),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_final,
+         |    CAST(coalesce(sum(nw), 0) AS BIGINT) AS tokens_final
+         |  FROM (SELECT digest, min_by(nw, doc_id) AS nw
+         |        FROM base WHERE keep = 1 GROUP BY digest)),
+         |b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_final,
+         |    CAST(coalesce(sum(nw), 0) AS BIGINT) AS tokens_final
+         |  FROM (SELECT digest, min_by(keep, doc_id) AS keep,
+         |          min_by(nw, doc_id) AS nw
+         |        FROM base GROUP BY digest)
+         |  WHERE keep = 1)
+         |SELECT 'filter_then_dedup' AS ordering, n_final, tokens_final
+         |FROM a
+         |UNION ALL
+         |SELECT 'dedup_then_filter', n_final, tokens_final FROM b
+         |ORDER BY ordering""".stripMargin,
 
     "curation_funnel" ->
       s"""WITH $gopherFlagsCtes,

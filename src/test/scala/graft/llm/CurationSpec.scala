@@ -45,6 +45,38 @@ class CurationSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length)
   }
 
+  test("curation_order_ablation: orders diverge exactly on a dup group straddling the quality gate") {
+    import spark.implicits._
+    // A normalized-dup pair differing only in whitespace: the min-id
+    // member balloons past the 90-word Gopher cap through empty
+    // tokens (70 consecutive spaces -> 69 "" words), its sibling
+    // passes. filter->dedup keeps the passing sibling; dedup->filter
+    // picks the min-id member first and loses the whole group.
+    val five1 = ('a' to 'm').map(c => s"${c}abcd")
+    val four1 = ('a' to 'k').map(c => s"${c}xyz")
+    val clean = ("the" +: (five1 ++ four1)).mkString(" ")
+    assert(clean.split(" ", -1).length == 25)
+    val spaced = clean.replaceFirst(" ", " " * 71)
+    val five2 = ('n' to 'z').map(c => s"${c}abcd")
+    val four2 = ('l' to 'v').map(c => s"${c}xyz")
+    val other = ("the" +: (five2 ++ four2)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ablate").toString
+    Seq((1L, spaced, "en", "s1", spaced.length.toLong),
+        (2L, clean, "en", "s1", clean.length.toLong),
+        (3L, other, "en", "s1", other.length.toLong),
+        (4L, other, "en", "s1", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.queries("curation_order_ablation")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // filter->dedup: {clean, other} survive (2 docs, 50 tokens);
+    // dedup->filter: group survivor is the spaced doc, which fails ->
+    // only {other} survives
+    assert(out("filter_then_dedup") == ((2L, 50L)), s"got $out")
+    assert(out("dedup_then_filter") == ((1L, 25L)), s"got $out")
+  }
+
   test("text_scrub: redaction replaces every hit and only hits") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf)
