@@ -57,6 +57,9 @@ object InsightQueries extends QuerySuite {
   private[analytics] val BootLoRank = 5L
   private[analytics] val BootHiRank = 196L
 
+  /** Sign-flip permutations for the paired permutation test. */
+  private[analytics] val PermB = 200L
+
   private def dayCol(ts: Column): Column =
     floor(unix_timestamp(ts) / 86400L).cast("long")
 
@@ -713,6 +716,51 @@ object InsightQueries extends QuerySuite {
             (col("n") * 100L).cast("double")).as("ci_hi"))
     }),
 
+    // Paired sign-flip permutation test (Fisher randomization) on the
+    // daily click−view value difference: is the paired shift real, or
+    // does a random ± relabeling of each day's difference produce a
+    // |Σd| this large anyway? The distribution-free companion to
+    // stat_welch_ttest — no normality, no variance model; beside
+    // stat_bootstrap_ci it completes the resampling pair (CI there,
+    // p-value here). Same determinism contract: every "random" sign
+    // is pmod(xxhash64('perm:'||b||':'||od), 2) so the oracle rebuilds
+    // the identical [[PermB]] relabelings; the statistic is an exact
+    // integer |Σ ± cents|; p gets the standard +1 smoothing
+    // ((1+#{T_b ≥ T_obs})/(B+1)) as one integer ppm division. Scale
+    // shape: the fact table collapses to the calendar-bounded day
+    // table FIRST; the B-way fan is a broadcast cross join off that
+    // bounded table and re-aggregates by permutation id — raw events
+    // shuffle once, everything else is |days|·B.
+    "stat_permutation_test" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(dayCol(col("ts")).as("od"))
+        .agg((sum(when(col("event_type") === "click", cents(col("value")))
+            .otherwise(0L)) -
+          sum(when(col("event_type") === "view", cents(col("value")))
+            .otherwise(0L))).as("dc"))
+      val obs = daily.agg(count(lit(1)).as("n"),
+        abs(coalesce(sum("dc"), lit(0L))).as("t_obs"))
+      val signed = daily.crossJoin(
+          broadcast(s.range(PermB).select(col("id").as("b"))))
+        .select(col("b"),
+          (when(pmod(xxhash64(concat(lit("perm:"),
+              col("b").cast("string"), lit(":"),
+              col("od").cast("string"))), lit(2L)) === 0L, lit(1L))
+            .otherwise(lit(-1L)) * col("dc")).as("sd"))
+      val tb = signed.groupBy("b").agg(abs(sum("sd")).as("t_b"))
+      tb.crossJoin(broadcast(obs))
+        .agg(coalesce(min("n"), lit(0L)).as("n_days"),
+          min("t_obs").as("t_obs_cents"),
+          coalesce(sum(when(col("t_b") >= col("t_obs"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_ge"))
+        .select(col("n_days"), col("t_obs_cents"), col("n_ge"),
+          when(col("n_days") === 0L, lit(null).cast("long"))
+            .otherwise(expr(s"(1 + n_ge) * 1000000 div ${PermB + 1}"))
+            .as("p_ppm"))
+    }),
+
     // MASE (Hyndman & Koehler '06) of the SEASONAL-naive forecast
     // (weekly period) against the plain-naive baseline, per event
     // type — the scale-free forecast-accuracy metric that makes
@@ -1352,6 +1400,40 @@ object InsightQueries extends QuerySuite {
          |FROM nn,
          |  (SELECT syc FROM ranked WHERE rk = $BootLoRank) l,
          |  (SELECT syc FROM ranked WHERE rk = $BootHiRank) h""".stripMargin,
+
+    "stat_permutation_test" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+         |    CAST(sum(CASE WHEN event_type = 'click'
+         |        THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+         |      - sum(CASE WHEN event_type = 'view'
+         |        THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS dc
+         |  FROM events
+         |  WHERE "value" IS NOT NULL AND event_type IN ('click', 'view')
+         |  GROUP BY 1),
+         |obs AS (SELECT count(*) AS n,
+         |  abs(coalesce(sum(dc), 0)) AS t_obs FROM daily),
+         |psrc AS (
+         |  SELECT r.range AS b, od, dc,
+         |    'perm:' || r.range || ':' || od AS s0
+         |  FROM daily CROSS JOIN range(0, $PermB) r),
+         |${graft.llm.XxhSql.ctes("psrc", Seq("b", "od", "dc"), "s0", "pm")},
+         |tb AS (
+         |  SELECT b, abs(sum(CASE WHEN ((hv % 2) + 2) % 2 = 0
+         |    THEN dc ELSE -dc END)) AS t_b
+         |  FROM pm_out GROUP BY b),
+         |fin AS (
+         |  SELECT CAST(coalesce(min(n), 0) AS BIGINT) AS n_days,
+         |    CAST(min(t_obs) AS BIGINT) AS t_obs_cents,
+         |    CAST(coalesce(sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS n_ge
+         |  FROM tb, obs)
+         |SELECT n_days, t_obs_cents, n_ge,
+         |  CAST(CASE WHEN n_days = 0 THEN NULL
+         |       ELSE (1 + n_ge) * 1000000 // ${PermB + 1} END AS BIGINT)
+         |    AS p_ppm
+         |FROM fin""".stripMargin,
 
     "ts_mase_naive" ->
       """WITH daily AS (

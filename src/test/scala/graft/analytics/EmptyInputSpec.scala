@@ -173,6 +173,10 @@ class EmptyInputSpec extends SparkSpec {
     val bf = SparkEntry.queries("stat_brown_forsythe")(spark, dir)
       .collect()
     assert(bf.length == 1 && bf(0).isNullAt(6) && bf(0).isNullAt(7))
+    // the permutation test keeps one zero-count row with NULL p
+    val pt = SparkEntry.queries("stat_permutation_test")(spark, dir)
+      .collect()
+    assert(pt.length == 1 && pt(0).getLong(0) == 0L && pt(0).isNullAt(3))
     // the fan-out estimator keeps only its zeroed summary row
     val fo = SparkEntry.queries("dq_join_fanout_estimate")(spark, dir)
       .collect()
