@@ -461,7 +461,53 @@ object SimilarityQueries extends QuerySuite {
         .groupBy("label")
         .agg(count(lit(1)).as("n_vectors"),
           min("nrm").as("min_norm"), max("nrm").as("max_norm"))
-        .orderBy("label")))
+        .orderBy("label")),
+
+    // see [[centroidDrift]]
+    "sim_centroid_drift" -> ((s, d) => centroidDrift(s, d)))
+
+  /** Embedding-drift monitor body (sim_centroid_drift): cosine
+    * between the per-label centroids of two interleaved snapshot
+    * halves (vec_id parity — the deterministic stand-in for "model
+    * v1 vs v2 embeddings of the same corpus"). The check an embedding
+    * pipeline runs after re-encoding: a label whose centroid swings
+    * away from 1.0 changed meaning between encoder versions. Exact
+    * arithmetic: dims are milli-quantized with the int8-quantizer's
+    * floor(x·1000 + 0.5) convention, per-(label, dim) sums are exact
+    * BIGINTs, and cos = Σ s1·s2 / (√Σs1²·√Σs2²) — the sample counts
+    * cancel, so the whole statistic is three integer moments and one
+    * float division both engines round identically. Scale shape: one
+    * posexplode shuffles (label, dim, milli) with map-side partials —
+    * dims × corpus rows, the same fan every exact vector aggregate
+    * pays; everything after is label-count-sized. Integer headroom:
+    * Σ s1·s2 over D dims bounds half-sizes to ~10⁵ vectors per label
+    * at |e| ≤ 1, D = 64; past that swap the moments to DECIMAL(38,0)
+    * (StatQueries note). */
+  private[llm] def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("grp"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("grp"), col("pos"),
+        floor(col("v").cast("double") * 1000.0 + 0.5).cast("long").as("m"))
+    val sums = e.groupBy("label", "pos").agg(
+      sum(when(col("grp") === 0L, col("m")).otherwise(0L)).as("s1"),
+      sum(when(col("grp") === 1L, col("m")).otherwise(0L)).as("s2"))
+    val mom = sums.groupBy("label").agg(
+      sum(col("s1") * col("s2")).as("num"),
+      sum(col("s1") * col("s1")).as("q1"),
+      sum(col("s2") * col("s2")).as("q2"))
+    val cnt = Tables.embeddings(s, d).groupBy("label").agg(
+      sum(when(col("vec_id") % 2 === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vec_id") % 2 === 1L, 1L).otherwise(0L)).as("n_b"))
+    mom.join(cnt, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("q1") === 0L || col("q2") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            (sqrt(col("q1").cast("double")) *
+              sqrt(col("q2").cast("double")))).as("centroid_cos"))
+      .orderBy("label")
+  }
 
   /** One-row broadcastable PQ codebook: array of (m, c_id, sub) for
     * every subspace × stride-sampled centroid. */
@@ -954,5 +1000,40 @@ object SimilarityQueries extends QuerySuite {
       s"""SELECT label, count(*) AS n_vectors,
          |  min(${Vectors.normSql("embedding")}) AS min_norm,
          |  max(${Vectors.normSql("embedding")}) AS max_norm
-         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // zipped unnest pairs each dim with its subscript; the subscript
+    // is only a group key, so the 1-based/0-based difference vs
+    // Spark's posexplode never reaches the output
+    "sim_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS grp,
+        |    unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+        |      AS BIGINT) AS m
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CASE WHEN grp = 0 THEN m ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN grp = 1 THEN m ELSE 0 END) AS BIGINT) AS s2
+        |  FROM e GROUP BY label, pos),
+        |mom AS (
+        |  SELECT label, CAST(sum(s1*s2) AS BIGINT) AS num,
+        |    CAST(sum(s1*s1) AS BIGINT) AS q1,
+        |    CAST(sum(s2*s2) AS BIGINT) AS q2
+        |  FROM sums GROUP BY label),
+        |cnt AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY label)
+        |SELECT mom.label, n_a, n_b,
+        |  CASE WHEN q1 = 0 OR q2 = 0 THEN NULL
+        |       ELSE CAST(num AS DOUBLE) /
+        |            (sqrt(CAST(q1 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE)))
+        |  END AS centroid_cos
+        |FROM mom JOIN cnt ON mom.label = cnt.label
+        |ORDER BY mom.label""".stripMargin)
 }

@@ -156,12 +156,20 @@ class EmptyInputSpec extends SparkSpec {
     Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(1).write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
     for (q <- Seq("text_fertility_by_lang", "text_zipf_constancy",
         "behavior_lifetime_survival", "sample_group_split", "text_mattr",
-        "stat_effect_sizes", "ts_holt_winters")) {
+        "stat_effect_sizes", "ts_holt_winters", "sim_centroid_drift")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
+    // the order ablation keeps its two global-census rows, zeroed
+    val oa = SparkEntry.queries("curation_order_ablation")(spark, dir)
+      .collect()
+    assert(oa.length == 2 && oa.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L))
     // the lateness grid keeps one row per candidate delay (global
     // aggregate), all counters zero under the total=0 guard
     val wm = SparkEntry.queries("dq_watermark_lateness")(spark, dir)
