@@ -18,6 +18,9 @@ object TextQueries extends QuerySuite {
   /** Sliding-window size (tokens) for MATTR lexical diversity. */
   val MattrWindow = 50
 
+  /** Top-K terms profiled by the burstiness (VMR) audit. */
+  val BurstTopK = 20
+
   // The lang-ID classifier, defined ONCE and shared by text_lang_id
   // and its confusion audit — so the audit can never drift from the
   // classifier it measures. (Spark column + DuckDB CASE twins.)
@@ -361,6 +364,46 @@ object TextQueries extends QuerySuite {
         .orderBy("rank")
     }),
 
+    // Term burstiness (Church & Gale '95): variance-to-mean ratio of
+    // per-document counts for the top-[[BurstTopK]] corpus terms —
+    // content words clump ("bursty", VMR ≫ 1), function words spread
+    // Poisson-like (VMR ≈ 1). The signal behind stopword discovery
+    // and tf saturation choices, and a corpus-health read (boiler-
+    // plate terms show pathological VMR). All integer: with S = Σc,
+    // Q = Σc² over per-doc counts and N = total docs (zero-count
+    // docs INCLUDED — that is what makes it a dispersion test),
+    // VMR = (N·Q − S²)/(N·S) and the normalized burstiness
+    // (VMR−1)/(VMR+1) = (N·Q−S²−N·S)/(N·Q−S²+N·S) — each ONE exact
+    // integer division. Scale shape: token-count aggregate, TOP-K via
+    // TakeOrderedAndProject, then per-doc counts ONLY for the K terms
+    // via a broadcast semi-join — the corpus shuffles (term, doc)
+    // pairs for K terms, never the full vocabulary. Headroom: N·Q
+    // needs N·(per-doc c)²·N_docs_with < 2⁶³ — DECIMAL(38,0) swap
+    // past ~10⁹ docs (StatQueries note).
+    "text_burstiness" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val top = tok.groupBy("token").agg(count(lit(1)).as("total"))
+        .orderBy(col("total").desc, col("token")).limit(BurstTopK)
+      val mom = tok.join(broadcast(top.select("token")), Seq("token"),
+          "left_semi")
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("token").agg(sum("c").as("s"),
+          sum(col("c") * col("c")).as("q"),
+          count(lit(1)).as("n_docs_with"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nn"))
+      top.join(mom, "token").crossJoin(broadcast(nd))
+        .select(col("token"), col("total"), col("n_docs_with"),
+          ((col("nn") * col("q") - col("s") * col("s")).cast("double") /
+            (col("nn") * col("s")).cast("double")).as("vmr"),
+          ((col("nn") * col("q") - col("s") * col("s")
+            - col("nn") * col("s")).cast("double") /
+            (col("nn") * col("q") - col("s") * col("s")
+              + col("nn") * col("s")).cast("double")).as("burstiness"))
+        .orderBy(col("total").desc, col("token"))
+    }),
+
     // MATTR lexical diversity (moving-average type-token ratio,
     // Covington & McFall 2010): mean distinct-token count over all
     // [[MattrWindow]]-token sliding windows, in integer ppm — the
@@ -630,6 +673,33 @@ object TextQueries extends QuerySuite {
         |  CAST(rank * freq AS BIGINT) AS rank_freq,
         |  CAST(rank * freq * 1000000 // c1 AS BIGINT) AS constancy_ppm
         |FROM top, c ORDER BY rank""".stripMargin,
+
+    "text_burstiness" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+         |top AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS total
+         |  FROM tk GROUP BY token
+         |  ORDER BY total DESC, token LIMIT $BurstTopK),
+         |pd AS (
+         |  SELECT tk.token, tk.doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk JOIN top ON tk.token = top.token
+         |  GROUP BY tk.token, tk.doc_id),
+         |mom AS (
+         |  SELECT token, CAST(sum(c) AS BIGINT) AS s,
+         |    CAST(sum(c * c) AS BIGINT) AS q,
+         |    CAST(count(*) AS BIGINT) AS n_docs_with
+         |  FROM pd GROUP BY token),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+         |SELECT top.token, top.total, mom.n_docs_with,
+         |  CAST(nn * q - s * s AS DOUBLE) / CAST(nn * s AS DOUBLE)
+         |    AS vmr,
+         |  CAST(nn * q - s * s - nn * s AS DOUBLE) /
+         |    CAST(nn * q - s * s + nn * s AS DOUBLE) AS burstiness
+         |FROM top JOIN mom ON top.token = mom.token, nd
+         |ORDER BY top.total DESC, top.token""".stripMargin,
 
     "text_mattr" ->
       s"""WITH t AS (

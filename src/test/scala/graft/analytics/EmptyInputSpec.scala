@@ -161,7 +161,8 @@ class EmptyInputSpec extends SparkSpec {
       .repartition(1).write.parquet(s"$dir/embeddings.parquet")
     for (q <- Seq("text_fertility_by_lang", "text_zipf_constancy",
         "behavior_lifetime_survival", "sample_group_split", "text_mattr",
-        "stat_effect_sizes", "ts_holt_winters", "sim_centroid_drift")) {
+        "stat_effect_sizes", "ts_holt_winters", "sim_centroid_drift",
+        "text_burstiness")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
