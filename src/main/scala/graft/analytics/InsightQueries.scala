@@ -664,6 +664,51 @@ object InsightQueries extends QuerySuite {
         .orderBy("dow")
     }),
 
+    // Detrended anomaly days — the detector the MA decomposition
+    // exists to feed: detrend every day by its centered 7-day moving
+    // average (integral ×7, the ts_classical_decompose discipline —
+    // kills level drift and the slow season), then flag days whose
+    // detrended value sits > 2σ from the detrended distribution. The
+    // 2σ test is EXACT integer algebra — |z| > 2 ⇔
+    // (n·x − s)² > 4·(n·q − s²) on the ×7-scaled integers, no float
+    // σ ever computed; severity (z/2)² is ONE division of exact
+    // integers (> 1 ⇔ flagged). Cohorting by day-of-week was
+    // measured unusable here: with n-day cohorts max |z| = (n−1)/√n,
+    // so a 4-row cohort can never reach 2σ — the global test is the
+    // one that detects. dow rides along as context. Scale shape: the
+    // fact table collapses to the day table first; the MA window and
+    // the moment aggregate run over calendar-bounded frames.
+    // Headroom: (n·x)² bounds the calendar to ~10⁴ days at 10⁸-cent
+    // daily totals — DECIMAL(38,0) swap past that (StatQueries note).
+    "ts_anomaly_residual" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val w = Window.orderBy("od").rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("tsum", sum("yc").over(w))
+        .filter(col("wn") === 7)
+        .select(col("od"), ((col("od") + 4L) % 7L).as("dow"),
+          (col("yc") * 7L - col("tsum")).as("x"))
+      val mom = det.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("q"))
+      det.crossJoin(broadcast(mom))
+        .withColumn("ndev", col("n") * col("x") - col("sx"))
+        .withColumn("thr2", lit(4L) * (col("n") * col("q")
+          - col("sx") * col("sx")))
+        .filter(col("ndev") * col("ndev") > col("thr2"))
+        .select(col("od"), col("dow"), col("x").as("det7"),
+          col("ndev"),
+          // (z/3)² as ONE division of exact integers (> 1 ⇔ flagged);
+          // integer ppm would need ndev²·10⁶ and overflow first
+          when(col("thr2") === 0L, lit(null).cast("double"))
+            .otherwise((col("ndev") * col("ndev")).cast("double") /
+              col("thr2").cast("double")).as("severity"))
+        .orderBy("od")
+    }),
+
     // Bootstrap confidence interval for the mean DAILY revenue-event
     // total — the uncertainty band a metrics pipeline attaches to its
     // headline number. Classic multinomial day-resampling (Efron '79),
@@ -1400,6 +1445,40 @@ object InsightQueries extends QuerySuite {
          |FROM nn,
          |  (SELECT syc FROM ranked WHERE rk = $BootLoRank) l,
          |  (SELECT syc FROM ranked WHERE rk = $BootHiRank) h""".stripMargin,
+
+    "ts_anomaly_residual" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+        |    CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS yc
+        |  FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+        |ma AS (
+        |  SELECT od, yc,
+        |    count(*) OVER (ORDER BY od
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+        |    CAST(sum(yc) OVER (ORDER BY od
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+        |      AS tsum
+        |  FROM daily),
+        |det AS (
+        |  SELECT od, (od + 4) % 7 AS dow,
+        |    CAST(yc * 7 - tsum AS BIGINT) AS x
+        |  FROM ma WHERE wn = 7),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM det),
+        |j AS (
+        |  SELECT det.od, det.dow, det.x,
+        |    CAST(n * x - sx AS BIGINT) AS ndev,
+        |    CAST(4 * (n * q - sx * sx) AS BIGINT) AS thr2
+        |  FROM det, mom)
+        |SELECT od, dow, x AS det7, ndev,
+        |  CASE WHEN thr2 = 0 THEN NULL
+        |       ELSE CAST(ndev * ndev AS DOUBLE) / CAST(thr2 AS DOUBLE)
+        |  END AS severity
+        |FROM j WHERE ndev * ndev > thr2 ORDER BY od""".stripMargin,
 
     "stat_permutation_test" ->
       s"""WITH daily AS (

@@ -94,7 +94,11 @@ class PlanShapeSpec extends SparkSpec {
     "layout_equidepth_hist",
     // descending cumulative over the lifetime-count table — bounded
     // by the calendar span in days (BehaviorQueries survival doc)
-    "behavior_lifetime_survival")
+    "behavior_lifetime_survival",
+    // centered 7-day MA window over the DAY table — calendar-bounded
+    // (InsightQueries ts_anomaly_residual doc, same frame as
+    // ts_classical_decompose)
+    "ts_anomaly_residual")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
