@@ -366,4 +366,59 @@ class InsightQueriesSpec extends SparkSpec {
       assert(isKey === (nd === n))
     }
   }
+
+  test("ts_holt_winters equals a straight Scala fold, bit-for-bit") {
+    val daily = Tables.events(spark, sf)
+      .filter("value IS NOT NULL")
+      .selectExpr("event_type",
+        "cast(floor(unix_timestamp(ts) / 86400) as long) as od",
+        "cast(round(value * 100) as long) as yc")
+      .groupBy("event_type", "od")
+      .agg(org.apache.spark.sql.functions.expr("sum(yc) as yc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3.toDouble)).toMap
+    val got = q("ts_holt_winters").collect().map(r =>
+      r.getString(0) -> r).toMap
+    assert(got.keySet == daily.keySet)
+    for ((et, ys) <- daily) {
+      var l = ys.head; var b = 0.0
+      val sArr = Array.fill(7)(0.0)
+      var i = 1
+      for (y <- ys.tail) {
+        val slot = i % 7
+        val lNew = 0.5 * (y - sArr(slot)) + 0.5 * (l + b)
+        val bNew = 0.5 * (lNew - l) + 0.5 * b
+        sArr(slot) = 0.5 * (y - lNew) + 0.5 * sArr(slot)
+        l = lNew; b = bNew; i += 1
+      }
+      val r = got(et)
+      assert(r.getLong(r.fieldIndex("n_days")) == ys.size.toLong)
+      assert(r.getDouble(r.fieldIndex("level")) == l / 100.0, et)
+      assert(r.getDouble(r.fieldIndex("trend")) == b / 100.0, et)
+      assert(r.getDouble(r.fieldIndex("forecast")) ==
+        (l + b + sArr(i % 7)) / 100.0, et)
+    }
+  }
+
+  test("stat_permutation_test: a planted one-sided shift is maximally significant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_perm").toString
+    // 30 days, clicks worth 100, views worth 1 -> every daily
+    // difference is strongly positive; no sign-flip pattern (short of
+    // the all-equal-signs one, probability ~2^-29 per resample under
+    // the hash) can reach |T_obs|, so n_ge = 0 and p = 1/201
+    val rows = for {
+      day <- 0 until 30
+      (et, v, k) <- Seq(("click", 100.0, 0L), ("view", 1.0, 1L))
+    } yield (day.toLong * 2 + k, java.sql.Timestamp.valueOf(
+      s"2024-01-${"%02d".format(day % 28 + 1)} 0${day % 9}:00:00"),
+      day.toLong, et, v, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    val r = InsightQueries.queries("stat_permutation_test")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_ge")) == 0L)
+    assert(r.getLong(r.fieldIndex("p_ppm")) == 1000000L / 201L)
+  }
 }

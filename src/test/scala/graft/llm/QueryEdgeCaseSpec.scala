@@ -117,6 +117,41 @@ class QueryEdgeCaseSpec extends SparkSpec {
     assert(rows.forall(_._3 <= 4096L + 2000L))
   }
 
+  test("text_mattr equals a straight Scala sliding-window derivation") {
+    val dir = fixtureDir()
+    // one long doc (window slides), one exactly window-sized, one
+    // short (plain-TTR fallback), one pathological repeat
+    val w = TextQueries.MattrWindow
+    val long = (1 to 120).map(i => s"t${i % 37}").mkString(" ")
+    val exact = (1 to w).map(i => s"u$i").mkString(" ")
+    val short = "only four tiny words"
+    val rep = Seq.fill(80)("same").mkString(" ")
+    Seq((1L, long, "en", "web", long.length.toLong),
+        (2L, exact, "en", "web", exact.length.toLong),
+        (3L, short, "en", "web", short.length.toLong),
+        (4L, rep, "en", "web", rep.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_mattr")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(3), r.getLong(4))).toMap
+    for ((id, text) <- Seq(1L -> long, 2L -> exact, 3L -> short,
+        4L -> rep)) {
+      val ts = text.split(" ", -1)
+      val n = ts.length
+      val (isShort, ppm) =
+        if (n >= w) {
+          val dsum = (0 to n - w)
+            .map(i => ts.slice(i, i + w).distinct.length.toLong).sum
+          (false, dsum * 1000000L / ((n - w + 1).toLong * w))
+        } else (true, ts.distinct.length.toLong * 1000000L / n)
+      assert(got(id) == ((n.toLong, isShort, ppm)), s"doc $id")
+    }
+    // the repeat doc's MATTR collapses to 1/W, the long doc's stays high
+    assert(got(4L)._3 == 1000000L / w)
+    assert(got(1L)._3 > 500000L)
+  }
+
   test("sim_quantize_int8: zero vector quantizes to NULL stats") {
     val dir = fixtureDir()
     Seq(
