@@ -157,6 +157,31 @@ object GraphQueries extends QuerySuite {
        |          WHERE cnt * n_pairs > total)""".stripMargin
 
   /** Symmetrized distinct edge list (src, dst). */
+  /** (node, label) after [[LpaRounds]] synchronous label-propagation
+    * rounds over a symmetric edge list (Raghavan et al. PRE'07, made
+    * deterministic: most-frequent neighbor label, ties to the
+    * smallest) — the loop graph_label_prop always ran, factored out
+    * so the modularity audit measures the SAME communities the census
+    * reports. Ship strategy per [[BroadcastNodeBudget]]. */
+  private[analytics] def lpaLabels(e: DataFrame): DataFrame = {
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg")).localCheckpoint()
+    val bcast = deg.count() <= BroadcastNodeBudget
+    var labels = deg.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaRounds) {
+      val lbl = labels
+      val nbr = e.join(if (bcast) broadcast(lbl) else lbl,
+          col("src") === col("node"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = nbr.withColumn("rn", row_number().over(
+          Window.partitionBy("node")
+            .orderBy(col("cnt").desc, col("label"))))
+        .filter(col("rn") === 1).select("node", "label")
+    }
+    labels
+  }
+
   private def edges(s: SparkSession, d: String): DataFrame = {
     val fwd = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
@@ -484,28 +509,63 @@ object GraphQueries extends QuerySuite {
     // is the deterministic two-view community structure the spec
     // pins; on non-bipartite graphs the same code converges normally.
     "graph_label_prop" -> ((s, d) => {
-      val e = edges(s, d)
-      val deg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("out_deg")).localCheckpoint()
-      val bcast = deg.count() <= BroadcastNodeBudget
-      var labels = deg.select(col("node"), col("node").as("label"))
-      for (_ <- 1 to LpaRounds) {
-        val lbl = labels
-        val nbr = e.join(if (bcast) broadcast(lbl) else lbl,
-            col("src") === col("node"))
-          .groupBy(col("dst").as("node"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-        labels = nbr.withColumn("rn", row_number().over(
-            Window.partitionBy("node")
-              .orderBy(col("cnt").desc, col("label"))))
-          .filter(col("rn") === 1).select("node", "label")
-      }
-      labels.groupBy("label").agg(count(lit(1)).as("size"))
+      lpaLabels(edges(s, d)).groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("size").desc, col("label"))).cast("long"))
         .select("rk", "label", "size")
         .orderBy("rk")
+    }),
+
+    // Newman modularity Q of the label-propagation communities — the
+    // quality audit of the partition graph_label_prop reports: on a
+    // symmetric edge list with E directed edges, Q·E² =
+    // Σ_c (intra_dir_c·E − d_c²), ALL exact integers (intra_dir_c =
+    // directed intra-community edges, d_c = community degree sum);
+    // the single final division is the only float. Q ≈ 0 means the
+    // "communities" are no better than random wiring — the go/no-go
+    // check before anyone acts on a community assignment. On THIS
+    // fixture it fires for real: synchronous LPA on the bipartite
+    // customer↔supplier graph oscillates into the two bipartite
+    // SIDES (Q = −0.5, pure ANTI-communities, near-zero intra
+    // edges), so the 2-community census graph_label_prop reports is
+    // exposed as structurally meaningless — the audit earning its
+    // keep, and the documented reason production LPA damps or
+    // asyncs updates on bipartite-ish graphs. Scale
+    // shape: two keyed joins of the edge list against the node-sized
+    // label table (broadcast below [[BroadcastNodeBudget]] inside
+    // [[lpaLabels]]; the tag joins here key on node id), then
+    // community-count-sized aggregates. Headroom: intra_c·E < 2⁶³
+    // bounds E to ~3·10⁹ directed edges; DECIMAL(38,0) swap past
+    // that (StatQueries note).
+    "graph_modularity" -> ((s, d) => {
+      val e = edges(s, d)
+      val labels = lpaLabels(e).localCheckpoint()
+      val tagged = e
+        .join(labels.select(col("node").as("src"), col("label").as("sl")),
+          "src")
+        .join(labels.select(col("node").as("dst"), col("label").as("dl")),
+          "dst")
+      val intra = tagged.filter(col("sl") === col("dl"))
+        .groupBy(col("sl").as("label")).agg(count(lit(1)).as("intra_dir"))
+      val degc = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .join(labels, "node")
+        .groupBy("label").agg(sum("deg").as("d_c"))
+      val em = e.agg(count(lit(1)).as("ee"))
+      degc.join(intra, Seq("label"), "left")
+        .na.fill(0L, Seq("intra_dir"))
+        .crossJoin(broadcast(em))
+        .select((col("intra_dir") * col("ee")
+          - col("d_c") * col("d_c")).as("nc"))
+        .agg(coalesce(sum("nc"), lit(0L)).as("num"),
+          count(lit(1)).as("n_communities"))
+        .crossJoin(broadcast(em))
+        .select(col("ee").as("n_edges_dir"), col("n_communities"),
+          when(col("ee") === 0L, lit(null).cast("double"))
+            .otherwise(col("num").cast("double") /
+              (col("ee").cast("double") * col("ee").cast("double")))
+            .as("q_modularity"))
     }),
 
     // Top-20 nodes after three damped rounds, integer masses only.
@@ -695,6 +755,52 @@ object GraphQueries extends QuerySuite {
          |    row_number() OVER (ORDER BY count(*) DESC, label) AS rk
          |  FROM l$LpaRounds GROUP BY label)
          |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
+
+    "graph_modularity" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS (
+           |  SELECT node, label FROM (
+           |    SELECT e.dst AS node, l.label, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM edges e JOIN l${r - 1} l ON e.src = l.node
+           |    GROUP BY e.dst, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS src, $SuppBase + l_suppkey AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |$rounds,
+         |lab AS (SELECT node, label FROM l$LpaRounds),
+         |tagged AS (
+         |  SELECT ls.label AS sl, ld.label AS dl
+         |  FROM edges e JOIN lab ls ON e.src = ls.node
+         |    JOIN lab ld ON e.dst = ld.node),
+         |intra AS (
+         |  SELECT sl AS label, CAST(count(*) AS BIGINT) AS intra_dir
+         |  FROM tagged WHERE sl = dl GROUP BY sl),
+         |degc AS (
+         |  SELECT lab.label, CAST(count(*) AS BIGINT) AS d_c
+         |  FROM edges e JOIN lab ON e.src = lab.node GROUP BY lab.label),
+         |em AS (SELECT CAST(count(*) AS BIGINT) AS ee FROM edges),
+         |per AS (
+         |  SELECT CAST(coalesce(intra.intra_dir, 0) * ee - d_c * d_c
+         |    AS BIGINT) AS nc
+         |  FROM degc LEFT JOIN intra ON degc.label = intra.label, em),
+         |agg AS (
+         |  SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS num,
+         |    CAST(count(*) AS BIGINT) AS n_communities
+         |  FROM per)
+         |SELECT ee AS n_edges_dir, n_communities,
+         |  CASE WHEN ee = 0 THEN NULL
+         |       ELSE CAST(num AS DOUBLE) /
+         |            (CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE))
+         |  END AS q_modularity
+         |FROM agg, em""".stripMargin
     },
 
     "graph_pagerank_top" -> {
