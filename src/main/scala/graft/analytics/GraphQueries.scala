@@ -541,11 +541,15 @@ object GraphQueries extends QuerySuite {
     "graph_modularity" -> ((s, d) => {
       val e = edges(s, d)
       val labels = lpaLabels(e).localCheckpoint()
+      // node-sized label table: ship broadcast below the budget (the
+      // lpaLabels/PageRank degrade pattern), keyed shuffle join above
+      val bc = labels.count() <= BroadcastNodeBudget
+      def ship(df: DataFrame) = if (bc) broadcast(df) else df
       val tagged = e
-        .join(labels.select(col("node").as("src"), col("label").as("sl")),
-          "src")
-        .join(labels.select(col("node").as("dst"), col("label").as("dl")),
-          "dst")
+        .join(ship(labels.select(col("node").as("src"),
+          col("label").as("sl"))), "src")
+        .join(ship(labels.select(col("node").as("dst"),
+          col("label").as("dl"))), "dst")
       val intra = tagged.filter(col("sl") === col("dl"))
         .groupBy(col("sl").as("label")).agg(count(lit(1)).as("intra_dir"))
       val degc = e.groupBy(col("src").as("node"))
