@@ -164,6 +164,52 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Higher moments per event type — skewness g1, excess kurtosis
+    // g2, and the SAS bimodality coefficient (g1²+1)/(g2+3): the
+    // distribution-SHAPE profile beside the location (z-score/
+    // percentile) and spread (MAD/Brown–Forsythe) families; bc >
+    // ~0.55 flags a two-regime metric whose mean is a lie. Exactness
+    // contract: values quantize to whole TENS (x = round(v)/10 via
+    // floor(v/10 + 0.5) on the rounded value — keeping Σx⁴ inside
+    // BIGINT at 10⁶ rows/group; tens are the defined semantics, both
+    // engines compute them identically), the four power sums S1..S4
+    // are exact BIGINTs, and the central moments are ONE fixed float
+    // tree over those integers mirrored operation-for-operation in
+    // the oracle (m2^1.5 spelled m2·√m2 — pow() is banned with log()
+    // for not being correctly rounded). Scale shape: a single
+    // map-side-combined aggregate, no join, no window.
+    "stat_higher_moments" -> ((s, d) => {
+      val x = floor(round(col("value"), 0) / 10.0 + 0.5).cast("long")
+      val m = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), x.as("x"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val m2 = col("s2").cast("double") / nD - mu * mu
+      val m3 = col("s3").cast("double") / nD -
+        lit(3.0) * mu * (col("s2").cast("double") / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4").cast("double") / nD -
+        lit(4.0) * mu * (col("s3").cast("double") / nD) +
+        lit(6.0) * mu * mu * (col("s2").cast("double") / nD) -
+        lit(3.0) * mu * mu * mu * mu
+      val g1 = m3 / (m2 * sqrt(m2))
+      val g2 = m4 / (m2 * m2) - lit(3.0)
+      val bad = col("n") < 2L ||
+        (col("n") * col("s2") - col("s1") * col("s1")) === 0L
+      m.select(col("event_type"), col("n"),
+        when(bad, lit(null).cast("double")).otherwise(g1).as("skewness"),
+        when(bad, lit(null).cast("double")).otherwise(g2).as("ex_kurtosis"),
+        when(bad, lit(null).cast("double"))
+          .otherwise((g1 * g1 + lit(1.0)) / (g2 + lit(3.0)))
+          .as("bimodality"))
+        .orderBy("event_type")
+    }),
+
     // Effect sizes for the weekend/weekday value shift per event
     // type — the MAGNITUDE companion to stat_welch_ttest's
     // significance: Cohen's d (pooled-sd standardized mean
@@ -597,6 +643,45 @@ object ProfileQueries extends QuerySuite {
         |                CAST(n2*n2*(n2-1) AS DOUBLE))
         |  END AS t_stat
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "stat_higher_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x*x) AS BIGINT) AS s2,
+        |    CAST(sum(x*x*x) AS BIGINT) AS s3,
+        |    CAST(sum(x*x*x*x) AS BIGINT) AS s4
+        |  FROM (SELECT event_type,
+        |      CAST(floor(round("value") / 10.0 + 0.5) AS BIGINT) AS x
+        |    FROM events WHERE "value" IS NOT NULL)
+        |  GROUP BY event_type),
+        |tv AS (
+        |  SELECT event_type, n, s1, s2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM m),
+        |cm AS (
+        |  SELECT event_type, n, s1, s2, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM tv),
+        |g AS (
+        |  SELECT event_type, n, s1, s2,
+        |    m3 / (m2 * sqrt(m2)) AS g1,
+        |    m4 / (m2 * m2) - 3.0 AS g2
+        |  FROM cm)
+        |SELECT event_type, n,
+        |  CASE WHEN n < 2 OR n*s2 - s1*s1 = 0 THEN NULL
+        |       ELSE g1 END AS skewness,
+        |  CASE WHEN n < 2 OR n*s2 - s1*s1 = 0 THEN NULL
+        |       ELSE g2 END AS ex_kurtosis,
+        |  CASE WHEN n < 2 OR n*s2 - s1*s1 = 0 THEN NULL
+        |       ELSE (g1 * g1 + 1.0) / (g2 + 3.0) END AS bimodality
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "stat_effect_sizes" ->
       """WITH ev AS (

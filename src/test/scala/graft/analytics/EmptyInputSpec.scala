@@ -162,7 +162,8 @@ class EmptyInputSpec extends SparkSpec {
     for (q <- Seq("text_fertility_by_lang", "text_zipf_constancy",
         "behavior_lifetime_survival", "sample_group_split", "text_mattr",
         "stat_effect_sizes", "ts_holt_winters", "sim_centroid_drift",
-        "text_burstiness", "ts_anomaly_residual")) {
+        "text_burstiness", "ts_anomaly_residual",
+        "stat_higher_moments")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
