@@ -26,7 +26,9 @@ object Explain {
     "q21_waiting_suppliers", "sketch_kmv_users", "stat_mad_daily",
     "text_winnowing", "graph_kcore", "behavior_attribution",
     "sim_ivf_probe_sweep", "dq_rate_limit_audit", "text_source_overlap",
-    "join_semijoin_reduction")
+    "join_semijoin_reduction", "graph_modularity", "text_mattr",
+    "stat_permutation_test", "dq_join_fanout_estimate",
+    "sim_centroid_drift", "ts_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
