@@ -567,6 +567,108 @@ object ProfileQueries extends QuerySuite {
         .select(col("event_type"), col("n").as("n_days"),
           col("day").as("peak_day"), col("c").as("max_dev"))
         .orderBy("event_type")
+    }),
+
+    // One-way ANOVA F-test of event value across ALL event types —
+    // the k-group generalization of the Welch/pooled-t pair: "does
+    // mean spend differ by type at all?" before any pairwise drill.
+    // Exactness: per-group moments (n, Σx, Σx²) are exact BIGINT
+    // cents; the between-group term Σ S_g²/n_g is rational, so each
+    // group's term is floor-quantized on correctly-rounded doubles
+    // (cast, square, divide, floor — IEEE-identical in both engines),
+    // making the cross-group sum an associative integer aggregate
+    // (the stat_hellinger_segments ppb trick, here in whole cents²).
+    // The reported SS columns are defined AS the quantized statistic
+    // (each of the k+1 floors undercounts < 1 cent²). Integer
+    // headroom: S_g² must stay inside double's exact-ish range and
+    // u_g = S_g²/n_g inside BIGINT — n_g·x̄² < 2⁶³ holds to ~10¹⁰
+    // rows/group at these cent magnitudes; past that swap the moment
+    // sums to DECIMAL(38,0) (suite-header note). Scale shape: ONE
+    // fact-table aggregate to a k-row moment table; everything after
+    // is k-row arithmetic — no window, no join, no second scan.
+    "stat_anova_oneway" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Exact.cents(col("value")).as("xc"))
+      val g = ev.groupBy("event_type").agg(
+        count(lit(1)).as("ng"), sum("xc").as("sg"),
+        sum(col("xc") * col("xc")).as("qg"))
+      val gq = g.select(col("ng"), col("sg"), col("qg"),
+        floor(col("sg").cast("double") * col("sg").cast("double") /
+          col("ng").cast("double")).as("ug"))
+      val m = gq.agg(count(lit(1)).as("k_groups"), sum("ng").as("n"),
+        sum("sg").as("s"), sum("qg").as("q"), sum("ug").as("u"))
+      val gterm = floor(col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double"))
+      m.select(col("k_groups"), col("n"),
+        (col("u") - gterm).as("ss_between_c2"),
+        (col("q") - col("u")).as("ss_within_c2"),
+        when(col("k_groups") < 2L || col("q") - col("u") === 0L,
+          lit(null).cast("double"))
+          .otherwise((col("u") - gterm).cast("double") /
+            (col("k_groups") - 1L).cast("double") /
+            ((col("q") - col("u")).cast("double") /
+              (col("n") - col("k_groups")).cast("double"))).as("f_stat"),
+        when(col("q") - gterm === 0L, lit(null).cast("double"))
+          .otherwise((col("u") - gterm).cast("double") /
+            (col("q") - gterm).cast("double")).as("eta_sq"))
+    }),
+
+    // Kruskal–Wallis H — the rank-based k-group test (Mann–Whitney's
+    // k-sample generalization), tie-corrected, run over the same
+    // event-type groups as stat_anova_oneway so the parametric and
+    // non-parametric verdicts sit side by side. Exactness: rank sums
+    // are computed on the (value → count) table with DOUBLED ranks
+    // (2·below + t + 1) so midranks stay integral; Σ R_g²/n_g is
+    // floor-quantized per group on correctly-rounded doubles (the
+    // ANOVA trick) and summed as an exact BIGINT; the tie term
+    // Σ(t³−t) is an exact integer aggregate. Scale shape: one fact
+    // aggregate to the (group, value)-count table, one to the
+    // value-count table; the ONLY global window is the two-level
+    // prefix sum over the bounded value DOMAIN (the stat_mann_whitney
+    // pattern — the outer ordering runs over ~domain/1000 buckets,
+    // the within-bucket cumulative partitions by bucket), never raw
+    // rows. Integer headroom: u_g ≈ n_g·N² < 2⁶³ (suite-header
+    // DECIMAL swap past ~10⁹ total rows); t³ < 2⁶³ to N ~ 2·10⁶ ties
+    // per value.
+    "stat_kruskal_wallis" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("g"), Exact.cents(col("value")).as("v"))
+      val gv = ev.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val vc = gv.groupBy("v").agg(sum("c").as("t"))
+      val bk = vc.withColumn("bk", expr("v div 1000L"))
+      val base = bk.groupBy("bk").agg(sum("t").as("bt"))
+        .withColumn("base",
+          coalesce(sum("bt").over(Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "base")
+      val below = bk.join(broadcast(base), "bk")
+        .withColumn("within",
+          coalesce(sum("t").over(Window.partitionBy("bk").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("v"), col("t"),
+          (col("base") + col("within")).as("below"))
+      val r = gv.join(below, "v").groupBy("g").agg(
+        sum("c").as("ng"),
+        sum(col("c") * (col("below") * 2L + col("t") + 1L)).as("r2"))
+      val rq = r.select(col("ng"),
+        floor(col("r2").cast("double") * col("r2").cast("double") /
+          (lit(4.0) * col("ng").cast("double"))).as("ug"))
+      val ties = vc.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("ts"))
+      val m = rq.agg(count(lit(1)).as("k_groups"), sum("ng").as("n"),
+        sum("ug").as("u")).crossJoin(broadcast(ties))
+      val res = m.select(col("k_groups"), col("n"), col("ts"),
+        (lit(12.0) / (col("n").cast("double") *
+          (col("n") + 1L).cast("double")) * col("u").cast("double") -
+          lit(3.0) * (col("n") + 1L).cast("double")).as("h_stat"),
+        (lit(1.0) - col("ts").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double")))
+          .as("tie_corr"))
+      res.select(col("k_groups"), col("n"), col("ts").as("ties_term"),
+        col("h_stat"), col("tie_corr"),
+        when(col("tie_corr") === 0.0, lit(null).cast("double"))
+          .otherwise(col("h_stat") / col("tie_corr")).as("h_corrected"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -961,5 +1063,71 @@ object ProfileQueries extends QuerySuite {
         |      ORDER BY abs(n * cy - i * t) DESC, day) AS rk
         |  FROM cum)
         |SELECT event_type, n_days, peak_day, c AS max_dev
-        |FROM scored WHERE rk = 1 ORDER BY event_type""".stripMargin)
+        |FROM scored WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "stat_anova_oneway" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${Exact.centsSql("\"value\"")} AS xc
+         |  FROM events),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(xc) AS BIGINT) AS sg,
+         |    CAST(sum(xc * xc) AS BIGINT) AS qg
+         |  FROM ev GROUP BY event_type),
+         |gq AS (SELECT ng, sg, qg,
+         |    CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+         |      CAST(ng AS DOUBLE)) AS BIGINT) AS ug
+         |  FROM g),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         |    CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+         |    CAST(sum(qg) AS BIGINT) AS q, CAST(sum(ug) AS BIGINT) AS u
+         |  FROM gq),
+         |t AS (SELECT *, CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+         |    CAST(n AS DOUBLE)) AS BIGINT) AS gterm FROM m)
+         |SELECT k_groups, n, u - gterm AS ss_between_c2,
+         |  q - u AS ss_within_c2,
+         |  CASE WHEN k_groups < 2 OR q - u = 0 THEN NULL
+         |       ELSE CAST(u - gterm AS DOUBLE) /
+         |            CAST(k_groups - 1 AS DOUBLE) /
+         |            (CAST(q - u AS DOUBLE) /
+         |             CAST(n - k_groups AS DOUBLE)) END AS f_stat,
+         |  CASE WHEN q - gterm = 0 THEN NULL
+         |       ELSE CAST(u - gterm AS DOUBLE) /
+         |            CAST(q - gterm AS DOUBLE) END AS eta_sq
+         |FROM t""".stripMargin,
+
+    "stat_kruskal_wallis" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS g, ${Exact.centsSql("\"value\"")} AS v
+         |  FROM events),
+         |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY g, v),
+         |vc AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+         |  FROM gv GROUP BY v),
+         |cum AS (SELECT v, t,
+         |    CAST(coalesce(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS below
+         |  FROM vc),
+         |r AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+         |    CAST(sum(c * (below * 2 + t + 1)) AS BIGINT) AS r2
+         |  FROM gv JOIN cum USING (v) GROUP BY g),
+         |rq AS (SELECT ng,
+         |    CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) /
+         |      (4.0 * CAST(ng AS DOUBLE))) AS BIGINT) AS ug
+         |  FROM r),
+         |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts FROM vc),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         |    CAST(sum(ng) AS BIGINT) AS n, CAST(sum(ug) AS BIGINT) AS u
+         |  FROM rq),
+         |res AS (SELECT k_groups, n, ts,
+         |    12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) *
+         |      CAST(u AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+         |    1.0 - CAST(ts AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+         |       CAST(n AS DOUBLE)) AS tie_corr
+         |  FROM m, ties)
+         |SELECT k_groups, n, ts AS ties_term, h_stat, tie_corr,
+         |  CASE WHEN tie_corr = 0 THEN NULL
+         |       ELSE h_stat / tie_corr END AS h_corrected
+         |FROM res""".stripMargin)
 }
