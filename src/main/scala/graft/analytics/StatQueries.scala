@@ -338,6 +338,76 @@ object StatQueries extends QuerySuite {
           (-col("m.nx") / 100.0).as("mode_value"),
           col("m.c").as("n_mode"))
         .orderBy("event_type")
+    }),
+
+    // Closed-form TWO-predictor OLS via exact normal equations —
+    // value ~ hour-of-day + weekend — the multivariate step past the
+    // suite's simple-regression pair (stat_trend_daily slope,
+    // stat_theil_sen): does the diurnal effect survive controlling
+    // for the weekend mix? Exactness: all ten raw moments (n, Σx1,
+    // Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) are exact BIGINTs
+    // on whole-unit y (round(value) — the brown_forsythe headroom
+    // choice: n·Σy² < 2⁶³ to ~10⁷ rows at these magnitudes, DECIMAL
+    // swap past that per the suite header); the centered
+    // cross-products n·Σab−ΣaΣb are exact BIGINT cross-multiplied
+    // forms, and the 2×2 solve (determinant, betas, R²) is a fixed
+    // float tree over those exact integers, written identically in
+    // the oracle. Scale shape: ONE map-side-combined aggregate to a
+    // single row — no shuffle beyond the 1-row reduce, no window, no
+    // join; the normal-equations pattern is how distributed OLS
+    // should look at any p (p² moments, one pass).
+    "stat_linreg_multi" -> ((s, d) => {
+      val ep = floor(unix_timestamp(col("ts")) / 3600L).cast("long")
+      val dow = (floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+        + 4L) % 7L
+      val ev = Tables.events(s, d).select(
+        (ep % 24L).as("x1"),
+        when(dow === 0L || dow === 6L, 1L).otherwise(0L).as("x2"),
+        round(col("value"), 0).cast("long").as("y"))
+      val m = ev.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      val c = m.select(col("n"), col("s1"), col("s2"), col("sy"),
+        (col("n") * col("s11") - col("s1") * col("s1"))
+          .cast("double").as("d11"),
+        (col("n") * col("s22") - col("s2") * col("s2"))
+          .cast("double").as("d22"),
+        (col("n") * col("s12") - col("s1") * col("s2"))
+          .cast("double").as("d12"),
+        (col("n") * col("s1y") - col("s1") * col("sy"))
+          .cast("double").as("d1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy"))
+          .cast("double").as("d2y"),
+        (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("dyy"))
+      val b = c.select(col("n"), col("s1"), col("s2"), col("sy"),
+        col("d1y"), col("d2y"), col("dyy"),
+        (col("d11") * col("d22") - col("d12") * col("d12")).as("det"),
+        ((col("d22") * col("d1y") - col("d12") * col("d2y")) /
+          (col("d11") * col("d22") - col("d12") * col("d12")))
+          .as("beta_hour"),
+        ((col("d11") * col("d2y") - col("d12") * col("d1y")) /
+          (col("d11") * col("d22") - col("d12") * col("d12")))
+          .as("beta_weekend"))
+      b.select(col("n"),
+        when(col("det") === 0.0, lit(null).cast("double"))
+          .otherwise((col("sy").cast("double") -
+            col("beta_hour") * col("s1").cast("double") -
+            col("beta_weekend") * col("s2").cast("double")) /
+            col("n").cast("double")).as("beta0"),
+        when(col("det") === 0.0, lit(null).cast("double"))
+          .otherwise(col("beta_hour")).as("beta_hour"),
+        when(col("det") === 0.0, lit(null).cast("double"))
+          .otherwise(col("beta_weekend")).as("beta_weekend"),
+        when(col("det") === 0.0 || col("dyy") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("beta_hour") * col("d1y") +
+            col("beta_weekend") * col("d2y")) / col("dyy")).as("r2"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -551,5 +621,51 @@ object StatQueries extends QuerySuite {
          |  FROM vc)
          |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
          |  n_distinct_values, xc/100.0 AS mode_value, c AS n_mode
-         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)
+         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "stat_linreg_multi" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS x1,
+        |    CASE WHEN ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
+        |      IN (0, 6) THEN 1 ELSE 0 END AS x2,
+        |    CAST(round("value") AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM ev),
+        |c AS (SELECT n, s1, s2, sy,
+        |    CAST(n * s11 - s1 * s1 AS DOUBLE) AS d11,
+        |    CAST(n * s22 - s2 * s2 AS DOUBLE) AS d22,
+        |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS d12,
+        |    CAST(n * s1y - s1 * sy AS DOUBLE) AS d1y,
+        |    CAST(n * s2y - s2 * sy AS DOUBLE) AS d2y,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS dyy
+        |  FROM m),
+        |b AS (SELECT n, s1, s2, sy, d1y, d2y, dyy,
+        |    d11 * d22 - d12 * d12 AS det,
+        |    (d22 * d1y - d12 * d2y) / (d11 * d22 - d12 * d12)
+        |      AS beta_hour,
+        |    (d11 * d2y - d12 * d1y) / (d11 * d22 - d12 * d12)
+        |      AS beta_weekend
+        |  FROM c)
+        |SELECT n,
+        |  CASE WHEN det = 0 THEN NULL
+        |       ELSE (CAST(sy AS DOUBLE) -
+        |             beta_hour * CAST(s1 AS DOUBLE) -
+        |             beta_weekend * CAST(s2 AS DOUBLE)) /
+        |            CAST(n AS DOUBLE) END AS beta0,
+        |  CASE WHEN det = 0 THEN NULL ELSE beta_hour END AS beta_hour,
+        |  CASE WHEN det = 0 THEN NULL ELSE beta_weekend END
+        |    AS beta_weekend,
+        |  CASE WHEN det = 0 OR dyy = 0 THEN NULL
+        |       ELSE (beta_hour * d1y + beta_weekend * d2y) / dyy END
+        |    AS r2
+        |FROM b""".stripMargin)
 }
