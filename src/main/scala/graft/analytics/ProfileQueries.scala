@@ -669,6 +669,50 @@ object ProfileQueries extends QuerySuite {
         col("h_stat"), col("tie_corr"),
         when(col("tie_corr") === 0.0, lit(null).cast("double"))
           .otherwise(col("h_stat") / col("tie_corr")).as("h_corrected"))
+    }),
+
+    // Approximate functional-dependency discovery over a fixed
+    // candidate set — the schema-inference pass a profiler runs
+    // before choosing clustering keys or declaring constraints: for
+    // each A→B candidate, the exact-FD verdict and the g3' repair
+    // strength (the row fraction kept under the best single-value
+    // repair per LHS group — Huhtala et al., TANE, Comput. J. 1999).
+    // Scale shape: each candidate is a two-level keyed aggregate
+    // ((A,B)-counts, then per-A max/sum) with map-side partials —
+    // the fact table shuffles once per candidate on the (A,B) pair
+    // and the report is candidate-count rows; no joins, no windows,
+    // no distinct over raw rows.
+    "dq_fd_discovery" -> ((s, d) => {
+      def fd(df: DataFrame, label: String, lhs: String,
+          rhs: String): DataFrame =
+        df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("l").agg(sum("c").as("nl"), max("c").as("mx"),
+            count(lit(1)).as("nd"))
+          .agg(sum("nl").as("n_rows"), count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") === 1L, 1L).otherwise(0L))
+              .as("n_exact_lhs"),
+            sum("mx").as("kept"))
+          .select(lit(label).as("fd"), col("n_rows"), col("n_lhs"),
+            col("n_exact_lhs"),
+            expr("kept * 1000000 div n_rows").as("keep_ppm"),
+            (col("n_exact_lhs") === col("n_lhs")).as("is_exact"))
+      Seq(
+        fd(Tables.lineitem(s, d), "lineitem.l_partkey -> l_suppkey",
+          "l_partkey", "l_suppkey"),
+        fd(Tables.orders(s, d), "orders.o_custkey -> o_orderpriority",
+          "o_custkey", "o_orderpriority"),
+        fd(Tables.customer(s, d), "customer.c_custkey -> c_nationkey",
+          "c_custkey", "c_nationkey"),
+        fd(Tables.customer(s, d), "customer.c_nationkey -> c_mktsegment",
+          "c_nationkey", "c_mktsegment"),
+        fd(Tables.nation(s, d), "nation.n_nationkey -> n_regionkey",
+          "n_nationkey", "n_regionkey"),
+        fd(Tables.events(s, d), "events.user_id -> event_type",
+          "user_id", "event_type"),
+        fd(Tables.documents(s, d), "documents.source -> lang",
+          "source", "lang"))
+        .reduce(_.unionByName(_)).orderBy("fd")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1129,5 +1173,39 @@ object ProfileQueries extends QuerySuite {
          |SELECT k_groups, n, ts AS ties_term, h_stat, tie_corr,
          |  CASE WHEN tie_corr = 0 THEN NULL
          |       ELSE h_stat / tie_corr END AS h_corrected
-         |FROM res""".stripMargin)
+         |FROM res""".stripMargin,
+
+    "dq_fd_discovery" -> Seq(
+      ("lineitem.l_partkey -> l_suppkey", "lineitem",
+        "l_partkey", "l_suppkey"),
+      ("orders.o_custkey -> o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"),
+      ("customer.c_custkey -> c_nationkey", "customer",
+        "c_custkey", "c_nationkey"),
+      ("customer.c_nationkey -> c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      ("nation.n_nationkey -> n_regionkey", "nation",
+        "n_nationkey", "n_regionkey"),
+      ("events.user_id -> event_type", "events",
+        "user_id", "event_type"),
+      ("documents.source -> lang", "documents", "source", "lang"))
+      .map { case (label, table, lhs, rhs) =>
+        s"""SELECT '$label' AS fd, n_rows, n_lhs, n_exact_lhs,
+           |  kept * 1000000 // n_rows AS keep_ppm,
+           |  n_exact_lhs = n_lhs AS is_exact
+           |FROM (
+           |  SELECT CAST(sum(nl) AS BIGINT) AS n_rows,
+           |    CAST(count(*) AS BIGINT) AS n_lhs,
+           |    CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_exact_lhs,
+           |    CAST(sum(mx) AS BIGINT) AS kept
+           |  FROM (
+           |    SELECT l, CAST(sum(c) AS BIGINT) AS nl,
+           |      CAST(max(c) AS BIGINT) AS mx,
+           |      CAST(count(*) AS BIGINT) AS nd
+           |    FROM (SELECT $lhs AS l, $rhs AS r,
+           |        CAST(count(*) AS BIGINT) AS c
+           |      FROM $table GROUP BY $lhs, $rhs) gv
+           |    GROUP BY l) pg) agg""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd"))
 }

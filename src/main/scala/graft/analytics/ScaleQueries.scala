@@ -22,6 +22,12 @@ object ScaleQueries extends QuerySuite {
   val CmsDepth = 4
   val CmsWidth = 2048
 
+  /** Compaction output-bin target for layout_compaction_plan. 4 KB
+    * against the testdata's ~0.5–5 KB simulated files exercises the
+    * same many-files-per-bin / many-bins-per-source geometry a
+    * 128 MB target meets in production manifests. */
+  val CompactTargetBytes = 4096L
+
   /** Hand-rolled HLL: m = 2^5 registers; rho reads the top 32 bits
     * below the bucket index so register sums stay exact in LONG
     * arithmetic (max term 2^33, sum ≤ m·2^33 ≪ 2^63). alpha_32 from
@@ -554,6 +560,43 @@ object ScaleQueries extends QuerySuite {
           expr(s"(max(hi) - max(lo) + 1) div $B").as("bucket_cents"),
           pick(0.5, "p50_est"), pick(0.9, "p90_est"), pick(0.99, "p99_est"))
         .orderBy("status")
+    }),
+
+    // Small-file compaction planner — the table-maintenance advisor
+    // every lakehouse runs nightly (Iceberg/Delta rewrite-data-files
+    // semantics): given a simulated file manifest (doc_id-sharded
+    // text payload per source), assign files to target-size output
+    // bins by cumulative-bytes division and report, per source, the
+    // before/after layout the rewrite would produce. The bin rule
+    // floor(cum_bytes_before / target) is the standard streaming
+    // bin-pack approximation: every output bin is ≥ the target minus
+    // one file (no pathological tiny bin except the tail). Scale
+    // shape: compaction planning is METADATA work — the only
+    // data-touching step is the manifest aggregate (file-count-sized,
+    // ~millions of rows at 100 TB); the window runs per SOURCE over
+    // its files, never over rows, and the report is source-count
+    // rows. The plan never reads payload bytes.
+    "layout_compaction_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = Tables.documents(s, d)
+        .groupBy(col("source"),
+          ((col("doc_id") / 20L).cast("long") % 16L).as("file_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+      val w = Window.partitionBy("source").orderBy("file_id")
+      val binned = files.withColumn("cum_before",
+          coalesce(sum("bytes").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $CompactTargetBytes"))
+      val bins = binned.groupBy("source", "bin").agg(
+        count(lit(1)).as("nf"), sum("bytes").as("bb"))
+      bins.groupBy("source").agg(
+        sum("nf").as("n_files"), sum("bb").as("total_bytes"),
+        count(lit(1)).as("n_bins"), max("bb").as("max_bin_bytes"),
+        max("nf").as("max_bin_files"))
+        .select(col("source"), col("n_files"), col("total_bytes"),
+          col("n_bins"), col("max_bin_bytes"), col("max_bin_files"),
+          expr("total_bytes div n_bins").as("avg_bin_bytes"))
+        .orderBy("source")
     })
   )
 
@@ -848,5 +891,29 @@ object ScaleQueries extends QuerySuite {
          |  min(CASE WHEN cm >= ceil(n * 0.99)
          |    THEN lo + ((bucket + 1) * (hi - lo + 1)) // 64 END)/100.0
          |    AS p99_est
-         |FROM cum GROUP BY status ORDER BY status""".stripMargin)
+         |FROM cum GROUP BY status ORDER BY status""".stripMargin,
+
+    "layout_compaction_plan" ->
+      s"""WITH files AS (
+         |  SELECT source, (doc_id // 20) % 16 AS file_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY source, (doc_id // 20) % 16),
+         |binned AS (
+         |  SELECT source, bytes,
+         |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+         |      ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) // $CompactTargetBytes AS bin
+         |  FROM files),
+         |bins AS (
+         |  SELECT source, bin, CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(bytes) AS BIGINT) AS bb
+         |  FROM binned GROUP BY source, bin)
+         |SELECT source, CAST(sum(nf) AS BIGINT) AS n_files,
+         |  CAST(sum(bb) AS BIGINT) AS total_bytes,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  max(bb) AS max_bin_bytes, max(nf) AS max_bin_files,
+         |  CAST(sum(bb) AS BIGINT) // count(*) AS avg_bin_bytes
+         |FROM bins GROUP BY source ORDER BY source""".stripMargin)
 }
