@@ -227,6 +227,51 @@ object InsightQueries extends QuerySuite {
             .as("z"))
     }),
 
+    // ROC AUC of event value as a score for the 'purchase' class —
+    // the ranking-quality scalar every trained quality filter
+    // reports, computed WITHOUT materializing the curve: AUC is the
+    // tie-corrected rank statistic U/(n⁺·n⁻) (Hanley & McNeil,
+    // Radiology 1982). With DOUBLED midranks over the value-count
+    // table, AUC = (R2⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) — exact integers up
+    // to the single final division, plus the Gini coefficient
+    // 2·AUC−1. Scale shape: identical to stat_mann_whitney — one
+    // fact aggregate to the value-count table, the two-level
+    // value-DOMAIN prefix sum (outer window over ~domain/1000
+    // buckets, within-bucket cumulative partitioned), one global
+    // reduce. Integer headroom: R2⁺ ≤ 2n⁺N < 2⁶³ to ~10⁹ rows.
+    "stat_auc_roc" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(cents(col("value")).as("v"),
+        (col("event_type") === "purchase").as("pos"))
+      val vc = ev.groupBy("v").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np_v"),
+        count(lit(1)).as("t_v"))
+      val bk = vc.withColumn("bk", expr("v div 1000L"))
+      val base = bk.groupBy("bk").agg(sum("t_v").as("bt"))
+        .withColumn("base",
+          coalesce(sum("bt").over(Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "base")
+      val cum = bk.join(broadcast(base), "bk")
+        .withColumn("within",
+          coalesce(sum("t_v").over(Window.partitionBy("bk").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("below", col("base") + col("within"))
+      val agg0 = cum.agg(
+        sum(col("np_v") * (col("below") * 2L + col("t_v") + 1L))
+          .as("r2p"),
+        sum("np_v").as("np"), sum("t_v").as("n"))
+      val a = agg0.select(col("np").as("n_pos"),
+        (col("n") - col("np")).as("n_neg"),
+        when(col("np") === 0L || col("n") === col("np"),
+          lit(null).cast("double"))
+          .otherwise((col("r2p") - col("np") * (col("np") + 1L))
+            .cast("double") /
+            (lit(2.0) * (col("np") * (col("n") - col("np")))
+              .cast("double"))).as("auc"))
+      a.select(col("n_pos"), col("n_neg"), col("auc"),
+        (col("auc") * 2.0 - 1.0).as("gini"))
+    }),
+
     // Hellinger distance between the weekday and weekend event-type
     // mixes — "did the traffic composition shift?" in a bounded [0,1]
     // metric. The Bhattacharyya affinity Σ√(p·q) is a float sum, so
@@ -1096,6 +1141,35 @@ object InsightQueries extends QuerySuite {
          |      (CAST(n + 1 AS DOUBLE) -
          |        CAST(ts AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))) AS z
          |FROM m""".stripMargin,
+
+    "stat_auc_roc" ->
+      s"""WITH ev AS (
+         |  SELECT ${centsSql("\"value\"")} AS v,
+         |    event_type = 'purchase' AS pos
+         |  FROM events),
+         |vc AS (
+         |  SELECT v,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np_v,
+         |    CAST(count(*) AS BIGINT) AS t_v
+         |  FROM ev GROUP BY v),
+         |cum AS (
+         |  SELECT *, CAST(coalesce(sum(t_v) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS below
+         |  FROM vc),
+         |m AS (
+         |  SELECT CAST(sum(np_v * (below * 2 + t_v + 1)) AS BIGINT) AS r2p,
+         |    CAST(sum(np_v) AS BIGINT) AS np,
+         |    CAST(sum(t_v) AS BIGINT) AS n
+         |  FROM cum),
+         |a AS (
+         |  SELECT np AS n_pos, n - np AS n_neg,
+         |    CASE WHEN np = 0 OR n = np THEN NULL
+         |         ELSE CAST(r2p - np * (np + 1) AS DOUBLE) /
+         |              (2.0 * CAST(np * (n - np) AS DOUBLE)) END AS auc
+         |  FROM m)
+         |SELECT n_pos, n_neg, auc, auc * 2.0 - 1.0 AS gini
+         |FROM a""".stripMargin,
 
     "stat_hellinger_segments" ->
       """WITH ev AS (

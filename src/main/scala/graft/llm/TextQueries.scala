@@ -129,6 +129,41 @@ object TextQueries extends QuerySuite {
         .orderBy("labeled_lang", "guessed_lang")
     }),
 
+    // Cohen's kappa of the lang-ID heuristic vs the labeled language
+    // — the chance-corrected agreement scalar on top of
+    // text_lang_confusion's matrix (Cohen, Educ. Psychol. Meas.
+    // 1960). Fully integer: κ = (N·D − P) / (N² − P) with D = Σ
+    // diagonal counts and P = Σ_category row_total·col_total, so the
+    // only float op is the final division (accuracy = D/N
+    // alongside). Categories appearing in only one margin contribute
+    // 0 to P (their other margin is empty), which the inner
+    // margin-join encodes. Scale shape: one corpus scan to the
+    // ≤|langs|² confusion matrix; all later steps are matrix-sized.
+    // Headroom: N² < 2⁶³ to ~3·10⁹ docs.
+    "text_langid_kappa" -> ((s, d) => {
+      val (en, de, es) = langHits
+      val cm = Tables.documents(s, d).select(
+        col("lang").as("labeled_lang"),
+        guessedLang(en, de, es).as("guessed_lang"))
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(count(lit(1)).as("c"))
+      val rt = cm.groupBy("labeled_lang").agg(sum("c").as("rt"))
+      val ct = cm.groupBy("guessed_lang").agg(sum("c").as("ct"))
+      val p = rt.join(ct, col("labeled_lang") === col("guessed_lang"))
+        .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("p"))
+      val nd = cm.agg(sum("c").as("n"),
+        sum(when(col("labeled_lang") === col("guessed_lang"), col("c"))
+          .otherwise(0L)).as("diag"))
+      nd.crossJoin(broadcast(p)).select(
+        col("n"), col("diag"), col("p").as("chance_prod"),
+        when(col("n") * col("n") - col("p") === 0L,
+          lit(null).cast("double"))
+          .otherwise((col("n") * col("diag") - col("p")).cast("double") /
+            (col("n") * col("n") - col("p")).cast("double")).as("kappa"),
+        (col("diag").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+    }),
+
     // Document fingerprint: md5 over the sorted distinct vocabulary
     // (order-insensitive content identity).
     "text_fingerprints" -> ((s, d) =>
@@ -518,6 +553,34 @@ object TextQueries extends QuerySuite {
          |  FROM t)
          |SELECT labeled_lang, guessed_lang, count(*) AS n_docs
          |FROM g GROUP BY 1, 2 ORDER BY labeled_lang, guessed_lang""".stripMargin,
+
+    "text_langid_kappa" ->
+      s"""WITH t AS (
+         |  SELECT lang AS labeled_lang,
+         |    ${hitsSql("string_split(lower(text), ' ')", enSetSql)} AS en_hits,
+         |    ${hitsSql("string_split(lower(text), ' ')", deSetSql)} AS de_hits,
+         |    ${hitsSql("string_split(lower(text), ' ')", esSetSql)} AS es_hits
+         |  FROM documents),
+         |g AS (SELECT labeled_lang, $langCaseSql AS guessed_lang FROM t),
+         |cm AS (SELECT labeled_lang, guessed_lang,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2),
+         |r AS (SELECT labeled_lang AS k, CAST(sum(c) AS BIGINT) AS rt
+         |  FROM cm GROUP BY 1),
+         |cl AS (SELECT guessed_lang AS k, CAST(sum(c) AS BIGINT) AS ct
+         |  FROM cm GROUP BY 1),
+         |p AS (SELECT CAST(coalesce(sum(rt * ct), 0) AS BIGINT) AS p
+         |  FROM r JOIN cl USING (k)),
+         |nd AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN labeled_lang = guessed_lang THEN c
+         |      ELSE 0 END) AS BIGINT) AS diag
+         |  FROM cm)
+         |SELECT n, diag, p AS chance_prod,
+         |  CASE WHEN n * n - p = 0 THEN NULL
+         |       ELSE CAST(n * diag - p AS DOUBLE) /
+         |            CAST(n * n - p AS DOUBLE) END AS kappa,
+         |  CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+         |FROM nd, p""".stripMargin,
 
     "text_fingerprints" ->
       """SELECT doc_id,
