@@ -492,6 +492,58 @@ object GraphQueries extends QuerySuite {
             col("n_wedges").cast("double")).as("clustering_coeff"))
     }),
 
+    // Per-node LOCAL clustering coefficient (Watts & Strogatz, Nature
+    // 1998) — the node-granular companion of graph_triangles' global
+    // transitivity: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
+    // fraction of v's neighbor pairs that are themselves connected.
+    // Same degree-ordered orientation and O(m^1.5) wedge bound as
+    // graph_triangles; the only additions are carrying the wedge
+    // CENTER through the closure join and a 3-rows-per-triangle
+    // explode into a keyed count — both linear in the triangle count.
+    // T(v) and the deg·(deg−1) denominator are exact BIGINTs; lcc is
+    // the single final division. Full node table output (node-count
+    // rows — suppliers here), totally ordered by node id.
+    "graph_local_clustering" -> ((s, d) => {
+      val edges = coSupplyEdges(s, d)
+        .localCheckpoint() // referenced by deg + orientation + closure
+      val deg = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        greatest(col("du"), col("dv")).as("ddst"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") &&
+              col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      // the closing edge, when present, is oriented low→high exactly
+      // as (b, c) — the wedge ordering made b the lower-(deg,id) end
+      val tri = wedges.join(
+        oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tv"))
+      deg.join(perNode, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tv"), lit(0L)).as("n_triangles"),
+          when(col("deg") < 2L, lit(null).cast("double"))
+            .otherwise(coalesce(col("tv"), lit(0L)).cast("double") * 2.0 /
+              (col("deg") * (col("deg") - 1L)).cast("double")).as("lcc"))
+        .orderBy("node")
+    }),
+
     // Community detection by synchronous label propagation on the
     // customer↔supplier graph (Raghavan et al. PRE'07, made
     // deterministic): init label = node id; each round every node
@@ -735,6 +787,32 @@ object GraphQueries extends QuerySuite {
          |  3.0 * CAST(tri.n_triangles AS DOUBLE) /
          |    CAST(wt.n_wedges AS DOUBLE) AS clustering_coeff
          |FROM ne, wt, tri""".stripMargin,
+
+    // Naive id-ordered triple enumeration (u<v<w via three edge
+    // joins) — deliberately a DIFFERENT triangle algorithm than the
+    // oriented wedge plan, so the hash match proves the orientation
+    // counts every triangle exactly once.
+    "graph_local_clustering" ->
+      s"""$coSupplyEdgesSqlCtes,
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM edges
+         |    UNION ALL SELECT v AS node FROM edges) GROUP BY node),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.u = e1.v
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tv FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b AS node FROM tri
+         |    UNION ALL SELECT c AS node FROM tri) GROUP BY node)
+         |SELECT d.node, d.deg,
+         |  CAST(coalesce(tn.tv, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN d.deg < 2 THEN NULL
+         |       ELSE CAST(coalesce(tn.tv, 0) AS DOUBLE) * 2.0 /
+         |            CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS lcc
+         |FROM deg d LEFT JOIN tn ON tn.node = d.node
+         |ORDER BY d.node""".stripMargin,
 
     "graph_label_prop" -> {
       val rounds = (1 to LpaRounds).map { r =>

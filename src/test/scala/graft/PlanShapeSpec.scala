@@ -74,6 +74,12 @@ class PlanShapeSpec extends SparkSpec {
     // bucket table (~price range / $10k), within-bucket cumulative is
     // bucket-partitioned (InsightQueries stat_mann_whitney doc)
     "stat_mann_whitney",
+    // same two-level prefix sum over the cents-domain bucket table
+    // (~domain/1000 rows; InsightQueries stat_auc_roc doc)
+    "stat_auc_roc",
+    // same two-level prefix sum over the cents-domain bucket table
+    // (ProfileQueries stat_kruskal_wallis doc)
+    "stat_kruskal_wallis",
     // mid-rank windows over the per-DAY click/purchase total table —
     // calendar-bounded (InsightQueries stat_spearman_daily doc)
     "stat_spearman_daily",
