@@ -34,6 +34,15 @@ object SimilarityQueries extends QuerySuite {
   /** Probe counts for the IVF recall/cost sweep. */
   val ProbeSweep = Seq(1L, 2L, 4L)
 
+  /** MMR re-rank geometry: λ·rel − γ·max-sim-to-selected over the
+    * top-[[MmrCand]] candidate pool, selecting [[MmrK]]. γ is its own
+    * literal (NOT computed as 1−λ, whose double value 0.30000…04
+    * would diverge from the oracle's 0.3). */
+  val MmrLambda = 0.7
+  val MmrGamma = 0.3
+  val MmrK = 10
+  val MmrCand = 30
+
   /** Product-quantization geometry: 64-d vectors split into PqM
     * subspaces of PqDsub dims, PqK centroids per subspace drawn by the
     * deterministic stride rule (production swaps in k-means without
@@ -149,6 +158,61 @@ object SimilarityQueries extends QuerySuite {
     }),
 
     "sim_bruteforce_topk" -> (bruteTopk _),
+
+    // Maximal-marginal-relevance diversified top-k (Carbonell &
+    // Goldstein, SIGIR'98) — the re-ranker a training-sample selector
+    // runs so the k examples nearest a probe aren't k near-copies:
+    // greedily pick argmax λ·rel(c) − γ·max_{s∈S} sim(c, s). Scale
+    // shape: candidate generation is the DISTRIBUTED part (one corpus
+    // scan, broadcast query, TakeOrdered top-[[MmrCand]]); the greedy
+    // re-rank runs on the collected CONSTANT-size candidate pool
+    // (30 rows — the K-row collect class the k-means trainer uses),
+    // which is the right architecture at any corpus size since the
+    // pool never grows with data. Determinism: every cosine is the
+    // sequential-fold double of the Vectors contract (replicated
+    // verbatim in the driver loop), so scores — and therefore the
+    // greedy argmax path — are bit-identical to the oracle's UNROLLED
+    // 10-step CTE chain; ties break to the smaller vec_id.
+    "sim_mmr_topk" -> ((s, d) => {
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val cand = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("embedding"),
+          cosPre(col("q_emb"), col("q_nrm"), col("embedding"),
+            col("nrm")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(MmrCand)
+      val pool = cand.collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray, r.getDouble(2)))
+      def dotD(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      def cosD(a: Array[Float], b: Array[Float]): Double =
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Double)]
+      var selected = List.empty[Array[Float]]
+      var remaining = pool.toList
+      for (step <- 1 to MmrK) {
+        val scored = remaining.map { case c @ (_, emb, rel) =>
+          val mmr = if (selected.isEmpty) rel
+            else MmrLambda * rel -
+              MmrGamma * selected.map(sEmb => cosD(emb, sEmb)).max
+          (c, mmr)
+        }
+        val ((id, emb, rel), mmr) = scored.minBy { case ((i, _, _), m) =>
+          (-m, i) }
+        picked += ((step.toLong, id, rel, mmr))
+        selected ::= emb
+        remaining = remaining.filterNot(_._1 == id)
+      }
+      import s.implicits._
+      picked.toSeq.toDF("step", "vec_id", "rel", "mmr")
+    }),
 
     // Radius (range) search — the "all neighbors within τ" dual of
     // top-k, what near-duplicate retrieval and diversity filters ask
@@ -752,6 +816,45 @@ object SimilarityQueries extends QuerySuite {
          |ORDER BY src, rk""".stripMargin,
 
     "sim_bruteforce_topk" -> bruteTopkSql,
+
+    // The greedy selection unrolled as a 10-step CTE chain: pick_i is
+    // the argmax over candidates not yet in sel_{i-1}, scored with
+    // max-sim against the selected set — a genuinely different
+    // evaluation strategy (set-join per step vs the driver loop), so
+    // the hash match certifies the whole greedy path.
+    "sim_mmr_topk" -> {
+      val base =
+        s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+           |  WHERE vec_id = 0),
+           |cand AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding,
+           |    ${cosSql("e.embedding", "q.q_emb")} AS rel
+           |  FROM embeddings e, q WHERE e.vec_id <> 0
+           |  ORDER BY rel DESC, e.vec_id LIMIT $MmrCand),
+           |pair AS MATERIALIZED (
+           |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+           |    ${cosSql("a.embedding", "b.embedding")} AS sim
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+           |sel1 AS MATERIALIZED (SELECT vec_id, rel,
+           |    CAST(1 AS BIGINT) AS step,
+           |    rel AS mmr
+           |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+      val steps = (2 to MmrK).map { i =>
+        s"""pick$i AS MATERIALIZED (
+           |  SELECT vec_id, rel, CAST($i AS BIGINT) AS step,
+           |    $MmrLambda * rel - $MmrGamma * mx AS mmr
+           |  FROM (
+           |    SELECT c.vec_id, c.rel, max(p.sim) AS mx
+           |    FROM cand c JOIN pair p ON p.ai = c.vec_id
+           |    WHERE p.bi IN (SELECT vec_id FROM sel${i - 1})
+           |      AND c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |    GROUP BY c.vec_id, c.rel) t
+           |  ORDER BY mmr DESC, vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+           |  UNION ALL SELECT * FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$steps\nSELECT step, vec_id, rel, mmr FROM sel$MmrK ORDER BY step"
+    },
 
     "sim_radius_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
