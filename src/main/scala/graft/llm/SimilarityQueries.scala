@@ -43,6 +43,15 @@ object SimilarityQueries extends QuerySuite {
   val MmrK = 10
   val MmrCand = 30
 
+  /** Reciprocal-rank-fusion geometry: top-[[RrfTop]] fused from
+    * per-ranker top-[[RrfCand]] lists with the standard K=60. The
+    * candidate bound is PROVABLY lossless: an excluded vector scores
+    * < 2/(K+[[RrfCand]]+1) ≈ 0.0124 while the top-10 of either ranker
+    * alone already score ≥ 1/(K+10) ≈ 0.0143. */
+  val RrfK = 60L
+  val RrfCand = 100
+  val RrfTop = 10
+
   /** Product-quantization geometry: 64-d vectors split into PqM
     * subspaces of PqDsub dims, PqK centroids per subspace drawn by the
     * deterministic stride rule (production swaps in k-means without
@@ -212,6 +221,50 @@ object SimilarityQueries extends QuerySuite {
       }
       import s.implicits._
       picked.toSeq.toDF("step", "vec_id", "rel", "mmr")
+    }),
+
+    // Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09)
+    // of two PROBES' result lists — the query-expansion ensemble:
+    // rank the corpus against probe 0 and against probe 1 (this
+    // corpus is unit-normalized, so a cos-vs-dot pairing would be
+    // the same ranking twice; two probes are genuinely independent
+    // rankers), then rrf = 1/(K+r₀) + 1/(K+r₁). Semantics are the
+    // production TRUNCATED-list RRF: each ranker returns its top
+    // [[RrfCand]]; beyond that the rank is NULL and the term
+    // contributes 0 — implemented identically in the oracle. Scale
+    // shape: ONE corpus scan against the 2-row broadcast probe set,
+    // each ranker a TakeOrderedAndProject top-[[RrfCand]] — no
+    // global rank window, no corpus-sized single-partition exchange;
+    // the fuse runs on the two collected constant-size lists (their
+    // positions ARE the global ranks). Determinism: ranks are exact
+    // integers (ties to smaller vec_id), the fused score is a fixed
+    // two-term float expression.
+    "sim_rrf_fusion" -> ((s, d) => {
+      val e = corpus(s, d)
+      def ranksFor(qid: Long): Map[Long, Long] = {
+        val q = e.filter(col("vec_id") === qid)
+          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0L && col("vec_id") =!= 1L)
+          .select(col("vec_id"),
+            cosPre(col("q_emb"), col("q_nrm"), col("embedding"),
+              col("nrm")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(RrfCand).select("vec_id").collect()
+          .map(_.getLong(0)).zipWithIndex
+          .map { case (id, i) => id -> (i + 1L) }.toMap
+      }
+      val r0 = ranksFor(0L)
+      val r1 = ranksFor(1L)
+      val fused = (r0.keySet ++ r1.keySet).toSeq.map { id =>
+        val a = r0.get(id)
+        val b = r1.get(id)
+        val rrf = a.map(r => 1.0 / (RrfK + r)).getOrElse(0.0) +
+          b.map(r => 1.0 / (RrfK + r)).getOrElse(0.0)
+        (id, a, b, rrf)
+      }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(RrfTop)
+      import s.implicits._
+      fused.toDF("vec_id", "rank_q0", "rank_q1", "rrf")
     }),
 
     // Radius (range) search — the "all neighbors within τ" dual of
@@ -855,6 +908,37 @@ object SimilarityQueries extends QuerySuite {
       }.mkString(",\n")
       s"$base,\n$steps\nSELECT step, vec_id, rel, mmr FROM sel$MmrK ORDER BY step"
     },
+
+    // Full ranking + truncation — the oracle ranks EVERY vector
+    // against both probes and truncates at RrfCand, certifying that
+    // the engine's two TakeOrdered lists carry the same global ranks.
+    "sim_rrf_fusion" ->
+      s"""WITH q0 AS (SELECT embedding AS q_emb FROM embeddings
+         |  WHERE vec_id = 0),
+         |q1 AS (SELECT embedding AS q_emb FROM embeddings
+         |  WHERE vec_id = 1),
+         |s0 AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q0.q_emb")} AS cos
+         |  FROM embeddings e, q0 WHERE e.vec_id NOT IN (0, 1)),
+         |s1 AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q1.q_emb")} AS cos
+         |  FROM embeddings e, q1 WHERE e.vec_id NOT IN (0, 1)),
+         |rc AS (SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS r FROM s0),
+         |rd AS (SELECT vec_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS r FROM s1),
+         |f AS (
+         |  SELECT rc.vec_id,
+         |    CASE WHEN rc.r <= $RrfCand THEN rc.r END AS rank_q0,
+         |    CASE WHEN rd.r <= $RrfCand THEN rd.r END AS rank_q1,
+         |    coalesce(CASE WHEN rc.r <= $RrfCand
+         |      THEN 1.0 / ($RrfK + rc.r) END, 0.0) +
+         |    coalesce(CASE WHEN rd.r <= $RrfCand
+         |      THEN 1.0 / ($RrfK + rd.r) END, 0.0) AS rrf
+         |  FROM rc JOIN rd USING (vec_id))
+         |SELECT vec_id, rank_q0, rank_q1, rrf FROM f
+         |WHERE rank_q0 IS NOT NULL OR rank_q1 IS NOT NULL
+         |ORDER BY rrf DESC, vec_id LIMIT $RrfTop""".stripMargin,
 
     "sim_radius_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
