@@ -21,6 +21,22 @@ object TextQueries extends QuerySuite {
   /** Top-K terms profiled by the burstiness (VMR) audit. */
   val BurstTopK = 20
 
+  /** BM25 geometry: the 3 query terms are the corpus terms at
+    * df-ranks [[BmTermRanks]] (deterministic mid-frequency picks —
+    * the very top ranks are stopword-like with idf ≈ 1), scored with
+    * k1 = [[BmK1]], b = 0.75. [[BmK1p1]] (= k1+1) and [[Bm1mB]]
+    * (= 1−b) are their OWN literals: 1.2+1.0 and 1.0−0.75 in double
+    * do not round to the literals 2.2 and 0.25, and the oracle writes
+    * the literals. Linear idf (N−df+0.5)/(df+0.5) — the exponential
+    * of Robertson's log idf — per the suite's no-log() determinism
+    * contract (see text_tfidf_top_terms). */
+  val BmTermRanks = Seq(10, 20, 30)
+  val BmK1 = 1.2
+  val BmK1p1 = 2.2
+  val Bm1mB = 0.25
+  val BmB = 0.75
+  val BmTopK = 15
+
   // The lang-ID classifier, defined ONCE and shared by text_lang_id
   // and its confusion audit — so the audit can never drift from the
   // classifier it measures. (Spark column + DuckDB CASE twins.)
@@ -217,6 +233,56 @@ object TextQueries extends QuerySuite {
         .filter(col("rk") <= 5)
         .select("source", "rk", "term", "tf", "df", "tfidf")
         .orderBy("source", "rk")
+    }),
+
+    // BM25 document ranking (Robertson & Zaragoza, FnTIR 2009) for a
+    // deterministic 3-term query — THE lexical retrieval scorer, the
+    // sparse half of every hybrid (BM25 + dense) stack. Linear idf
+    // per the suite's no-log() contract (constants doc); the length
+    // normalization ratio len/avgdl is the exact-integer cross form
+    // len·N/T divided once. Scale shape: one explode to the
+    // (doc, term) count table feeds everything — per-term df, per-doc
+    // length, and the 3 query-term tfs (a semi-join-sized filter);
+    // scoring is map-side after broadcasting the 1-row stats frame,
+    // and the result is a TakeOrderedAndProject top-[[BmTopK]]. The
+    // two tiny collects (30-term rank pick, 1-row totals) are
+    // constant-size by construction. Tf columns are reported so the
+    // score is auditable per document.
+    "text_bm25_topk" -> ((s, d) => {
+      val dtc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .persist()
+      val picks = dtc.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(BmTermRanks.max).collect()
+      val terms = BmTermRanks.map(r =>
+        (picks(r - 1).getString(0), picks(r - 1).getLong(1)))
+      val dl = dtc.groupBy("doc_id").agg(sum("c").as("n_tokens"))
+      val tot = dl.agg(count(lit(1)).as("nd"), sum("n_tokens").as("tot"))
+        .collect().head
+      val (nd, totTok) = (tot.getLong(0), tot.getLong(1))
+      val tfCols = terms.zipWithIndex.map { case ((t, _), i) =>
+        sum(when(col("term") === t, col("c")).otherwise(0L))
+          .as(s"tf${i + 1}")
+      }
+      val tfs = dtc.filter(col("term").isin(terms.map(_._1): _*))
+        .groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+      val ratio = (col("n_tokens") * nd).cast("double") /
+        lit(totTok).cast("double")
+      val ws = terms.zipWithIndex.map { case ((_, df), i) =>
+        val idf = ((nd - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        val tfD = col(s"tf${i + 1}").cast("double")
+        lit(idf) * (tfD * BmK1p1) /
+          (tfD + lit(BmK1) * (lit(Bm1mB) + lit(BmB) * ratio))
+      }
+      dl.join(tfs, Seq("doc_id"), "left")
+        .na.fill(0L, (1 to 3).map(i => s"tf$i"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("tf1"), col("tf2"), col("tf3"),
+          (ws(0) + ws(1) + ws(2)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(BmTopK)
     }),
 
     // Deterministic train/val/test split — the reproducibility
@@ -618,6 +684,50 @@ object TextQueries extends QuerySuite {
         |    ORDER BY tfidf DESC, term) AS rk FROM sc)
         |SELECT source, rk, term, tf, df, tfidf FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
+
+    "text_bm25_topk" -> {
+      val tCtes = BmTermRanks.zipWithIndex.map { case (r, i) =>
+        s"t${i + 1} AS (SELECT term, df FROM pick WHERE rk = $r)"
+      }.mkString(",\n")
+      def tfExpr(i: Int) = s"CAST(coalesce(tf.tf$i, 0) AS DOUBLE)"
+      val wExprs = (1 to 3).map { i =>
+        s"""((CAST(nd - t$i.df AS DOUBLE) + 0.5) /
+           |     (CAST(t$i.df AS DOUBLE) + 0.5)) *
+           |    (${tfExpr(i)} * $BmK1p1) /
+           |    (${tfExpr(i)} + $BmK1 * ($Bm1mB + $BmB *
+           |      (CAST(dl.n_tokens * nd AS DOUBLE) /
+           |       CAST(tot AS DOUBLE))))""".stripMargin
+      }
+      s"""WITH dtc AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM dtc GROUP BY term),
+         |pick AS (SELECT term, df,
+         |    row_number() OVER (ORDER BY df DESC, term) AS rk
+         |  FROM dfreq),
+         |$tCtes,
+         |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM dtc GROUP BY doc_id),
+         |tots AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tot FROM dl),
+         |tf AS (SELECT dtc.doc_id,
+         |    CAST(sum(CASE WHEN dtc.term = t1.term THEN c ELSE 0 END)
+         |      AS BIGINT) AS tf1,
+         |    CAST(sum(CASE WHEN dtc.term = t2.term THEN c ELSE 0 END)
+         |      AS BIGINT) AS tf2,
+         |    CAST(sum(CASE WHEN dtc.term = t3.term THEN c ELSE 0 END)
+         |      AS BIGINT) AS tf3
+         |  FROM dtc, t1, t2, t3 GROUP BY dtc.doc_id)
+         |SELECT dl.doc_id, dl.n_tokens,
+         |  CAST(coalesce(tf.tf1, 0) AS BIGINT) AS tf1,
+         |  CAST(coalesce(tf.tf2, 0) AS BIGINT) AS tf2,
+         |  CAST(coalesce(tf.tf3, 0) AS BIGINT) AS tf3,
+         |  ${wExprs.mkString(" +\n  ")} AS score
+         |FROM dl LEFT JOIN tf ON tf.doc_id = dl.doc_id, tots, t1, t2, t3
+         |ORDER BY score DESC, dl.doc_id LIMIT $BmTopK""".stripMargin
+    },
 
     "text_oov_rate" ->
       """WITH sp AS (
