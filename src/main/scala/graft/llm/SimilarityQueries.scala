@@ -52,6 +52,21 @@ object SimilarityQueries extends QuerySuite {
   val RrfCand = 100
   val RrfTop = 10
 
+  /** nDCG cut. The rank discounts 1/log2(i+1) and their prefix sums
+    * are precomputed ONCE here and embedded as shortest-round-trip
+    * double literals in BOTH engines' plans — log2 is transcendental
+    * and libm-dependent, so neither engine may call it at runtime
+    * (the no-log() determinism contract). */
+  val NdcgK = 10
+  /** ppb-quantized rank discounts round(10⁹/log2(i+1)) and their
+    * prefix sums: EXACT integer literals shared by both plans, so
+    * DCG/IDCG are associative BIGINT sums and nDCG is one final
+    * division — no runtime log2, no float accumulation. */
+  val NdcgWPpb: Seq[Long] =
+    (1 to NdcgK).map(i =>
+      math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+  val NdcgCumWPpb: Seq[Long] = NdcgWPpb.scanLeft(0L)(_ + _).tail
+
   /** Product-quantization geometry: 64-d vectors split into PqM
     * subspaces of PqDsub dims, PqK centroids per subspace drawn by the
     * deterministic stride rule (production swaps in k-means without
@@ -265,6 +280,55 @@ object SimilarityQueries extends QuerySuite {
       }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(RrfTop)
       import s.implicits._
       fused.toDF("vec_id", "rank_q0", "rank_q1", "rrf")
+    }),
+
+    // nDCG@10 retrieval-quality evaluation (Järvelin & Kekäläinen,
+    // TOIS 2002) — the graded-ranking companion of sim_recall_audit:
+    // for each of 5 probes, rank the corpus by cosine and score the
+    // top-10 against label-match relevance; nDCG = DCG/IDCG with the
+    // ideal truncated at min(k, n_relevant). Exactness: the rank
+    // discounts are ppb-quantized integer LITERALS (constants doc),
+    // so DCG and IDCG are exact BIGINT sums and nDCG is the single
+    // final division. Scale shape: one corpus scan against the 5-row
+    // broadcast probe set, a per-probe top-10 window (5 partitions),
+    // then everything is probe-count-sized; the discount and
+    // cumulative-discount tables are 10-row broadcast literals.
+    "sim_ndcg_eval" -> ((s, d) => {
+      import s.implicits._
+      val e = corpus(s, d)
+      val probes = e.filter(col("vec_id") < 5L)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          cosPre(col("q_emb"), col("q_nrm"), col("embedding"),
+            col("nrm")).as("cos"))
+      val top = scored.withColumn("rk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= NdcgK)
+      val w = NdcgWPpb.zipWithIndex
+        .map { case (wv, i) => (i + 1L, wv) }.toDF("rk", "wppb")
+      val cw = NdcgCumWPpb.zipWithIndex
+        .map { case (cv, i) => (i + 1L, cv) }.toDF("k", "cppb")
+      val dcg = top.join(broadcast(w), "rk")
+        .groupBy("q_id", "q_label")
+        .agg(sum(when(col("label") === col("q_label"), col("wppb"))
+          .otherwise(0L)).as("dcg_ppb"))
+      val lc = e.groupBy(col("label").as("q_label"))
+        .agg(count(lit(1)).as("c"))
+      dcg.join(broadcast(lc), "q_label")
+        .join(broadcast(cw),
+          least(lit(NdcgK.toLong), col("c") - 1L) === col("k"), "left")
+        .select(col("q_id"), col("q_label"),
+          (col("c") - 1L).as("n_rel"), col("dcg_ppb"),
+          col("cppb").as("idcg_ppb"),
+          when(col("cppb").isNull || col("cppb") === 0L,
+            lit(null).cast("double"))
+            .otherwise(col("dcg_ppb").cast("double") /
+              col("cppb").cast("double")).as("ndcg"))
+        .orderBy("q_id")
     }),
 
     // Radius (range) search — the "all neighbors within τ" dual of
@@ -939,6 +1003,39 @@ object SimilarityQueries extends QuerySuite {
          |SELECT vec_id, rank_q0, rank_q1, rrf FROM f
          |WHERE rank_q0 IS NOT NULL OR rank_q1 IS NOT NULL
          |ORDER BY rrf DESC, vec_id LIMIT $RrfTop""".stripMargin,
+
+    "sim_ndcg_eval" -> {
+      val wVals = NdcgWPpb.zipWithIndex
+        .map { case (wv, i) => s"(${i + 1}, ${wv}::BIGINT)" }.mkString(", ")
+      val cwVals = NdcgCumWPpb.zipWithIndex
+        .map { case (cv, i) => s"(${i + 1}, ${cv}::BIGINT)" }.mkString(", ")
+      s"""WITH p AS (SELECT vec_id AS q_id, label AS q_label,
+         |    embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT p.q_id, p.q_label, e.vec_id, e.label,
+         |    ${cosSql("e.embedding", "p.q_emb")} AS cos
+         |  FROM embeddings e, p WHERE e.vec_id <> p.q_id),
+         |top AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rk FROM scored)
+         |  WHERE rk <= $NdcgK),
+         |w AS (SELECT * FROM (VALUES $wVals) AS t(rk, wppb)),
+         |cw AS (SELECT * FROM (VALUES $cwVals) AS t(k, cppb)),
+         |dcg AS (SELECT q_id, q_label,
+         |    CAST(sum(CASE WHEN label = q_label THEN wppb ELSE 0 END)
+         |      AS BIGINT) AS dcg_ppb
+         |  FROM top JOIN w USING (rk) GROUP BY q_id, q_label),
+         |lc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT) AS c
+         |  FROM embeddings GROUP BY label)
+         |SELECT d.q_id, d.q_label, lc.c - 1 AS n_rel, d.dcg_ppb,
+         |  cw.cppb AS idcg_ppb,
+         |  CASE WHEN cw.cppb IS NULL OR cw.cppb = 0 THEN NULL
+         |       ELSE CAST(d.dcg_ppb AS DOUBLE) /
+         |            CAST(cw.cppb AS DOUBLE) END AS ndcg
+         |FROM dcg d JOIN lc USING (q_label)
+         |LEFT JOIN cw ON cw.k = least($NdcgK, lc.c - 1)
+         |ORDER BY d.q_id""".stripMargin
+    },
 
     "sim_radius_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
