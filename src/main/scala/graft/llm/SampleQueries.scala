@@ -155,6 +155,40 @@ object SampleQueries extends QuerySuite {
         .select(col("split"), col("n_users"), col("n_events"),
           expr("n_events * 1000000 div t_events").as("event_share_ppm"))
         .orderBy("split")
+    }),
+
+    // Class-balanced corpus downsampling by language — the mixture
+    // equalizer a multilingual pretraining run applies before the
+    // over-represented language swamps the rest. Rate-based, NOT
+    // rank-based: each language keeps docs whose
+    // pmod(xxhash64(doc_id), 10⁶) falls under rate_ppm =
+    // min_lang_count·10⁶ / n_lang — a pure map-side predicate, so
+    // the plan is two map-side-combined aggregates plus a broadcast
+    // of the lang-count rate table; no per-class global rank window
+    // (exact-count balancing would need one, which skew-explodes at
+    // 100 TB — rate-based lands within binomial noise of balanced
+    // and is the production form). kept_id_sum is an exact audit
+    // checksum of the selected set. Hash replayed in the oracle via
+    // XxhSql, so the driver verifies the SELECTION, not just counts.
+    "sample_balanced_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"))
+      val lc = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val mn = lc.agg(min("n_before").as("mn"))
+      val rates = lc.crossJoin(broadcast(mn))
+        .select(col("lang"), col("n_before"),
+          expr("mn * 1000000 div n_before").as("rate_ppm"))
+      val kept = docs
+        .withColumn("bucket",
+          pmod(xxhash64(col("doc_id").cast("string")), lit(1000000L)))
+        .join(broadcast(rates.select("lang", "rate_ppm")), "lang")
+        .filter(col("bucket") < col("rate_ppm"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("kept_id_sum"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("lang")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -236,5 +270,28 @@ object SampleQueries extends QuerySuite {
          |    max(hv) AS max_hash
          |  FROM lh_out)
          |SELECT tbl, n_rows, xor_hash, min_hash, max_hash
-         |FROM fp ORDER BY tbl""".stripMargin)
+         |FROM fp ORDER BY tbl""".stripMargin,
+
+    "sample_balanced_lang" ->
+      s"""WITH hsrc AS (SELECT lang, doc_id,
+         |    CAST(doc_id AS VARCHAR) AS s0 FROM documents),
+         |${graft.llm.XxhSql.ctes("hsrc", Seq("lang", "doc_id"), "s0", "bh")},
+         |keyed AS (SELECT lang, doc_id,
+         |    ((hv % 1000000) + 1000000) % 1000000 AS bucket
+         |  FROM bh_out),
+         |lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+         |  FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n_before) AS mn FROM lc),
+         |rates AS (SELECT lang, n_before,
+         |    CAST(mn * 1000000 // n_before AS BIGINT) AS rate_ppm
+         |  FROM lc, mn),
+         |kept AS (SELECT k.lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(k.doc_id) AS BIGINT) AS kept_id_sum
+         |  FROM keyed k JOIN rates r USING (lang)
+         |  WHERE k.bucket < r.rate_ppm GROUP BY k.lang)
+         |SELECT r.lang, r.n_before, r.rate_ppm,
+         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(kept.kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+         |FROM rates r LEFT JOIN kept USING (lang)
+         |ORDER BY r.lang""".stripMargin)
 }
