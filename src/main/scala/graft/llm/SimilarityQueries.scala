@@ -331,6 +331,52 @@ object SimilarityQueries extends QuerySuite {
         .orderBy("q_id")
     }),
 
+    // Average precision @10 per probe — the third leg of the IR-eval
+    // triad (recall audit = set overlap, nDCG = graded ranking, AP =
+    // precision-weighted ranking): AP = Σ_{hit ranks k} P@k over
+    // min(n_rel, 10). Exactness: each precision term is
+    // floor(hits_k·10⁹ / k) — an exact BIGINT per rank — so the
+    // per-probe sum is associative integer arithmetic and AP is one
+    // final division by min(n_rel, 10)·10⁹. Same one-scan broadcast
+    // probe shape as sim_ndcg_eval; the cumulative-hits window runs
+    // over 10 rows per probe.
+    "sim_map_eval" -> ((s, d) => {
+      val e = corpus(s, d)
+      val probes = e.filter(col("vec_id") < 5L)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          cosPre(col("q_emb"), col("q_nrm"), col("embedding"),
+            col("nrm")).as("cos"))
+      val top = scored.withColumn("rk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= NdcgK)
+        .withColumn("rel",
+          when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .withColumn("hits", sum("rel").over(
+          Window.partitionBy("q_id").orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ap = top.groupBy("q_id", "q_label").agg(
+        sum("rel").as("n_hits"),
+        sum(when(col("rel") === 1L,
+          floor(col("hits") * 1000000000L / col("rk"))).otherwise(0L))
+          .as("sum_p_ppb"))
+      val lc = e.groupBy(col("label").as("q_label"))
+        .agg(count(lit(1)).as("c"))
+      ap.join(broadcast(lc), "q_label")
+        .select(col("q_id"), col("q_label"), (col("c") - 1L).as("n_rel"),
+          col("n_hits"), col("sum_p_ppb"),
+          when(least(col("c") - 1L, lit(NdcgK.toLong)) <= 0L,
+            lit(null).cast("double"))
+            .otherwise(col("sum_p_ppb").cast("double") /
+              (least(col("c") - 1L, lit(NdcgK.toLong)) * 1000000000L)
+                .cast("double")).as("ap"))
+        .orderBy("q_id")
+    }),
+
     // Radius (range) search — the "all neighbors within τ" dual of
     // top-k, what near-duplicate retrieval and diversity filters ask
     // for when the neighbor COUNT is unknown a priori. Same broadcast
@@ -1036,6 +1082,40 @@ object SimilarityQueries extends QuerySuite {
          |LEFT JOIN cw ON cw.k = least($NdcgK, lc.c - 1)
          |ORDER BY d.q_id""".stripMargin
     },
+
+    "sim_map_eval" ->
+      s"""WITH p AS (SELECT vec_id AS q_id, label AS q_label,
+         |    embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT p.q_id, p.q_label, e.vec_id, e.label,
+         |    ${cosSql("e.embedding", "p.q_emb")} AS cos
+         |  FROM embeddings e, p WHERE e.vec_id <> p.q_id),
+         |top AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rk FROM scored)
+         |  WHERE rk <= $NdcgK),
+         |th AS (SELECT q_id, q_label, rk,
+         |    CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+         |    CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY q_id ORDER BY rk
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits
+         |  FROM top),
+         |ap AS (SELECT q_id, q_label,
+         |    CAST(sum(rel) AS BIGINT) AS n_hits,
+         |    CAST(sum(CASE WHEN rel = 1 THEN
+         |      CAST(floor(hits * 1000000000 / rk) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS sum_p_ppb
+         |  FROM th GROUP BY q_id, q_label),
+         |lc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT) AS c
+         |  FROM embeddings GROUP BY label)
+         |SELECT a.q_id, a.q_label, lc.c - 1 AS n_rel, a.n_hits,
+         |  a.sum_p_ppb,
+         |  CASE WHEN least(lc.c - 1, $NdcgK) <= 0 THEN NULL
+         |       ELSE CAST(a.sum_p_ppb AS DOUBLE) /
+         |            CAST(least(lc.c - 1, $NdcgK) * 1000000000
+         |              AS DOUBLE) END AS ap
+         |FROM ap a JOIN lc USING (q_label)
+         |ORDER BY a.q_id""".stripMargin,
 
     "sim_radius_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
