@@ -713,6 +713,42 @@ object ProfileQueries extends QuerySuite {
         fd(Tables.documents(s, d), "documents.source -> lang",
           "source", "lang"))
         .reduce(_.unionByName(_)).orderBy("fd")
+    }),
+
+    // Cross-table amount reconciliation — the financial-close check
+    // beside the FK census: does each order's header total equal the
+    // sum of its line amounts (within 1 cent)? Reports the
+    // discrepancy PROFILE per order status: headers without lines,
+    // reconciled count, total and max absolute drift. (On this
+    // synthetic fixture totals are independent of lines, so the
+    // check correctly reports ~0 reconciled — the report IS the
+    // operator; real books would show the inverse.) Exactness: all
+    // comparisons and sums in integer cents, the two dollar columns
+    // divided once. Scale shape: lineitem aggregates on l_orderkey,
+    // the join keys both sides on the SAME order key (one co-keyed
+    // shuffle each), then a status-sized reduce; no window.
+    "dq_order_total_reconciliation" -> ((s, d) => {
+      val ls = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(Exact.cents(col("l_extendedprice"))).as("lsum"))
+      val diff = abs(col("oc") - col("lsum"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Exact.cents(col("o_totalprice")).as("oc"))
+        .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("lsum").isNull, 1L).otherwise(0L))
+            .as("n_without_lines"),
+          sum(when(col("lsum").isNotNull && diff <= 1L, 1L)
+            .otherwise(0L)).as("n_reconciled"),
+          sum(when(col("lsum").isNotNull, diff).otherwise(0L))
+            .as("adc"),
+          max(when(col("lsum").isNotNull, diff)).as("mdc"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("n_without_lines"), col("n_reconciled"),
+          (col("adc") / 100.0).as("total_abs_drift"),
+          (col("mdc") / 100.0).as("max_abs_drift"))
+        .orderBy("o_orderstatus")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1207,5 +1243,26 @@ object ProfileQueries extends QuerySuite {
            |        CAST(count(*) AS BIGINT) AS c
            |      FROM $table GROUP BY $lhs, $rhs) gv
            |    GROUP BY l) pg) agg""".stripMargin }
-      .mkString("", "\nUNION ALL\n", "\nORDER BY fd"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd"),
+
+    "dq_order_total_reconciliation" ->
+      s"""WITH ls AS (
+         |  SELECT l_orderkey,
+         |    CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT)
+         |      AS lsum
+         |  FROM lineitem GROUP BY l_orderkey),
+         |j AS (
+         |  SELECT o_orderstatus, ${Exact.centsSql("o_totalprice")} AS oc,
+         |    ls.lsum
+         |  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey)
+         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CASE WHEN lsum IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_without_lines,
+         |  CAST(sum(CASE WHEN lsum IS NOT NULL AND abs(oc - lsum) <= 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+         |  CAST(sum(CASE WHEN lsum IS NOT NULL THEN abs(oc - lsum)
+         |    ELSE 0 END) AS BIGINT) / 100.0 AS total_abs_drift,
+         |  max(CASE WHEN lsum IS NOT NULL THEN abs(oc - lsum) END) / 100.0
+         |    AS max_abs_drift
+         |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
