@@ -374,7 +374,53 @@ object BehaviorQueries extends QuerySuite {
             lit(null).cast("double"),
             (acc, v) => when(acc.isNull, v)
               .otherwise(lit(0.5) * v + lit(0.5) * acc)).as("ewma_cents"))
-        .orderBy("user_id")))
+        .orderBy("user_id")),
+
+    // First-order Markov next-event prediction, EVALUATED out of
+    // sample — the sequence-model baseline every behavior stack
+    // measures before reaching for anything learned: users split
+    // 80/20 by the sample_group_split hash, per-source argmax next
+    // type fitted on TRAIN transitions (ties to the lexicographically
+    // smallest successor — pure integer argmax via the max-struct
+    // trick), accuracy scored on TEST transitions. Scale shape: one
+    // lag window per user partition (the path_top_transitions
+    // shape), one (src,dst)-count aggregate per split, the ≤|types|²
+    // model BROADCAST back onto test transitions, and a types-sized
+    // report; accuracy is the single final division.
+    "behavior_markov_eval" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val tr = ev(s, d)
+        .withColumn("split",
+          when(pmod(xxhash64(concat(lit("grp:"),
+            col("user_id").cast("string"))), lit(10L)) < 8L, "train")
+            .otherwise("test"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .select(col("split"), col("src"), col("event_type").as("dst"))
+      val trainCnt = tr.filter(col("split") === "train")
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val model = trainCnt.withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("n").desc, col("dst"))))
+        .filter(col("rk") === 1)
+        .select(col("src"), col("dst").as("predicted_next"))
+      val nTrain = trainCnt.groupBy("src").agg(sum("n").as("n_train"))
+      val evalCnt = tr.filter(col("split") === "test")
+        .join(broadcast(model), Seq("src"), "left")
+        .groupBy("src").agg(count(lit(1)).as("n_test"),
+          sum(when(col("dst") === col("predicted_next"), 1L)
+            .otherwise(0L)).as("n_correct"))
+      nTrain.join(model, Seq("src")).join(evalCnt, Seq("src"), "left")
+        .select(col("src").as("src_type"), col("n_train"),
+          col("predicted_next"),
+          coalesce(col("n_test"), lit(0L)).as("n_test"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          when(col("n_test") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_correct").cast("double") /
+              col("n_test").cast("double")))
+        .orderBy("src_type")
+    }))
 
   private val secSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
@@ -618,5 +664,42 @@ object BehaviorQueries extends QuerySuite {
         |    list(CAST(round(value*100) AS DOUBLE) ORDER BY ts, event_id),
         |    (acc, x) -> 0.5*x + 0.5*acc) AS ewma_cents
         |FROM events WHERE value IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "behavior_markov_eval" ->
+      s"""WITH gsrc AS (
+         |  SELECT user_id, event_id, event_type, $secSql AS sec,
+         |    'grp:' || CAST(user_id AS VARCHAR) AS s0
+         |  FROM events),
+         |${graft.llm.XxhSql.ctes("gsrc",
+             Seq("user_id", "event_id", "event_type", "sec"), "s0", "ms")},
+         |tr AS (
+         |  SELECT CASE WHEN ((hv % 10) + 10) % 10 < 8
+         |      THEN 'train' ELSE 'test' END AS split,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY sec, event_id) AS src,
+         |    event_type AS dst
+         |  FROM ms_out),
+         |trf AS (SELECT * FROM tr WHERE src IS NOT NULL),
+         |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM trf WHERE split = 'train' GROUP BY src, dst),
+         |model AS (SELECT src, dst AS predicted_next FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY n DESC, dst) AS rk FROM tc)
+         |  WHERE rk = 1),
+         |nt AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_train
+         |  FROM tc GROUP BY src),
+         |ev AS (SELECT t.src, CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN t.dst = m.predicted_next
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM trf t LEFT JOIN model m ON m.src = t.src
+         |  WHERE t.split = 'test' GROUP BY t.src)
+         |SELECT nt.src AS src_type, nt.n_train, model.predicted_next,
+         |  CAST(coalesce(ev.n_test, 0) AS BIGINT) AS n_test,
+         |  CAST(coalesce(ev.n_correct, 0) AS BIGINT) AS n_correct,
+         |  CASE WHEN coalesce(ev.n_test, 0) = 0 THEN NULL
+         |       ELSE CAST(ev.n_correct AS DOUBLE) /
+         |            CAST(ev.n_test AS DOUBLE) END AS accuracy
+         |FROM nt JOIN model USING (src) LEFT JOIN ev USING (src)
+         |ORDER BY src_type""".stripMargin)
 }
