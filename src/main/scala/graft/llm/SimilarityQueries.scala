@@ -221,7 +221,7 @@ object SimilarityQueries extends QuerySuite {
         .empty[(Long, Long, Double, Double)]
       var selected = List.empty[Array[Float]]
       var remaining = pool.toList
-      for (step <- 1 to MmrK) {
+      for (step <- 1 to MmrK if remaining.nonEmpty) {
         val scored = remaining.map { case c @ (_, emb, rel) =>
           val mmr = if (selected.isEmpty) rel
             else MmrLambda * rel -

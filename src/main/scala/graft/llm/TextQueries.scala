@@ -256,6 +256,14 @@ object TextQueries extends QuerySuite {
       val picks = dtc.groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term"))
         .limit(BmTermRanks.max).collect()
+      if (picks.length < BmTermRanks.max) {
+        // degenerate corpus (fewer distinct terms than the deepest
+        // query rank): no scorable query — empty result, same schema
+        import s.implicits._
+        dtc.unpersist()
+        Seq.empty[(Long, Long, Long, Long, Long, Double)]
+          .toDF("doc_id", "n_tokens", "tf1", "tf2", "tf3", "score")
+      } else {
       val terms = BmTermRanks.map(r =>
         (picks(r - 1).getString(0), picks(r - 1).getLong(1)))
       val dl = dtc.groupBy("doc_id").agg(sum("c").as("n_tokens"))
@@ -283,6 +291,7 @@ object TextQueries extends QuerySuite {
           (ws(0) + ws(1) + ws(2)).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(BmTopK)
+      }
     }),
 
     // Deterministic train/val/test split — the reproducibility

@@ -219,4 +219,34 @@ class EmptyInputSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(out == Set(("1-URGENT", "X", 1L), ("2-HIGH", "O", 1L)))
   }
+
+  test("retrieval/eval/markov queries with driver-side bounds survive empty tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty6").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, Long)]
+      .toDF("o_orderkey", "o_custkey")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long, Long)]
+      .toDF("l_orderkey", "l_suppkey", "l_partkey")
+      .repartition(1).write.parquet(s"$dir/lineitem.parquet")
+    for (q <- Seq("sim_mmr_topk", "sim_rrf_fusion", "sim_ndcg_eval",
+        "sim_map_eval", "text_bm25_topk", "sample_balanced_lang",
+        "behavior_markov_eval", "graph_local_clustering",
+        "text_langid_kappa")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+      // queries built on no-GROUP-BY global aggregates (kappa) keep
+      // their single summary row; everything else must be empty
+      val n = out.count()
+      assert(n == 0L || q == "text_langid_kappa",
+        s"$q must be empty on empty input, got $n rows")
+    }
+  }
 }
