@@ -89,6 +89,13 @@ object GraphQueries extends QuerySuite {
   val InitMass = 1000000000L
   val Damping = 85L
   val Rounds = 3
+  val HitsRounds = 3
+
+  /** HITS score scale (ppm, not ppb): the normalization product
+    * s·scale must fit BIGINT with s ≤ deg·scale, so 10⁶ holds exact
+    * to deg ~ 9·10⁶; beyond that swap the round sums to
+    * DECIMAL(38,0) (suite-header pattern). */
+  val HitsScale = 1000000L
 
   /** Per-round broadcast ceiling on the node count. 10^7 nodes ×
     * ~24 B/row ≈ 240 MB — inside executor memory and Spark's 8 GB
@@ -650,6 +657,58 @@ object GraphQueries extends QuerySuite {
         .orderBy("rk")
     }),
 
+    // HITS hubs & authorities (Kleinberg, JACM 1999) on the DIRECTED
+    // customer→supplier trade graph — the bipartite companion of
+    // PageRank's undirected rank: hub customers buy from
+    // authoritative suppliers and vice versa. Integer determinism by
+    // per-round MAX-normalization in ppb: a = Σ h over in-edges then
+    // a ← a·10⁹ div max(a) (same for h over out-edges) — every round
+    // is integer joins + integer division, replayed round-for-round
+    // in the oracle's MATERIALIZED CTE chain. Scale shape: per round,
+    // one edges⋈scores join (broadcast under
+    // [[BroadcastNodeBudget]], keyed shuffle above), one keyed
+    // aggregate, one 1-row max broadcast. Headroom: see [[HitsScale]].
+    "graph_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("cust"),
+          col("l_suppkey").cast("long").as("supp"))
+        .distinct()
+        .localCheckpoint() // read 2·HitsRounds times
+      val bcast = e.select("cust").distinct().count() <=
+        BroadcastNodeBudget
+      def ship(df: DataFrame) = if (bcast) broadcast(df) else df
+      def normalized(scores: DataFrame, key: String): DataFrame = {
+        val mx = scores.agg(max("s").as("mx"))
+        scores.crossJoin(broadcast(mx))
+          .select(col(key), expr(s"s * $HitsScale div mx").as("s"))
+      }
+      var h = e.select("cust").distinct()
+        .select(col("cust"), lit(HitsScale).as("s"))
+      var a: DataFrame = null
+      for (_ <- 1 to HitsRounds) {
+        a = normalized(
+          e.join(ship(h), "cust")
+            .groupBy("supp").agg(sum("s").as("s")), "supp")
+        h = normalized(
+          e.join(ship(a), "supp")
+            .groupBy("cust").agg(sum("s").as("s")), "cust")
+      }
+      val topA = a.orderBy(col("s").desc, col("supp")).limit(10)
+        .select(lit("authority").as("kind"), col("supp").as("node"),
+          col("s").as("score_ppb"))
+      val topH = h.orderBy(col("s").desc, col("cust")).limit(10)
+        .select(lit("hub").as("kind"), col("cust").as("node"),
+          col("s").as("score_ppb"))
+      topA.unionByName(topH)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("kind")
+            .orderBy(col("score_ppb").desc, col("node"))).cast("long"))
+        .select("kind", "rk", "node", "score_ppb")
+        .orderBy("kind", "rk")
+    }),
+
     // The WEIGHTED variant: contributions proportional to trade
     // intensity. Same shuffle shape, same integer determinism.
     "graph_pagerank_weighted" -> ((s, d) => {
@@ -951,5 +1010,41 @@ object GraphQueries extends QuerySuite {
          |    row_number() OVER (ORDER BY mass DESC, node) AS rk
          |  FROM m$Rounds)
          |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
+
+    // Round-for-round replay of the max-normalized integer HITS
+    // iteration; MATERIALIZED stops the round chain re-expanding.
+    "graph_hits" -> {
+      val rounds = (1 to HitsRounds).map { r =>
+        s"""a${r}r AS MATERIALIZED (
+           |  SELECT e.supp, CAST(sum(h.s) AS BIGINT) AS s
+           |  FROM e JOIN h${r - 1} h USING (cust) GROUP BY e.supp),
+           |a$r AS MATERIALIZED (
+           |  SELECT supp, CAST(s * $HitsScale //
+           |    (SELECT max(s) FROM a${r}r) AS BIGINT) AS s
+           |  FROM a${r}r),
+           |h${r}r AS MATERIALIZED (
+           |  SELECT e.cust, CAST(sum(a.s) AS BIGINT) AS s
+           |  FROM e JOIN a$r a USING (supp) GROUP BY e.cust),
+           |h$r AS MATERIALIZED (
+           |  SELECT cust, CAST(s * $HitsScale //
+           |    (SELECT max(s) FROM h${r}r) AS BIGINT) AS s
+           |  FROM h${r}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS MATERIALIZED (
+         |  SELECT DISTINCT cust, CAST($HitsScale AS BIGINT) AS s FROM e),
+         |$rounds,
+         |ta AS (SELECT 'authority' AS kind, supp AS node, s AS score_ppb
+         |  FROM a$HitsRounds ORDER BY s DESC, supp LIMIT 10),
+         |th AS (SELECT 'hub' AS kind, cust AS node, s AS score_ppb
+         |  FROM h$HitsRounds ORDER BY s DESC, cust LIMIT 10),
+         |u AS (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         |SELECT kind, CAST(row_number() OVER (PARTITION BY kind
+         |    ORDER BY score_ppb DESC, node) AS BIGINT) AS rk,
+         |  node, score_ppb
+         |FROM u ORDER BY kind, rk""".stripMargin
     })
 }
