@@ -861,6 +861,44 @@ object InsightQueries extends QuerySuite {
     // the integer (sum, count) pairs so ONE double division decides
     // the metric. The lag windows run over the per-type DAY table
     // (bounded by calendar span), never raw events.
+    // Moving-average crossover detection (the 7/28-day golden/death
+    // cross of technical analysis, applied to per-type daily volume)
+    // — "did the short-term level cross the long-term level, and
+    // which way?" Exactness: the comparison is the cross-multiplied
+    // integer sign s7·n28 − s28·n7 (no float means), a crossover is
+    // a SIGN CHANGE vs the previous day (lag of the exact sign), and
+    // only full 28-day windows participate. The reported means are
+    // two final divisions. Scale shape: one fact aggregate to the
+    // (type, day) table, then ROWS-frame windows partitioned per
+    // type over the calendar-bounded daily table.
+    "ts_sma_crossover" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), dayCol(col("ts")).as("od"))
+        .agg(sum(cents(col("value"))).as("yc"))
+      val w = Window.partitionBy("event_type").orderBy("od")
+      val w7 = w.rowsBetween(-6, 0)
+      val w28 = w.rowsBetween(-27, 0)
+      val x = col("s7") * col("n28") - col("s28") * col("n7")
+      val sgn = when(x > 0L, 1L).when(x < 0L, -1L).otherwise(0L)
+      daily
+        .withColumn("s7", sum("yc").over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("s28", sum("yc").over(w28))
+        .withColumn("n28", count(lit(1)).over(w28))
+        .withColumn("sg", sgn)
+        .withColumn("prev_sg", lag("sg", 1).over(w))
+        .filter(col("n28") === 28L && col("prev_sg").isNotNull &&
+          col("sg") =!= col("prev_sg") && col("sg") =!= 0L)
+        .select(col("event_type"), col("od").as("day"),
+          when(col("sg") > 0L, "golden").otherwise("death")
+            .as("direction"),
+          (col("s7").cast("double") / (col("n7") * 100L).cast("double"))
+            .as("short_mean"),
+          (col("s28").cast("double") / (col("n28") * 100L).cast("double"))
+            .as("long_mean"))
+        .orderBy("event_type", "day")
+    }),
+
     "ts_mase_naive" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .filter(col("value").isNotNull)
@@ -1587,6 +1625,43 @@ object InsightQueries extends QuerySuite {
          |       ELSE (1 + n_ge) * 1000000 // ${PermB + 1} END AS BIGINT)
          |    AS p_ppm
          |FROM fin""".stripMargin,
+
+    "ts_sma_crossover" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS od,
+         |    CAST(sum(${centsSql("\"value\"")}) AS BIGINT) AS yc
+         |  FROM events GROUP BY 1, 2),
+         |wins AS (
+         |  SELECT event_type, od,
+         |    CAST(sum(yc) OVER (PARTITION BY event_type ORDER BY od
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s7,
+         |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY od
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7,
+         |    CAST(sum(yc) OVER (PARTITION BY event_type ORDER BY od
+         |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS s28,
+         |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY od
+         |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS n28
+         |  FROM daily),
+         |sg AS (
+         |  SELECT *, CASE WHEN s7 * n28 - s28 * n7 > 0 THEN 1
+         |                 WHEN s7 * n28 - s28 * n7 < 0 THEN -1
+         |                 ELSE 0 END AS sgv,
+         |    lag(CASE WHEN s7 * n28 - s28 * n7 > 0 THEN 1
+         |             WHEN s7 * n28 - s28 * n7 < 0 THEN -1
+         |             ELSE 0 END) OVER (PARTITION BY event_type
+         |      ORDER BY od) AS prev_sg
+         |  FROM wins)
+         |SELECT event_type, od AS day,
+         |  CASE WHEN sgv > 0 THEN 'golden' ELSE 'death' END AS direction,
+         |  CAST(s7 AS DOUBLE) / CAST(n7 * 100 AS DOUBLE) AS short_mean,
+         |  CAST(s28 AS DOUBLE) / CAST(n28 * 100 AS DOUBLE) AS long_mean
+         |FROM sg
+         |WHERE n28 = 28 AND prev_sg IS NOT NULL AND sgv <> prev_sg
+         |  AND sgv <> 0
+         |ORDER BY event_type, day""".stripMargin,
 
     "ts_mase_naive" ->
       """WITH daily AS (
