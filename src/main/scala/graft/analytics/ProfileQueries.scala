@@ -613,6 +613,49 @@ object ProfileQueries extends QuerySuite {
             (col("q") - gterm).cast("double")).as("eta_sq"))
     }),
 
+    // Tukey–Kramer post-hoc pairwise comparisons — the step AFTER a
+    // significant one-way ANOVA: which pairs of event types actually
+    // differ? q_ij = |x̄_i − x̄_j| / sqrt((MSW/2)·(1/n_i + 1/n_j)),
+    // with MSW = SSW/(N−k) taken from the SAME floor-quantized
+    // within-group sum stat_anova_oneway reports (the two queries
+    // can never disagree about the error term). Exactness: group
+    // moments exact BIGINT cents; the pairwise layer is a fixed
+    // float tree over the k-row moment table. Scale shape: one fact
+    // aggregate to k rows, a broadcast C(k,2) self-join, k²-sized
+    // output — nothing after the first aggregate touches the corpus.
+    "stat_tukey_hsd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Exact.cents(col("value")).as("xc"))
+      val g = ev.groupBy("event_type").agg(
+        count(lit(1)).as("ng"), sum("xc").as("sg"),
+        sum(col("xc") * col("xc")).as("qg"))
+      val gq = g.select(col("event_type"), col("ng"), col("sg"),
+        floor(col("sg").cast("double") * col("sg").cast("double") /
+          col("ng").cast("double")).as("ug"))
+      val msw = g.select(col("qg"), col("ng"),
+        floor(col("sg").cast("double") * col("sg").cast("double") /
+          col("ng").cast("double")).as("ug"))
+        .agg(count(lit(1)).as("k"), sum("ng").as("n"),
+          sum("qg").as("q"), sum("ug").as("u"))
+        .select(((col("q") - col("u")).cast("double") /
+          (col("n") - col("k")).cast("double")).as("msw"))
+      val a = gq.select(col("event_type").as("type_a"),
+        col("ng").as("na"), col("sg").as("sa"))
+      val b = gq.select(col("event_type").as("type_b"),
+        col("ng").as("nb"), col("sg").as("sb"))
+      val md = abs(col("sa").cast("double") / col("na").cast("double") -
+        col("sb").cast("double") / col("nb").cast("double"))
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(msw))
+        .select(col("type_a"), col("type_b"),
+          col("na"), col("nb"), (md / 100.0).as("mean_diff"),
+          when(col("msw") === 0.0, lit(null).cast("double"))
+            .otherwise(md / sqrt(col("msw") / 2.0 *
+              (lit(1.0) / col("na").cast("double") +
+                lit(1.0) / col("nb").cast("double")))).as("q_stat"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Kruskal–Wallis H — the rank-based k-group test (Mann–Whitney's
     // k-sample generalization), tie-corrected, run over the same
     // event-type groups as stat_anova_oneway so the parametric and
@@ -1174,6 +1217,38 @@ object ProfileQueries extends QuerySuite {
          |       ELSE CAST(u - gterm AS DOUBLE) /
          |            CAST(q - gterm AS DOUBLE) END AS eta_sq
          |FROM t""".stripMargin,
+
+    "stat_tukey_hsd" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${Exact.centsSql("\"value\"")} AS xc
+         |  FROM events),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(xc) AS BIGINT) AS sg,
+         |    CAST(sum(xc * xc) AS BIGINT) AS qg
+         |  FROM ev GROUP BY event_type),
+         |gq AS (SELECT event_type, ng, sg, qg,
+         |    CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+         |      CAST(ng AS DOUBLE)) AS BIGINT) AS ug
+         |  FROM g),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(ng) AS BIGINT) AS n, CAST(sum(qg) AS BIGINT) AS q,
+         |    CAST(sum(ug) AS BIGINT) AS u
+         |  FROM gq),
+         |msw AS (SELECT CAST(q - u AS DOUBLE) /
+         |    CAST(n - k AS DOUBLE) AS msw FROM m)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  a.ng AS na, b.ng AS nb,
+         |  abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE) -
+         |      CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE)) / 100.0
+         |    AS mean_diff,
+         |  CASE WHEN msw = 0 THEN NULL
+         |       ELSE abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE) -
+         |                CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE)) /
+         |            sqrt(msw / 2.0 *
+         |              (1.0 / CAST(a.ng AS DOUBLE) +
+         |               1.0 / CAST(b.ng AS DOUBLE))) END AS q_stat
+         |FROM gq a JOIN gq b ON a.event_type < b.event_type, msw
+         |ORDER BY type_a, type_b""".stripMargin,
 
     "stat_kruskal_wallis" ->
       s"""WITH ev AS (
