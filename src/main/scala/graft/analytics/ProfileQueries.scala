@@ -714,6 +714,60 @@ object ProfileQueries extends QuerySuite {
           .otherwise(col("h_stat") / col("tie_corr")).as("h_corrected"))
     }),
 
+    // Dunn's post-hoc pairwise test — the non-parametric companion
+    // of stat_tukey_hsd, run after a significant Kruskal–Wallis:
+    // z_ij = |R̄_i − R̄_j| / sqrt((N(N+1)/12 − Σ(t³−t)/(12(N−1))) ·
+    // (1/n_i + 1/n_j)), with mean ranks R̄ = R2/(2n) from the SAME
+    // doubled-midrank sums stat_kruskal_wallis computes (shared
+    // two-level value-domain prefix; the two queries can never
+    // disagree about the ranking). Exactness: rank sums and the tie
+    // term are exact BIGINTs; the pairwise layer is a fixed float
+    // tree over the k-row table. Scale shape: identical to
+    // stat_kruskal_wallis plus a broadcast C(k,2) self-join.
+    "stat_dunn_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("g"), Exact.cents(col("value")).as("v"))
+      val gv = ev.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val vc = gv.groupBy("v").agg(sum("c").as("t"))
+      val bk = vc.withColumn("bk", expr("v div 1000L"))
+      val base = bk.groupBy("bk").agg(sum("t").as("bt"))
+        .withColumn("base",
+          coalesce(sum("bt").over(Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "base")
+      val below = bk.join(broadcast(base), "bk")
+        .withColumn("within",
+          coalesce(sum("t").over(Window.partitionBy("bk").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("v"), col("t"),
+          (col("base") + col("within")).as("below"))
+      val r = gv.join(below, "v").groupBy("g").agg(
+        sum("c").as("ng"),
+        sum(col("c") * (col("below") * 2L + col("t") + 1L)).as("r2"))
+      val glob = r.agg(sum("ng").as("n"))
+        .crossJoin(broadcast(vc.agg(
+          sum(col("t") * col("t") * col("t") - col("t")).as("ts"))))
+        .select((col("n").cast("double") *
+          (col("n") + 1L).cast("double") / 12.0 -
+          col("ts").cast("double") /
+            (lit(12.0) * (col("n") - 1L).cast("double"))).as("vterm"))
+      val a = r.select(col("g").as("type_a"), col("ng").as("na"),
+        col("r2").as("ra"))
+      val b = r.select(col("g").as("type_b"), col("ng").as("nb"),
+        col("r2").as("rb"))
+      val mra = col("ra").cast("double") / (col("na") * 2L).cast("double")
+      val mrb = col("rb").cast("double") / (col("nb") * 2L).cast("double")
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(glob))
+        .select(col("type_a"), col("type_b"),
+          mra.as("mean_rank_a"), mrb.as("mean_rank_b"),
+          when(col("vterm") <= 0.0, lit(null).cast("double"))
+            .otherwise(abs(mra - mrb) / sqrt(col("vterm") *
+              (lit(1.0) / col("na").cast("double") +
+                lit(1.0) / col("nb").cast("double")))).as("z"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Approximate functional-dependency discovery over a fixed
     // candidate set — the schema-inference pass a profiler runs
     // before choosing clustering keys or declaring constraints: for
@@ -1285,6 +1339,40 @@ object ProfileQueries extends QuerySuite {
          |  CASE WHEN tie_corr = 0 THEN NULL
          |       ELSE h_stat / tie_corr END AS h_corrected
          |FROM res""".stripMargin,
+
+    "stat_dunn_test" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS g, ${Exact.centsSql("\"value\"")} AS v
+         |  FROM events),
+         |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY g, v),
+         |vc AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+         |  FROM gv GROUP BY v),
+         |cum AS (SELECT v, t,
+         |    CAST(coalesce(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS below
+         |  FROM vc),
+         |r AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+         |    CAST(sum(c * (below * 2 + t + 1)) AS BIGINT) AS r2
+         |  FROM gv JOIN cum USING (v) GROUP BY g),
+         |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts FROM vc),
+         |vt AS (SELECT CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 12.0
+         |      - CAST(ts AS DOUBLE) / (12.0 * CAST(n - 1 AS DOUBLE))
+         |      AS vterm
+         |  FROM (SELECT CAST(sum(ng) AS BIGINT) AS n FROM r) nn, ties)
+         |SELECT a.g AS type_a, b.g AS type_b,
+         |  CAST(a.r2 AS DOUBLE) / CAST(a.ng * 2 AS DOUBLE)
+         |    AS mean_rank_a,
+         |  CAST(b.r2 AS DOUBLE) / CAST(b.ng * 2 AS DOUBLE)
+         |    AS mean_rank_b,
+         |  CASE WHEN vterm <= 0 THEN NULL
+         |       ELSE abs(CAST(a.r2 AS DOUBLE) / CAST(a.ng * 2 AS DOUBLE) -
+         |                CAST(b.r2 AS DOUBLE) / CAST(b.ng * 2 AS DOUBLE)) /
+         |            sqrt(vterm * (1.0 / CAST(a.ng AS DOUBLE) +
+         |                          1.0 / CAST(b.ng AS DOUBLE))) END AS z
+         |FROM r a JOIN r b ON a.g < b.g, vt
+         |ORDER BY type_a, type_b""".stripMargin,
 
     "dq_fd_discovery" -> Seq(
       ("lineitem.l_partkey -> l_suppkey", "lineitem",

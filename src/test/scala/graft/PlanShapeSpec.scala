@@ -80,6 +80,9 @@ class PlanShapeSpec extends SparkSpec {
     // same two-level prefix sum over the cents-domain bucket table
     // (ProfileQueries stat_kruskal_wallis doc)
     "stat_kruskal_wallis",
+    // same two-level prefix sum, shared with stat_kruskal_wallis
+    // (ProfileQueries stat_dunn_test doc)
+    "stat_dunn_test",
     // mid-rank windows over the per-DAY click/purchase total table —
     // calendar-bounded (InsightQueries stat_spearman_daily doc)
     "stat_spearman_daily",
