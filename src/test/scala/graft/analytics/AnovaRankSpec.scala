@@ -67,6 +67,56 @@ class AnovaRankSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("h_corrected") - h / corr) < 1e-3)
   }
 
+  test("stat_tukey_hsd matches the textbook Tukey-Kramer q on collected values") {
+    val rows = ProfileQueries.queries("stat_tukey_hsd")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(4), r.getDouble(5)))).toMap
+    val groups = centsByType
+    val n = groups.values.map(_.size).sum.toDouble
+    val k = groups.size.toDouble
+    val ssw = groups.values.map { g =>
+      val m = g.map(_.toDouble).sum / g.size
+      g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val msw = ssw / (n - k)
+    for (a <- groups.keys; b <- groups.keys if a < b) {
+      val (ga, gb) = (groups(a), groups(b))
+      val md = math.abs(ga.map(_.toDouble).sum / ga.size -
+        gb.map(_.toDouble).sum / gb.size)
+      val q = md / math.sqrt(msw / 2 * (1.0 / ga.size + 1.0 / gb.size))
+      val (gotMd, gotQ) = rows((a, b))
+      assert(rel(gotMd, md / 100.0) < 1e-9)
+      assert(rel(gotQ, q) < 1e-5) // msw carries the quantized SSW
+    }
+  }
+
+  test("stat_dunn_test matches sorted-scan mean ranks and z") {
+    val rows = ProfileQueries.queries("stat_dunn_test")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val all = centsByType.toSeq.flatMap { case (t, xs) => xs.map((t, _)) }
+    val n = all.size.toDouble
+    val byValue = all.groupBy(_._2).view.mapValues(_.size).toMap
+    val sortedVals = byValue.keys.toSeq.sorted
+    val below = sortedVals.zip(
+      sortedVals.scanLeft(0L)((acc, v) => acc + byValue(v)).dropRight(1))
+      .toMap
+    def midrank(v: Long): Double = below(v) + (byValue(v) + 1) / 2.0
+    val meanRank = centsByType.view
+      .mapValues(xs => xs.map(midrank).sum / xs.size).toMap
+    val ties = byValue.values.map(t => t.toDouble * t * t - t).sum
+    val vterm = n * (n + 1) / 12.0 - ties / (12.0 * (n - 1))
+    for (a <- centsByType.keys; b <- centsByType.keys if a < b) {
+      val (na, nb) = (centsByType(a).size, centsByType(b).size)
+      val z = math.abs(meanRank(a) - meanRank(b)) /
+        math.sqrt(vterm * (1.0 / na + 1.0 / nb))
+      val (gotA, gotB, gotZ) = rows((a, b))
+      assert(rel(gotA, meanRank(a)) < 1e-9)
+      assert(rel(gotB, meanRank(b)) < 1e-9)
+      assert(rel(gotZ, z) < 1e-9)
+    }
+  }
+
   test("stat_auc_roc equals pairwise-comparison AUC") {
     val r = InsightQueries.queries("stat_auc_roc")(spark, sf)
       .collect().head
