@@ -387,6 +387,46 @@ object BehaviorQueries extends QuerySuite {
     // shape), one (src,dst)-count aggregate per split, the ≤|types|²
     // model BROADCAST back onto test transitions, and a types-sized
     // report; accuracy is the single final division.
+    // Sequential-pattern support mining (the 2-sequence core of
+    // AGRAWAL/Srikant-style sequence mining, kept exact): pattern
+    // a → b is supported by a user iff SOME a-event precedes SOME
+    // b-event in their stream. "Precedes" is the (sec, event_id)
+    // lexicographic order every behavior query uses, encoded as a
+    // zero-padded sortable string key so ONE min/max aggregate per
+    // (user, type) captures everything the containment test needs:
+    // supp(a→b, u) ⇔ min_key(a-events of u) < max_key(b-events of u).
+    // Scale shape: events collapse to ≤ |users|·|types| (user, type)
+    // rows in one shuffle; the pair test is a user-co-partitioned
+    // self-join with C(|types|,2)-bounded fan per user (the
+    // audience_overlap discipline); support/confidence are integer
+    // ppm over broadcast 1-row / |types|-row aggregates. No window,
+    // no event×event join, nothing data-sized after the first agg.
+    "behavior_seq2_support" -> ((s, d) => {
+      val e = ev(s, d).withColumn("k",
+        concat(lpad(col("sec").cast("string"), 12, "0"), lit("|"),
+          lpad(col("event_id").cast("string"), 12, "0")))
+      val ut = e.groupBy("user_id", "event_type")
+        .agg(min("k").as("kmin"), max("k").as("kmax"))
+      val tot = e.agg(countDistinct("user_id").as("n_total"))
+      val perType = ut.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users_a"))
+      val sup = ut.select(col("user_id"), col("event_type").as("a"),
+          col("kmin"))
+        .join(ut.select(col("user_id"), col("event_type").as("b"),
+          col("kmax")), "user_id")
+        .filter(col("a") =!= col("b") && col("kmin") < col("kmax"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_users"))
+      sup
+        .join(broadcast(perType.select(col("event_type").as("a"),
+          col("n_users_a"))), "a")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("n_users"), col("n_users_a"),
+          col("n_total"),
+          expr("n_users * 1000000 div n_total").as("support_ppm"),
+          expr("n_users * 1000000 div n_users_a").as("confidence_ppm"))
+        .orderBy("a", "b")
+    }),
+
     "behavior_markov_eval" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("sec"), col("event_id"))
@@ -665,6 +705,33 @@ object BehaviorQueries extends QuerySuite {
         |    (acc, x) -> 0.5*x + 0.5*acc) AS ewma_cents
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "behavior_seq2_support" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    lpad(CAST($secSql AS VARCHAR), 12, '0') || '|' ||
+         |      lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+         |  FROM events),
+         |ut AS (
+         |  SELECT user_id, event_type, min(k) AS kmin, max(k) AS kmax
+         |  FROM e GROUP BY user_id, event_type),
+         |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+         |  AS n_total FROM e),
+         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT)
+         |  AS n_users_a FROM ut GROUP BY event_type),
+         |sup AS (
+         |  SELECT x.event_type AS a, y.event_type AS b,
+         |    CAST(count(*) AS BIGINT) AS n_users
+         |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+         |    AND x.event_type <> y.event_type AND x.kmin < y.kmax
+         |  GROUP BY 1, 2)
+         |SELECT sup.a, sup.b, sup.n_users, pt.n_users_a, tot.n_total,
+         |  CAST(sup.n_users * 1000000 // tot.n_total AS BIGINT)
+         |    AS support_ppm,
+         |  CAST(sup.n_users * 1000000 // pt.n_users_a AS BIGINT)
+         |    AS confidence_ppm
+         |FROM sup JOIN pt ON pt.event_type = sup.a CROSS JOIN tot
+         |ORDER BY a, b""".stripMargin,
 
     "behavior_markov_eval" ->
       s"""WITH gsrc AS (

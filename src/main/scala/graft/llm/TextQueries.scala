@@ -21,6 +21,9 @@ object TextQueries extends QuerySuite {
   /** Top-K terms profiled by the burstiness (VMR) audit. */
   val BurstTopK = 20
 
+  /** Vocab sizes probed by the coverage curve (text_vocab_coverage). */
+  val VocabCheckpoints = Seq(10L, 100L, 1000L, 10000L, 100000L)
+
   /** BM25 geometry: the 3 query terms are the corpus terms at
     * df-ranks [[BmTermRanks]] (deterministic mid-frequency picks —
     * the very top ranks are stopword-like with idf ≈ 1), scored with
@@ -187,6 +190,72 @@ object TextQueries extends QuerySuite {
         col("doc_id"),
         vocabFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+
+    // Vocabulary-coverage curve — the tokenizer-budget question asked
+    // before fixing any vocab size: what share of all token
+    // OCCURRENCES do the top-V most frequent terms cover, at
+    // checkpoint sizes V = [[VocabCheckpoints]]? Ties at the boundary
+    // frequency are handled EXACTLY (and order-independently): within
+    // a frequency class every term covers the same count n, so the
+    // top-V coverage is cum_occ(classes above) + (V − cum_terms
+    // (above))·n — no tie-break order can change the answer, which is
+    // what makes the curve engine-exact. Scale shape: the corpus
+    // collapses to term counts (one shuffle on term), then to the
+    // COUNT-OF-COUNTS table keyed by frequency value; the only
+    // windows are the Mann-Whitney-style two-level prefix sums over
+    // frequency-value buckets (power-law corpora have ≪ vocab
+    // distinct frequency values, and the bucketed form parallelizes
+    // even if they didn't); checkpoints are a 5-row broadcast spine,
+    // so a checkpoint past the whole vocabulary degrades to total
+    // coverage instead of dropping the row.
+    "text_vocab_coverage" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(explode(words(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val cc = tc.groupBy("n").agg(count(lit(1)).as("n_terms"))
+        .withColumn("occ", col("n") * col("n_terms"))
+      val bk = cc.withColumn("bk", expr("n div 1000"))
+      val base = bk.groupBy("bk")
+        .agg(sum("n_terms").as("bt"), sum("occ").as("bo"))
+        .withColumn("base_t", coalesce(sum("bt").over(
+          Window.orderBy(col("bk").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("base_o", coalesce(sum("bo").over(
+          Window.orderBy(col("bk").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "base_t", "base_o")
+      val cum = bk.join(broadcast(base), "bk")
+        .withColumn("above_t", col("base_t") + coalesce(
+          sum("n_terms").over(Window.partitionBy("bk")
+            .orderBy(col("n").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("above_o", col("base_o") + coalesce(
+          sum("occ").over(Window.partitionBy("bk")
+            .orderBy(col("n").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = cc.agg(sum("n_terms").as("total_terms"),
+        sum("occ").as("total_occ"))
+      val spine = s.range(1).select(explode(
+        array(VocabCheckpoints.map(v => lit(v)): _*)).as("vocab_size"))
+      // per-checkpoint coverage as ONE associative aggregate over the
+      // (count-of-counts × 5-checkpoint) cross — classes fully inside
+      // the top-V contribute their whole occ, the boundary class its
+      // pro-rata share, classes below nothing; a V past the whole
+      // vocabulary sums to total_occ with no special case
+      cum.crossJoin(broadcast(spine))
+        .groupBy("vocab_size")
+        .agg(sum(
+          when(col("above_t") + col("n_terms") <= col("vocab_size"),
+            col("occ"))
+            .when(col("above_t") < col("vocab_size"),
+              (col("vocab_size") - col("above_t")) * col("n"))
+            .otherwise(lit(0L))).as("covered_occ"))
+        .crossJoin(broadcast(tot))
+        .select(col("vocab_size"), col("total_terms"), col("total_occ"),
+          col("covered_occ"),
+          expr("covered_occ * 1000000 div total_occ").as("coverage_ppm"))
+        .orderBy("vocab_size")
+    }),
 
     // Vocabulary audit: top-5 terms per source by document frequency
     // (distinct per doc, so one vote per document). Integer counts +
@@ -662,6 +731,41 @@ object TextQueries extends QuerySuite {
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_coverage" -> {
+      val vals = VocabCheckpoints.mkString(", ")
+      s"""WITH tc AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY term),
+         |cc AS (SELECT n, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(n * count(*) AS BIGINT) AS occ
+         |  FROM tc GROUP BY n),
+         |cum AS (
+         |  SELECT n, n_terms, occ,
+         |    CAST(coalesce(sum(n_terms) OVER (ORDER BY n DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS above_t
+         |  FROM cc),
+         |tot AS (SELECT CAST(sum(n_terms) AS BIGINT) AS total_terms,
+         |    CAST(sum(occ) AS BIGINT) AS total_occ FROM cc),
+         |spine AS (SELECT unnest([$vals]) AS vocab_size),
+         |cov AS (
+         |  SELECT spine.vocab_size,
+         |    CAST(sum(CASE
+         |      WHEN cum.above_t + cum.n_terms <= spine.vocab_size
+         |        THEN cum.occ
+         |      WHEN cum.above_t < spine.vocab_size
+         |        THEN (spine.vocab_size - cum.above_t) * cum.n
+         |      ELSE 0 END) AS BIGINT) AS covered_occ
+         |  FROM cum CROSS JOIN spine GROUP BY spine.vocab_size)
+         |SELECT CAST(cov.vocab_size AS BIGINT) AS vocab_size,
+         |  tot.total_terms, tot.total_occ, cov.covered_occ,
+         |  CAST(cov.covered_occ * 1000000 // tot.total_occ AS BIGINT)
+         |    AS coverage_ppm
+         |FROM cov CROSS JOIN tot ORDER BY vocab_size""".stripMargin
+    },
 
     "text_top_terms" ->
       """WITH tok AS (

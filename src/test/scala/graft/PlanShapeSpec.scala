@@ -107,7 +107,12 @@ class PlanShapeSpec extends SparkSpec {
     // centered 7-day MA window over the DAY table — calendar-bounded
     // (InsightQueries ts_anomaly_residual doc, same frame as
     // ts_classical_decompose)
-    "ts_anomaly_residual")
+    "ts_anomaly_residual",
+    // two-level prefix sum: global window only over the term-FREQUENCY
+    // bucket table (distinct frequency values ÷ 1000 — a power-law
+    // corpus has ≪ vocab distinct frequencies; TextQueries
+    // text_vocab_coverage doc)
+    "text_vocab_coverage")
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
