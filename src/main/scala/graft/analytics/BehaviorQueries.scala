@@ -387,6 +387,43 @@ object BehaviorQueries extends QuerySuite {
     // shape), one (src,dst)-count aggregate per split, the ≤|types|²
     // model BROADCAST back onto test transitions, and a types-sized
     // report; accuracy is the single final division.
+    // Transition latency — path_top_transitions tells you WHICH
+    // consecutive (prev → curr) steps users take; this prices HOW
+    // LONG each step takes: exact count, mean, and median delay per
+    // transition pair. Median by rank selection over the
+    // (pair, delay)-count table (the funnel_latency_quantiles
+    // convention: smallest delay whose doubled cumulative count
+    // reaches n), so the only windows are the per-user lag (bounded
+    // by a user's own events) and pair-PARTITIONED cumulatives over
+    // distinct delay values — nothing global, nothing raw-row. Mean
+    // is one IEEE divide of exact integer sums.
+    "path_transition_latency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val tr = ev(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("curr_type"),
+          (col("sec") - col("prev_sec")).as("dsec"))
+      val vc = tr.groupBy("prev_type", "curr_type", "dsec")
+        .agg(count(lit(1)).as("cnt"))
+      val pair = Window.partitionBy("prev_type", "curr_type")
+      val cum = vc
+        .withColumn("cum", sum("cnt").over(pair.orderBy("dsec")))
+        .withColumn("n", sum("cnt").over(pair))
+      cum.groupBy("prev_type", "curr_type").agg(
+          max("n").as("n_transitions"),
+          sum(col("cnt") * col("dsec")).as("total_sec"),
+          min(when(col("cum") * 2 >= col("n"), col("dsec")))
+            .as("p50_sec"))
+        .withColumn("mean_sec", col("total_sec").cast("double") /
+          col("n_transitions").cast("double"))
+        .select("prev_type", "curr_type", "n_transitions", "total_sec",
+          "p50_sec", "mean_sec")
+        .orderBy("prev_type", "curr_type")
+    }),
+
     // Sequential-pattern support mining (the 2-sequence core of
     // AGRAWAL/Srikant-style sequence mining, kept exact): pattern
     // a → b is supported by a user iff SOME a-event precedes SOME
@@ -705,6 +742,37 @@ object BehaviorQueries extends QuerySuite {
         |    (acc, x) -> 0.5*x + 0.5*acc) AS ewma_cents
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "path_transition_latency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, $secSql AS sec
+         |  FROM events),
+         |t AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY sec, event_id) AS prev_type,
+         |    event_type AS curr_type,
+         |    sec - lag(sec) OVER (PARTITION BY user_id
+         |      ORDER BY sec, event_id) AS dsec
+         |  FROM e),
+         |tf AS (SELECT * FROM t WHERE prev_type IS NOT NULL),
+         |vc AS (SELECT prev_type, curr_type, dsec,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tf GROUP BY 1, 2, 3),
+         |cum AS (
+         |  SELECT prev_type, curr_type, dsec, cnt,
+         |    sum(cnt) OVER (PARTITION BY prev_type, curr_type
+         |      ORDER BY dsec) AS cum,
+         |    sum(cnt) OVER (PARTITION BY prev_type, curr_type) AS n
+         |  FROM vc)
+         |SELECT prev_type, curr_type,
+         |  CAST(max(n) AS BIGINT) AS n_transitions,
+         |  CAST(sum(cnt * dsec) AS BIGINT) AS total_sec,
+         |  CAST(min(CASE WHEN cum * 2 >= n THEN dsec END) AS BIGINT)
+         |    AS p50_sec,
+         |  CAST(sum(cnt * dsec) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+         |    AS mean_sec
+         |FROM cum GROUP BY prev_type, curr_type
+         |ORDER BY prev_type, curr_type""".stripMargin,
 
     "behavior_seq2_support" ->
       s"""WITH e AS (

@@ -303,6 +303,61 @@ object ClusterQueries extends QuerySuite {
       summarize(strideCounts, "stride_cosine")
         .union(summarize(trainedCounts, "kmeans_l2"))
         .orderBy("method")
+    }),
+
+    // Simplified (centroid) silhouette — the cluster-quality number
+    // reported after any k-means fit (Hruschka et al.'s centroid
+    // variant of Rousseeuw'87: a = dist to OWN centroid, b = dist to
+    // the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]):
+    // completes the trainer family (train → moves → balance →
+    // QUALITY). Per-vector work is one map-only pass with the K
+    // trained centroids as a literal — the corpus never shuffles; the
+    // per-row s is floor-quantized to ppm so the per-cluster sums are
+    // exact BIGINTs (order-independent under any partitioning — the
+    // stat_anova_oneway discipline); the census is a K-row aggregate
+    // plus one union'd overall row. Distances reuse the training d2
+    // fold and tie rule, so "own centroid" here is bit-identical to
+    // the assignment the oracle replays; a vector AT its centroid
+    // (a = b = 0) scores s = 0 by convention in both twins.
+    "sim_silhouette" -> ((s, d) => {
+      val cs = centsRounds(s, d)
+      val corpus = qCorpus(s, d)
+      val scored =
+        if (cs.last.isEmpty)
+          // no seed vectors → no clusters: empty with the right shape,
+          // mirroring the oracle's empty-c0 cross join
+          corpus.select(lit(null).cast("int").as("c_id"),
+            lit(null).cast("long").as("s_ppm")).limit(0)
+        else {
+          val ds = transform(centLit(cs.last), c => struct(
+            dist2(col("qv"), c.getField("cv")).as("d2"),
+            c.getField("c_id").as("c_id")))
+          val own = array_min(col("ds"))
+          val other = array_min(filter(col("ds"),
+            x => x.getField("c_id") =!= col("own").getField("c_id")))
+          val a = sqrt(col("own").getField("d2"))
+          val b = sqrt(col("other").getField("d2"))
+          val sRaw = when(greatest(a, b) === 0.0, lit(0.0))
+            .otherwise((b - a) / greatest(a, b))
+          corpus
+            .withColumn("ds", ds)
+            .withColumn("own", own)
+            .withColumn("other", other)
+            .withColumn("s_ppm",
+              floor(sRaw * lit(1000000.0) + lit(0.5)).cast("long"))
+            .select(col("own").getField("c_id").as("c_id"), col("s_ppm"))
+        }
+      val per = scored.groupBy("c_id")
+        .agg(count(lit(1)).as("n_members"), sum("s_ppm").as("sum_s_ppm"))
+      val overall = scored.agg(count(lit(1)).as("n_members"),
+          sum("s_ppm").as("sum_s_ppm"))
+        .filter(col("n_members") > 0)
+        .select(lit(-1).as("c_id"), col("n_members"), col("sum_s_ppm"))
+      per.select(col("c_id"), col("n_members"), col("sum_s_ppm"))
+        .union(overall)
+        .withColumn("mean_s", col("sum_s_ppm").cast("double") /
+          1000000.0 / col("n_members").cast("double"))
+        .orderBy("c_id")
     }))
 
   /** Unrolled Lloyd rounds as chained CTEs — the oracle replays the
@@ -404,6 +459,49 @@ object ClusterQueries extends QuerySuite {
          |SELECT cluster, vec_id FROM asg
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY cluster, vec_id""".stripMargin,
+
+    // own = the a$KmRounds assignment's (d2, c_id)-argmin; b = min d2
+    // over the other centroids; same float tree (sqrt → subtract →
+    // divide → ×1e6+0.5 → floor) as the Spark side
+    "sim_silhouette" -> {
+      val d2 = "list_sum(list_transform(list_zip(q.qv, c.cv), " +
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+      s"""WITH $kmCtes,
+         |dd AS (
+         |  SELECT q.vec_id, c.c_id, $d2 AS d2
+         |  FROM q CROSS JOIN c${KmRounds - 1} c),
+         |own AS (
+         |  SELECT vec_id, c_id, d2 FROM (
+         |    SELECT vec_id, c_id, d2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, c_id) AS rk
+         |    FROM dd) WHERE rk = 1),
+         |oth AS (
+         |  SELECT dd.vec_id, min(dd.d2) AS d2b
+         |  FROM dd JOIN own ON own.vec_id = dd.vec_id
+         |    AND dd.c_id <> own.c_id
+         |  GROUP BY dd.vec_id),
+         |sc AS (
+         |  SELECT own.vec_id, own.c_id,
+         |    CAST(floor(
+         |      CASE WHEN greatest(sqrt(own.d2), sqrt(o.d2b)) = 0.0
+         |        THEN 0.0
+         |        ELSE (sqrt(o.d2b) - sqrt(own.d2))
+         |          / greatest(sqrt(own.d2), sqrt(o.d2b)) END
+         |      * 1000000.0 + 0.5) AS BIGINT) AS s_ppm
+         |  FROM own JOIN oth o ON o.vec_id = own.vec_id),
+         |per AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm
+         |  FROM sc GROUP BY c_id),
+         |tot AS (SELECT CAST(-1 AS INT) AS c_id,
+         |    CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm
+         |  FROM sc HAVING count(*) > 0),
+         |u AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+         |SELECT c_id, n_members, sum_s_ppm,
+         |  CAST(sum_s_ppm AS DOUBLE) / 1000000.0
+         |    / CAST(n_members AS DOUBLE) AS mean_s
+         |FROM u ORDER BY c_id""".stripMargin
+    },
 
     "sim_kmeans_balance" ->
       s"""WITH $kmCtes,

@@ -24,6 +24,17 @@ object TextQueries extends QuerySuite {
   /** Vocab sizes probed by the coverage curve (text_vocab_coverage). */
   val VocabCheckpoints = Seq(10L, 100L, 1000L, 10000L, 100000L)
 
+  /** Collocation mining: adjacent bigrams below this count are hapax
+    * noise (their lift estimate is dominated by chance) and drop
+    * before ranking. */
+  val PmiMinPairCount = 5L
+
+  /** Collocations reported (lift-ranked). */
+  val PmiTopK = 30
+
+  /** Keywords tagged per document (text_doc_keywords). */
+  val DocKeywordK = 3
+
   /** BM25 geometry: the 3 query terms are the corpus terms at
     * df-ranks [[BmTermRanks]] (deterministic mid-frequency picks —
     * the very top ranks are stopword-like with idf ≈ 1), scored with
@@ -255,6 +266,74 @@ object TextQueries extends QuerySuite {
           col("covered_occ"),
           expr("covered_occ * 1000000 div total_occ").as("coverage_ppm"))
         .orderBy("vocab_size")
+    }),
+
+    // Collocation mining by pointwise-mutual-information LIFT (Church
+    // & Hanks 1990's association ratio, kept linear per the suite's
+    // no-log() contract: lift = P(xy)/(P(x)·P(y)) = n_xy·N/(n_x·n_y)
+    // over the adjacent-bigram population — log of it is PMI, and
+    // log is monotone, so the lift ranking IS the PMI ranking):
+    // which word pairs co-occur far above chance. Marginals are the
+    // bigram table's own left/right sums (so P(x)·P(y) is the
+    // independence baseline of the same population). Scale shape:
+    // map-only bigram extraction (two array slices zipped — no
+    // self-join on position), one (x,y)-keyed count shuffle, vocab-
+    // keyed marginal joins AFTER the min-count filter cuts the pair
+    // table, and a distributed TakeOrdered top-K — no global window,
+    // no driver loop. Lift is one fixed float tree over exact
+    // integers; ties at the cut break (x, y)-lexicographic.
+    "text_pmi_collocations" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(words(lower(col("text"))).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(zip_with(
+          expr("slice(ws, 1, size(ws) - 1)"),
+          expr("slice(ws, 2, size(ws) - 1)"),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      val cx = cxy.groupBy("x").agg(sum("n_xy").as("n_x"))
+      val cy = cxy.groupBy("y").agg(sum("n_xy").as("n_y"))
+      val n = cxy.agg(sum("n_xy").as("n_total"))
+      cxy.filter(col("n_xy") >= PmiMinPairCount)
+        .join(cx, "x").join(cy, "y")
+        .crossJoin(broadcast(n))
+        .withColumn("lift",
+          (col("n_xy").cast("double") * col("n_total")) /
+            (col("n_x").cast("double") * col("n_y")))
+        .select("x", "y", "n_xy", "n_x", "n_y", "lift")
+        .orderBy(col("lift").desc, col("x"), col("y"))
+        .limit(PmiTopK)
+    }),
+
+    // Per-document keyword extraction — the metadata-enrichment twin
+    // of text_tfidf_top_terms (that one ranks terms per SOURCE; this
+    // tags each DOCUMENT with its top-[[DocKeywordK]] distinguishing
+    // terms, the tags a curation pipeline stores beside the doc).
+    // Same linear-idf contract: score = tf·N/df, one fixed float
+    // tree; ties break term-lexicographic. Scale shape: one explode
+    // feeds the (doc, term) tf table and the term df table; the join
+    // is term-keyed (vocab-sized, never corpus²); the ONLY window is
+    // partitioned by doc_id — per-partition sort fan is bounded by a
+    // single document's vocabulary.
+    "text_doc_keywords" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.select(count(lit(1)).as("n_total"))
+      val tok = docs.select(col("doc_id"),
+        explode(words(lower(col("text")))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_total") / col("df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term"))).cast("long"))
+        .filter(col("rk") <= DocKeywordK)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
     }),
 
     // Vocabulary audit: top-5 terms per source by document frequency
@@ -766,6 +845,47 @@ object TextQueries extends QuerySuite {
          |    AS coverage_ppm
          |FROM cov CROSS JOIN tot ORDER BY vocab_size""".stripMargin
     },
+
+    "text_doc_keywords" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM tok)
+         |       GROUP BY term),
+         |n AS (SELECT count(*) AS n_total FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) * n.n_total / df.df AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rk FROM sc)
+         |SELECT doc_id, rk, term, tf, df, score FROM r
+         |WHERE rk <= $DocKeywordK ORDER BY doc_id, rk""".stripMargin,
+
+    "text_pmi_collocations" ->
+      s"""WITH dws AS (
+         |  SELECT string_split(lower(text), ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT b.x AS x, b.y AS y FROM (
+         |    SELECT unnest(list_transform(range(1, len(ws)),
+         |      i -> {'x': ws[i], 'y': ws[i + 1]})) AS b
+         |    FROM dws)),
+         |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+         |  FROM bg GROUP BY x, y),
+         |cx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+         |  FROM cxy GROUP BY x),
+         |cy AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+         |  FROM cxy GROUP BY y),
+         |n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM cxy)
+         |SELECT cxy.x, cxy.y, cxy.n_xy, cx.n_x, cy.n_y,
+         |  (CAST(cxy.n_xy AS DOUBLE) * n.n_total) /
+         |    (CAST(cx.n_x AS DOUBLE) * cy.n_y) AS lift
+         |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+         |WHERE cxy.n_xy >= $PmiMinPairCount
+         |ORDER BY lift DESC, x, y LIMIT $PmiTopK""".stripMargin,
 
     "text_top_terms" ->
       """WITH tok AS (

@@ -76,8 +76,10 @@ class EmptyInputSpec extends SparkSpec {
     // without GROUP BY yield one row even on empty input — exactly
     // like the oracle's UNION ALL arms), so it is asserted separately
     for (q <- Seq("sim_kmeans_train", "sim_ivf_trained_topk",
-        "dedup_semantic_trained",
+        "dedup_semantic_trained", "sim_silhouette",
         "dedup_fuzzy_names", "multimodal_phash", "multimodal_phash_dups",
+        "text_pmi_collocations", "text_vocab_coverage",
+        "behavior_seq2_support",
         "graph_pagerank_top", "window_session_native",
         "window_tumbling_native", "window_sliding_native",
         "cdc_point_in_time")) {
