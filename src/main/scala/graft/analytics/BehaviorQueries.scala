@@ -439,9 +439,15 @@ object BehaviorQueries extends QuerySuite {
     // ppm over broadcast 1-row / |types|-row aggregates. No window,
     // no event×event join, nothing data-sized after the first agg.
     "behavior_seq2_support" -> ((s, d) => {
+      // Key-width contract: both pads are 19 digits — the full width
+      // of a non-negative int64 — so the string order equals numeric
+      // order for ANY non-negative (sec, event_id), not just the
+      // fixture's range (epoch seconds are post-1970 and event ids
+      // are sequence-assigned, so both are ≥ 0 by schema). Must match
+      // the oracle's lpad widths exactly.
       val e = ev(s, d).withColumn("k",
-        concat(lpad(col("sec").cast("string"), 12, "0"), lit("|"),
-          lpad(col("event_id").cast("string"), 12, "0")))
+        concat(lpad(col("sec").cast("string"), 19, "0"), lit("|"),
+          lpad(col("event_id").cast("string"), 19, "0")))
       val ut = e.groupBy("user_id", "event_type")
         .agg(min("k").as("kmin"), max("k").as("kmax"))
       val tot = e.agg(countDistinct("user_id").as("n_total"))
@@ -777,8 +783,8 @@ object BehaviorQueries extends QuerySuite {
     "behavior_seq2_support" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type,
-         |    lpad(CAST($secSql AS VARCHAR), 12, '0') || '|' ||
-         |      lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+         |    lpad(CAST($secSql AS VARCHAR), 19, '0') || '|' ||
+         |      lpad(CAST(event_id AS VARCHAR), 19, '0') AS k
          |  FROM events),
          |ut AS (
          |  SELECT user_id, event_type, min(k) AS kmin, max(k) AS kmax

@@ -203,6 +203,63 @@ object GraphQueries extends QuerySuite {
       .localCheckpoint()
   }
 
+  /** SQL twin of graph_betweenness_panel, generated level-by-level
+    * with the same loops as the DataFrame side so the integer trees
+    * stay in lockstep. AS MATERIALIZED on every CTE referenced more
+    * than once (the kcore inlining lesson). */
+  private def betweennessSql: String = {
+    val fwd = (1 to BetwRadius).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT f.seed, s.b AS node,
+         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${r - 1} f JOIN sym s ON s.a = f.node
+         |  LEFT JOIN s${r - 1} p ON p.seed = f.seed AND p.node = s.b
+         |  WHERE p.node IS NULL
+         |  GROUP BY f.seed, s.b),
+         |s$r AS MATERIALIZED (
+         |  SELECT seed, node FROM s${r - 1}
+         |  UNION ALL SELECT seed, node FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((BetwRadius - 1) to 1 by -1).map { r =>
+      val dJoin =
+        if (r == BetwRadius - 1) ""
+        else s"\n  LEFT JOIN d${r + 1} dw ON dw.seed = v.seed" +
+          " AND dw.node = s.b"
+      val dwExpr = if (r == BetwRadius - 1) "0" else "coalesce(dw.delta, 0)"
+      s"""d$r AS MATERIALIZED (
+         |  SELECT v.seed, v.node,
+         |    CAST(sum(v.sigma * ($BetwPpm + $dwExpr) // w.sigma) AS BIGINT)
+         |      AS delta
+         |  FROM f$r v JOIN sym s ON s.a = v.node
+         |  JOIN f${r + 1} w ON w.seed = v.seed AND w.node = s.b$dJoin
+         |  GROUP BY v.seed, v.node)""".stripMargin
+    }.mkString(",\n")
+    val dUnion = (1 to BetwRadius - 1)
+      .map(r => s"SELECT node, delta FROM d$r")
+      .mkString("\n          UNION ALL ")
+    s"""$coSupplyEdgesSqlCtes,
+       |sym AS MATERIALIZED (
+       |  SELECT u AS a, v AS b FROM edges
+       |  UNION ALL SELECT v AS a, u AS b FROM edges),
+       |seeds AS (SELECT DISTINCT a AS node FROM sym
+       |          ORDER BY a LIMIT $BetwSeeds),
+       |f0 AS MATERIALIZED (
+       |  SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+       |  FROM seeds),
+       |s0 AS MATERIALIZED (SELECT seed, node FROM f0),
+       |$fwd,
+       |$bwd,
+       |bet AS (SELECT node, CAST(sum(delta) AS BIGINT) AS b_ppm
+       |        FROM ($dUnion)
+       |        GROUP BY node),
+       |rnk AS (SELECT node, b_ppm,
+       |          row_number() OVER (ORDER BY b_ppm DESC, node) AS rn
+       |        FROM bet)
+       |SELECT CAST(rn AS BIGINT) AS rk, node, b_ppm,
+       |  CAST(b_ppm AS DOUBLE) / CAST($BetwPpm AS DOUBLE) AS betweenness
+       |FROM rnk WHERE rn <= 20 ORDER BY rk""".stripMargin
+  }
+
   /** One damped round: mass_r+1 = base + (85·incoming) div 100.
     * `bcast` picks the mass⋈deg ship strategy (see class doc);
     * `private[graft]` so GraphPlanSpec can assert both plan shapes. */
@@ -279,6 +336,44 @@ object GraphQueries extends QuerySuite {
     * because the oracle replays exactly this many rounds and silently
     * stopping early would diverge from it. */
   val MaxPeelRounds = 12
+
+  /** Closeness seed-panel size: a CONSTANT number of sources (the
+    * Brandes–Pich sampled-centrality discipline) so the distance
+    * table is bounded at Seeds·V rows no matter how the graph grows —
+    * a fixed-RATE sample would put the panel itself on the data-size
+    * axis and break at 100×. */
+  val ClosenessSeeds = 16
+
+  /** Closeness radius: distances are truncated at this many hops
+    * (bounded-radius closeness — the standard scale definition; the
+    * oracle replays the same bound, so truncation is part of the
+    * semantics, not an error). Must keep [[HarmonicBase]] divisible
+    * by every d ≤ radius. */
+  val ClosenessRadius = 6
+
+  /** lcm(1..ClosenessRadius): 60/d is an exact BIGINT for every hop
+    * count d ≤ 6, so the harmonic sum is an order-independent integer
+    * aggregate divided ONCE at the end. */
+  val HarmonicBase = 60L
+
+  /** Betweenness seed-panel size (constant, like [[ClosenessSeeds]]).
+    * Smaller than the closeness panel because each seed carries a
+    * full forward+backward Brandes pass. */
+  val BetwSeeds = 8
+
+  /** Betweenness BFS radius: shortest paths longer than this are
+    * ignored BY DEFINITION (bounded-radius betweenness; the oracle
+    * unrolls exactly this many forward levels), the standard
+    * truncation for path centrality at scale. */
+  val BetwRadius = 4
+
+  /** Dependency quantum for the Brandes backward pass: δ is carried
+    * as an integer ppm so every per-level accumulation is an
+    * order-independent BIGINT sum — σ_v·(PPM+δ_w) div σ_w per DAG
+    * edge, floor-div in both engines. Headroom: σ ≤ fan^radius and
+    * δ ≤ reach·PPM keep the product < 2⁶³ to σ ≈ 10⁶, δ ≈ 10³·PPM —
+    * far above this graph's scale. */
+  val BetwPpm = 1000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Common-neighbor link prediction over the customer–PART
@@ -374,6 +469,146 @@ object GraphQueries extends QuerySuite {
           "rounds — diameter exceeds the bound; raise MaxBfsRounds " +
           "deliberately rather than silently truncating distances")
       settled.orderBy("node")
+    }),
+
+    // Sampled closeness + harmonic centrality over the strong
+    // co-supply graph — the "which suppliers sit nearest the middle of
+    // the trade network" ranking, computed the only way centrality
+    // scales: a CONSTANT [[ClosenessSeeds]]-source panel (Brandes &
+    // Pich, ESA'07 lineage) and bounded-radius BFS, never all-pairs.
+    // Multi-source level-synchronous expansion: the frontier carries
+    // (seed, node) so ONE join per round advances every seed at once;
+    // each round is frontier⋈edges + anti-join against settled +
+    // localCheckpoint — graph_bfs_depth's one-action-per-round
+    // discipline, with the settled table bounded at Seeds·V rows.
+    // Distances are truncated at [[ClosenessRadius]] hops BY
+    // DEFINITION (the oracle replays the same bound — truncation is
+    // the semantics, so no loud-fail here, unlike the full-BFS probe).
+    // Exactness: dist sums and the lcm-scaled harmonic sum
+    // (60/d exact for d ≤ 6) are BIGINT aggregates; closeness and
+    // harmonic are two final IEEE divisions.
+    "graph_closeness_panel" -> ((s, d) => {
+      val e0 = coSupplyEdges(s, d)
+      val sym = e0.select(col("u").as("a"), col("v").as("b"))
+        .union(e0.select(col("v").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(true) // read every round — truncate lineage once
+      // panel = the ClosenessSeeds smallest node ids present in the
+      // graph: deterministic and non-empty at every sf (a modulus
+      // rule can miss every node on a small id domain); production
+      // would hash-pick, which changes nothing structural
+      val seeds = sym.select(col("a").as("node")).distinct()
+        .orderBy("node").limit(ClosenessSeeds)
+      var settled = seeds.select(col("node").as("seed"), col("node"),
+        lit(0L).as("dist")).localCheckpoint(true)
+      var frontier = settled
+      var round = 0
+      var live = true
+      while (live && round < ClosenessRadius) {
+        round += 1
+        val next = frontier.select(col("seed"), col("node").as("a"))
+          .join(sym, "a")
+          .select(col("seed"), col("b").as("node")).distinct()
+          .join(settled.select("seed", "node"), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("dist", lit(round.toLong))
+          .localCheckpoint(true) // the round's single action
+        if (next.isEmpty) live = false
+        else {
+          settled = settled.union(next).localCheckpoint(true)
+          frontier = next
+        }
+      }
+      settled.groupBy("seed").agg(
+          count(lit(1)).as("n_reached"),
+          sum("dist").as("sum_dist"),
+          sum(when(col("dist") > 0L, expr(s"$HarmonicBase div dist"))
+            .otherwise(0L)).as("h"))
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          ((col("n_reached") - 1L).cast("double") /
+            col("sum_dist").cast("double")).as("closeness"),
+          (col("h").cast("double") / lit(HarmonicBase.toDouble))
+            .as("harmonic"))
+        .orderBy("seed")
+    }),
+
+    // Sampled betweenness centrality (Brandes, J.Math.Soc'01) over the
+    // strong co-supply graph — which suppliers BROKER the network's
+    // shortest paths, the complement of closeness's "who is near
+    // everything". Computed the only way betweenness scales: a
+    // constant [[BetwSeeds]] seed panel and [[BetwRadius]]-bounded
+    // BFS, never all-pairs. Forward pass: level-synchronous multi-
+    // source BFS carrying the shortest-path COUNT σ (exact BIGINT —
+    // σ(w) = Σ σ(v) over predecessor levels, one keyed sum per
+    // level). Backward pass: Brandes' dependency accumulation with δ
+    // carried as integer ppm ([[BetwPpm]]) — per DAG edge v→w the
+    // contribution is σ_v·(PPM+δ_w) div σ_w, an exact floor-div both
+    // engines replay, so the per-node sums are order-independent
+    // BIGINTs and the hash matches despite the algorithm being a
+    // 2·radius-round iteration. Every shuffle keys on (seed, node);
+    // the settled/level tables are bounded at Seeds·V rows; the final
+    // ranking is a top-K on the node-sized aggregate.
+    "graph_betweenness_panel" -> ((s, d) => {
+      val e0 = coSupplyEdges(s, d)
+      val sym = e0.select(col("u").as("a"), col("v").as("b"))
+        .union(e0.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true) // read 2·radius times — truncate once
+      val seeds = sym.select(col("a").as("node")).distinct()
+        .orderBy("node").limit(BetwSeeds)
+      var level = seeds.select(col("node").as("seed"), col("node"),
+        lit(1L).as("sigma")).localCheckpoint(true)
+      val levels = scala.collection.mutable.ArrayBuffer(level)
+      var settled = level.select("seed", "node").localCheckpoint(true)
+      for (_ <- 1 to BetwRadius) {
+        val next = level.join(sym, col("node") === col("a"))
+          .select(col("seed"), col("b").as("nxt"), col("sigma"))
+          .join(settled.select(col("seed"), col("node").as("nxt")),
+            Seq("seed", "nxt"), "left_anti")
+          .groupBy(col("seed"), col("nxt").as("node"))
+          .agg(sum("sigma").as("sigma"))
+          .localCheckpoint(true) // the forward round's single action
+        levels += next
+        settled = settled.union(next.select("seed", "node"))
+          .localCheckpoint(true)
+        level = next
+      }
+      // backward: δ at the deepest level is 0 (no successors inside
+      // the radius); seeds (level 0) need no δ — betweenness sums δ
+      // over interior nodes v ≠ s only
+      var deltaAbove: Option[DataFrame] = None
+      val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (r <- (BetwRadius - 1) to 1 by -1) {
+        val v = levels(r).select(col("seed"), col("node").as("vn"),
+          col("sigma").as("sv"))
+        val w = levels(r + 1).select(col("seed"), col("node").as("wn"),
+          col("sigma").as("sw"))
+        val dag = v.join(sym, col("vn") === col("a"))
+          .select(col("seed"), col("vn"), col("sv"), col("b").as("wn"))
+          .join(w, Seq("seed", "wn"))
+        val withD = deltaAbove match {
+          case Some(da) => dag.join(da.select(col("seed"),
+              col("node").as("wn"), col("delta").as("dw")),
+            Seq("seed", "wn"), "left")
+          case None => dag.withColumn("dw", lit(null).cast("long"))
+        }
+        val dr = withD
+          .select(col("seed"), col("vn"),
+            expr(s"sv * ($BetwPpm + coalesce(dw, 0L)) div sw").as("c"))
+          .groupBy(col("seed"), col("vn").as("node"))
+          .agg(sum("c").as("delta"))
+          .localCheckpoint(true) // the backward round's single action
+        perLevel += dr
+        deltaAbove = Some(dr)
+      }
+      val bet = perLevel.reduce(_ union _)
+        .groupBy("node").agg(sum("delta").as("b_ppm"))
+      bet.orderBy(col("b_ppm").desc, col("node")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("b_ppm").desc, col("node"))).cast("long"))
+        .select(col("rk"), col("node"), col("b_ppm"),
+          (col("b_ppm").cast("double") / lit(BetwPpm.toDouble))
+            .as("betweenness"))
+        .orderBy("rk")
     }),
 
     // k-core decomposition (membership of the K-core) of the strong
@@ -769,6 +1004,31 @@ object GraphQueries extends QuerySuite {
          |  WHERE bfs.dist < $MaxBfsRounds)
          |SELECT node, CAST(min(dist) AS BIGINT) AS dist
          |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    "graph_closeness_panel" ->
+      s"""${coSupplyEdgesSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT u AS a, v AS b FROM edges
+         |        UNION SELECT v AS a, u AS b FROM edges),
+         |seeds AS (SELECT DISTINCT a AS node FROM sym
+         |          ORDER BY a LIMIT $ClosenessSeeds),
+         |walk AS (
+         |  SELECT node AS seed, node, CAST(0 AS BIGINT) AS d FROM seeds
+         |  UNION
+         |  SELECT walk.seed, sym.b AS node, walk.d + 1 AS d
+         |  FROM walk JOIN sym ON sym.a = walk.node
+         |  WHERE walk.d < $ClosenessRadius),
+         |md AS (SELECT seed, node, CAST(min(d) AS BIGINT) AS dist
+         |       FROM walk GROUP BY seed, node)
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  CAST(count(*) - 1 AS DOUBLE) / CAST(sum(dist) AS DOUBLE)
+         |    AS closeness,
+         |  CAST(sum(CASE WHEN dist > 0 THEN $HarmonicBase // dist
+         |    ELSE 0 END) AS DOUBLE) / CAST($HarmonicBase AS DOUBLE)
+         |    AS harmonic
+         |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
+
+    "graph_betweenness_panel" -> betweennessSql,
 
     "graph_kcore" -> {
       // AS MATERIALIZED is load-bearing: every round references the

@@ -31,6 +31,12 @@ import Exact._
   */
 object StatQueries extends QuerySuite {
 
+  /** Power-iteration rounds for stat_pca_power: enough for the gap
+    * ratio on this covariance (price variance dominates by orders of
+    * magnitude) to pin the direction; the oracle unrolls the same
+    * count, so the value must only be deterministic, not converged. */
+  val PcaRounds = 6
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-(event_type, day) z-score of every event's value — the
     // daily-cohort anomaly score. Scale shape: one groupBy for the
@@ -408,6 +414,67 @@ object StatQueries extends QuerySuite {
           lit(null).cast("double"))
           .otherwise((col("beta_hour") * col("d1y") +
             col("beta_weekend") * col("d2y")) / col("dyy")).as("r2"))
+    }),
+
+    // Top principal component of the 4-feature lineitem space
+    // (quantity, whole-dollar price, discount ppc, tax ppc) by POWER
+    // ITERATION on the exact population covariance — the "which single
+    // direction explains this table" question, and the canonical
+    // d²-moments-one-pass shape distributed PCA takes at any scale:
+    // ONE map-side-combined aggregate produces all 15 integer moments
+    // (n, 4 sums, 10 squares/crosses — exact BIGINTs on the quantized
+    // grid), and everything after is a FIXED float tree on that 1-row
+    // frame: covariance via the cross-multiplied form
+    // (n·Σxy − Σx·Σy)/n², then [[PcaRounds]] rounds of w = C·v,
+    // v = w/‖w‖ from v₀ = (½,½,½,½). Zero data motion past the single
+    // reduce; the iteration costs nothing at 100 TB because it never
+    // touches the data again. Exactness: the covariance products are
+    // computed in DOUBLE (n·Σp² ≈ 4·10²¹ exceeds BIGINT — unlike the
+    // linreg twins the casts happen BEFORE the multiply, identically
+    // in the oracle), and mult/add/div/sqrt on identical doubles are
+    // correctly-rounded IEEE in both engines, so the eigenpair is
+    // bit-identical. λ is the final ‖C·v‖ (→ top eigenvalue as the
+    // iteration converges); the eigenvector sign is pinned by the
+    // positive start vector. Moment headroom: Σp² < 2⁶³ to ~10⁸ rows
+    // at whole-dollar prices — DECIMAL(38,0) swap past that, per the
+    // suite header.
+    "stat_pca_power" -> ((s, d) => {
+      val dims = 1 to 4
+      val pairs = for (j <- dims; k <- dims if j <= k) yield (j, k)
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_quantity"), 0).cast("long").as("x1"),
+        round(col("l_extendedprice"), 0).cast("long").as("x2"),
+        round(col("l_discount") * 100, 0).cast("long").as("x3"),
+        round(col("l_tax") * 100, 0).cast("long").as("x4"))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        dims.map(j => sum(col(s"x$j")).as(s"s$j")) ++
+        pairs.map { case (j, k) =>
+          sum(col(s"x$j") * col(s"x$k")).as(s"s$j$k") }
+      val m = li.agg(aggs.head, aggs.tail: _*)
+      val nD = col("n").cast("double")
+      val covCols = pairs.map { case (j, k) =>
+        ((nD * col(s"s$j$k").cast("double") -
+          col(s"s$j").cast("double") * col(s"s$k").cast("double")) /
+          (nD * nD)).as(s"c$j$k") }
+      val keep = col("n") +: pairs.map { case (j, k) => col(s"c$j$k") }
+      var cur = m.select(
+        (keep.head +: (covCols ++ dims.map(j => lit(0.5).as(s"v$j")))): _*)
+      var nrmExpr = lit(null).cast("double")
+      for (_ <- 1 to PcaRounds) {
+        val ws = dims.map { j =>
+          dims.map { k =>
+            val (a, b) = if (j <= k) (j, k) else (k, j)
+            col(s"c$a$b") * col(s"v$k")
+          }.reduceLeft(_ + _).as(s"w$j") }
+        cur = cur.select(keep ++ ws: _*)
+        nrmExpr = sqrt(dims.map(j => col(s"w$j") * col(s"w$j"))
+          .reduceLeft(_ + _))
+        val vs = dims.map(j => (col(s"w$j") / nrmExpr).as(s"v$j"))
+        cur = cur.select((keep :+ nrmExpr.as("nrm")) ++ vs: _*)
+      }
+      cur.select(col("n"), col("nrm").as("lambda"),
+        col("v1").as("v_qty"), col("v2").as("v_price"),
+        col("v3").as("v_disc"), col("v4").as("v_tax"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -667,5 +734,58 @@ object StatQueries extends QuerySuite {
         |  CASE WHEN det = 0 OR dyy = 0 THEN NULL
         |       ELSE (beta_hour * d1y + beta_weekend * d2y) / dyy END
         |    AS r2
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+
+    "stat_pca_power" -> pcaPowerSql)
+
+  /** SQL twin of stat_pca_power, generated with the same loops as the
+    * DataFrame side so the float trees stay in lockstep: one CTE per
+    * w-step and per v-step, left-associated sums in declaration order
+    * exactly as `reduceLeft(_ + _)` builds them. */
+  private def pcaPowerSql: String = {
+    val dims = 1 to 4
+    val pairs = for (j <- dims; k <- dims if j <= k) yield (j, k)
+    val covKeep = pairs.map { case (j, k) => s"c$j$k" }.mkString(", ")
+    val momentCols =
+      (dims.map(j => s"CAST(sum(x$j) AS BIGINT) AS s$j") ++
+        pairs.map { case (j, k) =>
+          s"CAST(sum(x$j * x$k) AS BIGINT) AS s$j$k" }).mkString(",\n    ")
+    val covCols = pairs.map { case (j, k) =>
+      s"""(CAST(n AS DOUBLE) * CAST(s$j$k AS DOUBLE) -
+         |     CAST(s$j AS DOUBLE) * CAST(s$k AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS c$j$k""".stripMargin
+    }.mkString(",\n    ")
+    val v0 = dims.map(j => s"CAST(0.5 AS DOUBLE) AS v$j").mkString(", ")
+    val rounds = (1 to PcaRounds).flatMap { r =>
+      val prev = if (r == 1) "c" else s"r${r - 1}v"
+      val ws = dims.map { j =>
+        dims.map { k =>
+          val (a, b) = if (j <= k) (j, k) else (k, j)
+          s"c$a$b * v$k"
+        }.mkString(" + ") + s" AS w$j"
+      }.mkString(",\n    ")
+      val nrm = "sqrt(" + dims.map(j => s"w$j * w$j").mkString(" + ") + ")"
+      val vs = dims.map(j => s"w$j / $nrm AS v$j").mkString(",\n    ")
+      Seq(
+        s"r${r}w AS (SELECT n, $covKeep,\n    $ws\n  FROM $prev)",
+        s"r${r}v AS (SELECT n, $covKeep, $nrm AS nrm,\n    $vs\n  FROM r${r}w)")
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+       |    CAST(round(l_extendedprice) AS BIGINT) AS x2,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS x3,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS x4
+       |  FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $momentCols
+       |  FROM li),
+       |c AS (SELECT n,
+       |    $covCols,
+       |    $v0
+       |  FROM m),
+       |$rounds
+       |SELECT n, nrm AS lambda, v1 AS v_qty, v2 AS v_price,
+       |  v3 AS v_disc, v4 AS v_tax
+       |FROM r${PcaRounds}v""".stripMargin
+  }
 }

@@ -343,6 +343,11 @@ object ClusterQueries extends QuerySuite {
             .withColumn("ds", ds)
             .withColumn("own", own)
             .withColumn("other", other)
+            // single-centroid training leaves no "other" cluster
+            // (filter → empty array → NULL min); the oracle's own⋈oth
+            // inner join emits nothing there, so drop the row rather
+            // than aggregate a NULL s_ppm
+            .filter(col("other").isNotNull)
             .withColumn("s_ppm",
               floor(sRaw * lit(1000000.0) + lit(0.5)).cast("long"))
             .select(col("own").getField("c_id").as("c_id"), col("s_ppm"))

@@ -227,21 +227,14 @@ object TextQueries extends QuerySuite {
         .withColumn("occ", col("n") * col("n_terms"))
       val bk = cc.withColumn("bk", expr("n div 1000"))
       val base = bk.groupBy("bk")
-        .agg(sum("n_terms").as("bt"), sum("occ").as("bo"))
+        .agg(sum("n_terms").as("bt"))
         .withColumn("base_t", coalesce(sum("bt").over(
           Window.orderBy(col("bk").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("base_o", coalesce(sum("bo").over(
-          Window.orderBy(col("bk").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bk", "base_t", "base_o")
+        .select("bk", "base_t")
       val cum = bk.join(broadcast(base), "bk")
         .withColumn("above_t", col("base_t") + coalesce(
           sum("n_terms").over(Window.partitionBy("bk")
-            .orderBy(col("n").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("above_o", col("base_o") + coalesce(
-          sum("occ").over(Window.partitionBy("bk")
             .orderBy(col("n").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       val tot = cc.agg(sum("n_terms").as("total_terms"),

@@ -64,13 +64,19 @@ class SeqPatternSpec extends SparkSpec {
     }
   }
 
-  test("support is asymmetric where order matters but bounded by co-occurrence") {
+  test("support is bounded by the audience co-occurrence") {
+    val events = rawEvents()
+    // users having at least one event of each type
+    val usersByType = events.map(e => (e._2, e._1)).distinct
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
     val got = result()
-    // (a,b) and (b,a) both present for co-occurring types; each side's
-    // support never exceeds the audience intersection
     for (((a, b), (n, _, _, _)) <- got) {
-      val rev = got.get((b, a))
-      assert(rev.isDefined || n >= 0)
+      val both = (usersByType(a) & usersByType(b)).size.toLong
+      assert(n <= both,
+        s"pattern ($a,$b): support $n exceeds co-occurrence $both")
+      // a strictly-ordered containment in one direction implies the
+      // pair co-occurs, so the reverse pattern's audience is nonempty
+      assert(both > 0)
     }
     assert(got.nonEmpty)
   }

@@ -67,6 +67,19 @@ class SilhouetteSpec extends SparkSpec {
     }
   }
 
+  test("single-centroid training yields zero rows, mirroring the oracle inner join") {
+    import spark.implicits._
+    // one vector → stride init seeds exactly one centroid → no "other"
+    // cluster exists; the oracle's own⋈oth inner join emits nothing,
+    // so the engine must too (not NULL-sum rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sil1").toString
+    Seq((0L, Array.tabulate(ClusterQueries.KmDim)(i => 0.01f * i), 0))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = ClusterQueries.queries("sim_silhouette")(spark, dir)
+    assert(out.count() == 0L)
+  }
+
   test("member counts tie out against the trainer census") {
     val sil = ClusterQueries.queries("sim_silhouette")(spark, sf)
       .collect().filter(_.getInt(0) >= 0)
