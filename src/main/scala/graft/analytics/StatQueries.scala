@@ -37,6 +37,12 @@ object StatQueries extends QuerySuite {
     * count, so the value must only be deterministic, not converged. */
   val PcaRounds = 6
 
+  /** Ridge penalties swept by stat_ridge_path, in the covariance
+    * units of the hour/weekend predictors (var(hour) ≈ 48, so the
+    * grid spans none → mild → dominant shrinkage). Whole units keep
+    * the perturbed diagonal an exact BIGINT. */
+  val RidgeLambdas = Seq(0L, 25L, 100L, 400L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-(event_type, day) z-score of every event's value — the
     // daily-cohort anomaly score. Scale shape: one groupBy for the
@@ -475,6 +481,76 @@ object StatQueries extends QuerySuite {
       cur.select(col("n"), col("nrm").as("lambda"),
         col("v1").as("v_qty"), col("v2").as("v_price"),
         col("v3").as("v_disc"), col("v4").as("v_tax"))
+    }),
+
+    // Ridge-regression REGULARIZATION PATH for the linreg_multi model
+    // (value ~ hour + weekend) — every λ on [[RidgeLambdas]] solved
+    // from the SAME single pass of exact integer moments: ridge on
+    // centered data only perturbs the normal-equation diagonal, and in
+    // the cross-multiplied integer forms that is d_ii + λ·n² (still an
+    // exact BIGINT: λ·n² < 2⁶³ holds to n ≈ 10⁸ rows at λ ≤ 400 —
+    // DECIMAL swap past that, per the suite header). The sweep
+    // costs ZERO extra data passes at any scale: one map-side-combined
+    // aggregate, a broadcast λ spine, and the per-λ 2×2 solve as the
+    // same fixed float tree as stat_linreg_multi (which this query
+    // must reproduce exactly at λ = 0 — RidgeSpec pins that). β
+    // magnitudes shrink monotonically in λ; fit_share is the explained
+    // variance along the ridge direction ((β·d_y)/d_yy), double, one
+    // tree.
+    "stat_ridge_path" -> ((s, d) => {
+      val ep = floor(unix_timestamp(col("ts")) / 3600L).cast("long")
+      val dow = (floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+        + 4L) % 7L
+      val ev = Tables.events(s, d).select(
+        (ep % 24L).as("x1"),
+        when(dow === 0L || dow === 6L, 1L).otherwise(0L).as("x2"),
+        round(col("value"), 0).cast("long").as("y"))
+      val m = ev.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      val spine = s.range(1).select(explode(
+        array(RidgeLambdas.map(v => lit(v)): _*)).as("lambda"))
+      val c = m.crossJoin(broadcast(spine)).select(
+        col("lambda"), col("n"), col("s1"), col("s2"), col("sy"),
+        (col("n") * col("s11") - col("s1") * col("s1") +
+          col("lambda") * col("n") * col("n")).cast("double").as("d11"),
+        (col("n") * col("s22") - col("s2") * col("s2") +
+          col("lambda") * col("n") * col("n")).cast("double").as("d22"),
+        (col("n") * col("s12") - col("s1") * col("s2"))
+          .cast("double").as("d12"),
+        (col("n") * col("s1y") - col("s1") * col("sy"))
+          .cast("double").as("d1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy"))
+          .cast("double").as("d2y"),
+        (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("dyy"))
+      val det = col("d11") * col("d22") - col("d12") * col("d12")
+      val bh = (col("d22") * col("d1y") - col("d12") * col("d2y")) / det
+      val bw = (col("d11") * col("d2y") - col("d12") * col("d1y")) / det
+      val b = c.select(col("lambda"), col("n"), col("s1"), col("s2"),
+        col("sy"), col("d1y"), col("d2y"), col("dyy"),
+        det.as("det"), bh.as("beta_hour"), bw.as("beta_weekend"))
+      b.select(col("lambda"), col("n"),
+        when(col("det") === 0.0, lit(null).cast("double"))
+          .otherwise((col("sy").cast("double") -
+            col("beta_hour") * col("s1").cast("double") -
+            col("beta_weekend") * col("s2").cast("double")) /
+            col("n").cast("double")).as("beta0"),
+        when(col("det") === 0.0, lit(null).cast("double"))
+          .otherwise(col("beta_hour")).as("beta_hour"),
+        when(col("det") === 0.0, lit(null).cast("double"))
+          .otherwise(col("beta_weekend")).as("beta_weekend"),
+        when(col("det") === 0.0 || col("dyy") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("beta_hour") * col("d1y") +
+            col("beta_weekend") * col("d2y")) / col("dyy"))
+          .as("fit_share"))
+        .orderBy("lambda")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -736,7 +812,57 @@ object StatQueries extends QuerySuite {
         |    AS r2
         |FROM b""".stripMargin,
 
-    "stat_pca_power" -> pcaPowerSql)
+    "stat_pca_power" -> pcaPowerSql,
+
+    "stat_ridge_path" -> {
+      val vals = RidgeLambdas.map(l => s"($l)").mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS x1,
+         |    CASE WHEN ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
+         |      IN (0, 6) THEN 1 ELSE 0 END AS x2,
+         |    CAST(round("value") AS BIGINT) AS y
+         |  FROM events),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM ev),
+         |spine AS (SELECT CAST(lambda AS BIGINT) AS lambda
+         |          FROM (VALUES $vals) t(lambda)),
+         |c AS (SELECT lambda, n, s1, s2, sy,
+         |    CAST(n * s11 - s1 * s1 + lambda * n * n AS DOUBLE) AS d11,
+         |    CAST(n * s22 - s2 * s2 + lambda * n * n AS DOUBLE) AS d22,
+         |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS d12,
+         |    CAST(n * s1y - s1 * sy AS DOUBLE) AS d1y,
+         |    CAST(n * s2y - s2 * sy AS DOUBLE) AS d2y,
+         |    CAST(n * syy - sy * sy AS DOUBLE) AS dyy
+         |  FROM m CROSS JOIN spine),
+         |b AS (SELECT lambda, n, s1, s2, sy, d1y, d2y, dyy,
+         |    d11 * d22 - d12 * d12 AS det,
+         |    (d22 * d1y - d12 * d2y) / (d11 * d22 - d12 * d12)
+         |      AS beta_hour,
+         |    (d11 * d2y - d12 * d1y) / (d11 * d22 - d12 * d12)
+         |      AS beta_weekend
+         |  FROM c)
+         |SELECT lambda, n,
+         |  CASE WHEN det = 0 THEN NULL
+         |       ELSE (CAST(sy AS DOUBLE) -
+         |             beta_hour * CAST(s1 AS DOUBLE) -
+         |             beta_weekend * CAST(s2 AS DOUBLE)) /
+         |            CAST(n AS DOUBLE) END AS beta0,
+         |  CASE WHEN det = 0 THEN NULL ELSE beta_hour END AS beta_hour,
+         |  CASE WHEN det = 0 THEN NULL ELSE beta_weekend END
+         |    AS beta_weekend,
+         |  CASE WHEN det = 0 OR dyy = 0 THEN NULL
+         |       ELSE (beta_hour * d1y + beta_weekend * d2y) / dyy END
+         |    AS fit_share
+         |FROM b ORDER BY lambda""".stripMargin
+    })
 
   /** SQL twin of stat_pca_power, generated with the same loops as the
     * DataFrame side so the float trees stay in lockstep: one CTE per

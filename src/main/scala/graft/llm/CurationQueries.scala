@@ -30,6 +30,20 @@ object CurationQueries extends QuerySuite {
   /** Docs kept per stratum by the stratified sampler. */
   val SampleK = 10
 
+  /** Skyline grid widths (words / vocab / top-term buckets): one
+    * bucket step of separation in EVERY dimension guarantees true
+    * dominance (floor arithmetic: bw₁ > bw₂ ⇒ w₁ ≥ 8·bw₁ > w₂), so
+    * whole cells prune without any pairwise compare. */
+  val SkylineGridW = 8L
+  val SkylineGridV = 4L
+  val SkylineGridR = 2L
+
+  /** Loud bound on the exact-phase candidate count (the LocalTypeCap
+    * discipline): the grid prune must leave at most this many
+    * boundary-cell docs for the broadcast pairwise pass — fail loudly
+    * past it rather than let a nested-loop join grow quadratic. */
+  val SkylineCandidateBudget = 200000L
+
   /** documents with the split word array (and lowered twin). */
   private def withWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -147,6 +161,57 @@ object CurationQueries extends QuerySuite {
           sum(when(col("q") === 1L && col("is_canon") === 1L, 1L)
             .otherwise(0L)).as("n_train_ready"))
         .orderBy("source")
+    }),
+
+    // Pareto-frontier (SKYLINE) document selection — Börzsönyi et
+    // al.'s skyline operator (ICDE'01) applied to curation: the docs
+    // not dominated on (n_words ↑, n_vocab ↑, max term count ↓) — the
+    // multi-objective shortlist no single quality score can produce,
+    // because any weighted score silently picks one point ON this
+    // frontier. Scale shape (the grid/block-nested-loop hybrid from
+    // the same paper): (1) per-doc metrics — one (doc, gram) shuffle;
+    // (2) GRID PRUNE — docs bucket into cells ([[SkylineGridW]]/V/R
+    // wide), and a cell strictly below a nonempty cell in ALL
+    // dimensions is dropped WHOLESALE (floor arithmetic makes the
+    // bucket-step gap a dominance proof — no pairwise compare, the
+    // cell table is grid-bounded and broadcast); (3) the surviving
+    // boundary-cell docs — loud-bounded by
+    // [[SkylineCandidateBudget]] — go through ONE broadcast
+    // nested-loop anti-join against the exact dominance predicate.
+    // Nothing is ever quadratic in the corpus: only in the boundary
+    // set, which the budget pins. The oracle is the naive NOT EXISTS
+    // dominance scan — a different algorithm entirely, so the hash
+    // match proves the grid prune is lossless.
+    "curation_pareto_skyline" -> ((s, d) => {
+      val m = wordRepetition(withWords(s, d))
+        .select(col("doc_id"), col("n_words"),
+          col("d_w").as("n_vocab"), col("top_w").as("max_tf"))
+        .withColumn("bw", expr(s"n_words div $SkylineGridW"))
+        .withColumn("bv", expr(s"n_vocab div $SkylineGridV"))
+        .withColumn("br", expr(s"max_tf div $SkylineGridR"))
+      val cells = m.groupBy("bw", "bv", "br").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // grid-bounded; read by both prune sides
+      val dominated = cells.as("lo").join(broadcast(cells.as("hi")),
+          col("hi.bw") > col("lo.bw") && col("hi.bv") > col("lo.bv") &&
+            col("hi.br") < col("lo.br"), "left_semi")
+        .select(col("bw"), col("bv"), col("br"))
+      val cands = m.join(broadcast(dominated), Seq("bw", "bv", "br"),
+          "left_anti")
+        .select("doc_id", "n_words", "n_vocab", "max_tf")
+        .localCheckpoint() // read by the count gate + both join sides
+      val nCands = cands.count()
+      require(nCands <= SkylineCandidateBudget,
+        s"skyline boundary set $nCands exceeds $SkylineCandidateBudget " +
+          "— shrink the grid cells (more buckets) before the pairwise " +
+          "pass goes quadratic")
+      val other = cands.select(col("n_words").as("w2"),
+        col("n_vocab").as("v2"), col("max_tf").as("r2"))
+      cands.join(broadcast(other),
+          col("w2") >= col("n_words") && col("v2") >= col("n_vocab") &&
+            col("r2") <= col("max_tf") &&
+            (col("w2") > col("n_words") || col("v2") > col("n_vocab") ||
+              col("r2") < col("max_tf")), "left_anti")
+        .orderBy("doc_id")
     }),
 
     // TEMPORAL split with an embargo gap — the time-series evaluation
@@ -577,6 +642,22 @@ object CurationQueries extends QuerySuite {
     |  FROM wagg JOIN m ON wagg.doc_id = m.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // The naive quadratic dominance scan — deliberately NOT the grid
+    // algorithm, so agreement proves the prune lossless.
+    "curation_pareto_skyline" ->
+      s"""WITH $repetitionCte,
+         |m AS (SELECT doc_id, n_words, CAST(d_w AS BIGINT) AS n_vocab,
+         |             CAST(top_w AS BIGINT) AS max_tf
+         |      FROM wagg)
+         |SELECT a.doc_id, a.n_words, a.n_vocab, a.max_tf
+         |FROM m a WHERE NOT EXISTS (
+         |  SELECT 1 FROM m b
+         |  WHERE b.n_words >= a.n_words AND b.n_vocab >= a.n_vocab
+         |    AND b.max_tf <= a.max_tf
+         |    AND (b.n_words > a.n_words OR b.n_vocab > a.n_vocab
+         |         OR b.max_tf < a.max_tf))
+         |ORDER BY a.doc_id""".stripMargin,
+
     "text_filter_sweep" -> {
       val vals = SweepThresholds.map(t => s"($t)").mkString(", ")
       s"""WITH g AS (SELECT * FROM (VALUES $vals) t(min_chars)),
