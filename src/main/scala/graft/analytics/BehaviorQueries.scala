@@ -23,6 +23,22 @@ object BehaviorQueries extends QuerySuite {
     * purchase get the credit. */
   val AttribWindowSec = 3600L
 
+  /** Per-user event cap for the pattern-regex symbol strings: bounds
+    * any one user's string (and the collect_list behind it) so a
+    * pathological power user can't blow a task; the truncation is
+    * part of the query's semantics — the oracle replays the same
+    * first-MaxSeqEvents-by-(sec, event_id) prefix. */
+  val MaxSeqEvents = 4096
+
+  /** (name → regex) patterns counted by behavior_pattern_regex over
+    * the c/e/p/s/v symbol alphabet (event-type initials). Each regex
+    * has a unique non-overlapping match set under both Java and RE2
+    * semantics: fixed literal terminators, negated-class gaps only. */
+  val PatternRegexes = Seq(
+    "browse_to_buy" -> "v[^p]*p", // view → purchase, no purchase between
+    "error_then_purchase" -> "e+p", // error streak resolved by a purchase
+    "double_signup" -> "ss") // adjacent repeat signups
+
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("user_id"), col("event_type"), col("event_id"),
@@ -470,6 +486,46 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("a", "b")
     }),
 
+    // Sequence PATTERN MATCHING over per-user event streams — the
+    // MATCH_RECOGNIZE workload (SQL:2016 row-pattern recognition,
+    // re-expressed Spark-first): each user's ordered stream collapses
+    // to a compact symbol string (one letter per event type — the
+    // alphabet is the 5 fixed types, initials distinct by fixture
+    // contract), and each pattern is a regex counted with
+    // non-overlapping leftmost matches. Pattern design keeps the
+    // count ENGINE-AGNOSTIC: fixed terminators and negated classes
+    // (`v[^p]*p`) have a unique match set under both leftmost-greedy
+    // (Java) and RE2 (DuckDB) semantics — no backtracking ambiguity.
+    // Scale shape: ONE user-keyed shuffle builds the strings
+    // (collect_list + sort_array, capped at [[MaxSeqEvents]] events —
+    // the cap is part of the semantics and the oracle replays it via
+    // row_number ≤ cap); matching is map-only over user-count rows;
+    // the census is a 3-row aggregate. Nothing downstream of the
+    // first shuffle is event-sized.
+    "behavior_pattern_regex" -> ((s, d) => {
+      val seqs = ev(s, d)
+        .select(col("user_id"),
+          struct(col("sec"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("e"))
+        .groupBy("user_id")
+        .agg(concat_ws("", slice(transform(sort_array(collect_list("e")),
+          x => x.getField("ch")), 1, MaxSeqEvents)).as("sq"))
+      val scored = seqs.select(col("user_id") +:
+        PatternRegexes.map { case (name, rx) =>
+          size(regexp_extract_all(col("sq"), lit(rx), lit(0)))
+            .cast("long").as(name)
+        }: _*)
+      val stackArgs = PatternRegexes
+        .map { case (name, _) => s"'$name', $name" }.mkString(", ")
+      scored
+        .select(expr(s"stack(${PatternRegexes.size}, $stackArgs)" +
+          " as (pattern, m)"))
+        .groupBy("pattern").agg(
+          sum(when(col("m") > 0L, 1L).otherwise(0L)).as("n_users"),
+          sum("m").as("n_matches"))
+        .orderBy("pattern")
+    }),
+
     "behavior_markov_eval" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("sec"), col("event_id"))
@@ -806,6 +862,29 @@ object BehaviorQueries extends QuerySuite {
          |    AS confidence_ppm
          |FROM sup JOIN pt ON pt.event_type = sup.a CROSS JOIN tot
          |ORDER BY a, b""".stripMargin,
+
+    "behavior_pattern_regex" -> {
+      val spine = PatternRegexes
+        .map { case (n, rx) => s"('$n', '$rx')" }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT user_id, substr(event_type, 1, 1) AS ch,
+         |    $secSql AS sec, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY $secSql, event_id) AS rn
+         |  FROM events),
+         |seqs AS (
+         |  SELECT user_id, string_agg(ch, '' ORDER BY sec, event_id) AS sq
+         |  FROM e WHERE rn <= $MaxSeqEvents GROUP BY user_id),
+         |pat AS (SELECT * FROM (VALUES $spine) t(pattern, rx)),
+         |m AS (SELECT pat.pattern,
+         |        len(regexp_extract_all(seqs.sq, pat.rx)) AS m
+         |      FROM seqs CROSS JOIN pat)
+         |SELECT pattern,
+         |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_users,
+         |  CAST(sum(m) AS BIGINT) AS n_matches
+         |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin
+    },
 
     "behavior_markov_eval" ->
       s"""WITH gsrc AS (
