@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming row-pattern detection (CEP) — the incremental twin of the
+  * batch `behavior_pattern_regex` browse-to-buy pattern `v[^p]*p`:
+  * emit a match every time a user's stream completes view → … →
+  * purchase with no intervening purchase. The regex's non-overlapping
+  * leftmost-match semantics ARE a 2-state machine — disarmed until a
+  * `view` arrives (recording the match start), armed until the first
+  * `purchase` closes the match — so a time-ordered stream emits
+  * exactly the substrings the batch regex counts (PatternProcessorSpec
+  * pins the equivalence against java.util.regex on real data).
+  *
+  * Scale: O(1) state per user (armed flag + start time + running
+  * count); emissions only on completed matches. Intra-batch rows sort
+  * by (sec, event_id) — the suite's canonical event order — so
+  * arrival order inside a micro-batch cannot change the matches.
+  */
+class PatternProcessor
+    extends StatefulProcessor[Long, PatternProcessor.PatternEvent, PatternProcessor.PatternMatch] {
+  import PatternProcessor._
+
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[MatchState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[MatchState](
+      "pattern", Encoders.product[MatchState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[PatternEvent],
+      timers: TimerValues): Iterator[PatternMatch] = {
+    var s = if (st.exists()) st.get() else MatchState(armed = false, 0L, 0L)
+    val out = Seq.newBuilder[PatternMatch]
+    for (e <- rows.toSeq.sortBy(r => (r.sec, r.event_id))) {
+      if (!s.armed) {
+        if (e.event_type == "view") s = MatchState(armed = true, e.sec, s.n)
+      } else if (e.event_type == "purchase") {
+        val n = s.n + 1L
+        out += PatternMatch(user, s.startSec, e.sec, n)
+        s = MatchState(armed = false, 0L, n)
+      } // any non-purchase keeps the match open: the [^p]* gap
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
+object PatternProcessor {
+  case class PatternEvent(user_id: Long, event_id: Long,
+      event_type: String, sec: Long)
+  case class MatchState(armed: Boolean, startSec: Long, n: Long)
+  case class PatternMatch(user_id: Long, start_sec: Long, end_sec: Long,
+      n_matches: Long)
+
+  def matches(events: Dataset[PatternEvent]): Dataset[PatternMatch] = {
+    implicit val outEnc = Encoders.product[PatternMatch]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new PatternProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
