@@ -50,6 +50,15 @@ object InsightQueries extends QuerySuite {
   /** Deterministic result cap for ranked pair outputs. */
   private val TopPairs = 200
 
+  /** Half-life of the recency decay (agg_decayed_revenue): revenue
+    * halves every 30 days of age — one whole right-shift bucket. */
+  val HalfLifeDays = 30L
+
+  /** Decay-shift cap: cents fit 2^40, so any shift ≥ 40 yields exactly
+    * 0 — capping there keeps 1<<k inside BIGINT for arbitrarily old
+    * rows without changing any value. */
+  val MaxDecayShift = 40L
+
   /** Bootstrap resample count and the 2.5% / 97.5% rank statistics of
     * the sorted resample means (1-based; ceil(0.025·B) and
     * B − ceil(0.025·B) + 1). */
@@ -136,6 +145,39 @@ object InsightQueries extends QuerySuite {
         .select(col("o_orderkey"), col("od"),
           (col("pc") / 100.0).as("price"))
         .orderBy("o_orderkey")
+    }),
+
+    // Recency-weighted (half-life-decayed) revenue per market segment —
+    // the "what has this segment done for us LATELY" aggregate behind
+    // churn and LTV dashboards, with the decay kept EXACT: weight
+    // 2^-(age/[[HalfLifeDays]]) is a whole-bucket right-shift of the
+    // integer cents (cents div 2^k — floor division both engines
+    // replay bit-for-bit), so the decayed sum is an associative BIGINT
+    // aggregate, not a float pow(). Shift capped at [[MaxDecayShift]]
+    // (cents < 2^40, so deeper shifts are exactly 0 — the cap only
+    // prevents 1<<k overflow on ancient rows). The decay anchor is the
+    // corpus' max order second — ONE 1-row broadcast; ages never go
+    // negative. Scale shape: orders⋈customer keyed join, one
+    // segment-keyed aggregate; everything map-side-combines.
+    "agg_decayed_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("osec"),
+        cents(col("o_totalprice")).as("pc"))
+      val anchor = o.agg(max("osec").as("amax"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      o.crossJoin(broadcast(anchor))
+        .withColumn("k", least(
+          expr(s"(amax - osec) div ${HalfLifeDays * 86400L}"),
+          lit(MaxDecayShift)))
+        .withColumn("dc",
+          expr("pc div shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"))
+        .join(seg, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum("pc") / 100.0).as("revenue"),
+          (sum("dc") / 100.0).as("decayed_revenue"))
+        .orderBy("c_mktsegment")
     }),
 
     // Chi-square test of independence between customer market segment
@@ -1121,6 +1163,25 @@ object InsightQueries extends QuerySuite {
          |SELECT o.o_orderkey, o.od, o.pc / 100.0 AS price
          |FROM o JOIN sky ON o.od = sky.od AND o.pc = sky.dmax
          |ORDER BY o.o_orderkey""".stripMargin,
+
+    "agg_decayed_revenue" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey,
+         |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec,
+         |    ${centsSql("o_totalprice")} AS pc
+         |  FROM orders),
+         |anchor AS (SELECT max(osec) AS amax FROM o),
+         |dec AS (
+         |  SELECT o_custkey, pc,
+         |    pc // (CAST(1 AS BIGINT) << CAST(least(
+         |      (amax - osec) // ${HalfLifeDays * 86400L},
+         |      $MaxDecayShift) AS INT)) AS dc
+         |  FROM o CROSS JOIN anchor)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(pc) AS BIGINT) / 100.0 AS revenue,
+         |  CAST(sum(dc) AS BIGINT) / 100.0 AS decayed_revenue
+         |FROM dec JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "stat_chi_square" ->
       """WITH cells AS (

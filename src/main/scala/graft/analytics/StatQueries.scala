@@ -551,6 +551,50 @@ object StatQueries extends QuerySuite {
             col("beta_weekend") * col("d2y")) / col("dyy"))
           .as("fit_share"))
         .orderBy("lambda")
+    }),
+
+    // Delete-one-GROUP jackknife standard error of the mean event
+    // value (Quenouille/Tukey, grouped form — days are the deletion
+    // blocks, the right unit when rows within a day are dependent):
+    // completes the suite's resampling trio next to the bootstrap CI
+    // and the permutation test. Exactness: each leave-one-day-out
+    // mean (S−s_d)/(N−n_d) is ONE correctly-rounded division,
+    // immediately floor-quantized to integer milli-cents — the
+    // quantization is the defined semantics (the InsightQueries ppb
+    // discipline), so the pseudo-value moments are associative BIGINT
+    // sums and the SE is a single sqrt of the cross-multiplied form
+    // √((g−1)·(g·Σm²−(Σm)²))/g. Scale shape: one fact aggregate to
+    // the DAY table (calendar-bounded), a 1-row broadcast of totals,
+    // then arithmetic on the day table — nothing downstream is
+    // data-sized. Headroom: g²·m² < 2⁶³ holds to ~600 day-groups at
+    // these magnitudes (m ≈ 5·10⁶ milli-cents) — DECIMAL swap past
+    // that, per the suite header.
+    "stat_jackknife" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          cents(col("value")).as("xc"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_d"), sum("xc").as("s_d"))
+      val tot = byDay.agg(count(lit(1)).as("g"), sum("n_d").as("nn"),
+        sum("s_d").as("ss"))
+      val md = byDay.crossJoin(broadcast(tot))
+        .withColumn("m", when(col("nn") =!= col("n_d"),
+          floor((col("ss") - col("s_d")).cast("double") /
+            (col("nn") - col("n_d")).cast("double") *
+            lit(1000.0)).cast("long")))
+      md.groupBy("g", "nn", "ss")
+        .agg(count(col("m")).as("gm"), sum("m").as("sm"),
+          sum(col("m") * col("m")).as("sm2"))
+        .select(col("g").as("n_days"), col("nn").as("n_events"),
+          (col("ss").cast("double") / col("nn").cast("double") / 100.0)
+            .as("mean_value"),
+          when(col("g") < 2L || col("gm") =!= col("g"),
+            lit(null).cast("double"))
+            .otherwise(sqrt(((col("g") - 1L) *
+              (col("g") * col("sm2") - col("sm") * col("sm")))
+              .cast("double")) /
+              col("g").cast("double") / 1000.0 / 100.0)
+            .as("se_jackknife"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -813,6 +857,35 @@ object StatQueries extends QuerySuite {
         |FROM b""".stripMargin,
 
     "stat_pca_power" -> pcaPowerSql,
+
+    "stat_jackknife" ->
+      s"""WITH vc AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |    ${centsSql("\"value\"")} AS xc
+         |  FROM events),
+         |byday AS (SELECT day, CAST(count(*) AS BIGINT) AS n_d,
+         |            CAST(sum(xc) AS BIGINT) AS s_d
+         |          FROM vc GROUP BY day),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS g,
+         |          CAST(sum(n_d) AS BIGINT) AS nn,
+         |          CAST(sum(s_d) AS BIGINT) AS ss
+         |        FROM byday),
+         |md AS (SELECT g, nn, ss,
+         |         CASE WHEN nn <> n_d THEN CAST(floor(
+         |           CAST(ss - s_d AS DOUBLE) / CAST(nn - n_d AS DOUBLE)
+         |             * 1000.0) AS BIGINT) END AS m
+         |       FROM byday CROSS JOIN tot),
+         |agg AS (SELECT g, nn, ss, CAST(count(m) AS BIGINT) AS gm,
+         |          CAST(sum(m) AS BIGINT) AS sm,
+         |          CAST(sum(m * m) AS BIGINT) AS sm2
+         |        FROM md GROUP BY g, nn, ss)
+         |SELECT g AS n_days, nn AS n_events,
+         |  CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0 AS mean_value,
+         |  CASE WHEN g < 2 OR gm <> g THEN NULL
+         |       ELSE sqrt(CAST((g - 1) * (g * sm2 - sm * sm) AS DOUBLE))
+         |            / CAST(g AS DOUBLE) / 1000.0 / 100.0 END
+         |    AS se_jackknife
+         |FROM agg""".stripMargin,
 
     "stat_ridge_path" -> {
       val vals = RidgeLambdas.map(l => s"($l)").mkString(", ")
