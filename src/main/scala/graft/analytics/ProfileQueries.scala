@@ -45,6 +45,16 @@ object ProfileQueries extends QuerySuite {
   private val profCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** SAX frame: hours aggregated per PAA window (ts_sax_motifs). */
+  val SaxWindowHours = 6L
+
+  /** SAX alphabet breakpoints in integer CENTS over the PAA value —
+    * fixed constants bracketing the fixture's ~5000-cent mean, giving
+    * a 4-letter alphabet (a < b < c < d). Fixed (not data-derived)
+    * breakpoints keep the symbols engine-exact and windows
+    * independently scorable — the streaming-friendly SAX variant. */
+  val SaxBreaks = Seq(4500L, 5000L, 5500L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Referential-integrity census over the whole star schema: every
     // FK edge, its child cardinality and orphan count — the gate that
@@ -465,6 +475,59 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // SAX symbolic motifs (Lin et al., DMKD'07 — Symbolic Aggregate
+    // approXimation, kept integer-exact): the hourly mean-value series
+    // per event type is piecewise-aggregate-approximated over
+    // [[SaxWindowHours]]-hour windows and quantized to a 4-letter
+    // alphabet at the fixed [[SaxBreaks]] cent breakpoints, then the
+    // most frequent 3-window MOTIF is reported — the recurring-shape
+    // primitive behind symbolic TS indexing. Exactness: hourly means
+    // and PAA values are integer FLOOR divisions of exact cent sums
+    // (the quantization is the published method's point — SAX is
+    // defined by its discretization, so floor-div is semantics, not
+    // compromise); symbols are pure CASE. Scale shape: fact →
+    // (type, hour) aggregate → (type, window) PAA — all keyed,
+    // calendar-bounded tables; the trigram census is two consecutive-
+    // window equi-joins (calendar gaps break motifs by design) and
+    // the per-type argmax runs on the ≤ 4³-motif table.
+    "ts_sax_motifs" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("h"),
+          Exact.cents(col("value")).as("xc"))
+        .groupBy("event_type", "h")
+        .agg(expr("sum(xc) div count(1)").as("hm"))
+      val paa = hourly
+        .groupBy(col("event_type"),
+          expr(s"h div $SaxWindowHours").as("widx"))
+        .agg(expr("sum(hm) div count(1)").as("pv"))
+        .withColumn("sym",
+          when(col("pv") < SaxBreaks(0), "a")
+            .when(col("pv") < SaxBreaks(1), "b")
+            .when(col("pv") < SaxBreaks(2), "c")
+            .otherwise("d"))
+        .localCheckpoint() // read 3× by the trigram self-joins
+      val nw = paa.groupBy("event_type").agg(count(lit(1)).as("n_windows"))
+      val tri = paa.as("w0")
+        .join(paa.as("w1"), col("w0.event_type") === col("w1.event_type")
+          && col("w1.widx") === col("w0.widx") + 1L)
+        .join(paa.as("w2"), col("w0.event_type") === col("w2.event_type")
+          && col("w2.widx") === col("w0.widx") + 2L)
+        .select(col("w0.event_type").as("event_type"),
+          concat(col("w0.sym"), col("w1.sym"), col("w2.sym")).as("motif"))
+        .groupBy("event_type", "motif").agg(count(lit(1)).as("n"))
+      val top = tri.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("n").desc, col("motif"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("motif").as("top_motif"),
+          col("n").as("n_motif"))
+      nw.join(top, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_windows"),
+          col("top_motif"), col("n_motif"))
+        .orderBy("event_type")
+    }),
+
     // Hour-of-day seasonality profile per event type: volume and
     // exact mean value by UTC hour, plus each type's peak hour — the
     // shape check behind load forecasting and anomaly baselines. Pure
@@ -866,6 +929,43 @@ object ProfileQueries extends QuerySuite {
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
          |FROM events""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "ts_sax_motifs" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         |    CAST(sum(${Exact.centsSql("\"value\"")}) // count(*)
+         |      AS BIGINT) AS hm
+         |  FROM events GROUP BY 1, 2),
+         |paa AS (
+         |  SELECT event_type, h // $SaxWindowHours AS widx,
+         |    CAST(sum(hm) // count(*) AS BIGINT) AS pv
+         |  FROM hourly GROUP BY 1, 2),
+         |sym AS (SELECT event_type, widx,
+         |    CASE WHEN pv < ${SaxBreaks(0)} THEN 'a'
+         |         WHEN pv < ${SaxBreaks(1)} THEN 'b'
+         |         WHEN pv < ${SaxBreaks(2)} THEN 'c'
+         |         ELSE 'd' END AS sym
+         |  FROM paa),
+         |nw AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows
+         |       FROM sym GROUP BY 1),
+         |tri AS (
+         |  SELECT w0.event_type, w0.sym || w1.sym || w2.sym AS motif,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM sym w0
+         |  JOIN sym w1 ON w1.event_type = w0.event_type
+         |    AND w1.widx = w0.widx + 1
+         |  JOIN sym w2 ON w2.event_type = w0.event_type
+         |    AND w2.widx = w0.widx + 2
+         |  GROUP BY 1, 2),
+         |top AS (SELECT event_type, motif, n,
+         |          row_number() OVER (PARTITION BY event_type
+         |            ORDER BY n DESC, motif) AS rk
+         |        FROM tri)
+         |SELECT nw.event_type, nw.n_windows,
+         |  top.motif AS top_motif, top.n AS n_motif
+         |FROM nw LEFT JOIN top
+         |  ON top.event_type = nw.event_type AND top.rk = 1
+         |ORDER BY nw.event_type""".stripMargin,
 
     "stat_benford_digits" ->
       """WITH dg AS (

@@ -465,6 +465,47 @@ object ScaleQueries extends QuerySuite {
         .orderBy("event_type", "day")
     }),
 
+    // Incremental maintenance of a JOIN view — the delta-join algebra
+    // (Blakeley et al., SIGMOD'86) that mv_incremental_refresh's
+    // aggregate merge doesn't cover: with base tables O, C and
+    // arriving deltas ΔO, ΔC, the view delta is
+    // ΔO⋈C_old ∪ O_old⋈ΔC ∪ ΔO⋈ΔC — three joins whose inputs are
+    // delta-sized on at least one side (in production the old legs
+    // probe the STORED view/table, so refresh cost is |Δ|·fanout, and
+    // the 100 TB history is never rescanned). Here orders flag
+    // o_orderkey%10=0 and customers c_custkey%20=0 as the arriving
+    // slices, each term's per-segment census is computed SEPARATELY,
+    // and the associative merge of the four censuses must equal the
+    // direct full-join census — which is exactly the oracle (a naive
+    // full recompute), so the hash proves the delta algebra loses and
+    // double-counts nothing, including on the ΔO⋈ΔC corner.
+    // n_from_delta surfaces the delta-attributed rows per segment.
+    "mv_join_delta" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        cents(col("o_totalprice")).as("pc"),
+        (col("o_orderkey") % 10L === 0L).as("isd"))
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+        (col("c_custkey") % 20L === 0L).as("isdc"))
+      def census(of: DataFrame, cf: DataFrame, fromDelta: Boolean) =
+        of.join(cf, "o_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("pc").as("v"))
+          .withColumn("dl", lit(if (fromDelta) 1L else 0L))
+      val oOld = o.filter(!col("isd")); val oD = o.filter(col("isd"))
+      val cOld = c.filter(!col("isdc")); val cD = c.filter(col("isdc"))
+      census(oOld, cOld, fromDelta = false)
+        .unionByName(census(oD, cOld, fromDelta = true))
+        .unionByName(census(oOld, cD, fromDelta = true))
+        .unionByName(census(oD, cD, fromDelta = true))
+        .groupBy("c_mktsegment")
+        .agg(sum("n").as("n_rows"),
+          (sum("v") / 100.0).as("total_value"),
+          sum(when(col("dl") === 1L, col("n")).otherwise(0L))
+            .as("n_from_delta"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Map-side (partial) aggregation visibility: pre-aggregate per
     // input partition before the shuffle, then merge — what Catalyst
     // does automatically for sum/count, expressed explicitly over the
@@ -826,6 +867,16 @@ object ScaleQueries extends QuerySuite {
          |    AS BIGINT) AS n_delta_rows
          |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
          |ORDER BY event_type, day""".stripMargin,
+
+    // Deliberately the naive full recompute — agreement proves the
+    // engine's four-way delta-join merge exact.
+    "mv_join_delta" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${moneySumSql("o_totalprice")} AS total_value,
+         |  CAST(sum(CASE WHEN o_orderkey % 10 = 0 OR c_custkey % 20 = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "agg_two_stage_user_day" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
