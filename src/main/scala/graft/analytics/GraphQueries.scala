@@ -441,9 +441,10 @@ object GraphQueries extends QuerySuite {
     // recursive CTE taking min(dist) per node.
     "graph_bfs_depth" -> ((s, d) => {
       val e0 = coSupplyEdges(s, d)
+      // no distinct: coSupplyEdges emits each pair once with u < v
+      // strictly, so the two union legs cannot collide
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
-        .distinct()
         .localCheckpoint(true) // read every round — truncate lineage once
       val src = sym.agg(min("a").as("node"))
         .withColumn("dist", lit(0L))
@@ -489,9 +490,10 @@ object GraphQueries extends QuerySuite {
     // harmonic are two final IEEE divisions.
     "graph_closeness_panel" -> ((s, d) => {
       val e0 = coSupplyEdges(s, d)
+      // no distinct: coSupplyEdges emits each pair once with u < v
+      // strictly, so the two union legs cannot collide
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
-        .distinct()
         .localCheckpoint(true) // read every round — truncate lineage once
       // panel = the ClosenessSeeds smallest node ids present in the
       // graph: deterministic and non-empty at every sf (a modulus

@@ -251,4 +251,41 @@ class EmptyInputSpec extends SparkSpec {
         s"$q must be empty on empty input, got $n rows")
     }
   }
+
+  test("round-8 additions survive empty tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty9").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Long, String, Double, java.sql.Date, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(1).write.parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, String, Long)]
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+      .repartition(1).write.parquet(s"$dir/customer.parquet")
+    Seq.empty[(Long, Long, Long, Double, Double, Double, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .repartition(1).write.parquet(s"$dir/lineitem.parquet")
+    for (q <- Seq("graph_closeness_panel", "graph_betweenness_panel",
+        "curation_pareto_skyline", "behavior_pattern_regex",
+        "agg_decayed_revenue", "stat_jackknife", "mv_join_delta",
+        "ts_sax_motifs")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+      assert(out.count() == 0L, s"$q must be empty, not crash")
+    }
+    // the PCA moments row survives (global aggregate) with n = 0 and
+    // NULL eigenpair — the oracle's empty-sum NULL propagation
+    val pca = SparkEntry.queries("stat_pca_power")(spark, dir).collect()
+    assert(pca.length == 1 && pca(0).getLong(0) == 0L &&
+      pca(0).isNullAt(1))
+    // ridge keeps one row per lambda, all-NULL betas (det = NULL path)
+    val ridge = SparkEntry.queries("stat_ridge_path")(spark, dir).collect()
+    assert(ridge.length == StatQueries.RidgeLambdas.size &&
+      ridge.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+  }
 }
