@@ -24,7 +24,56 @@ object WindowQueries extends QuerySuite {
   /** unix seconds, floored — matches CAST(floor(epoch(ts)) AS BIGINT). */
   private def epochS(c: String) = unix_timestamp(col(c))
 
+  /** Trailing window (days) for the exact sliding distinct count. */
+  val TrailingWindowDays = 7L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXACT trailing-7-day distinct active users per day — the
+    // sliding COUNT(DISTINCT) every engine punts to sketches, kept
+    // exact by interval-stabbing decomposition: an activity day a
+    // makes its user "count" for windows ending in [a, a+6], so each
+    // user's covered-window set is a UNION of intervals; merging
+    // overlapping covers per user (one lag over the user's distinct
+    // activity DAYS — day-count-sized, not event-sized) yields
+    // disjoint segments, each contributing +1 at its start and −1
+    // past its end, and the per-day prefix sum of those deltas IS the
+    // distinct count — no per-(user × window) explode, no distinct
+    // inside a frame. Scale shape: events → (user, day) dedup (one
+    // shuffle), per-user lag on day rows, delta aggregate to the
+    // calendar-bounded day table, one calendar-bounded prefix sum
+    // (PlanShapeSpec-audited). The oracle is the naive spine⋈activity
+    // range join with COUNT(DISTINCT) — a different algorithm, so the
+    // hash proves the stabbing decomposition exact.
+    "window_trailing_distinct_users" -> ((s, d) => {
+      val W = TrailingWindowDays
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(epochS("ts") / 86400L).cast("long").as("day"))
+        .distinct()
+      val seg = ud
+        .withColumn("prev", lag("day", 1).over(
+          Window.partitionBy("user_id").orderBy("day")))
+        .withColumn("new_seg",
+          when(col("prev").isNull || col("day") - col("prev") > W, 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum("new_seg").over(
+          Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "seg")
+        .agg(min("day").as("s"), (max("day") + (W - 1L)).as("e"))
+      val deltas = seg.select(col("s").as("day"), lit(1L).as("dl"))
+        .union(seg.select((col("e") + 1L).as("day"), lit(-1L).as("dl")))
+        .groupBy("day").agg(sum("dl").as("dl"))
+      val span = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = span.select(explode(
+        expr("sequence(d0, d1)")).as("day"))
+      spine.join(deltas, Seq("day"), "left")
+        .withColumn("n_active_7d", sum(coalesce(col("dl"), lit(0L)))
+          .over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day"), col("n_active_7d"))
+        .orderBy("day")
+    }),
     // RATIO_TO_REPORT — per-nation order revenue as a share of its
     // REGION's total (the BI percent-of-parent staple). The share
     // window partitions by region over the 25-row nation aggregate —
@@ -462,6 +511,20 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    // Deliberately the naive spine⋈activity range join — a different
+    // algorithm from the engine's interval-stabbing decomposition.
+    "window_trailing_distinct_users" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+         |  FROM events),
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+         |spine AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span)
+         |SELECT s.day,
+         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_7d
+         |FROM spine s LEFT JOIN ud e
+         |  ON e.day BETWEEN s.day - ${TrailingWindowDays - 1} AND s.day
+         |GROUP BY s.day ORDER BY s.day""".stripMargin,
     "window_share_of_total" ->
       s"""WITH bn AS (
          |  SELECT r_name, n_name,

@@ -113,6 +113,10 @@ class PlanShapeSpec extends SparkSpec {
     // corpus has ≪ vocab distinct frequencies; TextQueries
     // text_vocab_coverage doc)
     "text_vocab_coverage")
+    // (window_trailing_distinct_users' calendar-bounded prefix sum
+    // plans WITHOUT a fresh single-partition exchange — the 1-row
+    // span aggregate already collapsed its input — so it needs no
+    // allowlist entry; the sweep keeps watching it.)
 
   test("no single-partition shuffle outside the audited bounded set") {
     val aqeKey = "spark.sql.adaptive.enabled"
