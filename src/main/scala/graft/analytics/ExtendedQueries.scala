@@ -520,6 +520,37 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("qid_set")
     }),
 
+    // Distinct l-diversity audit (Machanavajjhala et al., ICDE'06) —
+    // the k-anonymity companion: group size alone doesn't stop
+    // attribute disclosure when everyone in a quasi-identifier group
+    // SHARES the sensitive value, so measure the minimum number of
+    // DISTINCT sensitive values per QID group. Two audited
+    // (QID set → sensitive) pairs; same shape as dq_k_anonymity — one
+    // keyed aggregate to the group table, one census row per audit,
+    // nothing data-sized downstream.
+    "dq_l_diversity" -> ((s, d) => {
+      val l = 3L
+      def audit(df: DataFrame, qids: Seq[Column], sensitive: Column,
+          label: String) =
+        df.groupBy(qids: _*)
+          .agg(countDistinct(sensitive).as("lv"), count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            min("lv").as("min_l"),
+            coalesce(sum(when(col("lv") < l, 1L).otherwise(0L)), lit(0L))
+              .as("n_groups_lt_l"),
+            coalesce(sum(when(col("lv") < l, col("n")).otherwise(0L)),
+              lit(0L)).as("n_rows_lt_l"))
+          .select(lit(label).as("audit"), col("n_groups"), col("min_l"),
+            col("n_groups_lt_l"), col("n_rows_lt_l"))
+      audit(Tables.customer(s, d),
+          Seq(col("c_nationkey")), col("c_mktsegment"),
+          "customer(nation)->segment")
+        .union(audit(Tables.orders(s, d),
+          Seq(col("o_orderstatus"), year(col("o_orderdate"))),
+          col("o_orderpriority"), "orders(status,year)->priority"))
+        .orderBy("audit")
+    }),
+
     // Wide→long reshaping: pivot order counts to one column per
     // status, then melt back with `unpivot` — the reshape pair every
     // reporting layer needs. Null cells (combinations absent from the
@@ -784,6 +815,27 @@ object ExtendedQueries extends QuerySuite {
         "o_orderstatus, o_orderpriority, year(o_orderdate)",
         "orders(status,priority,year)")}
          |) ORDER BY qid_set""".stripMargin
+    },
+
+    "dq_l_diversity" -> {
+      def arm(tbl: String, qids: String, sensitive: String,
+          label: String) =
+        s"""SELECT '$label' AS audit,
+           |  count(*) AS n_groups, min(lv) AS min_l,
+           |  coalesce(CAST(sum(CASE WHEN lv < 3 THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_groups_lt_l,
+           |  coalesce(CAST(sum(CASE WHEN lv < 3 THEN n ELSE 0 END)
+           |    AS BIGINT), 0) AS n_rows_lt_l
+           |FROM (SELECT CAST(count(DISTINCT $sensitive) AS BIGINT) AS lv,
+           |        CAST(count(*) AS BIGINT) AS n
+           |      FROM $tbl GROUP BY $qids)""".stripMargin
+      s"""SELECT * FROM (
+         |${arm("customer", "c_nationkey", "c_mktsegment",
+        "customer(nation)->segment")}
+         |UNION ALL
+         |${arm("orders", "o_orderstatus, year(o_orderdate)",
+        "o_orderpriority", "orders(status,year)->priority")}
+         |) ORDER BY audit""".stripMargin
     },
 
     "cdc_snapshot_diff" ->

@@ -595,6 +595,34 @@ object StatQueries extends QuerySuite {
               .cast("double")) /
               col("g").cast("double") / 1000.0 / 100.0)
             .as("se_jackknife"))
+    }),
+
+    // Wilson score interval (Wilson, JASA 1927) for each event type's
+    // high-value rate — the binomial CI that stays inside [0,1] and
+    // behaves at small n, i.e. the A/B-dashboard staple the normal
+    // approximation gets wrong. Exactness: k and n are one exact
+    // integer aggregate; the interval is a fixed float tree on
+    // (k, n, z=1.96) written identically in the oracle — division,
+    // sqrt, multiply only, all correctly rounded. Map-side-combined
+    // single pass to a 5-row table; nothing else moves.
+    "stat_wilson_ci" -> ((s, d) => {
+      val z = lit(1.96)
+      val m = Tables.events(s, d)
+        .select(col("event_type"),
+          when(cents(col("value")) > 5000L, 1L).otherwise(0L).as("hit"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("hit").as("k"))
+      val nD = col("n").cast("double")
+      val p = col("k").cast("double") / nD
+      val z2 = z * z
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD)) / denom
+      m.select(col("event_type"), col("n"), col("k"),
+          p.as("p_hat"), (center - half).as("ci_lo"),
+          (center + half).as("ci_hi"))
+        .orderBy("event_type")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -857,6 +885,30 @@ object StatQueries extends QuerySuite {
         |FROM b""".stripMargin,
 
     "stat_pca_power" -> pcaPowerSql,
+
+    // z enters as CAST(1.96 AS DOUBLE) so z*z is a DOUBLE product like
+    // Spark's lit(1.96)*lit(1.96) — a bare 1.96*1.96 would compute in
+    // DuckDB DECIMAL (exact 3.8416) and diverge from the double
+    // product in the last ulp.
+    "stat_wilson_ci" ->
+      s"""WITH m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN ${centsSql("\"value\"")} > 5000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |    CAST(1.96 AS DOUBLE) AS z
+         |  FROM events GROUP BY event_type),
+         |t AS (SELECT event_type, n, k,
+         |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    z, CAST(n AS DOUBLE) AS nd
+         |  FROM m),
+         |w AS (SELECT event_type, n, k, p,
+         |    (p + z * z / (2.0 * nd)) / (1.0 + z * z / nd) AS center,
+         |    z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))
+         |      / (1.0 + z * z / nd) AS half
+         |  FROM t)
+         |SELECT event_type, n, k, p AS p_hat,
+         |  center - half AS ci_lo, center + half AS ci_hi
+         |FROM w ORDER BY event_type""".stripMargin,
 
     "stat_jackknife" ->
       s"""WITH vc AS (
