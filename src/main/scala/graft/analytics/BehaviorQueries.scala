@@ -87,6 +87,61 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("user_id")
     }),
 
+    // MULTI-TOUCH attribution — the four standard credit models over
+    // the same banded purchase⋈click range join as
+    // behavior_attribution (last-touch, linear, U-shaped/position,
+    // time-decay), reported as credit share by click hour-of-day.
+    // Every model's credit is integer ppm: linear is 10⁶ div k,
+    // U-shaped is the 40/20/40 split with the middle floor-divided,
+    // and time-decay reuses the exact shift-decay discipline —
+    // per-touch weight 8 >> (age div 900) (halving each 15 min, age
+    // < window so the shift is bounded at 3) normalized by the
+    // per-purchase integer weight sum. Scale shape: the banded
+    // equi-join from behavior_attribution, per-PURCHASE windows
+    // (millions of tiny partitions, never global), a 4-way stack, and
+    // a (model × 24h) census aggregate.
+    "behavior_attribution_models" -> ((s, d) => {
+      val base = Tables.events(s, d)
+      val purch = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_timestamp(col("ts")).as("pt"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"),
+          unix_timestamp(col("ts")).as("ct"))
+        .withColumn("hb", expr("ct div 3600"))
+      val probes = purch.withColumn("hb",
+        explode(sequence(expr(s"(pt - $AttribWindowSec) div 3600"),
+          expr("pt div 3600"))))
+      val w = Window.partitionBy("pid")
+      val scored = probes.join(clicks, Seq("user_id", "hb"))
+        .filter(col("ct") > col("pt") - AttribWindowSec &&
+          col("ct") <= col("pt"))
+        .select(col("pid"), col("cid"), col("pt"), col("ct"))
+        .withColumn("i",
+          row_number().over(w.orderBy(col("ct"), col("cid"))).cast("long"))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("dw",
+          expr("shiftright(CAST(8 AS BIGINT), CAST((pt - ct) div 900 AS INT))"))
+        .withColumn("sw", sum("dw").over(w))
+        .withColumn("last_touch",
+          when(col("i") === col("k"), 1000000L).otherwise(0L))
+        .withColumn("linear", expr("1000000 div k"))
+        .withColumn("u_shaped",
+          when(col("k") === 1L, 1000000L)
+            .when(col("k") === 2L, 500000L)
+            .when(col("i") === 1L || col("i") === col("k"), 400000L)
+            .otherwise(expr("200000 div (k - 2)")))
+        .withColumn("time_decay", expr("dw * 1000000 div sw"))
+      scored
+        .select(expr("ct div 3600 % 24").as("hour_of_day"),
+          expr("stack(4, 'last_touch', last_touch, 'linear', linear," +
+            " 'time_decay', time_decay, 'u_shaped', u_shaped)" +
+            " as (model, credit)"))
+        .groupBy("model", "hour_of_day")
+        .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_ppm"))
+        .orderBy("model", "hour_of_day")
+    }),
+
     // Conversion funnel view -> click -> purchase: a user advances a
     // stage only with an event STRICTLY after their previous-stage
     // entry. Joins are user-keyed aggregates of the already-reduced
@@ -862,6 +917,48 @@ object BehaviorQueries extends QuerySuite {
          |    AS confidence_ppm
          |FROM sup JOIN pt ON pt.event_type = sup.a CROSS JOIN tot
          |ORDER BY a, b""".stripMargin,
+
+    // The click⋈purchase leg is deliberately the naive theta join —
+    // the hash proves the engine's hour-banding exact, as in
+    // behavior_attribution.
+    "behavior_attribution_models" -> {
+      val credits = Seq(
+        "last_touch" -> "CASE WHEN i = k THEN 1000000 ELSE 0 END",
+        "linear" -> "1000000 // k",
+        "time_decay" -> "dw * 1000000 // sw",
+        "u_shaped" -> ("CASE WHEN k = 1 THEN 1000000 " +
+          "WHEN k = 2 THEN 500000 " +
+          "WHEN i = 1 OR i = k THEN 400000 " +
+          "ELSE 200000 // (k - 2) END"))
+      val arms = credits.map { case (name, cr) =>
+        s"""SELECT '$name' AS model, ct // 3600 % 24 AS hour_of_day,
+           |  CAST($cr AS BIGINT) AS credit FROM sc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS (
+         |  SELECT user_id, event_id AS pid, $secSql AS pt
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, event_id AS cid, $secSql AS ct
+         |  FROM events WHERE event_type = 'click'),
+         |t AS (
+         |  SELECT p.pid, c.cid, p.pt, c.ct
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.ct > p.pt - $AttribWindowSec AND c.ct <= p.pt),
+         |sc AS (
+         |  SELECT pid, cid, pt, ct,
+         |    CAST(row_number() OVER (PARTITION BY pid ORDER BY ct, cid)
+         |      AS BIGINT) AS i,
+         |    CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS k,
+         |    CAST(CAST(8 AS BIGINT) >> CAST((pt - ct) // 900 AS INTEGER)
+         |      AS BIGINT) AS dw,
+         |    CAST(sum(CAST(8 AS BIGINT) >> CAST((pt - ct) // 900
+         |      AS INTEGER)) OVER (PARTITION BY pid) AS BIGINT) AS sw
+         |  FROM t)
+         |SELECT model, hour_of_day, CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(sum(credit) AS BIGINT) AS credit_ppm
+         |FROM ($arms)
+         |GROUP BY model, hour_of_day ORDER BY model, hour_of_day""".stripMargin
+    },
 
     "behavior_pattern_regex" -> {
       val spine = PatternRegexes
