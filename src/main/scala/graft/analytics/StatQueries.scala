@@ -623,6 +623,52 @@ object StatQueries extends QuerySuite {
           p.as("p_hat"), (center - half).as("ci_lo"),
           (center + half).as("ci_hi"))
         .orderBy("event_type")
+    }),
+
+    // Distribution-free confidence interval for the MEDIAN by order
+    // statistics (the binomial/sign-test ranks — no normality, no
+    // bootstrap): the interval is [x(l), x(u)] with
+    // l = ⌊(n − z√n)/2⌋, u = ⌈(n + z√n)/2 + 1⌉ clamped to [1, n]
+    // (the conservative textbook convention, documented as the
+    // semantics), plus the lower median x(⌊(n+1)/2⌋). Rank selection
+    // runs over the (type, value)-COUNT table — the
+    // stat_percentile_cont machinery: one fact aggregate, a cum-range
+    // probe, no raw-row sort. The only floats are z·√n (correctly
+    // rounded, identical in the oracle) floor/ceil'd straight back to
+    // integer ranks.
+    "stat_median_ci" -> ((s, d) => {
+      val z = lit(1.96)
+      val ev = Tables.events(s, d).select(col("event_type"),
+        cents(col("value")).as("xc"))
+      val vc = ev.groupBy("event_type", "xc")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = vc
+        .withColumn("hi", sum("cnt").over(
+          Window.partitionBy("event_type").orderBy("xc")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("lo", col("hi") - col("cnt") + 1L)
+      val tot = vc.groupBy("event_type").agg(sum("cnt").as("n"))
+      val nD = col("n").cast("double")
+      val ranks = tot.select(col("event_type"), col("n"),
+        greatest(lit(1L),
+          floor((nD - z * sqrt(nD)) / 2.0).cast("long")).as("rl"),
+        expr("(n + 1) div 2").as("rm"),
+        least(col("n"),
+          ceil((nD + z * sqrt(nD)) / 2.0 + 1.0).cast("long")).as("ru"))
+      cum.join(broadcast(ranks), "event_type")
+        .groupBy("event_type", "n", "rl", "rm", "ru")
+        .agg(
+          min(when(col("lo") <= col("rl") && col("rl") <= col("hi"),
+            col("xc"))).as("v_lo"),
+          min(when(col("lo") <= col("rm") && col("rm") <= col("hi"),
+            col("xc"))).as("v_med"),
+          min(when(col("lo") <= col("ru") && col("ru") <= col("hi"),
+            col("xc"))).as("v_hi"))
+        .select(col("event_type"), col("n"),
+          (col("v_med") / 100.0).as("median"),
+          (col("v_lo") / 100.0).as("ci_lo"),
+          (col("v_hi") / 100.0).as("ci_hi"))
+        .orderBy("event_type")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -909,6 +955,39 @@ object StatQueries extends QuerySuite {
          |SELECT event_type, n, k, p AS p_hat,
          |  center - half AS ci_lo, center + half AS ci_hi
          |FROM w ORDER BY event_type""".stripMargin,
+
+    "stat_median_ci" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${centsSql("\"value\"")} AS xc FROM events),
+         |vc AS (SELECT event_type, xc, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM ev GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, xc, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY xc
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |  FROM vc),
+         |cum2 AS (SELECT event_type, xc, hi, hi - cnt + 1 AS lo FROM cum),
+         |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM vc GROUP BY event_type),
+         |rk AS (SELECT event_type, n,
+         |    greatest(CAST(1 AS BIGINT), CAST(floor(
+         |      (CAST(n AS DOUBLE) - CAST(1.96 AS DOUBLE)
+         |        * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS rl,
+         |    (n + 1) // 2 AS rm,
+         |    least(n, CAST(ceil(
+         |      (CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE)
+         |        * sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT)) AS ru
+         |  FROM tot)
+         |SELECT rk.event_type, rk.n,
+         |  min(CASE WHEN lo <= rm AND rm <= hi THEN xc END) / 100.0
+         |    AS median,
+         |  min(CASE WHEN lo <= rl AND rl <= hi THEN xc END) / 100.0
+         |    AS ci_lo,
+         |  min(CASE WHEN lo <= ru AND ru <= hi THEN xc END) / 100.0
+         |    AS ci_hi
+         |FROM cum2 JOIN rk ON cum2.event_type = rk.event_type
+         |GROUP BY rk.event_type, rk.n
+         |ORDER BY rk.event_type""".stripMargin,
 
     "stat_jackknife" ->
       s"""WITH vc AS (

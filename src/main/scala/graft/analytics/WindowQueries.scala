@@ -27,6 +27,13 @@ object WindowQueries extends QuerySuite {
   /** Trailing window (days) for the exact sliding distinct count. */
   val TrailingWindowDays = 7L
 
+  /** Hampel filter geometry: centered window half-width (full window
+    * = 2·3+1 = 7 rows) and the MAD multiplier. k = 3 on raw MAD (the
+    * 1.4826 σ-consistency constant cancels into the multiplier, so
+    * the test stays pure integer: |x − med| > 3·mad over cents). */
+  val HampelHalf = 3
+  val HampelK = 3L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXACT trailing-7-day distinct active users per day — the
     // sliding COUNT(DISTINCT) every engine punts to sketches, kept
@@ -73,6 +80,48 @@ object WindowQueries extends QuerySuite {
             .rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("day"), col("n_active_7d"))
         .orderBy("day")
+    }),
+
+    // Hampel outlier filter (Hampel'74; the robust alternative to
+    // rolling-z spike detection) over each USER's per-type value
+    // series: a point is an outlier when it sits more than
+    // [[HampelK]]·MAD from the MEDIAN of its centered 7-point window —
+    // median/MAD shrug off the very spikes a rolling mean/σ would
+    // absorb. Kept pure integer: the window's cent values collect
+    // into a 7-element array (ROWS frame under the unique
+    // (ts, event_id) order — deterministic), median and MAD are
+    // array_sort + element_at INSIDE the row, and the test
+    // |x − med| > 3·mad is an exact integer compare (the 1.4826
+    // consistency constant folds into the multiplier). Scale shape:
+    // the window partitions on the HIGH-CARDINALITY (user, type) key —
+    // millions of short series, never one partition per type (the
+    // suite's window stance) — with 7-row bounded frames, then a
+    // per-type census; edge rows with partial windows are unscored by
+    // definition.
+    "window_hampel_outliers" -> ((s, d) => {
+      val full = 2 * HampelHalf + 1
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-HampelHalf, HampelHalf)
+      val scored = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), cents(col("value")).as("xc"))
+        .withColumn("arr", collect_list("xc").over(w))
+        .filter(size(col("arr")) === full)
+        .withColumn("med",
+          element_at(array_sort(col("arr")), HampelHalf + 1))
+        .withColumn("mad", element_at(array_sort(
+          transform(col("arr"), v => abs(v - col("med")))),
+          HampelHalf + 1))
+        .withColumn("out",
+          when(abs(col("xc") - col("med")) > col("mad") * HampelK, 1L)
+            .otherwise(0L))
+      scored.groupBy("event_type").agg(
+          count(lit(1)).as("n_scored"),
+          sum("out").as("n_outliers"),
+          (sum(when(col("out") === 1L, abs(col("xc") - col("med")))
+            .otherwise(0L)) / 100.0).as("outlier_deviation"))
+        .orderBy("event_type")
     }),
     // RATIO_TO_REPORT — per-nation order revenue as a share of its
     // REGION's total (the BI percent-of-parent staple). The share
@@ -511,6 +560,33 @@ object WindowQueries extends QuerySuite {
   private val epochSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "window_hampel_outliers" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    ${centsSql("\"value\"")} AS xc
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, xc,
+         |    list(xc) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN $HampelHalf PRECEDING
+         |      AND $HampelHalf FOLLOWING) AS arr
+         |  FROM e),
+         |f AS (SELECT event_type, xc, arr,
+         |        list_sort(arr)[${HampelHalf + 1}] AS med
+         |      FROM a WHERE len(arr) = ${2 * HampelHalf + 1}),
+         |g AS (SELECT event_type, xc, med,
+         |        list_sort(list_transform(arr,
+         |          v -> abs(v - med)))[${HampelHalf + 1}] AS mad
+         |      FROM f)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+         |  CAST(sum(CASE WHEN abs(xc - med) > $HampelK * mad
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(sum(CASE WHEN abs(xc - med) > $HampelK * mad
+         |    THEN abs(xc - med) ELSE 0 END) AS BIGINT) / 100.0
+         |    AS outlier_deviation
+         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Deliberately the naive spine⋈activity range join — a different
     // algorithm from the engine's interval-stabbing decomposition.
     "window_trailing_distinct_users" ->
