@@ -274,10 +274,16 @@ class EmptyInputSpec extends SparkSpec {
     for (q <- Seq("graph_closeness_panel", "graph_betweenness_panel",
         "curation_pareto_skyline", "behavior_pattern_regex",
         "agg_decayed_revenue", "stat_jackknife", "mv_join_delta",
-        "ts_sax_motifs")) {
+        "ts_sax_motifs", "window_trailing_distinct_users",
+        "window_hampel_outliers", "stat_median_ci", "stat_wilson_ci",
+        "behavior_attribution_models")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
+    // l-diversity keeps its two global-census rows (aggregates without
+    // GROUP BY), zero groups each
+    val ldiv = SparkEntry.queries("dq_l_diversity")(spark, dir).collect()
+    assert(ldiv.length == 2 && ldiv.forall(_.getLong(1) == 0L))
     // the PCA moments row survives (global aggregate) with n = 0 and
     // NULL eigenpair — the oracle's empty-sum NULL propagation
     val pca = SparkEntry.queries("stat_pca_power")(spark, dir).collect()
