@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling primitives for training-data assembly —
@@ -42,7 +43,60 @@ object SampleQueries extends QuerySuite {
   /** Anchor-set bound for the negative-sampling demo. */
   val Anchors = 2000
 
+  /** PPS systematic-sampling tick count: one selection tick every
+    * total_weight div PpsK weight units. */
+  val PpsK = 50L
+
+  /** Bucket width (doc_id units) for the PPS two-level prefix sum.
+    * The single-partition window runs over corpus/PpsBucket base
+    * rows, so at deploy the width is sized ~√N (10⁶ docs per bucket
+    * at 10¹² docs keeps the base table at 10⁶ rows) — the same
+    * operator-constant sizing discipline as shuffle.partitions; a
+    * third prefix level would remove even that if ever needed. */
+  val PpsBucket = 100L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Probability-proportional-to-size SYSTEMATIC sampling (the
+    // Madow'49 scheme, zero-offset variant): lay every doc's weight
+    // (n_chars) end to end in doc_id order and select each doc whose
+    // weight span crosses a multiple of step = total div [[PpsK]] —
+    // inclusion is exactly proportional to size, the pass is ONE
+    // deterministic scan, and re-running (or re-partitioning) yields
+    // the same sample, the auditable-build property the whole sampler
+    // family guarantees. Pure integers: crossing ⟺
+    // (cum_before + w) div step > cum_before div step. Scale shape:
+    // the global cumsum NEVER materializes as one ordered partition —
+    // the text_pack_sequences two-level decomposition (per-bucket
+    // local cumsum + broadcast bucket base offsets) builds cum_before
+    // with all windows keyed on the bounded bucket axis; the oracle's
+    // single global window is the semantic twin, not the plan. Docs
+    // wider than one step are selected once (selection, not
+    // multiplicity — documented; ticks inside one doc don't repeat
+    // it).
+    "sample_pps_systematic" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"doc_id div $PpsBucket").as("bk"))
+        .persist() // consumed by the cumsum pass and the bucket bases
+      val local = docs.withColumn("local_off",
+        coalesce(sum("n_chars").over(Window.partitionBy("bk")
+          .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val bases = docs.groupBy("bk").agg(sum("n_chars").as("tot"))
+        .withColumn("base", coalesce(sum("tot").over(Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "base")
+      val total = docs.agg(sum("n_chars").as("tw"))
+      local.join(broadcast(bases), "bk")
+        .withColumn("cum0", col("base") + col("local_off"))
+        .crossJoin(broadcast(total))
+        .withColumn("step", expr(s"tw div $PpsK"))
+        .filter(col("step") > 0L &&
+          expr("(cum0 + n_chars) div step > cum0 div step"))
+        .select(col("doc_id"), col("n_chars"), col("cum0"),
+          expr("(cum0 + n_chars) div step").as("tick"))
+        .orderBy("doc_id")
+    }),
     // Stratified downsampling to ≤ ~Target rows per event_type:
     // thr = Target·Res div n for oversized strata (whole stratum kept
     // otherwise), keep iff pmod(xxhash64(event_id), Res) < thr. Two
@@ -192,6 +246,22 @@ object SampleQueries extends QuerySuite {
     }))
 
   def oracles: Map[String, String] = Map(
+    // Deliberately ONE global window — the semantic twin of the
+    // engine's two-level bucketed decomposition.
+    "sample_pps_systematic" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum0
+         |  FROM documents),
+         |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents)
+         |SELECT doc_id, n_chars, cum0,
+         |  (cum0 + n_chars) // (tw // $PpsK) AS tick
+         |FROM c CROSS JOIN t
+         |WHERE tw // $PpsK > 0
+         |  AND (cum0 + n_chars) // (tw // $PpsK) > cum0 // (tw // $PpsK)
+         |ORDER BY doc_id""".stripMargin,
     "sample_group_split" ->
       s"""WITH gsrc AS (
          |  SELECT user_id, event_id,

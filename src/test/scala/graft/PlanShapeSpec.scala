@@ -112,7 +112,11 @@ class PlanShapeSpec extends SparkSpec {
     // bucket table (distinct frequency values ÷ 1000 — a power-law
     // corpus has ≪ vocab distinct frequencies; TextQueries
     // text_vocab_coverage doc)
-    "text_vocab_coverage")
+    "text_vocab_coverage",
+    // two-level prefix sum: global window only over the doc-id BUCKET
+    // base table (corpus/PpsBucket rows — the pack_sequences
+    // decomposition; SampleQueries sample_pps_systematic doc)
+    "sample_pps_systematic")
     // (window_trailing_distinct_users' calendar-bounded prefix sum
     // plans WITHOUT a fresh single-partition exchange — the 1-row
     // span aggregate already collapsed its input — so it needs no

@@ -1,0 +1,43 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** sample_pps_systematic vs a sequential weight-walk replay, plus the
+  * scheme's defining invariants: every tick multiple falls inside a
+  * selected doc's span, and inclusion count is bounded by the tick
+  * count.
+  */
+class PpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("selection equals the sequential weight walk; ticks all covered") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = docs.map(_._2).sum
+    val step = total / SampleQueries.PpsK
+    var cum = 0L
+    val want = docs.flatMap { case (id, w) =>
+      val sel = (cum + w) / step > cum / step
+      val tick = (cum + w) / step
+      cum += w
+      if (sel) Some((id, w, cum - w, tick)) else None
+    }
+    val got = SampleQueries.queries("sample_pps_systematic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == want.toSeq,
+      s"selection differs: got ${got.length} want ${want.length}")
+    assert(got.length <= SampleQueries.PpsK)
+    // coverage: every multiple t·step (t = 1..total div step) lies in
+    // some selected doc's [cum0, cum0 + w) span
+    val spans = got.map { case (_, w, c0, _) => (c0, c0 + w) }
+    for (t <- 1L to total / step) {
+      val m = t * step
+      assert(spans.exists { case (a, b) => a < m && m <= b },
+        s"tick $t at $m not covered by any selected doc")
+    }
+  }
+}
