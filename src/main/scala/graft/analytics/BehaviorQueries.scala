@@ -297,6 +297,41 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Cohort LTV curve — cumulative revenue per signup cohort by
+    // week-age, the lifetime-value matrix under every payback /
+    // retention-economics dashboard (the revenue companion of
+    // cohort_weekly_retention's activity matrix). Exact: weekly cents
+    // aggregate per (cohort, age), cumulative sum over the
+    // calendar-bounded (cohort × age) table only, cohort sizes from
+    // the same first-week table; the per-user LTV is one final
+    // division. Nothing after the first fact aggregate is data-sized.
+    "cohort_ltv_curve" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800").as("week"),
+          Exact.cents(col("value")).as("vc"))
+      val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val sizes = first.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      val cell = wk.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"),
+          sum("vc").as("rev_c"))
+      cell
+        .withColumn("cum_c", sum("rev_c").over(
+          Window.partitionBy("cohort_week").orderBy("week_offset")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"),
+          col("cohort_size"), col("n_active"),
+          (col("rev_c") / 100.0).as("revenue"),
+          (col("cum_c") / 100.0).as("cum_revenue"),
+          (col("cum_c").cast("double") / 100.0 /
+            col("cohort_size").cast("double")).as("ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Hourly volume anomaly detection: z-score of each hour's event
     // count against the global hourly distribution. Multiplying
     // through by n turns the z formula into pure integer arithmetic
@@ -917,6 +952,36 @@ object BehaviorQueries extends QuerySuite {
          |    AS confidence_ppm
          |FROM sup JOIN pt ON pt.event_type = sup.a CROSS JOIN tot
          |ORDER BY a, b""".stripMargin,
+
+    "cohort_ltv_curve" ->
+      s"""WITH wk AS (
+         |  SELECT user_id, $secSql // 604800 AS week,
+         |    ${graft.analytics.Exact.centsSql("\"value\"")} AS vc
+         |  FROM events),
+         |first AS (SELECT user_id, min(week) AS cohort_week
+         |          FROM wk GROUP BY user_id),
+         |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+         |            AS cohort_size
+         |          FROM first GROUP BY cohort_week),
+         |cell AS (
+         |  SELECT f.cohort_week, wk.week - f.cohort_week AS week_offset,
+         |    CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_active,
+         |    CAST(sum(vc) AS BIGINT) AS rev_c
+         |  FROM wk JOIN first f ON wk.user_id = f.user_id
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT cohort_week, week_offset, n_active, rev_c,
+         |    CAST(sum(rev_c) OVER (PARTITION BY cohort_week
+         |      ORDER BY week_offset ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_c
+         |  FROM cell)
+         |SELECT cum.cohort_week, week_offset, sizes.cohort_size,
+         |  n_active, rev_c / 100.0 AS revenue,
+         |  cum_c / 100.0 AS cum_revenue,
+         |  CAST(cum_c AS DOUBLE) / 100.0 /
+         |    CAST(sizes.cohort_size AS DOUBLE) AS ltv_per_user
+         |FROM cum JOIN sizes ON cum.cohort_week = sizes.cohort_week
+         |ORDER BY cum.cohort_week, week_offset""".stripMargin,
 
     // The click⋈purchase leg is deliberately the naive theta join —
     // the hash proves the engine's hour-banding exact, as in

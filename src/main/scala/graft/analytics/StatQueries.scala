@@ -669,6 +669,34 @@ object StatQueries extends QuerySuite {
           (col("v_lo") / 100.0).as("ci_lo"),
           (col("v_hi") / 100.0).as("ci_hi"))
         .orderBy("event_type")
+    }),
+
+    // Capture–recapture population estimation (Lincoln–Petersen with
+    // Chapman's bias correction — mark-recapture from ecology, applied
+    // where a data engineer meets it: estimating a TRUE distinct count
+    // from two overlapping observation windows when scanning
+    // everything is off the table). Sample 1 = users active on even
+    // epoch-days, sample 2 = odd days; N̂ = n1·n2 div m and Chapman's
+    // (n1+1)(n2+1) div (m+1) − 1 are pure integer arithmetic on three
+    // distinct-count aggregates, compared against the exact truth the
+    // same scan yields. Headroom: n1·n2 < 2⁶³ to ~3·10⁹ users per
+    // sample. One (user, parity) dedup shuffle; everything after is
+    // 1-row.
+    "stat_capture_recapture" -> ((s, d) => {
+      val up = Tables.events(s, d)
+        .select(col("user_id"),
+          (expr("unix_timestamp(ts) div 86400") % 2L).as("par"))
+        .distinct()
+      val m = up.groupBy("user_id")
+        .agg(max(when(col("par") === 0L, 1L).otherwise(0L)).as("in1"),
+          max(when(col("par") === 1L, 1L).otherwise(0L)).as("in2"))
+        .agg(sum("in1").as("n1"), sum("in2").as("n2"),
+          sum(col("in1") * col("in2")).as("m"),
+          count(lit(1)).as("n_true"))
+      m.select(col("n1"), col("n2"), col("m"), col("n_true"),
+        when(col("m") > 0L, expr("n1 * n2 div m"))
+          .otherwise(lit(null).cast("long")).as("lincoln_petersen"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("chapman"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -955,6 +983,25 @@ object StatQueries extends QuerySuite {
          |SELECT event_type, n, k, p AS p_hat,
          |  center - half AS ci_lo, center + half AS ci_hi
          |FROM w ORDER BY event_type""".stripMargin,
+
+    "stat_capture_recapture" ->
+      s"""WITH up AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 % 2 AS par
+         |  FROM events),
+         |fl AS (SELECT user_id,
+         |         max(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS in1,
+         |         max(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS in2
+         |       FROM up GROUP BY user_id),
+         |m AS (SELECT CAST(sum(in1) AS BIGINT) AS n1,
+         |        CAST(sum(in2) AS BIGINT) AS n2,
+         |        CAST(sum(in1 * in2) AS BIGINT) AS m,
+         |        CAST(count(*) AS BIGINT) AS n_true
+         |      FROM fl)
+         |SELECT n1, n2, m, n_true,
+         |  CASE WHEN m > 0 THEN n1 * n2 // m END AS lincoln_petersen,
+         |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman
+         |FROM m""".stripMargin,
 
     "stat_median_ci" ->
       s"""WITH ev AS (
