@@ -284,6 +284,14 @@ class EmptyInputSpec extends SparkSpec {
     // GROUP BY), zero groups each
     val ldiv = SparkEntry.queries("dq_l_diversity")(spark, dir).collect()
     assert(ldiv.length == 2 && ldiv.forall(_.getLong(1) == 0L))
+    // LTV curve joins empty cohort tables → empty
+    assert(SparkEntry.queries("cohort_ltv_curve")(spark, dir)
+      .count() == 0L)
+    // capture–recapture keeps its single global row: zero counts,
+    // NULL Lincoln–Petersen (m = NULL guard path)
+    val cr = SparkEntry.queries("stat_capture_recapture")(spark, dir)
+      .collect()
+    assert(cr.length == 1 && cr(0).getLong(3) == 0L)
     // the PCA moments row survives (global aggregate) with n = 0 and
     // NULL eigenpair — the oracle's empty-sum NULL propagation
     val pca = SparkEntry.queries("stat_pca_power")(spark, dir).collect()
