@@ -48,6 +48,9 @@ object ProfileQueries extends QuerySuite {
   /** SAX frame: hours aggregated per PAA window (ts_sax_motifs). */
   val SaxWindowHours = 6L
 
+  /** Rolling-correlation frame: trailing days per window. */
+  val RollCorrDays = 14
+
   /** SAX alphabet breakpoints in integer CENTS over the PAA value —
     * fixed constants bracketing the fixture's ~5000-cent mean, giving
     * a 4-letter alphabet (a < b < c < d). Fixed (not data-derived)
@@ -528,6 +531,47 @@ object ProfileQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // ROLLING correlation between the click and purchase daily-total
+    // series — the time-varying coupling a static Pearson (the
+    // stat_corr_* family) averages away: is demand tracking
+    // engagement THIS fortnight? All six rolling moments (n, Σx, Σy,
+    // Σx², Σy², Σxy) are exact BIGINT window sums over the
+    // calendar-bounded joined DAY table (never raw events), and r is
+    // the per-row cross-multiplied float tree with a zero-variance →
+    // NULL guard. Partial leading windows are reported with their
+    // n_window (the oracle replays the same frames).
+    "ts_rolling_correlation" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+          .as("day"), col("event_type"))
+        .agg(sum(round(col("value"), 0).cast("long")).as("v"))
+      val x = daily.filter(col("event_type") === "click")
+        .select(col("day"), col("v").as("x"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .select(col("day"), col("v").as("y"))
+      val j = x.join(y, "day")
+      val w = Window.orderBy("day")
+        .rowsBetween(-(RollCorrDays - 1), Window.currentRow)
+      val m = j
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w))
+        .withColumn("sy", sum("y").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("day"), col("n").as("n_window"),
+          when(col("n") < 2L || vx === 0L || vy === 0L,
+            lit(null).cast("double"))
+            .otherwise(cov.cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double")))
+            .as("rolling_r"))
+        .orderBy("day")
+    }),
+
     // Hour-of-day seasonality profile per event type: volume and
     // exact mean value by UTC hour, plus each type's peak hour — the
     // shape check behind load forecasting and anomaly baselines. Pure
@@ -929,6 +973,38 @@ object ProfileQueries extends QuerySuite {
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
          |FROM events""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "ts_rolling_correlation" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         |    event_type,
+         |    CAST(sum(CAST(round("value") AS BIGINT)) AS BIGINT) AS v
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT x.day, x.v AS x, y.v AS y
+         |  FROM (SELECT day, v FROM daily WHERE event_type = 'click') x
+         |  JOIN (SELECT day, v FROM daily WHERE event_type = 'purchase') y
+         |    ON x.day = y.day),
+         |m AS (
+         |  SELECT day,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+         |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+         |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+         |  FROM j
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN ${RollCorrDays - 1} PRECEDING AND CURRENT ROW))
+         |SELECT day, n AS n_window,
+         |  CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+         |         OR n * syy - sy * sy = 0 THEN NULL
+         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+         |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |                 CAST(n * syy - sy * sy AS DOUBLE)) END
+         |    AS rolling_r
+         |FROM m ORDER BY day""".stripMargin,
 
     "ts_sax_motifs" ->
       s"""WITH hourly AS (

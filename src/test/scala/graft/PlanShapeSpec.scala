@@ -116,7 +116,10 @@ class PlanShapeSpec extends SparkSpec {
     // two-level prefix sum: global window only over the doc-id BUCKET
     // base table (corpus/PpsBucket rows — the pack_sequences
     // decomposition; SampleQueries sample_pps_systematic doc)
-    "sample_pps_systematic")
+    "sample_pps_systematic",
+    // rolling moments over the joined DAY table — calendar-bounded,
+    // never data-sized (ProfileQueries ts_rolling_correlation doc)
+    "ts_rolling_correlation")
     // (window_trailing_distinct_users' calendar-bounded prefix sum
     // plans WITHOUT a fresh single-partition exchange — the 1-row
     // span aggregate already collapsed its input — so it needs no
