@@ -44,6 +44,38 @@ object BehaviorQueries extends QuerySuite {
       col("user_id"), col("event_type"), col("event_id"),
       unix_timestamp(col("ts")).as("sec"))
 
+  /** Banded purchase⋈click touch join shared by the attribution pair
+    * (single source of truth for the banding, so the window bounds
+    * can never drift between the two queries): every (purchase,
+    * click) pair with the click in the preceding [[AttribWindowSec]],
+    * equi-joined on (user, hour-band) with the time predicate as a
+    * residual — never a theta join over raw events. Returns
+    * (user_id, pid, pt, cid, ct) plus vc when `requireValue` (which
+    * also applies behavior_attribution's value-non-null purchase
+    * filter). */
+  private def bandedClickTouches(s: SparkSession, d: String,
+      requireValue: Boolean): DataFrame = {
+    val base = Tables.events(s, d)
+    val purch0 = base.filter(col("event_type") === "purchase")
+    val purch1 =
+      if (requireValue) purch0.filter(col("value").isNotNull) else purch0
+    val pcols = Seq(col("user_id"), col("event_id").as("pid"),
+      unix_timestamp(col("ts")).as("pt")) ++
+      (if (requireValue) Seq(Exact.cents(col("value")).as("vc")) else Nil)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"),
+        unix_timestamp(col("ts")).as("ct"))
+      .withColumn("hb", expr("ct div 3600"))
+    purch1.select(pcols: _*)
+      .withColumn("hb",
+        explode(sequence(expr(s"(pt - $AttribWindowSec) div 3600"),
+          expr("pt div 3600"))))
+      .join(clicks, Seq("user_id", "hb"))
+      .filter(col("ct") > col("pt") - AttribWindowSec &&
+        col("ct") <= col("pt"))
+      .drop("hb")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Last-hour click attribution — the marketing staple: credit each
     // purchase to the clicks in the preceding [[AttribWindowSec]]
@@ -57,21 +89,11 @@ object BehaviorQueries extends QuerySuite {
     // ceil(W/3600)+1 hour buckets). Output is per-user integer
     // counts/cents.
     "behavior_attribution" -> ((s, d) => {
-      val base = Tables.events(s, d)
-      val purch = base
+      val purch = Tables.events(s, d)
         .filter(col("event_type") === "purchase" && col("value").isNotNull)
         .select(col("user_id"), col("event_id").as("pid"),
-          unix_timestamp(col("ts")).as("pt"),
           Exact.cents(col("value")).as("vc"))
-      val clicks = base.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_timestamp(col("ts")).as("ct"))
-        .withColumn("hb", expr("ct div 3600"))
-      val probes = purch.withColumn("hb",
-        explode(sequence(expr(s"(pt - $AttribWindowSec) div 3600"),
-          expr("pt div 3600"))))
-      val touched = probes.join(clicks, Seq("user_id", "hb"))
-        .filter(col("ct") > col("pt") - AttribWindowSec &&
-          col("ct") <= col("pt"))
+      val touched = bandedClickTouches(s, d, requireValue = true)
         .groupBy("user_id", "pid", "vc")
         .agg(count(lit(1)).as("n_touches"))
       purch.join(touched.select(col("pid"), col("n_touches")),
@@ -101,21 +123,8 @@ object BehaviorQueries extends QuerySuite {
     // (millions of tiny partitions, never global), a 4-way stack, and
     // a (model × 24h) census aggregate.
     "behavior_attribution_models" -> ((s, d) => {
-      val base = Tables.events(s, d)
-      val purch = base.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("pid"),
-          unix_timestamp(col("ts")).as("pt"))
-      val clicks = base.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("cid"),
-          unix_timestamp(col("ts")).as("ct"))
-        .withColumn("hb", expr("ct div 3600"))
-      val probes = purch.withColumn("hb",
-        explode(sequence(expr(s"(pt - $AttribWindowSec) div 3600"),
-          expr("pt div 3600"))))
       val w = Window.partitionBy("pid")
-      val scored = probes.join(clicks, Seq("user_id", "hb"))
-        .filter(col("ct") > col("pt") - AttribWindowSec &&
-          col("ct") <= col("pt"))
+      val scored = bandedClickTouches(s, d, requireValue = false)
         .select(col("pid"), col("cid"), col("pt"), col("ct"))
         .withColumn("i",
           row_number().over(w.orderBy(col("ct"), col("cid"))).cast("long"))
@@ -593,13 +602,20 @@ object BehaviorQueries extends QuerySuite {
     // the census is a 3-row aggregate. Nothing downstream of the
     // first shuffle is event-sized.
     "behavior_pattern_regex" -> ((s, d) => {
+      // the cap is enforced BEFORE collect_list (row_number ≤ cap,
+      // exactly the oracle's rn filter) so the aggregation buffer is
+      // truly bounded — a slice after collection would still
+      // materialize a pathological user's full array in one task
       val seqs = ev(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("sec", "event_id")))
+        .filter(col("rn") <= MaxSeqEvents)
         .select(col("user_id"),
           struct(col("sec"), col("event_id"),
             substring(col("event_type"), 1, 1).as("ch")).as("e"))
         .groupBy("user_id")
-        .agg(concat_ws("", slice(transform(sort_array(collect_list("e")),
-          x => x.getField("ch")), 1, MaxSeqEvents)).as("sq"))
+        .agg(concat_ws("", transform(sort_array(collect_list("e")),
+          x => x.getField("ch"))).as("sq"))
       val scored = seqs.select(col("user_id") +:
         PatternRegexes.map { case (name, rx) =>
           size(regexp_extract_all(col("sq"), lit(rx), lit(0)))

@@ -209,16 +209,21 @@ object GraphQueries extends QuerySuite {
     * than once (the kcore inlining lesson). */
   private def betweennessSql: String = {
     val fwd = (1 to BetwRadius).map { r =>
-      s"""f$r AS MATERIALIZED (
-         |  SELECT f.seed, s.b AS node,
-         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
-         |  FROM f${r - 1} f JOIN sym s ON s.a = f.node
-         |  LEFT JOIN s${r - 1} p ON p.seed = f.seed AND p.node = s.b
-         |  WHERE p.node IS NULL
-         |  GROUP BY f.seed, s.b),
-         |s$r AS MATERIALIZED (
-         |  SELECT seed, node FROM s${r - 1}
-         |  UNION ALL SELECT seed, node FROM f$r)""".stripMargin
+      val fCte =
+        s"""f$r AS MATERIALIZED (
+           |  SELECT f.seed, s.b AS node,
+           |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM f${r - 1} f JOIN sym s ON s.a = f.node
+           |  LEFT JOIN s${r - 1} p ON p.seed = f.seed AND p.node = s.b
+           |  WHERE p.node IS NULL
+           |  GROUP BY f.seed, s.b)""".stripMargin
+      // the settled union is only read by the NEXT round's anti-join
+      if (r < BetwRadius)
+        fCte + s""",
+           |s$r AS MATERIALIZED (
+           |  SELECT seed, node FROM s${r - 1}
+           |  UNION ALL SELECT seed, node FROM f$r)""".stripMargin
+      else fCte
     }.mkString(",\n")
     val bwd = ((BetwRadius - 1) to 1 by -1).map { r =>
       val dJoin =
@@ -561,7 +566,7 @@ object GraphQueries extends QuerySuite {
         lit(1L).as("sigma")).localCheckpoint(true)
       val levels = scala.collection.mutable.ArrayBuffer(level)
       var settled = level.select("seed", "node").localCheckpoint(true)
-      for (_ <- 1 to BetwRadius) {
+      for (r <- 1 to BetwRadius) {
         val next = level.join(sym, col("node") === col("a"))
           .select(col("seed"), col("b").as("nxt"), col("sigma"))
           .join(settled.select(col("seed"), col("node").as("nxt")),
@@ -570,8 +575,12 @@ object GraphQueries extends QuerySuite {
           .agg(sum("sigma").as("sigma"))
           .localCheckpoint(true) // the forward round's single action
         levels += next
-        settled = settled.union(next.select("seed", "node"))
-          .localCheckpoint(true)
+        // only the NEXT round's anti-join reads settled — don't pay
+        // an eager materialization of the largest union after the
+        // final round
+        if (r < BetwRadius)
+          settled = settled.union(next.select("seed", "node"))
+            .localCheckpoint(true)
         level = next
       }
       // backward: δ at the deepest level is 0 (no successors inside

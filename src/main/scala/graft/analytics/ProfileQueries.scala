@@ -48,7 +48,11 @@ object ProfileQueries extends QuerySuite {
   /** SAX frame: hours aggregated per PAA window (ts_sax_motifs). */
   val SaxWindowHours = 6L
 
-  /** Rolling-correlation frame: trailing days per window. */
+  /** Rolling-correlation frame: trailing OBSERVED days per window —
+    * a ROWS frame over the inner-joined day table, so a day missing
+    * either series doesn't occupy a slot (on gappy data the window
+    * spans more than 14 calendar days by design; a RANGE frame would
+    * be the calendar-strict variant). */
   val RollCorrDays = 14
 
   /** SAX alphabet breakpoints in integer CENTS over the PAA value —

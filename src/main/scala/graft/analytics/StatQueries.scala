@@ -43,6 +43,29 @@ object StatQueries extends QuerySuite {
     * the perturbed diagonal an exact BIGINT. */
   val RidgeLambdas = Seq(0L, 25L, 100L, 400L)
 
+  /** Shared hour/weekend design moments for the OLS/ridge pair — ONE
+    * source for the feature projection and the 10-moment aggregate,
+    * so stat_ridge_path's λ = 0 row matches stat_linreg_multi by
+    * construction on the data side (the solve trees stay separately
+    * spelled; RidgeSpec pins their equality). */
+  private def hourWeekendMoments(s: SparkSession, d: String): DataFrame = {
+    val ep = floor(unix_timestamp(col("ts")) / 3600L).cast("long")
+    val dow = (floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+      + 4L) % 7L
+    Tables.events(s, d).select(
+        (ep % 24L).as("x1"),
+        when(dow === 0L || dow === 6L, 1L).otherwise(0L).as("x2"),
+        round(col("value"), 0).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-(event_type, day) z-score of every event's value — the
     // daily-cohort anomaly score. Scale shape: one groupBy for the
@@ -369,21 +392,7 @@ object StatQueries extends QuerySuite {
     // join; the normal-equations pattern is how distributed OLS
     // should look at any p (p² moments, one pass).
     "stat_linreg_multi" -> ((s, d) => {
-      val ep = floor(unix_timestamp(col("ts")) / 3600L).cast("long")
-      val dow = (floor(unix_timestamp(col("ts")) / 86400L).cast("long")
-        + 4L) % 7L
-      val ev = Tables.events(s, d).select(
-        (ep % 24L).as("x1"),
-        when(dow === 0L || dow === 6L, 1L).otherwise(0L).as("x2"),
-        round(col("value"), 0).cast("long").as("y"))
-      val m = ev.agg(count(lit(1)).as("n"),
-        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
-        sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum(col("x1") * col("x2")).as("s12"),
-        sum(col("x1") * col("y")).as("s1y"),
-        sum(col("x2") * col("y")).as("s2y"),
-        sum(col("y") * col("y")).as("syy"))
+      val m = hourWeekendMoments(s, d)
       val c = m.select(col("n"), col("s1"), col("s2"), col("sy"),
         (col("n") * col("s11") - col("s1") * col("s1"))
           .cast("double").as("d11"),
@@ -498,21 +507,7 @@ object StatQueries extends QuerySuite {
     // variance along the ridge direction ((β·d_y)/d_yy), double, one
     // tree.
     "stat_ridge_path" -> ((s, d) => {
-      val ep = floor(unix_timestamp(col("ts")) / 3600L).cast("long")
-      val dow = (floor(unix_timestamp(col("ts")) / 86400L).cast("long")
-        + 4L) % 7L
-      val ev = Tables.events(s, d).select(
-        (ep % 24L).as("x1"),
-        when(dow === 0L || dow === 6L, 1L).otherwise(0L).as("x2"),
-        round(col("value"), 0).cast("long").as("y"))
-      val m = ev.agg(count(lit(1)).as("n"),
-        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
-        sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum(col("x1") * col("x2")).as("s12"),
-        sum(col("x1") * col("y")).as("s1y"),
-        sum(col("x2") * col("y")).as("s2y"),
-        sum(col("y") * col("y")).as("syy"))
+      val m = hourWeekendMoments(s, d)
       val spine = s.range(1).select(explode(
         array(RidgeLambdas.map(v => lit(v)): _*)).as("lambda"))
       val c = m.crossJoin(broadcast(spine)).select(

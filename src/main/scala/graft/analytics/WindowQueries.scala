@@ -104,6 +104,12 @@ object WindowQueries extends QuerySuite {
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(-HampelHalf, HampelHalf)
       val scored = Tables.events(s, d)
+        // NULL values are excluded EXPLICITLY in both twins: Spark's
+        // collect_list silently drops NULLs while DuckDB's list()
+        // keeps them — without the shared filter the two engines
+        // would score different window sizes the first time a NULL
+        // value row appears
+        .filter(col("value").isNotNull)
         .select(col("user_id"), col("event_type"), col("ts"),
           col("event_id"), cents(col("value")).as("xc"))
         .withColumn("arr", collect_list("xc").over(w))
@@ -564,7 +570,7 @@ object WindowQueries extends QuerySuite {
       s"""WITH e AS (
          |  SELECT user_id, event_type, ts, event_id,
          |    ${centsSql("\"value\"")} AS xc
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |a AS (
          |  SELECT event_type, xc,
          |    list(xc) OVER (PARTITION BY user_id, event_type
