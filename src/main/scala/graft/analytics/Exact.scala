@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bit-exact cross-engine arithmetic helpers.
@@ -31,4 +31,46 @@ object Exact {
   def centsSql(x: String): String = s"CAST(round($x*100) AS BIGINT)"
   def moneySumSql(x: String): String = s"sum(${centsSql(x)})/100.0"
   def moneyAvgSql(x: String): String = s"sum(${centsSql(x)})/100.0/count(*)"
+
+  /** 2^62 — the default integer-moment headroom ceiling: every BIGINT
+    * moment sum must PROVE (via an a-priori count·max-magnitude bound)
+    * that it stays under half of Long range, a factor-2 margin before
+    * wraparound. Overridable per session via `graft.momentCeiling`
+    * (specs shrink it to exercise the loud-failure path on small
+    * fixtures; a deploy that has proven a tighter bound may raise it).
+    */
+  val MomentCeiling: Double = 4.611686018427387904e18
+
+  private def ceiling(s: SparkSession): Double =
+    s.conf.get("graft.momentCeiling", MomentCeiling.toString).toDouble
+
+  /** Loud runtime guard for the integer-moments discipline.
+    *
+    * Spark sums LongType with silent wraparound (non-ANSI), and every
+    * DuckDB oracle twin replays the identical moment trick — so past
+    * the documented headroom BOTH engines wrap identically and the
+    * driver hash CANNOT catch the corruption. The only honest behavior
+    * at that scale is a loud failure (the MaxBfsRounds precedent), so:
+    * `bound` is the query's a-priori overflow bound — count·|x|max
+    * products computed in DOUBLE space from pre-overflow-safe
+    * count/max aggregates (never from the possibly-wrapped sums
+    * themselves; max and count cannot overflow) — and when it reaches
+    * the ceiling the wrapped output column raises instead of
+    * returning. Wrap ONE always-selected column per query so column
+    * pruning can never drop the check; on the pass path the value is
+    * returned untouched, so the oracle hash is unaffected. The message
+    * names the escape hatch: re-spell the moments in DECIMAL(38,0)
+    * (same plan shape, same oracle trick — suite header of
+    * StatQueries) when a run legitimately needs the scale.
+    */
+  def momentGuard(s: SparkSession, query: String, what: String,
+      bound: Column)(value: Column): Column = {
+    val c = ceiling(s)
+    when(bound >= lit(c), raise_error(concat(
+      lit(s"$query: BIGINT moment headroom exceeded — $what reaches "),
+      bound.cast("string"),
+      lit(f" >= ceiling $c%.4e; re-spell the moments in DECIMAL(38,0) " +
+        "(StatQueries suite header) before running at this scale"))))
+      .otherwise(value)
+  }
 }

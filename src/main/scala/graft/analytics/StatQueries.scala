@@ -63,7 +63,19 @@ object StatQueries extends QuerySuite {
         sum(col("x1") * col("x2")).as("s12"),
         sum(col("x1") * col("y")).as("s1y"),
         sum(col("x2") * col("y")).as("s2y"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("y") * col("y")).as("syy"),
+        max(abs(col("y"))).as("my"))
+  }
+
+  /** A-priori BIGINT bound for the hour/weekend cross-multiplied
+    * forms: x1 ≤ 23 and x2 ≤ 1 are structural, so every n·Σab−ΣaΣb
+    * term is dominated by n²·max(my², 23·my, 529) (plus the caller's
+    * λ·n² diagonal perturbation for ridge). Computed in DOUBLE from
+    * the wrap-proof n/max aggregates — feeds [[Exact.momentGuard]]. */
+  private def hourWeekendBound(extra: Double): Column = {
+    val nD = col("n").cast("double")
+    val myD = col("my").cast("double")
+    nD * nD * greatest(myD * myD, lit(23.0) * myD, lit(529.0), lit(extra))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -80,13 +92,21 @@ object StatQueries extends QuerySuite {
         cents(col("value")).as("xc"))
       val mom = ev.groupBy("event_type", "day").agg(
         count(lit(1)).as("n"), sum("xc").as("sx"),
-        sum(col("xc") * col("xc")).as("sq"))
+        sum(col("xc") * col("xc")).as("sq"),
+        max(abs(col("xc"))).as("mx"))
       val denom = col("n") * col("sq") - col("sx") * col("sx")
+      // loud headroom guard (suite header): the cross form n·Σx²−(Σx)²
+      // is bounded a-priori by n²·max|x|² — per GROUP, because a 100 TB
+      // hot cohort is exactly the skew case the comment-only bound
+      // missed. mx/n cannot wrap, so the check sees true magnitudes.
+      val hotD = col("n").cast("double") * col("n").cast("double") *
+        col("mx").cast("double") * col("mx").cast("double")
       ev.join(broadcast(mom), Seq("event_type", "day"))
         .select(col("event_id"), col("event_type"), col("day"),
-          when(denom === 0L, lit(0.0))
-            .otherwise((col("xc") * col("n") - col("sx")).cast("double") /
-              sqrt(denom.cast("double"))).as("z"))
+          momentGuard(s, "stat_zscore_daily", "group n^2*max|x|^2", hotD)(
+            when(denom === 0L, lit(0.0))
+              .otherwise((col("xc") * col("n") - col("sx")).cast("double") /
+                sqrt(denom.cast("double")))).as("z"))
         .orderBy("event_id")
     }),
 
@@ -151,14 +171,21 @@ object StatQueries extends QuerySuite {
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x") * col("y")).as("sxy"),
+        greatest(max(abs(col("x"))), max(abs(col("y")))).as("mxy"))
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")
       val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      // loud headroom guard (suite header): every cross form here is
+      // bounded by n²·max(|x|,|y|)² per (rf, month) slice.
+      val hotD = col("n").cast("double") * col("n").cast("double") *
+        col("mxy").cast("double") * col("mxy").cast("double")
       m.select(col("rf"), col("month"), col("n"),
-        when(vx === 0L || vy === 0L, lit(null).cast("double"))
-          .otherwise(cov.cast("double") /
-            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        momentGuard(s, "stat_corr_monthly", "slice n^2*max(|x|,|y|)^2",
+          hotD)(
+          when(vx === 0L || vy === 0L, lit(null).cast("double"))
+            .otherwise(cov.cast("double") /
+              (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
           .as("corr_qty_price"))
         .orderBy("rf", "month")
     }),
@@ -356,7 +383,11 @@ object StatQueries extends QuerySuite {
         .agg(max(struct(col("dnum"), (-col("v")).as("nv"))).as("m"),
           max("n1").as("n1"), max("n2").as("n2"))
         .select(col("n1"), col("n2"),
-          expr("(m.dnum * 1000000) div (n1 * n2)").as("ks_ppm"),
+          // loud headroom guard: the ppm numerator dnum·10⁶ ≤
+          // 10⁶·n1·n2 is the binding BIGINT bound (comment above).
+          momentGuard(s, "stat_ks_segments", "1e6*n1*n2",
+            lit(1e6) * col("n1").cast("double") * col("n2").cast("double"))(
+            expr("(m.dnum * 1000000) div (n1 * n2)")).as("ks_ppm"),
           (-col("m.nv")).as("ks_at_cents"))
     }),
 
@@ -393,7 +424,13 @@ object StatQueries extends QuerySuite {
     // should look at any p (p² moments, one pass).
     "stat_linreg_multi" -> ((s, d) => {
       val m = hourWeekendMoments(s, d)
-      val c = m.select(col("n"), col("s1"), col("s2"), col("sy"),
+      // loud headroom guard on n (always selected — pruning-proof):
+      // see [[hourWeekendBound]]; enforces the ~10⁷-row comment bound.
+      val c = m.select(
+        momentGuard(s, "stat_linreg_multi",
+          "n^2*max(my^2,23*my,529)", hourWeekendBound(0.0))(col("n"))
+          .as("n"),
+        col("s1"), col("s2"), col("sy"),
         (col("n") * col("s11") - col("s1") * col("s1"))
           .cast("double").as("d11"),
         (col("n") * col("s22") - col("s2") * col("s2"))
@@ -511,7 +548,14 @@ object StatQueries extends QuerySuite {
       val spine = s.range(1).select(explode(
         array(RidgeLambdas.map(v => lit(v)): _*)).as("lambda"))
       val c = m.crossJoin(broadcast(spine)).select(
-        col("lambda"), col("n"), col("s1"), col("s2"), col("sy"),
+        col("lambda"),
+        // loud headroom guard: the ridge diagonal adds λ·n² to the
+        // linreg cross forms, so the bound gains a λmax term — this
+        // enforces the "λ·n² < 2⁶³ to n ≈ 10⁸" comment contract.
+        momentGuard(s, "stat_ridge_path",
+          "n^2*max(my^2,23*my,529,lambda_max)",
+          hourWeekendBound(RidgeLambdas.max.toDouble))(col("n")).as("n"),
+        col("s1"), col("s2"), col("sy"),
         (col("n") * col("s11") - col("s1") * col("s1") +
           col("lambda") * col("n") * col("n")).cast("double").as("d11"),
         (col("n") * col("s22") - col("s2") * col("s2") +
