@@ -37,20 +37,28 @@ object Exact {
     * that it stays under half of Long range, a factor-2 margin before
     * wraparound. Overridable per session via `graft.momentCeiling`
     * (specs shrink it to exercise the loud-failure path on small
-    * fixtures; a deploy that has proven a tighter bound may raise it).
+    * fixtures). Values ABOVE 2^62 are clamped: the per-query bound
+    * proofs consume the factor-2 margin exactly (e.g. the linreg
+    * |n·Σx1y − Σx1Σy| ≤ 2·n²·(x·y)max term), so raising the ceiling
+    * would void the no-wraparound proof while the guard still passed.
     */
   val MomentCeiling: Double = 4.611686018427387904e18
 
   private def ceiling(s: SparkSession): Double =
-    s.conf.get("graft.momentCeiling", MomentCeiling.toString).toDouble
+    math.min(
+      s.conf.get("graft.momentCeiling", MomentCeiling.toString).toDouble,
+      MomentCeiling)
 
   /** Loud runtime guard for the integer-moments discipline.
     *
-    * Spark sums LongType with silent wraparound (non-ANSI), and every
-    * DuckDB oracle twin replays the identical moment trick — so past
-    * the documented headroom BOTH engines wrap identically and the
-    * driver hash CANNOT catch the corruption. The only honest behavior
-    * at that scale is a loud failure (the MaxBfsRounds precedent), so:
+    * Spark sums LongType with silent wraparound (non-ANSI). The DuckDB
+    * oracle twin replays the same moment trick but raises an
+    * Out-of-Range error on BIGINT overflow instead of wrapping, so an
+    * over-the-bound oracle run would fail loudly rather than match the
+    * wrapped Spark result — the guard's value is failing EARLY on the
+    * Spark side with an actionable message, and covering Spark-only
+    * production runs where no oracle exists to object. The honest
+    * behavior at that scale is a loud failure (MaxBfsRounds precedent):
     * `bound` is the query's a-priori overflow bound — count·|x|max
     * products computed in DOUBLE space from pre-overflow-safe
     * count/max aggregates (never from the possibly-wrapped sums

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.{QuerySuite, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Exact._
@@ -252,10 +252,22 @@ object StatQueries extends QuerySuite {
         count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x") * col("y")).as("sxy"),
+        max(abs(col("x"))).as("mx"), max(abs(col("y"))).as("my"))
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val cov = col("n") * col("sxy") - col("sx") * col("sy")
-      m.select(col("event_type"), col("n").as("n_days"),
+      // loud headroom guard (suite header): every BIGINT product here
+      // (n·Σxy, ΣxΣy, Σy·Σx², Σx·Σxy) is dominated a-priori by
+      // 2·n²·max(mx,1)²·max(my,1), computed in DOUBLE from the
+      // wrap-proof n/max aggregates.
+      val trendBound = lit(2.0) *
+        col("n").cast("double") * col("n").cast("double") *
+        greatest(col("mx").cast("double"), lit(1.0)) *
+        greatest(col("mx").cast("double"), lit(1.0)) *
+        greatest(col("my").cast("double"), lit(1.0))
+      m.select(col("event_type"),
+        momentGuard(s, "stat_trend_daily", "2*n^2*max(mx,1)^2*max(my,1)",
+          trendBound)(col("n")).as("n_days"),
         when(vx === 0L, lit(null).cast("double"))
           .otherwise(cov.cast("double") / vx.cast("double")).as("slope"),
         when(vx === 0L, lit(null).cast("double"))
@@ -501,16 +513,26 @@ object StatQueries extends QuerySuite {
       val aggs = Seq(count(lit(1)).as("n")) ++
         dims.map(j => sum(col(s"x$j")).as(s"s$j")) ++
         pairs.map { case (j, k) =>
-          sum(col(s"x$j") * col(s"x$k")).as(s"s$j$k") }
+          sum(col(s"x$j") * col(s"x$k")).as(s"s$j$k") } ++
+        dims.map(j => max(abs(col(s"x$j"))).as(s"m$j"))
       val m = li.agg(aggs.head, aggs.tail: _*)
       val nD = col("n").cast("double")
       val covCols = pairs.map { case (j, k) =>
         ((nD * col(s"s$j$k").cast("double") -
           col(s"s$j").cast("double") * col(s"s$k").cast("double")) /
           (nD * nD)).as(s"c$j$k") }
+      // loud headroom guard (suite header): each BIGINT moment Σxⱼxₖ is
+      // bounded a-priori by n·max|xⱼ|·max|xₖ| ≤ n·(maxⱼ max|xⱼ|)² —
+      // the "Σp² < 2⁶³ to ~10⁸ rows" contract above, now enforced. The
+      // per-element products xⱼ·xₖ are bounded by the same max², far
+      // inside the sum bound. Computed in DOUBLE from wrap-proof n/max.
+      val mmax = greatest(dims.map(j => col(s"m$j").cast("double")): _*)
+      val pcaBound = nD * mmax * mmax
       val keep = col("n") +: pairs.map { case (j, k) => col(s"c$j$k") }
       var cur = m.select(
-        (keep.head +: (covCols ++ dims.map(j => lit(0.5).as(s"v$j")))): _*)
+        (momentGuard(s, "stat_pca_power", "n*max|x|^2", pcaBound)(
+          col("n")).as("n") +:
+          (covCols ++ dims.map(j => lit(0.5).as(s"v$j")))): _*)
       var nrmExpr = lit(null).cast("double")
       for (_ <- 1 to PcaRounds) {
         val ws = dims.map { j =>
@@ -613,18 +635,35 @@ object StatQueries extends QuerySuite {
         .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
           cents(col("value")).as("xc"))
         .groupBy("day")
-        .agg(count(lit(1)).as("n_d"), sum("xc").as("s_d"))
+        .agg(count(lit(1)).as("n_d"), sum("xc").as("s_d"),
+          max(abs(col("xc"))).as("mx_d"))
       val tot = byDay.agg(count(lit(1)).as("g"), sum("n_d").as("nn"),
-        sum("s_d").as("ss"))
+        sum("s_d").as("ss"), max("mx_d").as("mx"))
       val md = byDay.crossJoin(broadcast(tot))
         .withColumn("m", when(col("nn") =!= col("n_d"),
           floor((col("ss") - col("s_d")).cast("double") /
             (col("nn") - col("n_d")).cast("double") *
             lit(1000.0)).cast("long")))
-      md.groupBy("g", "nn", "ss")
+      // loud headroom guard (suite header): the computed BIGINT
+      // products are bounded a-priori by (g−1)·(g·Σm²−(Σm)²) ≤
+      // 2·g³·max|m|², and the event-sum side by |Σxc| ≤ nn·max|xc|
+      // (per-day sums included, n_d ≤ nn) with a 1000× milli-cent
+      // factor on the floor() long cast — the "g²·m² < 2⁶³" contract
+      // above, enforced from wrap-proof count/max aggregates.
+      val jkBound = greatest(
+        lit(2.0) * col("g").cast("double") * col("g").cast("double") *
+          col("g").cast("double") * col("mm").cast("double") *
+          col("mm").cast("double"),
+        lit(2000.0) * col("nn").cast("double") * col("mx").cast("double"))
+      md.groupBy("g", "nn", "ss", "mx")
         .agg(count(col("m")).as("gm"), sum("m").as("sm"),
-          sum(col("m") * col("m")).as("sm2"))
-        .select(col("g").as("n_days"), col("nn").as("n_events"),
+          sum(col("m") * col("m")).as("sm2"),
+          max(abs(col("m"))).as("mm"))
+        .select(
+          momentGuard(s, "stat_jackknife",
+            "max(2*g^3*max|m|^2, 2000*nn*max|xc|)", jkBound)(
+            col("g")).as("n_days"),
+          col("nn").as("n_events"),
           (col("ss").cast("double") / col("nn").cast("double") / 100.0)
             .as("mean_value"),
           when(col("g") < 2L || col("gm") =!= col("g"),
@@ -732,7 +771,16 @@ object StatQueries extends QuerySuite {
         .agg(sum("in1").as("n1"), sum("in2").as("n2"),
           sum(col("in1") * col("in2")).as("m"),
           count(lit(1)).as("n_true"))
-      m.select(col("n1"), col("n2"), col("m"), col("n_true"),
+      // loud headroom guard (suite header): the BIGINT products
+      // n1·n2 and (n1+1)(n2+1) are bounded a-priori by
+      // (n1+1)·(n2+1) in DOUBLE (n1, n2 are counts and cannot wrap) —
+      // the "n1·n2 < 2⁶³ to ~3·10⁹ users" contract above, enforced.
+      val crBound = (col("n1").cast("double") + lit(1.0)) *
+        (col("n2").cast("double") + lit(1.0))
+      m.select(
+        momentGuard(s, "stat_capture_recapture", "(n1+1)*(n2+1)",
+          crBound)(col("n1")).as("n1"),
+        col("n2"), col("m"), col("n_true"),
         when(col("m") > 0L, expr("n1 * n2 div m"))
           .otherwise(lit(null).cast("long")).as("lincoln_petersen"),
         expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("chapman"))
