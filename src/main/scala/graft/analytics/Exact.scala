@@ -36,18 +36,29 @@ object Exact {
     * moment sum must PROVE (via an a-priori count·max-magnitude bound)
     * that it stays under half of Long range, a factor-2 margin before
     * wraparound. Overridable per session via `graft.momentCeiling`
-    * (specs shrink it to exercise the loud-failure path on small
-    * fixtures). Values ABOVE 2^62 are clamped: the per-query bound
-    * proofs consume the factor-2 margin exactly (e.g. the linreg
+    * (`MomentGuardSpec` shrinks it on a CLONED session to exercise the
+    * loud-failure path on the sf0.001 fixtures). Values ABOVE 2^62 are
+    * clamped WITH a logged warning (silent clamping would let an
+    * operator believe a raised ceiling took effect): the per-query
+    * bound proofs consume the factor-2 margin exactly (e.g. the linreg
     * |n·Σx1y − Σx1Σy| ≤ 2·n²·(x·y)max term), so raising the ceiling
     * would void the no-wraparound proof while the guard still passed.
     */
   val MomentCeiling: Double = 4.611686018427387904e18
 
-  private def ceiling(s: SparkSession): Double =
-    math.min(
-      s.conf.get("graft.momentCeiling", MomentCeiling.toString).toDouble,
-      MomentCeiling)
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Exact")
+
+  private[graft] def ceiling(s: SparkSession): Double = {
+    val conf =
+      s.conf.get("graft.momentCeiling", MomentCeiling.toString).toDouble
+    if (conf > MomentCeiling) log.warn(
+      s"graft.momentCeiling=$conf exceeds 2^62 and is CLAMPED to " +
+        f"$MomentCeiling%.4e — the per-query overflow-bound proofs " +
+        "consume the remaining factor-2 margin, so a higher ceiling " +
+        "would void the no-wraparound guarantee; re-spell the moments " +
+        "in DECIMAL(38,0) (StatQueries suite header) instead")
+    math.min(conf, MomentCeiling)
+  }
 
   /** Loud runtime guard for the integer-moments discipline.
     *

@@ -375,9 +375,14 @@ object GraphQueries extends QuerySuite {
   /** Dependency quantum for the Brandes backward pass: δ is carried
     * as an integer ppm so every per-level accumulation is an
     * order-independent BIGINT sum — σ_v·(PPM+δ_w) div σ_w per DAG
-    * edge, floor-div in both engines. Headroom: σ ≤ fan^radius and
-    * δ ≤ reach·PPM keep the product < 2⁶³ to σ ≈ 10⁶, δ ≈ 10³·PPM —
-    * far above this graph's scale. */
+    * edge, floor-div in both engines. Headroom, ENFORCED
+    * ([[Exact.momentGuard]], 2^62 ceiling): each backward round
+    * bounds its per-edge product and per-node sum a-priori by
+    * in_deg·σmax·(PPM+δmax) from wrap-proof count/max aggregates of
+    * the SAME round (σ ≤ fan^radius, δ ≤ reach·PPM keep it under the
+    * ceiling to σ ≈ 10⁶, δ ≈ 5·10²·PPM), and the final per-node
+    * accumulation re-bounds by n_levels·δmax; past the ceiling the
+    * query raises loudly instead of wrapping. */
   val BetwPpm = 1000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -602,17 +607,40 @@ object GraphQueries extends QuerySuite {
             Seq("seed", "wn"), "left")
           case None => dag.withColumn("dw", lit(null).cast("long"))
         }
+        // loud headroom guard per round (BetwPpm doc): the per-edge
+        // product σ_v·(PPM+δ_w) ≤ σmax·(PPM+δmax) and the per-node
+        // sum of in_deg such terms ≤ in_deg·σmax·(PPM+δmax) — the
+        // bound is computed in DOUBLE from the round's own wrap-proof
+        // count/max aggregates (σ and δ are round INPUTS, proven
+        // in-range by the previous round's guard), and wraps the
+        // always-selected delta column so pruning can't drop it.
         val dr = withD
           .select(col("seed"), col("vn"),
+            col("sv"), coalesce(col("dw"), lit(0L)).as("dw0"),
             expr(s"sv * ($BetwPpm + coalesce(dw, 0L)) div sw").as("c"))
           .groupBy(col("seed"), col("vn").as("node"))
-          .agg(sum("c").as("delta"))
+          .agg(sum("c").as("delta"), count(lit(1)).as("in_deg"),
+            max("sv").as("msv"), max("dw0").as("mdw"))
+          .select(col("seed"), col("node"),
+            Exact.momentGuard(s, "graph_betweenness_panel",
+              "in_deg*sigma_max*(PPM+delta_max)",
+              col("in_deg").cast("double") * col("msv").cast("double") *
+                (lit(BetwPpm.toDouble) + col("mdw").cast("double")))(
+              col("delta")).as("delta"))
           .localCheckpoint(true) // the backward round's single action
         perLevel += dr
         deltaAbove = Some(dr)
       }
+      // final accumulation guard: per node the union holds ≤ n_levels
+      // deltas (each proven < ceiling above), so n·δmax bounds the sum.
       val bet = perLevel.reduce(_ union _)
-        .groupBy("node").agg(sum("delta").as("b_ppm"))
+        .groupBy("node").agg(sum("delta").as("b_ppm"),
+          count(lit(1)).as("nl"), max("delta").as("mxd"))
+        .select(col("node"),
+          Exact.momentGuard(s, "graph_betweenness_panel",
+            "n_levels*delta_max",
+            col("nl").cast("double") * col("mxd").cast("double"))(
+            col("b_ppm")).as("b_ppm"))
       bet.orderBy(col("b_ppm").desc, col("node")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("b_ppm").desc, col("node"))).cast("long"))
@@ -652,28 +680,41 @@ object GraphQueries extends QuerySuite {
     // will matter downstream. Exact integer moments over the
     // symmetrized edge list (S1 = Σ j·k, S2 = Σ j, S3 = Σ j²; by
     // symmetry the j- and k-marginals coincide), ONE double division:
-    // r = (M·S1 − S2²) / (M·S3 − S2²). Integer headroom: with max
-    // degree D and M sym-edges, M·S1 ≤ M²·D² — fine to M ≈ 10^7 at
-    // D ≈ 10^4; a bigger graph moves the moments to ppb fixed point
-    // the way stat_chi_square does. Shapes: one deg aggregate, two
-    // keyed joins edge⋈deg, one scalar aggregate.
+    // r = (M·S1 − S2²) / (M·S3 − S2²). Integer headroom, ENFORCED
+    // ([[Exact.momentGuard]]): every BIGINT product in the tree —
+    // M·S1, S2², M·S3 and the per-edge da·db — is bounded a-priori by
+    // (M·Dmax)² with Dmax = max endpoint degree, computed in DOUBLE
+    // from the same wrap-proof count/max aggregate (fine to M ≈ 10^7
+    // at D ≈ 10^4; past the ceiling the query raises loudly and a
+    // bigger graph moves the moments to ppb fixed point the way
+    // stat_chi_square does). Shapes: one deg aggregate, two keyed
+    // joins edge⋈deg, one scalar aggregate.
     "graph_assortativity" -> ((s, d) => {
       val e0 = coSupplyEdges(s, d)
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
       val deg = sym.groupBy(col("a").as("node"))
         .agg(count(lit(1)).as("dg"))
-      sym
+      val mom = sym
         .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
         .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
         .agg(count(lit(1)).as("m"),
           sum(col("da") * col("db")).as("s1"),
           sum(col("da")).as("s2"),
-          sum(col("da") * col("da")).as("s3"))
-        .select(col("m").as("n_edges_sym"),
-          ((col("m") * col("s1") - col("s2") * col("s2")).cast("double") /
-            (col("m") * col("s3") - col("s2") * col("s2")).cast("double"))
-            .as("assortativity"))
+          sum(col("da") * col("da")).as("s3"),
+          greatest(max("da"), max("db")).as("dmax"))
+      // loud headroom guard: M·S1 ≤ M²·Dmax², S2² ≤ (M·Dmax)²,
+      // M·S3 ≤ M²·Dmax², per-edge da·db ≤ Dmax² — all under (M·Dmax)².
+      val asBound = {
+        val md = col("m").cast("double") * col("dmax").cast("double")
+        md * md
+      }
+      mom.select(
+        Exact.momentGuard(s, "graph_assortativity", "(M*Dmax)^2",
+          asBound)(col("m")).as("n_edges_sym"),
+        ((col("m") * col("s1") - col("s2") * col("s2")).cast("double") /
+          (col("m") * col("s3") - col("s2") * col("s2")).cast("double"))
+          .as("assortativity"))
     }),
 
     "graph_degree_census" -> ((s, d) => {

@@ -489,10 +489,20 @@ object ProfileQueries extends QuerySuite {
     // alphabet at the fixed [[SaxBreaks]] cent breakpoints, then the
     // most frequent 3-window MOTIF is reported — the recurring-shape
     // primitive behind symbolic TS indexing. Exactness: hourly means
-    // and PAA values are integer FLOOR divisions of exact cent sums
-    // (the quantization is the published method's point — SAX is
-    // defined by its discretization, so floor-div is semantics, not
-    // compromise); symbols are pure CASE. Scale shape: fact →
+    // and PAA values are integer divisions of exact cent sums (the
+    // quantization is the published method's point — SAX is defined
+    // by its discretization, so integer-div is semantics, not
+    // compromise). TRUNCATE-vs-FLOOR contract: Spark's `div` and
+    // DuckDB's `//` BOTH truncate toward zero on signed integers
+    // (verified: −7 div 2 = −3 = −7 // 2), so the twins agree at
+    // every sign — but on a NEGATIVE cent sum the quantized mean is
+    // the truncated value, one ABOVE the mathematical floor (−3, not
+    // −4), which can shift a window sitting exactly on a SaxBreaks
+    // boundary one letter up relative to a floor-defined SAX. That
+    // truncation IS this query's published semantics (both twins
+    // replay it identically); a floor-defined variant would spell
+    // both sides with explicit floor(x/y) — don't mix the two.
+    // Symbols are pure CASE. Scale shape: fact →
     // (type, hour) aggregate → (type, window) PAA — all keyed,
     // calendar-bounded tables; the trigram census is two consecutive-
     // window equi-joins (calendar gaps break motifs by design) and

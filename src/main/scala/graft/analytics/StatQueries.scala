@@ -21,12 +21,16 @@ import Exact._
   * and covariance use the cross-multiplied forms n·Σx²−(Σx)² and
   * n·Σxy−ΣxΣy — no mean subtraction, no float accumulation.
   *
-  * Integer headroom: n·Σx² < 2^63 bounds each GROUP to
-  * n < 2^63 / x_max² (x in quantized units) — ~10^9 rows/group at
-  * x_max ≈ 10^5 (z-scores on daily cohorts), ~10^8 at the corr
-  * query's whole-unit prices. Past that a 100 TB run swaps the BIGINT
+  * Integer headroom: [[Exact.momentGuard]] ENFORCES every moment's
+  * a-priori bound against the 2^62 ceiling (half of Long range — the
+  * bound proofs consume the other factor 2), so each GROUP is bounded
+  * at n < 2^62 / x_max² (x in quantized units) — ~5·10^8 rows/group
+  * at x_max ≈ 10^5 (z-scores on daily cohorts), ~5·10^7 at the corr
+  * query's whole-unit prices; past that the query RAISES with the
+  * bound in the message. At that point a 100 TB run swaps the BIGINT
   * moments for DECIMAL(38,0) sums (same plan shape, same oracle
-  * trick); the group keys here (type×day, flag×month) keep test- and
+  * trick — stat_pca_power_decimal is the verified template); the
+  * group keys here (type×day, flag×month) keep test- and
   * cluster-scale groups far inside the bound.
   */
 object StatQueries extends QuerySuite {
@@ -76,6 +80,77 @@ object StatQueries extends QuerySuite {
     val nD = col("n").cast("double")
     val myD = col("my").cast("double")
     nD * nD * greatest(myD * myD, lit(23.0) * myD, lit(529.0), lit(extra))
+  }
+
+  /** Shared builder for stat_pca_power and its DECIMAL twin — ONE
+    * plan, two moment spellings, so the "re-spell in DECIMAL(38,0),
+    * same plan shape" escape hatch named by every guard message is
+    * executable code rather than a comment.
+    *
+    * `decimalMoments = false`: sums are BIGINT, protected by
+    * [[Exact.momentGuard]] at the 2⁶² ceiling. `true`: each xⱼ is
+    * cast to DECIMAL(18,0) (|x| < 10¹⁸ — covers any quantized unit in
+    * the suite), products land in DECIMAL(37,0) and sums in
+    * DECIMAL(38,0) per Spark's precision widening, lifting the
+    * headroom to 10³⁸ with no guard needed (overflow PAST 10³⁸ fails
+    * loudly under ANSI and NULLs the output — never wraps — without);
+    * the covariance tree then casts to DOUBLE exactly as the BIGINT
+    * path does, and since any sum inside 2⁶² converts to the SAME
+    * correctly-rounded double from either type, the eigenpair is
+    * bit-identical wherever both spellings are legal. */
+  private def pcaPower(s: SparkSession, d: String,
+      decimalMoments: Boolean): DataFrame = {
+    val dims = 1 to 4
+    val pairs = for (j <- dims; k <- dims if j <= k) yield (j, k)
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_quantity"), 0).cast("long").as("x1"),
+      round(col("l_extendedprice"), 0).cast("long").as("x2"),
+      round(col("l_discount") * 100, 0).cast("long").as("x3"),
+      round(col("l_tax") * 100, 0).cast("long").as("x4"))
+    def x(j: Int): Column =
+      if (decimalMoments) col(s"x$j").cast("decimal(18,0)")
+      else col(s"x$j")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      dims.map(j => sum(x(j)).as(s"s$j")) ++
+      pairs.map { case (j, k) => sum(x(j) * x(k)).as(s"s$j$k") } ++
+      dims.map(j => max(abs(col(s"x$j"))).as(s"m$j"))
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val covCols = pairs.map { case (j, k) =>
+      ((nD * col(s"s$j$k").cast("double") -
+        col(s"s$j").cast("double") * col(s"s$k").cast("double")) /
+        (nD * nD)).as(s"c$j$k") }
+    // loud headroom guard, BIGINT spelling only (suite header): each
+    // BIGINT moment Σxⱼxₖ is bounded a-priori by n·max|xⱼ|·max|xₖ| ≤
+    // n·(maxⱼ max|xⱼ|)² — the "n·max|x|² under 2⁶² to ~5·10⁷ rows"
+    // contract, enforced. The per-element products xⱼ·xₖ are bounded
+    // by the same max², far inside the sum bound. Computed in DOUBLE
+    // from wrap-proof n/max.
+    val mmax = greatest(dims.map(j => col(s"m$j").cast("double")): _*)
+    val pcaBound = nD * mmax * mmax
+    val guardedN =
+      if (decimalMoments) col("n")
+      else momentGuard(s, "stat_pca_power", "n*max|x|^2", pcaBound)(
+        col("n"))
+    val keep = col("n") +: pairs.map { case (j, k) => col(s"c$j$k") }
+    var cur = m.select((guardedN.as("n") +:
+      (covCols ++ dims.map(j => lit(0.5).as(s"v$j")))): _*)
+    var nrmExpr = lit(null).cast("double")
+    for (_ <- 1 to PcaRounds) {
+      val ws = dims.map { j =>
+        dims.map { k =>
+          val (a, b) = if (j <= k) (j, k) else (k, j)
+          col(s"c$a$b") * col(s"v$k")
+        }.reduceLeft(_ + _).as(s"w$j") }
+      cur = cur.select(keep ++ ws: _*)
+      nrmExpr = sqrt(dims.map(j => col(s"w$j") * col(s"w$j"))
+        .reduceLeft(_ + _))
+      val vs = dims.map(j => (col(s"w$j") / nrmExpr).as(s"v$j"))
+      cur = cur.select((keep :+ nrmExpr.as("nrm")) ++ vs: _*)
+    }
+    cur.select(col("n"), col("nrm").as("lambda"),
+      col("v1").as("v_qty"), col("v2").as("v_price"),
+      col("v3").as("v_disc"), col("v4").as("v_tax"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,8 +500,9 @@ object StatQueries extends QuerySuite {
     // for the weekend mix? Exactness: all ten raw moments (n, Σx1,
     // Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) are exact BIGINTs
     // on whole-unit y (round(value) — the brown_forsythe headroom
-    // choice: n·Σy² < 2⁶³ to ~10⁷ rows at these magnitudes, DECIMAL
-    // swap past that per the suite header); the centered
+    // choice: n·Σy² under the ENFORCED 2⁶² ceiling to ~5·10⁶ rows at
+    // these magnitudes, DECIMAL swap past that per the suite header,
+    // loud raise in between); the centered
     // cross-products n·Σab−ΣaΣb are exact BIGINT cross-multiplied
     // forms, and the 2×2 solve (determinant, betas, R²) is a fixed
     // float tree over those exact integers, written identically in
@@ -499,65 +575,33 @@ object StatQueries extends QuerySuite {
     // correctly-rounded IEEE in both engines, so the eigenpair is
     // bit-identical. λ is the final ‖C·v‖ (→ top eigenvalue as the
     // iteration converges); the eigenvector sign is pinned by the
-    // positive start vector. Moment headroom: Σp² < 2⁶³ to ~10⁸ rows
-    // at whole-dollar prices — DECIMAL(38,0) swap past that, per the
-    // suite header.
-    "stat_pca_power" -> ((s, d) => {
-      val dims = 1 to 4
-      val pairs = for (j <- dims; k <- dims if j <= k) yield (j, k)
-      val li = Tables.lineitem(s, d).select(
-        round(col("l_quantity"), 0).cast("long").as("x1"),
-        round(col("l_extendedprice"), 0).cast("long").as("x2"),
-        round(col("l_discount") * 100, 0).cast("long").as("x3"),
-        round(col("l_tax") * 100, 0).cast("long").as("x4"))
-      val aggs = Seq(count(lit(1)).as("n")) ++
-        dims.map(j => sum(col(s"x$j")).as(s"s$j")) ++
-        pairs.map { case (j, k) =>
-          sum(col(s"x$j") * col(s"x$k")).as(s"s$j$k") } ++
-        dims.map(j => max(abs(col(s"x$j"))).as(s"m$j"))
-      val m = li.agg(aggs.head, aggs.tail: _*)
-      val nD = col("n").cast("double")
-      val covCols = pairs.map { case (j, k) =>
-        ((nD * col(s"s$j$k").cast("double") -
-          col(s"s$j").cast("double") * col(s"s$k").cast("double")) /
-          (nD * nD)).as(s"c$j$k") }
-      // loud headroom guard (suite header): each BIGINT moment Σxⱼxₖ is
-      // bounded a-priori by n·max|xⱼ|·max|xₖ| ≤ n·(maxⱼ max|xⱼ|)² —
-      // the "Σp² < 2⁶³ to ~10⁸ rows" contract above, now enforced. The
-      // per-element products xⱼ·xₖ are bounded by the same max², far
-      // inside the sum bound. Computed in DOUBLE from wrap-proof n/max.
-      val mmax = greatest(dims.map(j => col(s"m$j").cast("double")): _*)
-      val pcaBound = nD * mmax * mmax
-      val keep = col("n") +: pairs.map { case (j, k) => col(s"c$j$k") }
-      var cur = m.select(
-        (momentGuard(s, "stat_pca_power", "n*max|x|^2", pcaBound)(
-          col("n")).as("n") +:
-          (covCols ++ dims.map(j => lit(0.5).as(s"v$j")))): _*)
-      var nrmExpr = lit(null).cast("double")
-      for (_ <- 1 to PcaRounds) {
-        val ws = dims.map { j =>
-          dims.map { k =>
-            val (a, b) = if (j <= k) (j, k) else (k, j)
-            col(s"c$a$b") * col(s"v$k")
-          }.reduceLeft(_ + _).as(s"w$j") }
-        cur = cur.select(keep ++ ws: _*)
-        nrmExpr = sqrt(dims.map(j => col(s"w$j") * col(s"w$j"))
-          .reduceLeft(_ + _))
-        val vs = dims.map(j => (col(s"w$j") / nrmExpr).as(s"v$j"))
-        cur = cur.select((keep :+ nrmExpr.as("nrm")) ++ vs: _*)
-      }
-      cur.select(col("n"), col("nrm").as("lambda"),
-        col("v1").as("v_qty"), col("v2").as("v_price"),
-        col("v3").as("v_disc"), col("v4").as("v_tax"))
-    }),
+    // positive start vector. Moment headroom: n·max|x|² under the
+    // ENFORCED 2⁶² ceiling to ~5·10⁷ rows at whole-dollar prices —
+    // loud raise past that; stat_pca_power_decimal is the verified
+    // DECIMAL(38,0) re-spelling (suite header) for runs that need
+    // the scale.
+    "stat_pca_power" -> (pcaPower(_, _, decimalMoments = false)),
+
+    // The DECIMAL(38,0) re-spelling every momentGuard message names as
+    // the escape hatch, verified as a live query: IDENTICAL plan
+    // shape and bit-identical output to stat_pca_power (PcaPowerSpec
+    // pins both; the driver replays the same oracle), with the
+    // moments' headroom moved from 2⁶² to 10³⁸ — n·max|x|² to ~10²⁷
+    // rows at whole-dollar prices, past any physical corpus. Cost:
+    // decimal sums aggregate outside the long-adder fast path
+    // (BigDecimal adds, still map-side combined), the price of the
+    // headroom — which is why the BIGINT spelling stays the default
+    // and this variant is the documented swap-in.
+    "stat_pca_power_decimal" -> (pcaPower(_, _, decimalMoments = true)),
 
     // Ridge-regression REGULARIZATION PATH for the linreg_multi model
     // (value ~ hour + weekend) — every λ on [[RidgeLambdas]] solved
     // from the SAME single pass of exact integer moments: ridge on
     // centered data only perturbs the normal-equation diagonal, and in
     // the cross-multiplied integer forms that is d_ii + λ·n² (still an
-    // exact BIGINT: λ·n² < 2⁶³ holds to n ≈ 10⁸ rows at λ ≤ 400 —
-    // DECIMAL swap past that, per the suite header). The sweep
+    // exact BIGINT: λ·n² under the ENFORCED 2⁶² ceiling to n ≈ 10⁸
+    // rows at λ ≤ 400, loud raise past that — DECIMAL swap per the
+    // suite header). The sweep
     // costs ZERO extra data passes at any scale: one map-side-combined
     // aggregate, a broadcast λ spine, and the per-λ 2×2 solve as the
     // same fixed float tree as stat_linreg_multi (which this query
@@ -573,7 +617,7 @@ object StatQueries extends QuerySuite {
         col("lambda"),
         // loud headroom guard: the ridge diagonal adds λ·n² to the
         // linreg cross forms, so the bound gains a λmax term — this
-        // enforces the "λ·n² < 2⁶³ to n ≈ 10⁸" comment contract.
+        // enforces the "λ·n² under 2⁶² to n ≈ 10⁸" comment contract.
         momentGuard(s, "stat_ridge_path",
           "n^2*max(my^2,23*my,529,lambda_max)",
           hourWeekendBound(RidgeLambdas.max.toDouble))(col("n")).as("n"),
@@ -627,8 +671,11 @@ object StatQueries extends QuerySuite {
     // √((g−1)·(g·Σm²−(Σm)²))/g. Scale shape: one fact aggregate to
     // the DAY table (calendar-bounded), a 1-row broadcast of totals,
     // then arithmetic on the day table — nothing downstream is
-    // data-sized. Headroom: g²·m² < 2⁶³ holds to ~600 day-groups at
-    // these magnitudes (m ≈ 5·10⁶ milli-cents) — DECIMAL swap past
+    // data-sized. Headroom: the ENFORCED a-priori bound 2·g³·max|m|²
+    // (cubic — it covers the full (g−1)·(g·Σm²−(Σm)²) product tree,
+    // stricter than the g²·m² of the inner products alone) clears the
+    // 2⁶² ceiling to ~45 day-groups at m ≈ 5·10⁶ milli-cents, ~450 at
+    // m ≈ 5·10⁵; a longer panel raises loudly — DECIMAL swap past
     // that, per the suite header.
     "stat_jackknife" -> ((s, d) => {
       val byDay = Tables.events(s, d)
@@ -648,8 +695,9 @@ object StatQueries extends QuerySuite {
       // products are bounded a-priori by (g−1)·(g·Σm²−(Σm)²) ≤
       // 2·g³·max|m|², and the event-sum side by |Σxc| ≤ nn·max|xc|
       // (per-day sums included, n_d ≤ nn) with a 1000× milli-cent
-      // factor on the floor() long cast — the "g²·m² < 2⁶³" contract
-      // above, enforced from wrap-proof count/max aggregates.
+      // factor on the floor() long cast — the "2·g³·max|m|² under
+      // 2⁶²" contract above, enforced from wrap-proof count/max
+      // aggregates.
       val jkBound = greatest(
         lit(2.0) * col("g").cast("double") * col("g").cast("double") *
           col("g").cast("double") * col("mm").cast("double") *
@@ -757,9 +805,9 @@ object StatQueries extends QuerySuite {
     // epoch-days, sample 2 = odd days; N̂ = n1·n2 div m and Chapman's
     // (n1+1)(n2+1) div (m+1) − 1 are pure integer arithmetic on three
     // distinct-count aggregates, compared against the exact truth the
-    // same scan yields. Headroom: n1·n2 < 2⁶³ to ~3·10⁹ users per
-    // sample. One (user, parity) dedup shuffle; everything after is
-    // 1-row.
+    // same scan yields. Headroom: (n1+1)·(n2+1) under the ENFORCED
+    // 2⁶² ceiling to ~2.1·10⁹ users per sample, loud raise past that.
+    // One (user, parity) dedup shuffle; everything after is 1-row.
     "stat_capture_recapture" -> ((s, d) => {
       val up = Tables.events(s, d)
         .select(col("user_id"),
@@ -774,7 +822,8 @@ object StatQueries extends QuerySuite {
       // loud headroom guard (suite header): the BIGINT products
       // n1·n2 and (n1+1)(n2+1) are bounded a-priori by
       // (n1+1)·(n2+1) in DOUBLE (n1, n2 are counts and cannot wrap) —
-      // the "n1·n2 < 2⁶³ to ~3·10⁹ users" contract above, enforced.
+      // the "(n1+1)·(n2+1) under 2⁶² to ~2.1·10⁹ users" contract
+      // above, enforced.
       val crBound = (col("n1").cast("double") + lit(1.0)) *
         (col("n2").cast("double") + lit(1.0))
       m.select(
@@ -1046,6 +1095,9 @@ object StatQueries extends QuerySuite {
         |FROM b""".stripMargin,
 
     "stat_pca_power" -> pcaPowerSql,
+    // the DECIMAL twin must reproduce the BIGINT result bit-exactly,
+    // so it replays the SAME oracle
+    "stat_pca_power_decimal" -> pcaPowerSql,
 
     // z enters as CAST(1.96 AS DOUBLE) so z*z is a DOUBLE product like
     // Spark's lit(1.96)*lit(1.96) — a bare 1.96*1.96 would compute in

@@ -50,7 +50,9 @@ object WindowQueries extends QuerySuite {
     // calendar-bounded day table, one calendar-bounded prefix sum
     // (PlanShapeSpec-audited). The oracle is the naive spine⋈activity
     // range join with COUNT(DISTINCT) — a different algorithm, so the
-    // hash proves the stabbing decomposition exact.
+    // hash proves the stabbing decomposition exact. Streaming twin:
+    // [[graft.streaming.TrailingDistinctStream]] maintains the same
+    // segment deltas incrementally (spec-pinned batch ≡ stream).
     "window_trailing_distinct_users" -> ((s, d) => {
       val W = TrailingWindowDays
       val ud = Tables.events(s, d)

@@ -47,13 +47,20 @@ object SampleQueries extends QuerySuite {
     * total_weight div PpsK weight units. */
   val PpsK = 50L
 
-  /** Bucket width (doc_id units) for the PPS two-level prefix sum.
-    * The single-partition window runs over corpus/PpsBucket base
-    * rows, so at deploy the width is sized ~√N (10⁶ docs per bucket
-    * at 10¹² docs keeps the base table at 10⁶ rows) — the same
-    * operator-constant sizing discipline as shuffle.partitions; a
-    * third prefix level would remove even that if ever needed. */
-  val PpsBucket = 100L
+  /** Bucket width (doc_id units) for the PPS two-level prefix sum,
+    * DERIVED from the corpus so the decomposition self-balances at
+    * any scale: ⌈√N⌉ buckets of width ⌈(max_id+1)/⌈√N⌉⌉ put BOTH
+    * axes — the per-bucket local window and the single-partition
+    * bucket-base window — at ~√N rows (10⁶ each at 10¹² docs),
+    * instead of a fixed width that leaves one axis data-sized. The
+    * result is width-invariant (the two-level sum telescopes to the
+    * same global prefix for ANY width ≥ 1 — PpsSpec pins that), so
+    * deriving it is purely a plan-shape decision; a third prefix
+    * level would take the axes to ∛N if ever needed. */
+  def ppsBucketWidth(nDocs: Long, maxId: Long): Long = {
+    val buckets = math.max(1L, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
+    math.max(1L, (maxId + buckets) / buckets) // = ceil((maxId+1)/buckets)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Probability-proportional-to-size SYSTEMATIC sampling (the
@@ -74,9 +81,17 @@ object SampleQueries extends QuerySuite {
     // multiplicity — documented; ticks inside one doc don't repeat
     // it).
     "sample_pps_systematic" -> ((s, d) => {
+      // one bounded 1-row pre-pass (count + max id) sizes the bucket
+      // axis at ~√N — the operator-constant discipline, computed from
+      // the data instead of hard-coded (see [[ppsBucketWidth]])
+      val dim = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n"), max("doc_id").as("mx")).head()
+      val width =
+        if (dim.isNullAt(1)) 1L
+        else ppsBucketWidth(dim.getLong(0), dim.getLong(1))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
-          expr(s"doc_id div $PpsBucket").as("bk"))
+          expr(s"doc_id div $width").as("bk"))
         .persist() // consumed by the cumsum pass and the bucket bases
       val local = docs.withColumn("local_off",
         coalesce(sum("n_chars").over(Window.partitionBy("bk")
@@ -90,8 +105,12 @@ object SampleQueries extends QuerySuite {
       local.join(broadcast(bases), "bk")
         .withColumn("cum0", col("base") + col("local_off"))
         .crossJoin(broadcast(total))
-        .withColumn("step", expr(s"tw div $PpsK"))
-        .filter(col("step") > 0L &&
+        // nullif-fold the degenerate corpus (tw < PpsK → step 0) so
+        // the division NEVER executes against 0 regardless of
+        // conjunct evaluation order: div by NULL is NULL and the
+        // filter drops it — same rows as the `step > 0` spelling.
+        .withColumn("step", expr(s"nullif(tw div $PpsK, 0)"))
+        .filter(col("step").isNotNull &&
           expr("(cum0 + n_chars) div step > cum0 div step"))
         .select(col("doc_id"), col("n_chars"), col("cum0"),
           expr("(cum0 + n_chars) div step").as("tick"))
@@ -247,7 +266,14 @@ object SampleQueries extends QuerySuite {
 
   def oracles: Map[String, String] = Map(
     // Deliberately ONE global window — the semantic twin of the
-    // engine's two-level bucketed decomposition.
+    // engine's two-level bucketed decomposition. The step divisor is
+    // NULLIF-folded exactly like the Spark side: on a degenerate
+    // corpus (tw < PpsK → step 0) SQL does not guarantee conjunct
+    // short-circuit, so the bare `tw // PpsK > 0 AND x // (tw //
+    // PpsK) …` spelling could still evaluate the division by zero;
+    // dividing by NULLIF(step, 0) yields NULL, the comparison is
+    // not-true, and the row drops — same rows, no division-by-zero
+    // path at any corpus.
     "sample_pps_systematic" ->
       s"""WITH c AS (
          |  SELECT doc_id, n_chars,
@@ -255,12 +281,13 @@ object SampleQueries extends QuerySuite {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS BIGINT) AS cum0
          |  FROM documents),
-         |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents)
+         |t AS (SELECT NULLIF(CAST(sum(n_chars) AS BIGINT) // $PpsK, 0)
+         |        AS step
+         |      FROM documents)
          |SELECT doc_id, n_chars, cum0,
-         |  (cum0 + n_chars) // (tw // $PpsK) AS tick
+         |  (cum0 + n_chars) // step AS tick
          |FROM c CROSS JOIN t
-         |WHERE tw // $PpsK > 0
-         |  AND (cum0 + n_chars) // (tw // $PpsK) > cum0 // (tw // $PpsK)
+         |WHERE (cum0 + n_chars) // step > cum0 // step
          |ORDER BY doc_id""".stripMargin,
     "sample_group_split" ->
       s"""WITH gsrc AS (

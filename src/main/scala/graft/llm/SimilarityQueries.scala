@@ -706,10 +706,17 @@ object SimilarityQueries extends QuerySuite {
     * float division both engines round identically. Scale shape: one
     * posexplode shuffles (label, dim, milli) with map-side partials —
     * dims × corpus rows, the same fan every exact vector aggregate
-    * pays; everything after is label-count-sized. Integer headroom:
-    * Σ s1·s2 over D dims bounds half-sizes to ~10⁵ vectors per label
-    * at |e| ≤ 1, D = 64; past that swap the moments to DECIMAL(38,0)
-    * (StatQueries note). */
+    * pays; everything after is label-count-sized. Integer headroom,
+    * ENFORCED ([[graft.analytics.Exact.momentGuard]], 2^62 ceiling):
+    * the cross/quadratic products Σ s1·s2, Σ s1², Σ s2² are bounded
+    * a-priori by D·max|s1|·max|s2| (resp. max²) from wrap-proof
+    * count/max aggregates — ~10⁵ vectors per label at |e| ≤ 1,
+    * D = 64, the suite's TIGHTEST bound, which is exactly why it
+    * carries a guard; a hot label raises loudly and the moments swap
+    * to DECIMAL(38,0) (StatQueries note). The inner per-(label, dim)
+    * sums s1, s2 themselves wrap only at ~9·10¹⁵ vectors per label
+    * (|m| ≤ 1000) — past any corpus, so maxing them is wrap-proof at
+    * every scale the guard can reach. */
   private[llm] def centroidDrift(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("label"), (col("vec_id") % 2).as("grp"),
@@ -722,12 +729,21 @@ object SimilarityQueries extends QuerySuite {
     val mom = sums.groupBy("label").agg(
       sum(col("s1") * col("s2")).as("num"),
       sum(col("s1") * col("s1")).as("q1"),
-      sum(col("s2") * col("s2")).as("q2"))
+      sum(col("s2") * col("s2")).as("q2"),
+      count(lit(1)).as("nd"),
+      max(abs(col("s1"))).as("a1"),
+      max(abs(col("s2"))).as("a2"))
     val cnt = Tables.embeddings(s, d).groupBy("label").agg(
       sum(when(col("vec_id") % 2 === 0L, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("vec_id") % 2 === 1L, 1L).otherwise(0L)).as("n_b"))
+    val driftBound = col("nd").cast("double") *
+      greatest(col("a1"), col("a2")).cast("double") *
+      greatest(col("a1"), col("a2")).cast("double")
     mom.join(cnt, "label")
-      .select(col("label"), col("n_a"), col("n_b"),
+      .select(col("label"),
+        graft.analytics.Exact.momentGuard(s, "sim_centroid_drift",
+          "D*max(|s1|,|s2|)^2", driftBound)(col("n_a")).as("n_a"),
+        col("n_b"),
         when(col("q1") === 0L || col("q2") === 0L,
           lit(null).cast("double"))
           .otherwise(col("num").cast("double") /

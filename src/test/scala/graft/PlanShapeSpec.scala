@@ -114,8 +114,8 @@ class PlanShapeSpec extends SparkSpec {
     // text_vocab_coverage doc)
     "text_vocab_coverage",
     // two-level prefix sum: global window only over the doc-id BUCKET
-    // base table (corpus/PpsBucket rows — the pack_sequences
-    // decomposition; SampleQueries sample_pps_systematic doc)
+    // base table (~√N rows — ppsBucketWidth derives the width from
+    // the corpus; SampleQueries sample_pps_systematic doc)
     "sample_pps_systematic",
     // rolling moments over the joined DAY table — calendar-bounded,
     // never data-sized (ProfileQueries ts_rolling_correlation doc)

@@ -1,0 +1,72 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The loud-failure path of [[Exact.momentGuard]] — the mechanism that
+  * protects every integer-moment query from silent BIGINT wraparound
+  * at production scale. The raise path can only be exercised by
+  * SHRINKING the ceiling (the sf0.001 fixtures are nowhere near 2^62),
+  * so the spec sets `graft.momentCeiling` tiny on a CLONED session
+  * (`newSession()` shares the context but isolates SQLConf — no race
+  * with concurrently-running suites) and asserts every guarded query
+  * raises with its own name in the message; then re-runs each on the
+  * default-ceiling shared session and asserts the pass path returns
+  * rows untouched. Keep [[Guarded]] in lockstep with the momentGuard
+  * call sites (grep `momentGuard(` under src/main).
+  */
+class MomentGuardSpec extends SparkSpec {
+
+  /** Every query wrapping a column in momentGuard. */
+  val Guarded: Seq[String] = Seq(
+    "stat_zscore_daily", "stat_corr_monthly", "stat_trend_daily",
+    "stat_ks_segments", "stat_linreg_multi", "stat_pca_power",
+    "stat_ridge_path", "stat_jackknife", "stat_capture_recapture",
+    "graph_assortativity", "graph_betweenness_panel",
+    "sim_centroid_drift")
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def messages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("guard list matches the momentGuard call sites") {
+    // cheap drift alarm: every listed name must be a real query
+    Guarded.foreach(q => assert(SparkEntry.queries.contains(q), q))
+  }
+
+  test("tiny ceiling: every guarded query raises loudly, naming itself") {
+    val s2 = spark.newSession()
+    s2.conf.set("graft.momentCeiling", "10.0")
+    for (q <- Guarded) {
+      // the betweenness rounds checkpoint eagerly, so the raise can
+      // fire during BUILD — wrap builder and action together
+      val e = intercept[Throwable] {
+        SparkEntry.queries(q)(s2, Sf).collect()
+      }
+      val ms = messages(e)
+      assert(ms.exists(m => m.contains(q) &&
+          m.contains("headroom exceeded")),
+        s"$q: no guard message in ${ms.mkString(" | ")}")
+      assert(ms.exists(_.contains("DECIMAL(38,0)")),
+        s"$q: message must name the escape hatch")
+    }
+  }
+
+  test("default ceiling: every guarded query passes untouched") {
+    for (q <- Guarded)
+      assert(SparkEntry.queries(q)(spark, Sf).collect().nonEmpty, q)
+  }
+
+  test("ceiling defaults to 2^62 and a configured value above it is clamped") {
+    assert(Exact.MomentCeiling == math.pow(2, 62))
+    assert(Exact.ceiling(spark) == Exact.MomentCeiling)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.momentCeiling", "1e300")
+    assert(Exact.ceiling(s2) == Exact.MomentCeiling,
+      "over-2^62 ceiling must clamp (with a logged warning)")
+    s2.conf.set("graft.momentCeiling", "1000.0")
+    assert(Exact.ceiling(s2) == 1000.0,
+      "under-2^62 ceiling must pass through")
+  }
+}

@@ -56,4 +56,29 @@ class PcaPowerSpec extends SparkSpec {
     // the top direction must be essentially the price axis
     assert(math.abs(v(1)) > 0.99, s"price loading ${v(1)} not dominant")
   }
+
+  test("DECIMAL(38,0) twin: bit-identical result, same plan shape") {
+    // the escape hatch every momentGuard message names — the swap
+    // must change ONLY the moments' storage type, not the answer or
+    // the distributed shape of the plan
+    val bigint = StatQueries.queries("stat_pca_power")(spark, sf)
+    val dec = StatQueries.queries("stat_pca_power_decimal")(spark, sf)
+    val a = bigint.collect().head
+    val b = dec.collect().head
+    assert(a.getLong(0) == b.getLong(0))
+    for (i <- 1 to 5)
+      assert(a.getDouble(i) == b.getDouble(i),
+        s"col $i not bit-identical across the DECIMAL swap")
+    // plan shape: same exchanges (one partial→final aggregate pair,
+    // no extra shuffle), same aggregate node count
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan
+      (p.collect { case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }.size,
+        p.collect { case a: org.apache.spark.sql.execution.aggregate
+          .BaseAggregateExec => a }.size)
+    }
+    assert(shape(bigint) == shape(dec),
+      s"plan shape drifted: ${shape(bigint)} vs ${shape(dec)}")
+  }
 }

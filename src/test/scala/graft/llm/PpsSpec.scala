@@ -40,4 +40,25 @@ class PpsSpec extends SparkSpec {
         s"tick $t at $m not covered by any selected doc")
     }
   }
+
+  test("ppsBucketWidth puts both prefix axes at ~sqrt(N)") {
+    // degenerate corpora never yield a zero width
+    assert(SampleQueries.ppsBucketWidth(0L, 0L) == 1L)
+    assert(SampleQueries.ppsBucketWidth(1L, 0L) == 1L)
+    // dense ids 0..N−1: width and bucket count both within 2× of √N
+    // across ten orders of magnitude (the balance property that makes
+    // the two-level decomposition hold at 10¹² docs)
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L, 1000000000000L)) {
+      val w = SampleQueries.ppsBucketWidth(n, n - 1L)
+      val buckets = (n - 1L) / w + 1L
+      val r = math.sqrt(n.toDouble)
+      assert(w.toDouble >= r / 2 && w.toDouble <= 2 * r,
+        s"width $w unbalanced at n=$n")
+      assert(buckets.toDouble <= 2 * r, s"$buckets buckets at n=$n")
+    }
+    // sparse ids: the width scales with the ID RANGE so the bucket
+    // COUNT (the single-partition axis) stays ~√N, not range-sized
+    val w = SampleQueries.ppsBucketWidth(10000L, 999999L)
+    assert(999999L / w + 1L <= 200L, s"sparse bucket count blew up ($w)")
+  }
 }
