@@ -62,13 +62,21 @@ object Exact {
 
   /** Loud runtime guard for the integer-moments discipline.
     *
-    * Spark sums LongType with silent wraparound (non-ANSI). The DuckDB
-    * oracle twin replays the same moment trick but raises an
-    * Out-of-Range error on BIGINT overflow instead of wrapping, so an
-    * over-the-bound oracle run would fail loudly rather than match the
-    * wrapped Spark result — the guard's value is failing EARLY on the
-    * Spark side with an actionable message, and covering Spark-only
-    * production runs where no oracle exists to object. The honest
+    * What Spark does without it depends on the ANSI flag: under
+    * `spark.sql.ansi.enabled` (Spark 4's default, which every session
+    * here runs) an overflowing long multiply/sum throws a GENERIC
+    * ARITHMETIC_OVERFLOW naming no query and suggesting try_multiply
+    * — the one remedy that would silently corrupt a moment; with ANSI
+    * off it wraps silently. The guard upgrades both: its bound is
+    * computed in DOUBLE from count/max aggregates that can never
+    * overflow, and the 2^62 ceiling sits a factor 2 UNDER Long range,
+    * so in the margin band [2^62, 2^63) the guard fires — query name,
+    * bound value, escape hatch — while every long product in the plan
+    * is still in range (MomentGuardOverflowSpec pins exactly this:
+    * guard-first in the margin band, loud-either-way past it, and the
+    * same protection holds if a deployment turns ANSI off). The DuckDB
+    * oracle twin raises its own Out-of-Range on BIGINT overflow, so no
+    * over-the-bound run can ever hash-match by accident. The honest
     * behavior at that scale is a loud failure (MaxBfsRounds precedent):
     * `bound` is the query's a-priori overflow bound — count·|x|max
     * products computed in DOUBLE space from pre-overflow-safe

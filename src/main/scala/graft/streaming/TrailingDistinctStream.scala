@@ -52,10 +52,30 @@ class TrailingDistinctStream(windowDays: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[Obs],
       timers: TimerValues): Iterator[Delta] = {
-    val days = rows.map(_.day).toArray.sorted
+    val st = if (seg.exists()) seg.get() else Seg(Long.MinValue, 0L)
+    val (out, st2) = advance(key, st,
+      rows.map(_.day).toArray.sorted.toSeq, windowDays)
+    seg.update(st2)
+    out.iterator
+  }
+}
+
+object TrailingDistinctStream {
+  case class Obs(user_id: Long, day: Long)
+  case class Seg(last_day: Long, n_late: Long)
+  case class Delta(user_id: Long, day: Long, delta: Long)
+
+  /** The PURE per-batch transition the processor executes: fold the
+    * key's sorted batch days through the segment state, emitting the
+    * ±1 deltas. Extracted so property tests can drive thousands of
+    * random interleavings without a streaming harness
+    * (TrailingDistinctPropertySpec; the ChannelPropertySpec
+    * pattern). `Seg(Long.MinValue, _)` is the empty state. */
+  def advance(key: Long, st0: Seg, sortedDays: Seq[Long],
+      windowDays: Long): (Seq[Delta], Seg) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Delta]
-    var st = if (seg.exists()) seg.get() else Seg(Long.MinValue, 0L)
-    for (d <- days) {
+    var st = st0
+    for (d <- sortedDays) {
       if (st.last_day == Long.MinValue) {
         out += Delta(key, d, 1L)
         out += Delta(key, d + windowDays, -1L)
@@ -74,15 +94,8 @@ class TrailingDistinctStream(windowDays: Long)
         st = st.copy(last_day = d)
       }
     }
-    seg.update(st)
-    out.iterator
+    (out.toSeq, st)
   }
-}
-
-object TrailingDistinctStream {
-  case class Obs(user_id: Long, day: Long)
-  case class Seg(last_day: Long, n_late: Long)
-  case class Delta(user_id: Long, day: Long, delta: Long)
 
   /** Wire the segment-delta maintenance onto an activity stream
     * (RocksDB state store). Aggregate the output with

@@ -46,7 +46,11 @@ class EmptyInputSpec extends SparkSpec {
       .repartition(1).write.parquet(s"$dir/embeddings.parquet")
     for (q <- Seq("dedup_segment_groups", "dedup_segment_scrub",
         "text_bpe_vocab", "text_bpe_encode",
-        "sim_pq_codes", "sim_pq_adc_topk")) {
+        "sim_pq_codes", "sim_pq_adc_topk",
+        // pps now sizes its bucket width from a driver-side count/max
+        // pre-pass — the max is NULL on an empty corpus (width
+        // falls back to 1) and the nullif-folded step drops every row
+        "sample_pps_systematic")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
@@ -293,10 +297,13 @@ class EmptyInputSpec extends SparkSpec {
       .collect()
     assert(cr.length == 1 && cr(0).getLong(3) == 0L)
     // the PCA moments row survives (global aggregate) with n = 0 and
-    // NULL eigenpair — the oracle's empty-sum NULL propagation
-    val pca = SparkEntry.queries("stat_pca_power")(spark, dir).collect()
-    assert(pca.length == 1 && pca(0).getLong(0) == 0L &&
-      pca(0).isNullAt(1))
+    // NULL eigenpair — the oracle's empty-sum NULL propagation; the
+    // DECIMAL twin must degrade identically (same plan, same NULLs)
+    for (q <- Seq("stat_pca_power", "stat_pca_power_decimal")) {
+      val pca = SparkEntry.queries(q)(spark, dir).collect()
+      assert(pca.length == 1 && pca(0).getLong(0) == 0L &&
+        pca(0).isNullAt(1), s"$q empty-input row")
+    }
     // ridge keeps one row per lambda, all-NULL betas (det = NULL path)
     val ridge = SparkEntry.queries("stat_ridge_path")(spark, dir).collect()
     assert(ridge.length == StatQueries.RidgeLambdas.size &&
