@@ -603,9 +603,82 @@ object ExtendedQueries extends QuerySuite {
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
+    }),
+
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938; the
+    // fabricated-data test fraud and DQ teams actually run): the
+    // leading significant digit of organically-grown positive amounts
+    // follows log10(1+1/d); a synthetic or truncated feed bulges at
+    // specific digits. Per event type: the 9-digit census vs the
+    // Benford expectation, everything in exact integer ppm. The first
+    // digit comes from the INTEGER cents value's decimal string —
+    // substr(cast(xc)) is engine-exact where any log10/pow spelling
+    // would hit libm variance ([[InsightQueries]] stance); the
+    // Benford ppm constants are computed ONCE driver-side and inlined
+    // as the same literals into both twins. Scale shape: one fact
+    // aggregate to the ≤ 9·|types| census, a broadcast 9-row spine, a
+    // types-sized total join; the full digit grid is emitted (a digit
+    // with zero observations is a FINDING, not an absent row).
+    // Headroom: n_obs·10⁶ needs n_obs < 4.6·10¹² per type — a
+    // count-only bound, corpus-visible (BENCH_NOTES ledger).
+    "dq_benford" -> ((s, d) => {
+      import s.implicits._
+      val bdf = (1 to 9).map(dd => (dd.toLong,
+        math.round(math.log10(1.0 + 1.0 / dd) * 1e6)))
+        .toDF("digit", "benford_ppm")
+      val census = Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("xc"))
+        .filter(col("xc") > 0L)
+        .select(col("event_type"),
+          substring(col("xc").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+        .groupBy("event_type", "digit").agg(count(lit(1)).as("n_obs"))
+      val tot = census.groupBy("event_type").agg(sum("n_obs").as("n_total"))
+      tot.crossJoin(broadcast(bdf))
+        .join(census, Seq("event_type", "digit"), "left")
+        .select(col("event_type"), col("digit"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("n_total"),
+          expr("coalesce(n_obs, 0L) * 1000000L div n_total").as("obs_ppm"),
+          col("benford_ppm"),
+          abs(expr("coalesce(n_obs, 0L) * 1000000L div n_total") -
+            col("benford_ppm")).as("dev_ppm"))
+        .orderBy("event_type", "digit")
     }))
 
   def oracles: Map[String, String] = Map(
+    "dq_benford" -> {
+      // the same driver-side Benford constants, inlined as literals
+      val spine = (1 to 9).map(dd =>
+        s"(CAST($dd AS BIGINT), CAST(${
+          math.round(math.log10(1.0 + 1.0 / dd) * 1e6)} AS BIGINT))")
+        .mkString(", ")
+      s"""WITH dg AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(${Exact.centsSql("\"value\"")} AS VARCHAR),
+         |      1, 1) AS BIGINT) AS digit
+         |  FROM events WHERE ${Exact.centsSql("\"value\"")} > 0),
+         |census AS (
+         |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM dg GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_total
+         |  FROM census GROUP BY 1),
+         |spine(digit, benford_ppm) AS (VALUES $spine),
+         |grid AS (
+         |  SELECT t.event_type, t.n_total, s.digit, s.benford_ppm
+         |  FROM tot t CROSS JOIN spine s)
+         |SELECT g.event_type, g.digit,
+         |  CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs, g.n_total,
+         |  CAST(coalesce(c.n_obs, 0) * 1000000 // g.n_total AS BIGINT)
+         |    AS obs_ppm,
+         |  g.benford_ppm,
+         |  CAST(abs(coalesce(c.n_obs, 0) * 1000000 // g.n_total
+         |    - g.benford_ppm) AS BIGINT) AS dev_ppm
+         |FROM grid g LEFT JOIN census c
+         |  ON c.event_type = g.event_type AND c.digit = g.digit
+         |ORDER BY g.event_type, g.digit""".stripMargin
+    },
+
     "dq_dead_letter_split" ->
       """WITH p AS (
         |  SELECT event_id,

@@ -655,6 +655,47 @@ object TextQueries extends QuerySuite {
         .orderBy(col("total").desc, col("token"))
     }),
 
+    // Simpson lexical concentration per language (Simpson, Nature
+    // 1949 — the log-free diversity index; Shannon entropy would cost
+    // a libm log per type, the cross-engine hazard the suite bans):
+    // D = Σ n_i(n_i−1) / (N(N−1)), the probability two tokens drawn
+    // without replacement are the same type. A boilerplate- or
+    // spam-heavy slice concentrates (D ↑) while organic prose stays
+    // low — the corpus-health read beside burstiness (per-term) and
+    // MATTR (per-doc): this one is per-SLICE. Exactness: numerator
+    // and N are exact BIGINT aggregates; D is ONE double division of
+    // a double product of exact integers (num/(N·(N−1)) — identical
+    // IEEE tree in the oracle). Integer headroom, ENFORCED
+    // ([[graft.analytics.Exact.momentGuard]]): Σ n_i(n_i−1) and the
+    // per-type product are bounded a-priori by N·max_freq from the
+    // same wrap-proof aggregate — a hot token (max_freq → N) pulls
+    // the bound toward N², so a slice past ~2·10⁹ tokens with heavy
+    // repetition raises loudly; DECIMAL swap per the StatQueries
+    // header. Scale shape: one explode + map-side-combined (lang,
+    // token) count, one lang-keyed reduce — nothing downstream is
+    // data-sized.
+    "text_simpson_diversity" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(words(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val m = tf.groupBy("lang").agg(
+        sum("n").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("n") * (col("n") - 1L)).as("num"),
+        max("n").as("maxn"))
+      m.select(col("lang"),
+        graft.analytics.Exact.momentGuard(s, "text_simpson_diversity",
+          "N_tokens*max_freq",
+          col("n_tokens").cast("double") * col("maxn").cast("double"))(
+          col("n_tokens")).as("n_tokens"),
+        col("n_types"), col("num").as("simpson_num"),
+        when(col("n_tokens") < 2L, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1L).cast("double"))).as("simpson"))
+        .orderBy("lang")
+    }),
+
     // MATTR lexical diversity (moving-average type-token ratio,
     // Covington & McFall 2010): mean distinct-token count over all
     // [[MattrWindow]]-token sliding windows, in integer ppm — the
@@ -1055,6 +1096,25 @@ object TextQueries extends QuerySuite {
         |       ELSE CAST(sum(n_chars) * 1000000 // sum(nt) AS BIGINT)
         |  END AS chars_per_token_ppm
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_simpson_diversity" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num
+        |  FROM tf GROUP BY lang)
+        |SELECT lang, n_tokens, n_types, simpson_num,
+        |  CASE WHEN n_tokens < 2 THEN NULL
+        |       ELSE CAST(simpson_num AS DOUBLE) /
+        |            (CAST(n_tokens AS DOUBLE) *
+        |             CAST(n_tokens - 1 AS DOUBLE)) END AS simpson
+        |FROM m ORDER BY lang""".stripMargin,
 
     "text_zipf_constancy" ->
       """WITH tok AS (

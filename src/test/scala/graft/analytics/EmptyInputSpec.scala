@@ -50,7 +50,9 @@ class EmptyInputSpec extends SparkSpec {
         // pps now sizes its bucket width from a driver-side count/max
         // pre-pass — the max is NULL on an empty corpus (width
         // falls back to 1) and the nullif-folded step drops every row
-        "sample_pps_systematic")) {
+        "sample_pps_systematic",
+        // Simpson: empty token table → empty lang moments → empty
+        "text_simpson_diversity")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
@@ -291,6 +293,9 @@ class EmptyInputSpec extends SparkSpec {
     // LTV curve joins empty cohort tables → empty
     assert(SparkEntry.queries("cohort_ltv_curve")(spark, dir)
       .count() == 0L)
+    // Benford: empty census → empty type-total table → the digit
+    // grid has no types to cross — empty, not a divide-by-zero
+    assert(SparkEntry.queries("dq_benford")(spark, dir).count() == 0L)
     // capture–recapture keeps its single global row: zero counts,
     // NULL Lincoln–Petersen (m = NULL guard path)
     val cr = SparkEntry.queries("stat_capture_recapture")(spark, dir)
