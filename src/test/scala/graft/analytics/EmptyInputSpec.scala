@@ -52,7 +52,9 @@ class EmptyInputSpec extends SparkSpec {
         // falls back to 1) and the nullif-folded step drops every row
         "sample_pps_systematic",
         // Simpson: empty token table → empty lang moments → empty
-        "text_simpson_diversity")) {
+        "text_simpson_diversity",
+        // novelty: no docs → no trigrams → empty owner join
+        "text_ngram_novelty")) {
       val out = SparkEntry.queries(q)(spark, dir)
       assert(out.count() == 0L, s"$q must be empty, not crash")
     }
