@@ -609,8 +609,12 @@ object ExtendedQueries extends QuerySuite {
     // fabricated-data test fraud and DQ teams actually run): the
     // leading significant digit of organically-grown positive amounts
     // follows log10(1+1/d); a synthetic or truncated feed bulges at
-    // specific digits. Per event type: the 9-digit census vs the
-    // Benford expectation, everything in exact integer ppm. The first
+    // specific digits. This is the TEST companion to the
+    // stat_benford_digits CENSUS (ProfileQueries — global digit
+    // shares of order totals, no expectation): here each EVENT TYPE's
+    // 9-digit grid is scored against the Benford expectation with a
+    // per-digit deviation, localizing which segment's values look
+    // fabricated. Everything in exact integer ppm. The first
     // digit comes from the INTEGER cents value's decimal string —
     // substr(cast(xc)) is engine-exact where any log10/pow spelling
     // would hit libm variance ([[InsightQueries]] stance); the

@@ -105,11 +105,13 @@ object ProfileQueries extends QuerySuite {
         .orderBy("column_name")
     }),
 
-    // Benford leading-digit audit of order totals — the classic
-    // fabricated-data screen. The digit comes from the DECIMAL STRING
-    // of exact integer cents (never float log10, whose boundary
-    // rounding differs per libm); share is integer ppm. One groupBy
-    // on a 9-value key + a broadcast 1-row total.
+    // Benford leading-digit CENSUS of order totals — the classic
+    // fabricated-data screen's raw distribution (dq_benford in
+    // ExtendedQueries is the scored TEST: per-event-type grid vs the
+    // log10(1+1/d) expectation with deviations). The digit comes from
+    // the DECIMAL STRING of exact integer cents (never float log10,
+    // whose boundary rounding differs per libm); share is integer
+    // ppm. One groupBy on a 9-value key + a broadcast 1-row total.
     "stat_benford_digits" -> ((s, d) => {
       val c = Exact.cents(col("o_totalprice"))
       val byDigit = Tables.orders(s, d)
