@@ -572,12 +572,25 @@ object GraphQueries extends QuerySuite {
       val levels = scala.collection.mutable.ArrayBuffer(level)
       var settled = level.select("seed", "node").localCheckpoint(true)
       for (r <- 1 to BetwRadius) {
+        // forward headroom guard: σ(w) = Σ σ(v) over ≤ in_deg
+        // predecessors, each proven < ceiling by the PREVIOUS round's
+        // guard (round 0 is the literal 1), so in_deg·σmax_prev —
+        // count/max of the same aggregate, wrap-proof in DOUBLE —
+        // bounds this round's sum a-priori. Without this the backward
+        // pass would read possibly-wrapped σ and its own bounds would
+        // be computed FROM corrupt inputs.
         val next = level.join(sym, col("node") === col("a"))
           .select(col("seed"), col("b").as("nxt"), col("sigma"))
           .join(settled.select(col("seed"), col("node").as("nxt")),
             Seq("seed", "nxt"), "left_anti")
           .groupBy(col("seed"), col("nxt").as("node"))
-          .agg(sum("sigma").as("sigma"))
+          .agg(sum("sigma").as("sg"), count(lit(1)).as("in_deg"),
+            max("sigma").as("ms"))
+          .select(col("seed"), col("node"),
+            Exact.momentGuard(s, "graph_betweenness_panel",
+              "in_deg*sigma_max (forward round)",
+              col("in_deg").cast("double") * col("ms").cast("double"))(
+              col("sg")).as("sigma"))
           .localCheckpoint(true) // the forward round's single action
         levels += next
         // only the NEXT round's anti-join reads settled — don't pay

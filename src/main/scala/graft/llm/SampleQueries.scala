@@ -59,7 +59,13 @@ object SampleQueries extends QuerySuite {
     * level would take the axes to ∛N if ever needed. */
   def ppsBucketWidth(nDocs: Long, maxId: Long): Long = {
     val buckets = math.max(1L, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
-    math.max(1L, (maxId + buckets) / buckets) // = ceil((maxId+1)/buckets)
+    // = ceil((maxId+1)/buckets), spelled overflow-free: the naive
+    // (maxId + buckets) / buckets wraps when maxId is within `buckets`
+    // of Long.MaxValue (hashed ids live there) and would silently
+    // collapse the width to 1 — the data-sized bucket table the
+    // derivation exists to prevent. floor(m/b)+1 is the same value
+    // for every m ≥ 0 and never overflows.
+    math.max(1L, maxId / buckets + 1L)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -83,16 +89,20 @@ object SampleQueries extends QuerySuite {
     "sample_pps_systematic" -> ((s, d) => {
       // one bounded 1-row pre-pass (count + max id) sizes the bucket
       // axis at ~√N — the operator-constant discipline, computed from
-      // the data instead of hard-coded (see [[ppsBucketWidth]])
-      val dim = Tables.documents(s, d)
-        .agg(count(lit(1)).as("n"), max("doc_id").as("mx")).head()
+      // the data instead of hard-coded (see [[ppsBucketWidth]]). The
+      // pre-pass runs ON the persisted projection so its action also
+      // populates the cache — documents is read from storage ONCE,
+      // not once for sizing and again for the sample.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .persist()
+      val dim = base.agg(count(lit(1)).as("n"), max("doc_id").as("mx"))
+        .head()
       val width =
         if (dim.isNullAt(1)) 1L
         else ppsBucketWidth(dim.getLong(0), dim.getLong(1))
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          expr(s"doc_id div $width").as("bk"))
-        .persist() // consumed by the cumsum pass and the bucket bases
+      val docs = base
+        .withColumn("bk", expr(s"doc_id div $width"))
       val local = docs.withColumn("local_off",
         coalesce(sum("n_chars").over(Window.partitionBy("bk")
           .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),

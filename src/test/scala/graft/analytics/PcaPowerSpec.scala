@@ -70,15 +70,33 @@ class PcaPowerSpec extends SparkSpec {
       assert(a.getDouble(i) == b.getDouble(i),
         s"col $i not bit-identical across the DECIMAL swap")
     // plan shape: same exchanges (one partial→final aggregate pair,
-    // no extra shuffle), same aggregate node count
-    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
-      val p = df.queryExecution.executedPlan
-      (p.collect { case e: org.apache.spark.sql.execution.exchange
-          .ShuffleExchangeExec => e }.size,
-        p.collect { case a: org.apache.spark.sql.execution.aggregate
-          .BaseAggregateExec => a }.size)
+    // no extra shuffle), same aggregate node count. AQE must be OFF
+    // while the shapes are taken — AdaptiveSparkPlanExec is a leaf,
+    // so under AQE collect() sees neither exchanges nor aggregates
+    // and the comparison would be vacuously (0,0)==(0,0)
+    // (PlanShapeSpec/ShuffleVolumeSpec precedent).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val p = df.queryExecution.executedPlan
+        (p.collect { case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e }.size,
+          p.collect { case a: org.apache.spark.sql.execution.aggregate
+            .BaseAggregateExec => a }.size)
+      }
+      val sb = shape(StatQueries.queries("stat_pca_power")(spark, sf))
+      val sd = shape(
+        StatQueries.queries("stat_pca_power_decimal")(spark, sf))
+      assert(sb._1 > 0 && sb._2 > 0,
+        s"shape probe saw no exchange/aggregate nodes ($sb) — vacuous")
+      assert(sb == sd, s"plan shape drifted: $sb vs $sd")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     }
-    assert(shape(bigint) == shape(dec),
-      s"plan shape drifted: ${shape(bigint)} vs ${shape(dec)}")
   }
 }

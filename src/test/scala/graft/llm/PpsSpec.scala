@@ -60,5 +60,14 @@ class PpsSpec extends SparkSpec {
     // COUNT (the single-partition axis) stays ~√N, not range-sized
     val w = SampleQueries.ppsBucketWidth(10000L, 999999L)
     assert(999999L / w + 1L <= 200L, s"sparse bucket count blew up ($w)")
+    // hashed ids near Long.MaxValue: the naive (maxId+buckets)/buckets
+    // ceil spelling wraps negative here and collapsed the width to 1 —
+    // the data-sized bucket table. The floor(m/b)+1 spelling must keep
+    // the bucket count on the √N axis.
+    val wMax = SampleQueries.ppsBucketWidth(1000000L, Long.MaxValue - 3L)
+    assert(wMax > Long.MaxValue / 2000L,
+      s"near-MaxValue ids collapsed the width ($wMax)")
+    assert((Long.MaxValue - 3L) / wMax + 1L <= 2000L,
+      "near-MaxValue bucket count off the sqrt(N) axis")
   }
 }

@@ -17,13 +17,7 @@ import TrailingDistinctStream.{advance, Delta, Seg}
   */
 class TrailingDistinctPropertySpec extends AnyFunSuite {
 
-  private def brute(obs: Seq[(Long, Long)], w: Long): Map[Long, Long] = {
-    val days = obs.map(_._2)
-    (days.min to days.max).map { d =>
-      d -> obs.filter { case (_, a) => a > d - w && a <= d }
-        .map(_._1).distinct.size.toLong
-    }.toMap
-  }
+  import TrailingDistinctTestAlgebra.{bruteSliding, prefixDeltas}
 
   private def runSplit(obs: Seq[(Long, Long)], w: Long,
       cuts: Seq[Int]): Seq[Delta] = {
@@ -44,14 +38,8 @@ class TrailingDistinctPropertySpec extends AnyFunSuite {
     out.toSeq
   }
 
-  private def prefix(ds: Seq[Delta], obs: Seq[(Long, Long)]): Map[Long, Long] = {
-    val byDay = ds.groupBy(_.day).view.mapValues(_.map(_.delta).sum).toMap
-    val days = obs.map(_._2)
-    var run = 0L
-    (days.min to days.max).map { d =>
-      run += byDay.getOrElse(d, 0L); d -> run
-    }.toMap
-  }
+  private def prefix(ds: Seq[Delta], obs: Seq[(Long, Long)]): Map[Long, Long] =
+    prefixDeltas(ds.map(d => (d.day, d.delta)), obs)
 
   test("random corpora: deltas ≡ brute force under any batch split") {
     for (seed <- 1 to 200) {
@@ -61,7 +49,7 @@ class TrailingDistinctPropertySpec extends AnyFunSuite {
       val obs = Seq.fill(3 + rnd.nextInt(40))(
         (rnd.nextInt(nUsers).toLong, 100L + rnd.nextInt(40)))
       val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(obs.size + 1))
-      val want = brute(obs, w)
+      val want = bruteSliding(obs, w)
       assert(prefix(runSplit(obs, w, cuts), obs) == want,
         s"seed=$seed w=$w cuts=$cuts")
       // split-invariance directly: one batch ≡ the random split

@@ -49,19 +49,12 @@ class TrailingDistinctRecoverySpec extends SparkSpec {
       q2.processAllAvailable()
       q2.stop()
 
-      val obs = b1 ++ b2
+      val obs = (b1 ++ b2).map(o => (o.user_id, o.day))
       val deltas = spark.read.parquet(s"$root/out").as[Delta].collect()
-      // brute force over the union
-      val want = (100L to 110L).map { d =>
-        d -> obs.filter(o => o.day > d - W && o.day <= d)
-          .map(_.user_id).distinct.size.toLong
-      }.toMap
-      val byDay = deltas.groupBy(_.day)
-        .view.mapValues(_.map(_.delta).sum).toMap
-      var run = 0L
-      val got = (100L to 110L).map { d =>
-        run += byDay.getOrElse(d, 0L); d -> run
-      }.toMap
+      // brute force over the union (obs spans days 100..110)
+      val want = TrailingDistinctTestAlgebra.bruteSliding(obs, W)
+      val got = TrailingDistinctTestAlgebra.prefixDeltas(
+        deltas.map(d => (d.day, d.delta)).toSeq, obs)
       assert(got == want, s"got $got want $want")
       // and the correction algebra across the restart is tight: u1's
       // run-2 extension must move the close marker 110 → 115 via a

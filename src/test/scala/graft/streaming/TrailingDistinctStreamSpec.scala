@@ -19,24 +19,14 @@ class TrailingDistinctStreamSpec extends SparkSpec {
     org.apache.spark.sql.Encoders.product[Delta]
 
   /** brute force: users with an activity day in [day−W+1, day]. */
-  private def expected(obs: Seq[Obs]): Map[Long, Long] = {
-    val days = obs.map(_.day)
-    (days.min to days.max).map { d =>
-      d -> obs.filter(o => o.day > d - W && o.day <= d)
-        .map(_.user_id).distinct.size.toLong
-    }.toMap
-  }
+  private def expected(obs: Seq[Obs]): Map[Long, Long] =
+    TrailingDistinctTestAlgebra.bruteSliding(
+      obs.map(o => (o.user_id, o.day)), W)
 
   /** prefix-sum the emitted deltas over the observed day span. */
-  private def fromDeltas(ds: Seq[Delta], obs: Seq[Obs]): Map[Long, Long] = {
-    val byDay = ds.groupBy(_.day).view.mapValues(_.map(_.delta).sum).toMap
-    val days = obs.map(_.day)
-    var run = 0L
-    (days.min to days.max).map { d =>
-      run += byDay.getOrElse(d, 0L)
-      d -> run
-    }.toMap
-  }
+  private def fromDeltas(ds: Seq[Delta], obs: Seq[Obs]): Map[Long, Long] =
+    TrailingDistinctTestAlgebra.prefixDeltas(
+      ds.map(d => (d.day, d.delta)), obs.map(o => (o.user_id, o.day)))
 
   // multi-user fixture exercising every state transition: singleton
   // days, in-reach extension (gap ≤ W), exact-boundary gap (= W,
