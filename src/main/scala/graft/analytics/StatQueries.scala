@@ -351,6 +351,68 @@ object StatQueries extends QuerySuite {
         .orderBy("event_type")
     }),
 
+    // Mann–Kendall trend test (Mann '45, Kendall '75) per event type
+    // over the daily volume series — the NONPARAMETRIC companion of
+    // stat_trend_daily's OLS: rank-based, so it detects any monotone
+    // trend without a linearity assumption and one outlier day can't
+    // flip the verdict. (The magnitude estimator that classically
+    // pairs with it, Sen's slope, already lives at stat_theil_sen in
+    // ProfileQueries over the daily VALUE series — this query is the
+    // significance side.) S = Σ_{i<j} sign(y_j − y_i) over
+    // day-ordered daily counts and the tie-corrected Var(S) are exact
+    // BIGINTs; z applies the standard ±1 continuity correction. The
+    // only floats are IEEE-exactly-rounded ops (one divide by 18.0,
+    // ONE sqrt — correctly rounded by the standard, unlike log/pow,
+    // the dq_benford precedent — and one divide), so both engines
+    // agree bitwise, and the trend call compares bit-identical z to
+    // the same literal. Scale shape: the fact table collapses once
+    // (map-side combined) to the CALENDAR-bounded (type, day) table;
+    // the pairwise stage self-joins day series of n ≤ days-of-history
+    // rows (~10³ at decade scale → ≤ 10⁶ pairs per type) — never raw
+    // rows. Headroom is static, not guarded: |S| ≤ n²/2 and the
+    // variance numerator ≤ 2n³ + n·tie-terms ≈ 10¹⁰ at decade scale
+    // ≪ 2^62 (the calendar-bounded-exempt class of the BENCH_NOTES
+    // ledger).
+    "stat_mann_kendall" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val pairS = daily.select(col("event_type"), col("day").as("di"),
+          col("y").as("yi"))
+        .join(daily.select(col("event_type"), col("day").as("dj"),
+          col("y").as("yj")), Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .groupBy("event_type")
+        .agg(sum(when(col("yj") > col("yi"), 1L)
+          .when(col("yj") < col("yi"), -1L).otherwise(0L)).as("s_stat"))
+      // n and the tie correction from ONE value-count pass: a run of
+      // t equal daily totals contributes t(t−1)(2t+5) to the
+      // correction (zero when t = 1)
+      val m = daily.groupBy("event_type", "y")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t")).as("n_days"),
+          sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L))
+            .as("tcorr"))
+      val vnum = col("n_days") * (col("n_days") - 1L) *
+        (col("n_days") * 2L + 5L) - col("tcorr")
+      val s0 = coalesce(col("s_stat"), lit(0L))
+      val sgn = when(s0 > 0L, 1L).when(s0 < 0L, -1L).otherwise(0L)
+      val z = (s0 - sgn).cast("double") /
+        sqrt(vnum.cast("double") / lit(18.0))
+      // left join: a single-day type has NO i<j pairs (S = 0 by
+      // convention; z NULL via vnum = 0, all-tied series likewise)
+      m.join(pairS, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"), s0.as("s_stat"),
+          when(vnum === 0L, lit(null).cast("double"))
+            .otherwise(z).as("z"),
+          when(vnum === 0L, lit(null).cast("string"))
+            .otherwise(when(z > 1.96, lit("increasing"))
+              .when(z < -1.96, lit("decreasing"))
+              .otherwise(lit("no_trend"))).as("trend"))
+        .orderBy("event_type")
+    }),
+
     // Same-user cross-type event pairs within 30 s — burst/co-click
     // detection, the batch twin of the stream-stream interval join.
     // Scale shape: candidates come from a BANDED equi-join on
@@ -989,6 +1051,48 @@ object StatQueries extends QuerySuite {
         |       ELSE CAST(sy*sxx - sx*sxy AS DOUBLE)
         |            / CAST(n*sxx - sx*sx AS DOUBLE) END AS intercept
         |FROM m ORDER BY event_type""".stripMargin,
+
+    // Exact BIGINT S and tie-corrected variance numerator; z via
+    // IEEE-exactly-rounded divide + sqrt + divide, so the doubles
+    // match Spark bitwise and the trend CASE sees identical values.
+    "stat_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |ps AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY a.event_type),
+        |m AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tcorr
+        |  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY event_type, y)
+        |  GROUP BY event_type),
+        |z0 AS (
+        |  SELECT m.event_type, m.n_days,
+        |    coalesce(ps.s_stat, 0) AS s_stat,
+        |    m.n_days*(m.n_days-1)*(2*m.n_days+5) - m.tcorr AS vnum
+        |  FROM m LEFT JOIN ps ON m.event_type = ps.event_type),
+        |z1 AS (
+        |  SELECT event_type, n_days, s_stat,
+        |    CASE WHEN vnum = 0 THEN NULL
+        |      ELSE CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1
+        |                               WHEN s_stat < 0 THEN -1
+        |                               ELSE 0 END) AS DOUBLE)
+        |        / sqrt(CAST(vnum AS DOUBLE) / 18.0) END AS z
+        |  FROM z0)
+        |SELECT event_type, n_days, s_stat, z,
+        |  CASE WHEN z IS NULL THEN NULL
+        |       WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z1 ORDER BY event_type""".stripMargin,
 
     // The oracle spells the plain quadratic-within-user filter; the
     // banded plan equals it because any pair within 30 s lands in

@@ -298,6 +298,10 @@ class EmptyInputSpec extends SparkSpec {
     // Benford: empty census → empty type-total table → the digit
     // grid has no types to cross — empty, not a divide-by-zero
     assert(SparkEntry.queries("dq_benford")(spark, dir).count() == 0L)
+    // Mann–Kendall: empty events → empty daily table → empty tie
+    // census drives the left join — empty, no float div-by-zero
+    assert(SparkEntry.queries("stat_mann_kendall")(spark, dir)
+      .count() == 0L)
     // capture–recapture keeps its single global row: zero counts,
     // NULL Lincoln–Petersen (m = NULL guard path)
     val cr = SparkEntry.queries("stat_capture_recapture")(spark, dir)
