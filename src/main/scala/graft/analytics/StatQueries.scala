@@ -355,10 +355,13 @@ object StatQueries extends QuerySuite {
     // over the daily volume series — the NONPARAMETRIC companion of
     // stat_trend_daily's OLS: rank-based, so it detects any monotone
     // trend without a linearity assumption and one outlier day can't
-    // flip the verdict. (The magnitude estimator that classically
-    // pairs with it, Sen's slope, already lives at stat_theil_sen in
-    // ProfileQueries over the daily VALUE series — this query is the
-    // significance side.) S = Σ_{i<j} sign(y_j − y_i) over
+    // flip the verdict. (Cousins, not duplicates: stat_theil_sen in
+    // ProfileQueries is the magnitude estimator that classically
+    // pairs with this test, and stat_kendall_daily in InsightQueries
+    // applies the same concordance machinery BETWEEN two series —
+    // this query is tau against the TIME axis with the variance/z/
+    // significance call neither of them makes.) S = Σ_{i<j}
+    // sign(y_j − y_i) over
     // day-ordered daily counts and the tie-corrected Var(S) are exact
     // BIGINTs; z applies the standard ±1 continuity correction. The
     // only floats are IEEE-exactly-rounded ops (one divide by 18.0,
