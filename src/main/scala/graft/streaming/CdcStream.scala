@@ -8,8 +8,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * the current latest row under the (ts desc, event_id desc) order the
   * batch window rank uses; a micro-batch emits one updated snapshot row
   * per key it actually advanced — downstream reconstructs "the table
-  * now" as max(version) per key, exactly like [[StreamingTopK]]'s
-  * contract.
+  * now" as argmax(last_ts, last_event) per key: the SAME total order
+  * the processor keeps, so reconstruction is correct under every
+  * configuration (see the ttl caveat below for why max(version) is
+  * NOT the contract).
   *
   * Scale: O(1) state per entity (one row, never the history);
   * late/replayed changes that do not beat the current (ts, event_id)
@@ -20,9 +22,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * (transient entities never seen again would pin a row forever), so
   * a `ttl` expires idle entities from the store — the same
   * TTLConfig-based eviction [[ChannelProcessor]] uses, making the
-  * state size proportional to the LIVE entity set. An entity that
-  * reappears after expiry restarts at version 1, which downstream
-  * max(version) reconstruction handles unchanged.
+  * state size proportional to the LIVE entity set. The ttl is also
+  * why version is a per-LIFETIME change counter, not the
+  * reconstruction key: an entity that reappears after expiry restarts
+  * at version 1, so max(version) would resurrect the stale pre-expiry
+  * snapshot — reconstruct by argmax(last_ts, last_event), which the
+  * expiry cannot rewind. ([[EwmaStream]]'s version column carries the
+  * same contract.)
   */
 class CdcStream(ttl: Option[java.time.Duration] = None)
     extends StatefulProcessor[Long, CdcStream.Change, CdcStream.Snapshot] {
@@ -72,8 +78,7 @@ object CdcStream {
   def latestState(changes: Dataset[Change],
       ttl: Option[java.time.Duration] = None): Dataset[Snapshot] = {
     implicit val outEnc = Encoders.product[Snapshot]
-    val timeMode =
-      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val timeMode = TtlModes.timeModeFor(ttl)
     changes
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new CdcStream(ttl), timeMode,

@@ -61,7 +61,7 @@ object ChannelProcessor {
       ttl: Option[java.time.Duration] = None,
       systemMessages: Boolean = false): Dataset[Delivery] = {
     implicit val outEnc = Encoders.product[Delivery]
-    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val timeMode = TtlModes.timeModeFor(ttl)
     events
       .groupByKey(_.channel)(Encoders.STRING)
       .transformWithState(new ChannelProcessor(ttl, systemMessages),

@@ -75,15 +75,19 @@ object ChannelStream {
       }
     for (e <- ordered(events)) e.op match {
       case "J" =>
-        val isNew = !members.contains(e.cid)
-        // idempotent add (duplicate join is a no-op, lib/ChannelHub.js:65-69)
-        members = members.updated(e.cid, e.sid)
-        if (isNew && systemMessages) {
-          // welcome to the joiner (engine-io.server.js:75-80) ...
-          out += Delivery(channel, e.cid, e.sid,
-            s"system:welcome:${e.cid}", e.tsMillis, "system")
-          // ... and a join notice to everyone else (:117-122)
-          notice(s"system:join:${e.cid}", e.tsMillis, except = e.cid)
+        // duplicate join is a FULL no-op (lib/ChannelHub.js:65-69):
+        // the existing membership row keeps its sid, so a replayed or
+        // conflicting J frame cannot silently re-point the member's
+        // delivery metadata to another node with no notice emitted
+        if (!members.contains(e.cid)) {
+          members = members.updated(e.cid, e.sid)
+          if (systemMessages) {
+            // welcome to the joiner (engine-io.server.js:75-80) ...
+            out += Delivery(channel, e.cid, e.sid,
+              s"system:welcome:${e.cid}", e.tsMillis, "system")
+            // ... and a join notice to everyone else (:117-122)
+            notice(s"system:join:${e.cid}", e.tsMillis, except = e.cid)
+          }
         }
       case "L" | "U" | "K" =>
         val wasMember = members.contains(e.cid)

@@ -87,8 +87,7 @@ object EwmaStream {
   def features(obs: Dataset[Obs],
       ttl: Option[java.time.Duration] = None): Dataset[Feat] = {
     implicit val outEnc = Encoders.product[Feat]
-    val timeMode =
-      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val timeMode = TtlModes.timeModeFor(ttl)
     obs
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new EwmaStream(ttl), timeMode,

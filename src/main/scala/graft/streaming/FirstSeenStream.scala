@@ -74,8 +74,7 @@ object FirstSeenStream {
   def firstSeen(obs: Dataset[Obs],
       ttl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
     implicit val outEnc = Encoders.product[FirstSeen]
-    val timeMode =
-      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val timeMode = TtlModes.timeModeFor(ttl)
     obs
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new FirstSeenStream(ttl), timeMode,

@@ -77,14 +77,30 @@ object Ingest {
       .as[ChannelStream.ChannelEvent]
   }
 
-  /** Sink: deliveries → parquet partitioned by channel (the fan-out
-    * write a downstream consumer tails), via foreachBatch so a batch
-    * writer (with dynamic partition overwrite) handles the files. */
+  /** Sink: deliveries → parquet partitioned by (batch_id, channel)
+    * (the fan-out write a downstream consumer tails). foreachBatch is
+    * AT-LEAST-once — a crash between the parquet commit and the
+    * checkpoint commit replays the micro-batch — so the write is
+    * keyed on batchId with DYNAMIC partition overwrite: a replay
+    * rewrites exactly its own batch_id partitions instead of
+    * appending a second copy, making the sink effectively-once (the
+    * standard foreachBatch idempotence recipe). */
   def deliverToParquet(deliveries: Dataset[ChannelStream.Delivery],
       path: String, checkpoint: String) =
     deliveries.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[ChannelStream.Delivery], _: Long) =>
-        batch.write.mode("append").partitionBy("channel").parquet(path)
+      .foreachBatch {
+        (batch: Dataset[ChannelStream.Delivery], batchId: Long) =>
+          writeDeliveryBatch(batch, batchId, path)
       }
+
+  /** The idempotent per-batch write (exposed so IngestSpec can replay
+    * a batchId and assert no duplicate rows survive). */
+  private[graft] def writeDeliveryBatch(
+      batch: Dataset[ChannelStream.Delivery], batchId: Long,
+      path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "channel").parquet(path)
 }

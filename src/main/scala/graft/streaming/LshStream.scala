@@ -14,17 +14,23 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * standard OR-over-bands LSH rule); the downstream verify step —
   * exact jaccard on candidate pairs only — is the same one batch runs.
   *
-  * Scale: state per bucket is TWO longs (canonical, count) — bounded
-  * by distinct band values, not stream volume; signatures never enter
-  * state. Hot buckets degrade PROSPECTIVELY: once occupancy passes
-  * [[LshStream.MaxBucket]] the bucket stops emitting candidates (the
+  * Scale: state per bucket is the canonical plus the member ids up to
+  * the cap — at most [[LshStream.MaxBucket]]+1 longs, a CONSTANT
+  * bound per bucket (and bounded by distinct band values overall),
+  * never stream volume; signatures never enter state. Membership —
+  * not an arrival counter — is what occupancy counts: the batch
+  * pipeline caps buckets on DISTINCT docs, and an arrival counter
+  * would let at-least-once redeliveries of already-flagged docs
+  * inflate occupancy to the cap and silently suppress genuinely new
+  * near-dup candidates. Hot buckets degrade PROSPECTIVELY: once
+  * distinct occupancy passes the cap the bucket stops emitting (the
   * batch pipeline's retroactive whole-bucket drop cannot be expressed
   * without retraction in a stream; both caps bound candidate volume
   * by MaxBucket per bucket, and the batch run over the landed corpus
-  * remains the authority — the stream gate is the cheap front filter).
-  * Decisions are idempotent under at-least-once replay: the canonical
-  * never changes once set, so a replayed (doc, band) row re-derives
-  * the identical flag.
+  * remains the authority — the stream gate is the cheap front
+  * filter). Replays are absorbed: a redelivered (doc, band) row finds
+  * its doc already a member (or the canonical) and emits nothing —
+  * the decision it re-derives is already downstream.
   */
 class LshStream
     extends StatefulProcessor[String, LshStream.BandEvent, LshStream.BandHit] {
@@ -40,16 +46,18 @@ class LshStream
       timers: TimerValues): Iterator[BandHit] = {
     // deterministic within a batch regardless of arrival order
     val rs = rows.toSeq.sortBy(_.doc_id)
-    var st = if (bucket.exists()) bucket.get() else BucketState(-1L, 0L)
+    var st = if (bucket.exists()) bucket.get()
+      else BucketState(-1L, Seq.empty)
     val out = rs.flatMap { r =>
-      if (st.canonical < 0) { st = BucketState(r.doc_id, 1L); None }
-      else if (r.doc_id == st.canonical) None // at-least-once replay
-      else {
-        st = st.copy(n_seen = st.n_seen + 1)
-        if (st.n_seen <= MaxBucket)
-          Some(BandHit(r.doc_id, r.band_idx, r.band_hash, st.canonical))
-        else None // hot bucket: stop emitting, occupancy keeps counting
-      }
+      if (st.canonical < 0) { st = BucketState(r.doc_id, Seq.empty); None }
+      else if (r.doc_id == st.canonical ||
+          st.members.contains(r.doc_id)) None // replay: absorbed
+      // occupancy counts the canonical too: the bucket holds at most
+      // MaxBucket distinct docs, canonical + (MaxBucket − 1) members
+      else if (st.members.size < MaxBucket - 1) {
+        st = st.copy(members = st.members :+ r.doc_id)
+        Some(BandHit(r.doc_id, r.band_idx, r.band_hash, st.canonical))
+      } else None // hot bucket at distinct-cap: stop emitting
     }
     bucket.update(st)
     out.iterator
@@ -61,7 +69,9 @@ object LshStream {
   val MaxBucket = 64L
 
   case class BandEvent(doc_id: Long, band_idx: Int, band_hash: Long)
-  case class BucketState(canonical: Long, n_seen: Long)
+  /** members excludes the canonical; |members| ≤ MaxBucket − 1 so the
+    * bucket's distinct-doc occupancy (canonical included) ≤ MaxBucket. */
+  case class BucketState(canonical: Long, members: Seq[Long])
   case class BandHit(doc_id: Long, band_idx: Int, band_hash: Long,
       candidate_of: Long)
 

@@ -14,9 +14,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * pins the equivalence against java.util.regex on real data).
   *
   * Scale: O(1) state per user (armed flag + start time + running
-  * count); emissions only on completed matches. Intra-batch rows sort
-  * by (sec, event_id) — the suite's canonical event order — so
-  * arrival order inside a micro-batch cannot change the matches.
+  * count + the frontier/budget below); emissions only on completed
+  * matches. Intra-batch rows sort by (sec, event_id) — the suite's
+  * canonical event order — so arrival order inside a micro-batch
+  * cannot change the matches. ACROSS batches the state keeps the
+  * (sec, event_id) frontier and drops rows at or behind it: an
+  * at-least-once redelivery of an old row would otherwise RE-ARM the
+  * machine and fabricate a match that never happened in the ordered
+  * tape (the [[EwmaStream]]/[[TrailingDistinctStream]] absorb-late
+  * discipline). And because the batch query truncates every user at
+  * its first [[graft.analytics.BehaviorQueries.MaxSeqEvents]] events
+  * "as part of the query's semantics", the processor spends the same
+  * per-user budget: once `seen` reaches the cap, further events are
+  * ignored — stream ≡ batch for power users past the cap, instead of
+  * the stream silently counting matches the batch never sees.
   */
 class PatternProcessor
     extends StatefulProcessor[Long, PatternProcessor.PatternEvent, PatternProcessor.PatternMatch] {
@@ -30,15 +41,21 @@ class PatternProcessor
 
   override def handleInputRows(user: Long, rows: Iterator[PatternEvent],
       timers: TimerValues): Iterator[PatternMatch] = {
-    var s = if (st.exists()) st.get() else MatchState(armed = false, 0L, 0L)
+    var s = if (st.exists()) st.get()
+      else MatchState(armed = false, 0L, 0L, Long.MinValue, Long.MinValue, 0L)
     val out = Seq.newBuilder[PatternMatch]
-    for (e <- rows.toSeq.sortBy(r => (r.sec, r.event_id))) {
+    for (e <- rows.toSeq.sortBy(r => (r.sec, r.event_id))
+        if (e.sec > s.lastSec ||
+            (e.sec == s.lastSec && e.event_id > s.lastEvent))
+          && s.seen < graft.analytics.BehaviorQueries.MaxSeqEvents) {
+      s = s.copy(lastSec = e.sec, lastEvent = e.event_id, seen = s.seen + 1L)
       if (!s.armed) {
-        if (e.event_type == "view") s = MatchState(armed = true, e.sec, s.n)
+        if (e.event_type == "view")
+          s = s.copy(armed = true, startSec = e.sec)
       } else if (e.event_type == "purchase") {
         val n = s.n + 1L
         out += PatternMatch(user, s.startSec, e.sec, n)
-        s = MatchState(armed = false, 0L, n)
+        s = s.copy(armed = false, startSec = 0L, n = n)
       } // any non-purchase keeps the match open: the [^p]* gap
     }
     st.update(s)
@@ -49,7 +66,8 @@ class PatternProcessor
 object PatternProcessor {
   case class PatternEvent(user_id: Long, event_id: Long,
       event_type: String, sec: Long)
-  case class MatchState(armed: Boolean, startSec: Long, n: Long)
+  case class MatchState(armed: Boolean, startSec: Long, n: Long,
+      lastSec: Long, lastEvent: Long, seen: Long)
   case class PatternMatch(user_id: Long, start_sec: Long, end_sec: Long,
       n_matches: Long)
 

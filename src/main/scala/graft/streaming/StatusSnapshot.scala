@@ -30,8 +30,12 @@ object StatusSnapshot {
         ready = p.isDefined,
         batchId = p.map(_.batchId).getOrElse(-1L),
         numInputRows = p.map(_.numInputRows).getOrElse(0L),
-        stateRows = p.flatMap(_.stateOperators.headOption)
-          .map(_.numRowsTotal).getOrElse(0L))
+        // SUM over all stateful operators: a query chaining e.g.
+        // dropDuplicatesWithinWatermark into a transformWithState has
+        // several, and reporting only the first would understate the
+        // state size this snapshot exists to monitor
+        stateRows = p.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L))
     }.toDF()
   }
 }

@@ -54,9 +54,13 @@ object WindowedStreams {
       .dropDuplicatesWithinWatermark("digest")
 
   /** Streaming OHLC bars — the incremental twin of the batch
-    * window_ohlc_hourly resample: per (hour window, channel), open /
-    * high / low / close over integer cents, with open/close as struct
-    * min/max over the (event-time μs, value) total order — an argmin
+    * window_ohlc_hourly resample: per (hour window, event_type),
+    * open / high / low / close over integer cents, with open/close as
+    * struct min/max over the (event-time μs, event_id, value) total
+    * order — THE SAME tie-break the batch query uses, so two events
+    * on one timestamp pick the same bar endpoints in both engines
+    * (without event_id in the struct, same-second ties would resolve
+    * by VALUE in the stream but by event id in the batch). An argmin
     * that runs as a plain streaming aggregate (no per-window sort, no
     * custom state). Watermark finalizes and evicts bars one hour
     * after their window closes. OhlcSpec pins bar-for-bar equality
@@ -69,8 +73,8 @@ object WindowedStreams {
       .withWatermark("ts", "60 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        min(struct(col("tu"), col("xc"))).as("os"),
-        max(struct(col("tu"), col("xc"))).as("cs"),
+        min(struct(col("tu"), col("event_id"), col("xc"))).as("os"),
+        max(struct(col("tu"), col("event_id"), col("xc"))).as("cs"),
         max("xc").as("hc"), min("xc").as("lc"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"),

@@ -68,4 +68,27 @@ class IngestSpec extends SparkSpec {
       Seq(rec(2, """M|{"c":"ch","m":"gone"}""", 3000))))
     assert(out.isEmpty)
   }
+
+  test("parquet sink: a replayed micro-batch overwrites itself, never duplicates") {
+    // foreachBatch is at-least-once — a crash between the parquet and
+    // checkpoint commits re-runs the batch. The sink keys the write on
+    // batch_id with dynamic partition overwrite, so the replay must
+    // leave the table IDENTICAL, not doubled.
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("ingest_sink").toString + "/deliveries"
+    def d(cid: Long, ch: String, msg: String) =
+      ChannelStream.Delivery(ch, cid, "node-1", msg, 1000L, "publisher")
+    val b0 = Seq(d(1, "news", "a"), d(2, "news", "a"), d(3, "sport", "b"))
+    val b1 = Seq(d(1, "news", "c"))
+    Ingest.writeDeliveryBatch(b0.toDS(), 0L, path)
+    Ingest.writeDeliveryBatch(b1.toDS(), 1L, path)
+    Ingest.writeDeliveryBatch(b0.toDS(), 0L, path) // the replay
+    val rows = spark.read.parquet(path)
+      .select("cid", "channel", "message").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows.sorted == (b0 ++ b1)
+      .map(x => (x.cid, x.channel, x.message)).sorted,
+      s"replay duplicated or lost rows: $rows")
+  }
 }

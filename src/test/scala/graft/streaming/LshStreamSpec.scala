@@ -46,4 +46,19 @@ class LshStreamSpec extends SparkSpec {
     assert(out.forall(_.candidate_of == 1L))
     assert(!out.exists(_.doc_id > MaxBucket))
   }
+
+  test("occupancy counts DISTINCT docs: member replays cannot eat the cap") {
+    // fill to one below the cap, then redeliver every member five
+    // times; a genuinely new doc must STILL flag (an arrival counter
+    // would have pushed 'occupancy' past MaxBucket and suppressed it)
+    val fill = (1L to MaxBucket - 1L).map(i => (i, 5, 77L))
+    val replays = (1L to 5L).flatMap(_ =>
+      (2L to MaxBucket - 1L).map(i => (i, 5, 77L)))
+    val out = run(Seq(fill, replays, Seq((900L, 5, 77L), (901L, 5, 77L))))
+    // replays emit nothing (absorbed), 900 takes the last slot, 901
+    // is past the cap
+    assert(out.count(_.doc_id == 900L) == 1)
+    assert(!out.exists(_.doc_id == 901L))
+    assert(out.size == (MaxBucket - 2) + 1) // fill members + doc 900
+  }
 }

@@ -43,6 +43,34 @@ class PatternProcessorSpec extends SparkSpec {
     }
   }
 
+  test("redelivered old rows are absorbed, not re-armed") {
+    // an at-least-once source redelivers the already-consumed view@10
+    // after the match closed; without the (sec, event_id) frontier it
+    // would RE-ARM the machine and fabricate a (10, 30) match
+    val out = run(Seq(
+      Seq(ev(1, 1, "view", 10), ev(1, 2, "purchase", 20)),
+      Seq(ev(1, 1, "view", 10), ev(1, 3, "purchase", 30))))
+    assert(out.map(m => (m.start_sec, m.end_sec, m.n_matches)) ==
+      Seq((10L, 20L, 1L)),
+      s"replay fabricated a match: $out")
+  }
+
+  test("per-user budget matches the batch MaxSeqEvents truncation") {
+    // batch behavior_pattern_regex truncates each user at its first
+    // MaxSeqEvents events BY (sec, event_id); a match completing past
+    // the cap must not be counted by the stream either
+    val cap = graft.analytics.BehaviorQueries.MaxSeqEvents
+    val noise = (1 to cap - 1).map(i =>
+      ev(7, i.toLong, "click", 100L + i))
+    val out = run(Seq(
+      noise :+ ev(7, cap.toLong, "view", 100L + cap),
+      // the closing purchase is event cap+1: PAST the budget —
+      // the batch symbol string never contains it
+      Seq(ev(7, cap + 1L, "purchase", 200L + cap))))
+    assert(out.isEmpty,
+      s"stream counted a match the batch truncation never sees: $out")
+  }
+
   test("stream equals the batch regex on the sf0.001 event table") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id").cast("long"), col("event_id").cast("long"),

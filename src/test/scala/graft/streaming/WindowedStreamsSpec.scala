@@ -12,7 +12,8 @@ import org.apache.spark.sql.streaming.OutputMode
 class WindowedStreamsSpec extends SparkSpec {
   import spark.implicits._
 
-  case class E(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+  case class E(ts: Timestamp, event_type: String, user_id: Long,
+      value: Double, event_id: Long = 0L)
   private def t(minutes: Int) = new Timestamp(minutes * 60000L)
 
   private var n = 0
@@ -142,6 +143,28 @@ class WindowedStreamsSpec extends SparkSpec {
     assert(other.getAs[Double]("open") == 7.5 &&
       other.getAs[Double]("close") == 7.5,
       "single-event channel: open = close")
+  }
+
+  test("OHLC same-timestamp ties resolve by event_id — the batch convention") {
+    // two events share the opening second and two share the closing
+    // second, with VALUES ordered against the ids, so a (tu, value)
+    // struct — the pre-fix tie-break — picks 3.0/7.0 while the batch
+    // window_ohlc_hourly convention struct(tu, event_id, xc) picks
+    // 9.0/5.0; this pins the stream to the batch convention
+    val rows = run(WindowedStreams.ohlcBars, Seq(
+      Seq(E(t(1), "px", 1, 9.0, event_id = 1),
+          E(t(1), "px", 2, 3.0, event_id = 2),
+          E(t(50), "px", 3, 7.0, event_id = 3),
+          E(t(50), "px", 4, 5.0, event_id = 4)),
+      Seq(E(t(130), "px", 9, 2.0, event_id = 9))), // closes the bar
+      OutputMode.Append)
+    val b = rows.filter(_.getAs[String]("event_type") == "px")
+      .filter(_.getAs[Timestamp]("win_start").getTime == 0L).head
+    assert(b.getAs[Double]("open") == 9.0,
+      "tie at the open must resolve by MIN event_id, not min value")
+    assert(b.getAs[Double]("close") == 5.0,
+      "tie at the close must resolve by MAX event_id, not max value")
+    assert(b.getAs[Double]("high") == 9.0 && b.getAs[Double]("low") == 3.0)
   }
 
   test("session window merges events within gap and splits across it") {
