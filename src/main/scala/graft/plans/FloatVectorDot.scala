@@ -93,13 +93,10 @@ object FloatVectorDot {
   /** Session-local registration (no extensions conf needed): makes
     * `expr("graft_vec_dot(a, b)")` resolvable. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, builder, "built-in")
+    KernelRegistry.register(spark, Name, builder)
 
   private[plans] val functionDescription =
-    (new FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, Name),
-      (children: Seq[Expression]) => builder(children))
+    KernelRegistry.description(Name, classOf[FloatVectorDot], builder)
 }
 
 /** Production injection point: `--conf

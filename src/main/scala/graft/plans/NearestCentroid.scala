@@ -48,24 +48,37 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
 
   /** Boxed so "no centroid selectable" is representable: null when the
     * centroid array is empty or every cosine is NaN (zero norms) — a
-    * sentinel id here would silently route rows to a fake cluster. */
+    * sentinel id here would silently route rows to a fake cluster.
+    * NULL slots/fields/elements and a dimension mismatch also return
+    * null (the NearestCentroidL2 contract): the type check ignores
+    * containsNull/field nullability, and getFloat/getLong on a null
+    * slot reads undefined bytes — a silently wrong cluster id. */
   def computeCluster(embAny: Any, nrm: Double, centsAny: Any): java.lang.Long = {
     val emb = embAny.asInstanceOf[ArrayData]
     val cents = centsAny.asInstanceOf[ArrayData]
     val d = emb.numElements()
+    var j0 = 0
+    while (j0 < d) {
+      if (emb.isNullAt(j0)) return null
+      j0 += 1
+    }
     var bestCos = Double.NegativeInfinity
     var bestId = Long.MaxValue
     var found = false
     var i = 0
     val n = cents.numElements()
     while (i < n) {
+      if (cents.isNullAt(i)) return null
       val c = cents.getStruct(i, 3)
+      if (c.isNullAt(0) || c.isNullAt(1) || c.isNullAt(2)) return null
       val cid = c.getLong(0)
       val cemb = c.getArray(1)
+      if (cemb.numElements() != d) return null
       val cnrm = c.getDouble(2)
       var acc = 0.0
       var j = 0
       while (j < d) {
+        if (cemb.isNullAt(j)) return null
         acc += emb.getFloat(j).toDouble * cemb.getFloat(j).toDouble
         j += 1
       }
@@ -109,11 +122,8 @@ object NearestCentroid {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, builder, "built-in")
+    KernelRegistry.register(spark, Name, builder)
 
   private[plans] val functionDescription =
-    (new FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[NearestCentroid].getName, Name),
-      (children: Seq[Expression]) => builder(children))
+    KernelRegistry.description(Name, classOf[NearestCentroid], builder)
 }

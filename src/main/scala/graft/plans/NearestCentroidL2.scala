@@ -69,7 +69,9 @@ case class NearestCentroidL2(left: Expression, right: Expression)
       // qv null-slot guard above.
       if (cents.isNullAt(i)) return null
       val c = cents.getStruct(i, 2)
-      if (c.isNullAt(1)) return null
+      // a null cid FIELD would silently read as 0 (getInt on a null
+      // slot), minting a fake centroid id — bail like the cv guard
+      if (c.isNullAt(0) || c.isNullAt(1)) return null
       val cid = c.getInt(0)
       val cv = c.getArray(1)
       if (cv.numElements() != d) return null
@@ -120,11 +122,8 @@ object NearestCentroidL2 {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, builder, "built-in")
+    KernelRegistry.register(spark, Name, builder)
 
   private[plans] val functionDescription =
-    (new FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[NearestCentroidL2].getName, Name),
-      (children: Seq[Expression]) => builder(children))
+    KernelRegistry.description(Name, classOf[NearestCentroidL2], builder)
 }

@@ -46,12 +46,23 @@ case class PqAssign(left: Expression, right: Expression)
   override def prettyName: String = PqAssign.Name
 
   /** Null for every no-answer case, never undefined bytes: an empty
-    * codebook, a NULL slot in the embedding or a NULL codebook entry
-    * (UnsafeArrayData.getFloat on a null slot reads garbage silently),
-    * a negative subspace id, or an embedding shorter than the
+    * codebook, a NULL slot in the embedding, a NULL codebook entry OR
+    * a NULL field inside one (a non-null entry can still carry null
+    * m/c_id/sub — getInt on a null field silently reads 0, getArray
+    * returns null and would NPE), a negative subspace id, codebook
+    * entries whose sub vectors disagree on length (each entry would
+    * silently score a DIFFERENT embedding slice: off = m·dsub uses
+    * the entry's own length), or an embedding shorter than the
     * m*dsub+dsub slice a codebook entry addresses (an out-of-range
     * getFloat also returns undefined bytes rather than throwing).
-    * Same contract as the sibling kernel NearestCentroidL2. */
+    * Same contract as the sibling kernel NearestCentroidL2.
+    *
+    * Output shape: indexed by the codebook's own subspace ids,
+    * length max(m)+1, with NULL at any interior m no entry covers —
+    * the HOF-twin equality PqSpec pins holds on COMPLETE codebooks
+    * (every m in 0..PqM−1 present), which is what the trainer emits;
+    * a codebook missing its TOP subspaces yields a shorter array
+    * here and a NULL-padded one from the twin's fixed sequence. */
   def computeBest(embAny: Any, cbAny: Any): ArrayData = {
     val emb = embAny.asInstanceOf[ArrayData]
     val cb = cbAny.asInstanceOf[ArrayData]
@@ -64,12 +75,18 @@ case class PqAssign(left: Expression, right: Expression)
       j0 += 1
     }
     var maxM = 0
+    var dsubShared = -1
     var i = 0
     while (i < n) {
       if (cb.isNullAt(i)) return null
-      val m = cb.getStruct(i, 3).getInt(0)
+      val c = cb.getStruct(i, 3)
+      if (c.isNullAt(0) || c.isNullAt(1) || c.isNullAt(2)) return null
+      val m = c.getInt(0)
       if (m < 0) return null
       if (m > maxM) maxM = m
+      val len = c.getArray(2).numElements()
+      if (dsubShared < 0) dsubShared = len
+      else if (len != dsubShared) return null
       i += 1
     }
     val bestD = new Array[Double](maxM + 1)
@@ -145,11 +162,8 @@ object PqAssign {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, builder, "built-in")
+    KernelRegistry.register(spark, Name, builder)
 
   private[plans] val functionDescription =
-    (new FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[PqAssign].getName, Name),
-      (children: Seq[Expression]) => builder(children))
+    KernelRegistry.description(Name, classOf[PqAssign], builder)
 }

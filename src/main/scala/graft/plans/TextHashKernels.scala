@@ -107,17 +107,18 @@ object MinHashSig {
       case other => throw new IllegalArgumentException(
         s"$Name: k must be an integer literal, got $other")
     }
+    // fail at PLAN time (the NGramShingles require(n >= 1) precedent):
+    // a non-positive k would otherwise defer to a per-row
+    // NegativeArraySizeException inside a task
+    require(k >= 1, s"$Name: k must be >= 1, got $k")
     MinHashSig(children.head, k)
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, builder, "built-in")
+    KernelRegistry.register(spark, Name, builder)
 
   private[plans] val functionDescription =
-    (new FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[MinHashSig].getName, Name),
-      (children: Seq[Expression]) => builder(children))
+    KernelRegistry.description(Name, classOf[MinHashSig], builder)
 }
 
 /** Distinct word n-gram shingles: ARRAY<STRING> -> ARRAY<STRING>.
@@ -195,13 +196,10 @@ object NGramShingles {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, builder, "built-in")
+    KernelRegistry.register(spark, Name, builder)
 
   private[plans] val functionDescription =
-    (new FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[NGramShingles].getName, Name),
-      (children: Seq[Expression]) => builder(children))
+    KernelRegistry.description(Name, classOf[NGramShingles], builder)
 }
 
 /** SimHash fingerprint: ARRAY<STRING> -> BIGINT (64-bit majority vote). */
@@ -263,11 +261,8 @@ object SimHash64 {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, builder, "built-in")
+    KernelRegistry.register(spark, Name, builder)
 
   private[plans] val functionDescription =
-    (new FunctionIdentifier(Name),
-      new ExpressionInfo(classOf[SimHash64].getName, Name),
-      (children: Seq[Expression]) => builder(children))
+    KernelRegistry.description(Name, classOf[SimHash64], builder)
 }

@@ -144,6 +144,12 @@ object TopKPerKey {
   def apply(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
       k: Int, rankName: String = "rk"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty: an empty key would plan a " +
+        "ClusteredDistribution(Nil) and fail inside Spark's " +
+        "EnsureRequirements with an internals-pointing error; for a " +
+        "global top-k use orderBy(...).limit(k), which already " +
+        "plans the distributed TakeOrderedAndProject")
     require(!df.columns.contains(rankName),
       s"rank column name '$rankName' already exists in the input " +
         s"(columns: ${df.columns.mkString(", ")}); pass a distinct rankName")

@@ -41,6 +41,36 @@ class PqKernelSpec extends SparkSpec {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("NULL fields and mixed sub lengths yield NULL, never NPE or a wrong slice") {
+    PqAssign.register(spark)
+    import spark.implicits._
+    def best(cbSql: String) = {
+      val df = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+        .toDF("vec_id", "embedding")
+        .withColumn("cb", expr(cbSql))
+        .select(call_function(PqAssign.Name,
+          col("embedding"), col("cb")).as("best"))
+      df.collect()(0)
+    }
+    // a non-null entry with a NULL sub array: getArray returns null —
+    // pre-guard this NPE'd instead of returning the contract's NULL
+    assert(best("array(named_struct('m', 0, 'c_id', 7, " +
+      "'sub', CAST(NULL AS ARRAY<DOUBLE>)))").isNullAt(0))
+    // a NULL m field: getInt silently reads 0 — the entry would score
+    // subspace 0 with no error; the guard must return NULL instead
+    assert(best("array(named_struct('m', CAST(NULL AS INT), 'c_id', 7, " +
+      "'sub', array(1.0D, 2.0D)))").isNullAt(0))
+    // entries disagreeing on sub length would each slice a DIFFERENT
+    // embedding window (off = m*dsub uses the entry's own length)
+    assert(best("array(named_struct('m', 0, 'c_id', 1, " +
+      "'sub', array(1.0D, 2.0D)), named_struct('m', 1, 'c_id', 2, " +
+      "'sub', array(1.0D)))").isNullAt(0))
+    // and the well-formed twin of the same shape still answers
+    assert(!best("array(named_struct('m', 0, 'c_id', 1, " +
+      "'sub', array(1.0D, 2.0D)), named_struct('m', 1, 'c_id', 2, " +
+      "'sub', array(1.0D, 2.0D)))").isNullAt(0))
+  }
+
   test("whole-stage codegen handles the kernel (no interpreted fallback crash)") {
     PqAssign.register(spark)
     val plan = graft.llm.SimilarityQueries.queries("sim_pq_codes")(spark, sf)

@@ -60,6 +60,36 @@ class NearestCentroidSpec extends SparkSpec {
     assert(allNaN.isNullAt(0), "all-NaN cosines must assign NULL, not a fake id")
   }
 
+  test("NULL slots/fields and dimension mismatches -> NULL, never garbage") {
+    FloatVectorDot.register(spark)
+    NearestCentroid.register(spark)
+    import spark.implicits._
+    val centsType = "array<struct<c_id:bigint,c_emb:array<float>,c_nrm:double>>"
+    def assign(centsSql: String) =
+      Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .withColumn("cents", expr(centsSql).cast(centsType))
+        .select(call_function(NearestCentroid.Name,
+          col("embedding"), col("nrm"), col("cents")).as("c"))
+        .head()
+    // a NULL centroid SLOT (outer-joined/filtered list) — pre-guard
+    // this NPE'd on getStruct of the null element
+    assert(assign("array(named_struct('c_id', 5L, 'c_emb', " +
+      "array(1.0F, 0.0F), 'c_nrm', 1.0D), CAST(NULL AS " +
+      "STRUCT<c_id: BIGINT, c_emb: ARRAY<FLOAT>, c_nrm: DOUBLE>))")
+      .isNullAt(0))
+    // a NULL c_emb FIELD inside a non-null entry
+    assert(assign("array(named_struct('c_id', 5L, 'c_emb', " +
+      "CAST(NULL AS ARRAY<FLOAT>), 'c_nrm', 1.0D))").isNullAt(0))
+    // a centroid of the wrong dimension would silently read garbage
+    // bytes past the array end via getFloat
+    assert(assign("array(named_struct('c_id', 5L, 'c_emb', " +
+      "array(1.0F), 'c_nrm', 1.0D))").isNullAt(0))
+    // a NULL element INSIDE a centroid vector
+    assert(assign("array(named_struct('c_id', 5L, 'c_emb', " +
+      "array(1.0F, CAST(NULL AS FLOAT)), 'c_nrm', 1.0D))").isNullAt(0))
+  }
+
   test("tie-break picks the smallest centroid id") {
     FloatVectorDot.register(spark)
     NearestCentroid.register(spark)

@@ -95,6 +95,16 @@ class TopKPerKeySpec extends SparkSpec {
     assert(ok.columns.contains("position") && ok.count() == 3)
   }
 
+  test("an empty key list fails fast with the global-top-k hint") {
+    // ClusteredDistribution(Nil) would otherwise surface as an
+    // internals-pointing require() during physical planning
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey(df, Seq.empty, Seq(col("id").asc), 2)
+    }
+    assert(e.getMessage.contains("keyCols must be non-empty"))
+    assert(e.getMessage.contains("orderBy(...).limit(k)"))
+  }
+
   test("multi-column keys and ascending order work end to end") {
     val multi = Seq(("x", 1, 10L), ("x", 1, 20L), ("x", 2, 30L), ("y", 1, 40L))
       .toDF("k1", "k2", "id")
