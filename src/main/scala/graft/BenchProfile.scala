@@ -9,6 +9,7 @@ object BenchProfile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val threads = sys.env.getOrElse("BP_THREADS", "8")
     val b = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -55,4 +55,10 @@ object SparkEntry {
   /** Per-suite query counts (SparkEntrySpec guards the toMap merge
     * against silent name collisions). */
   private[graft] def suiteSizes: Seq[Int] = suites.map(_.queries.size)
+
+  /** Per-suite oracle counts — the same silent-Map-merge guard for the
+    * ORACLE map: without it a cross-suite duplicate oracle key would
+    * keep only the last entry, pass the orphan check (the name is a
+    * valid query), and gate the query against the WRONG SQL. */
+  private[graft] def oracleSizes: Seq[Int] = suites.map(_.oracles.size)
 }

@@ -32,6 +32,11 @@ object Tables {
     * microsecond timestamp (matches DuckDB's ns value truncated to us).
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // All graft-owned session builders (Verify/Bench/Smoke/AbBench/
+    // BenchProfile/SparkSpec) pre-set this flag at session build, so
+    // shared-session behavior never depends on whether an events query
+    // ran first; this set is the idempotent shim for CALLER-owned
+    // sessions feeding nanos-era events parquet through Tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._

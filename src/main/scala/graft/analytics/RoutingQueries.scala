@@ -21,8 +21,6 @@ import org.apache.spark.sql.functions._
 object RoutingQueries extends QuerySuite {
 
   private val ccSql = MembershipSql.clientChannels
-  private val ncSql = MembershipSql.nodeChannels
-  private val nodesSql = MembershipSql.allNodes
 
   private def cc(s: SparkSession, d: String): DataFrame =
     Membership.clientChannels(Tables.events(s, d))

@@ -31,8 +31,10 @@ object AuthQueries extends QuerySuite {
   val Expiry = FixedNow + 86400000L      // +1 day
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Round-trip + tamper rejection: even event_ids carry valid
-    // tokens, odd ones are tampered (flipped last char of signature).
+    // Round-trip + tamper rejection: even c_custkeys carry valid
+    // tokens, odd ones are tampered (body char at position 11
+    // replaced - the constant-prefix position AuthQueriesSpec pins,
+    // NOT the signature tail; the class doc explains why).
     "auth_token_gate" -> ((s, d) => {
       val mk = Tokens.createUdf
       val vf = Tokens.verifyUdf
@@ -44,12 +46,15 @@ object AuthQueries extends QuerySuite {
         when(col("c_custkey") % 2 === 0, col("token"))
           .otherwise(concat(substring(col("token"), 1, 10), lit("x"),
             substring(col("token"), 12, 100000))))
+      // ONE verify UDF call per row: admitted derives from the
+      // already-computed column instead of re-running the double
+      // SHA-256 (subexpression elimination is not guaranteed for
+      // non-deterministic-looking UDFs)
       withTampered.select(
         col("c_custkey"),
         vf(col("wire_token"), lit(Tokens.TypeClusterClient), lit(Secret),
-          lit(FixedNow)).as("verified_id"),
-        vf(col("wire_token"), lit(Tokens.TypeClusterClient), lit(Secret),
-          lit(FixedNow)).isNotNull.as("admitted"))
+          lit(FixedNow)).as("verified_id"))
+        .withColumn("admitted", col("verified_id").isNotNull)
         .orderBy("c_custkey")
     }),
 

@@ -106,6 +106,12 @@ object HmacSql {
   private def ipadExpr(secret: String): String = {
     val bytes = pad(secret).map(b => (b ^ 0x36) & 0xff)
     require(bytes.forall(_ < 0x80), "non-ASCII secret would break the VARCHAR inner hash")
+    // a secret byte 0x36 ('6') XORs to 0 and chr(0) is a NUL DuckDB
+    // rejects in VARCHAR — fail at build time with the reason, not at
+    // oracle time with a family-wide SQL error
+    require(bytes.forall(_ != 0),
+      "secret containing 0x36 ('6') would produce a NUL ipad byte the " +
+        "oracle's VARCHAR inner hash cannot carry; pick a '6'-free secret")
     bytes.map(b => s"chr($b)").mkString("(", " || ", ")")
   }
 

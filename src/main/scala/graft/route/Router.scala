@@ -74,8 +74,14 @@ object Router {
     * broadcast:false}` — only the local client fan-out runs. Modeled as
     * a provenance predicate on an `origin` column. */
   def withProvenance(messages: DataFrame): (DataFrame, DataFrame) = {
-    val nodeOriginated = messages.filter(col("origin") === "node")
-    val publisherOriginated = messages.filter(col("origin") =!= "node")
+    // null-safe split: a NULL origin fails BOTH === and =!= under
+    // three-valued logic, so the naive pair of filters would silently
+    // drop the row from both partitions — the two frames must
+    // PARTITION the input (a NULL/unknown origin is a publisher:
+    // only node-relayed frames carry the node marker)
+    val isNode = coalesce(col("origin") === "node", lit(false))
+    val nodeOriginated = messages.filter(isNode)
+    val publisherOriginated = messages.filter(!isNode)
     (publisherOriginated, nodeOriginated)
   }
 }

@@ -68,7 +68,10 @@ object Membership {
   /** O4 unsubscribeNode (`lib/ChannelHub.js:78-89`): remove one (sid,
     * channel) pair; empty channels disappear for free (no group row). */
   def unsubscribeNode(nc: DataFrame, sid: String, channel: String): DataFrame =
-    nc.filter(!(col("sid") === sid && col("channel") === channel))
+    // null-safe <=>: under three-valued logic !(a === x && ...) is
+    // NULL for a NULL-keyed row and the filter would silently drop an
+    // UNRELATED subscription instead of keeping it
+    nc.filter(!(col("sid") <=> sid && col("channel") <=> channel))
 
   /** O5 isNodeSubscribed (`lib/ChannelHub.js:97-101`). */
   def isNodeSubscribed(nc: DataFrame, sid: String, channel: String): Boolean =
@@ -80,7 +83,7 @@ object Membership {
 
   /** O7 removeNode (`lib/ChannelHub.js:125-132`): drop sid everywhere. */
   def removeNode(nc: DataFrame, sid: String): DataFrame =
-    nc.filter(col("sid") =!= sid)
+    nc.filter(!(col("sid") <=> sid)) // null-safe: keep NULL-sid rows
 
   /** O8 subscribeClient (`lib/ChannelHub.js:143-154`): add client row
     * (idempotent) — node row is implied by the sid column. */
@@ -96,7 +99,7 @@ object Membership {
     * from the NODE map too, `:168-172` -> `removeChannel` `:221-238`)
     * is [[cascadeEmptyChannels]]. */
   def unsubscribeClient(cc: DataFrame, cid: Long, channel: String): DataFrame =
-    cc.filter(!(col("cid") === cid && col("channel") === channel))
+    cc.filter(!(col("cid") <=> cid && col("channel") <=> channel))
 
   /** O10 isClientSubscribed (`lib/ChannelHub.js:181-185`). */
   def isClientSubscribed(cc: DataFrame, cid: Long, channel: String): Boolean =
@@ -105,7 +108,7 @@ object Membership {
   /** O11 removeClient (`lib/ChannelHub.js:192-199`): kick — drop cid
     * from every channel. */
   def removeClient(cc: DataFrame, cid: Long): DataFrame =
-    cc.filter(col("cid") =!= cid)
+    cc.filter(!(col("cid") <=> cid)) // null-safe: keep NULL-cid rows
 
   /** O12 getClientSubscriptions (`lib/ChannelHub.js:206-216`). */
   def clientSubscriptions(cc: DataFrame, cid: Long): DataFrame =
@@ -133,16 +136,16 @@ object Membership {
 /** SQL twins of the derived membership, spliced into oracle queries so
   * DuckDB rebuilds identical state from the same parquet. */
 object MembershipSql {
-  /** Must stay in lockstep with [[Membership.clientChannels]]. */
+  /** Must stay in lockstep with [[Membership.clientChannels]] — the
+    * constants are INTERPOLATED from the same vals so a tuning change
+    * cannot silently fork the twins. */
   val clientChannels: String =
-    """SELECT event_type AS channel, user_id AS cid,
-      |       'node-' || (user_id % 4) AS sid
+    s"""SELECT event_type AS channel, user_id AS cid,
+      |       'node-' || (user_id % ${Membership.NumNodes}) AS sid
       |FROM events GROUP BY event_type, user_id
-      |HAVING COUNT(*) >= 15""".stripMargin
+      |HAVING COUNT(*) >= ${Membership.SubscribeThreshold}""".stripMargin
 
-  val nodeChannels: String =
-    s"SELECT DISTINCT channel, sid FROM ($clientChannels)"
-
-  val allNodes: String =
-    s"SELECT DISTINCT sid FROM ($clientChannels)"
+  // (The node_channels / all_nodes twins were dead code: every oracle
+  // inlines SELECT DISTINCT over the cc CTE instead, so an unused
+  // "canonical" spelling could silently rot outside the driver gate.)
 }

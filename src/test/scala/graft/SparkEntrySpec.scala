@@ -15,6 +15,15 @@ class SparkEntrySpec extends AnyFunSuite {
       "a duplicated query name was silently dropped by the toMap merge")
   }
 
+  test("oracle keys are globally unique across suites") {
+    // the twin of the query-name guard: a cross-suite duplicate
+    // oracle key would keep only the LAST entry, pass the orphan
+    // check (the name is a valid query), and silently gate that
+    // query against the wrong SQL
+    assert(SparkEntry.oracleSql.size === SparkEntry.oracleSizes.sum,
+      "a duplicated oracle key was silently dropped by the toMap merge")
+  }
+
   test("every oracle has a query; no empty SQL") {
     val q = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- q

@@ -89,6 +89,7 @@ object SparkSpec {
 
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .master("local[2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "2")

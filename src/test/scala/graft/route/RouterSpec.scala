@@ -77,4 +77,19 @@ class RouterSpec extends SparkSpec {
     assert(pub.collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(node.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("provenance split PARTITIONS the input: NULL origin is a publisher") {
+    // under three-valued logic a NULL origin fails === AND =!= — the
+    // naive filter pair dropped such rows from BOTH frames, silently
+    // losing the message from the delivery pipeline entirely
+    val msgs = Seq((1L, "news", Some("publisher")), (2L, "news", None),
+      (3L, "news", Some("node")))
+      .toDF("event_id", "channel", "origin")
+    val (pub, node) = Router.withProvenance(msgs)
+    val pubIds = pub.collect().map(_.getLong(0)).toSet
+    val nodeIds = node.collect().map(_.getLong(0)).toSet
+    assert(pubIds == Set(1L, 2L), s"NULL origin lost: $pubIds")
+    assert(nodeIds == Set(3L))
+    assert((pubIds ++ nodeIds).size == 3, "frames must partition the input")
+  }
 }

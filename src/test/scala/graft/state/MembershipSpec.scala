@@ -49,6 +49,21 @@ class MembershipSpec extends SparkSpec {
     assert(all.length == 3) // distinct
   }
 
+  test("unsubscribe/remove keep UNRELATED rows with NULL keys") {
+    // !(a === x && b === y) is NULL for a NULL-keyed row under
+    // three-valued logic — the pre-fix filters silently dropped a
+    // subscription to a DIFFERENT (null) channel on every unsubscribe
+    val withNull = Seq(("news", "n1"), (null, "n1"), ("sport", null))
+      .toDF("channel", "sid")
+    val after = Membership.unsubscribeNode(withNull, "n1", "news")
+    assert(after.count() == 2, "null-keyed rows must survive unsubscribe")
+    assert(Membership.removeNode(withNull, "n9").count() == 3)
+    val ccNull = Seq(("news", 1L, "n1"), (null, 2L, "n1"))
+      .toDF("channel", "cid", "sid")
+    assert(Membership.unsubscribeClient(ccNull, 1L, "news").count() == 1)
+    assert(Membership.removeClient(ccNull, 9L).count() == 2)
+  }
+
   test("isClientSubscribed / isNodeSubscribed membership probes") {
     val clients = cc(("news", 1L, "n1"))
     assert(Membership.isClientSubscribed(clients, 1L, "news"))
