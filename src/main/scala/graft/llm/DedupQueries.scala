@@ -322,7 +322,12 @@ object DedupQueries extends QuerySuite {
       .persist()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp")).persist()
     var changed = 1L
-    var lastSum = labels.agg(sum("comp")).head().getLong(0)
+    // coalesce: sum over ZERO nodes is NULL and getLong would NPE —
+    // an empty pair set (no near-dups found, or an empty corpus) must
+    // yield an empty component list like the recursive-CTE oracle,
+    // not a crash
+    var lastSum = labels.agg(coalesce(sum("comp"), lit(0L)))
+      .head().getLong(0)
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = sym
@@ -362,7 +367,8 @@ object DedupQueries extends QuerySuite {
       // decrease, so sum(comp) is strictly smaller while anything
       // changed — one aggregate over the just-checkpointed (in-memory)
       // partitions, not a recompute.
-      val nextSum = next.agg(sum("comp")).head().getLong(0)
+      val nextSum = next.agg(coalesce(sum("comp"), lit(0L)))
+        .head().getLong(0)
       changed = if (nextSum == lastSum) 0L else 1L
       lastSum = nextSum
       labels.unpersist()

@@ -35,16 +35,9 @@ object EntityQueries extends QuerySuite {
   val NameLen = PrefixLen + SuffixLen
   val MaxHamming = 2
 
-  /** Digit-wise hamming distance between two 9-digit ids held as
-    * LONGs: 9 integer div/mod compares, pure codegen arithmetic — no
-    * per-character string allocation on the (candidate-pair-sized)
-    * verify path. */
-  private def digitHamming(a: Column, b: Column): Column =
-    (0 until SuffixLen).map { i =>
-      val p = math.pow(10, i).toLong
-      when((a.divide(p).cast("long") % 10) =!= (b.divide(p).cast("long") % 10),
-        1).otherwise(0)
-    }.reduce(_ + _)
+  // (The digit-wise hamming re-check that once lived here was deleted
+  // as a per-pair tautology — see the block-mate comment in nearPairs;
+  // FuzzyNameSpec pins the brute-force predicate, hamming included.)
 
   /** The 36 two-wildcard masks of the suffix, encoded as LONG block
     * keys: for wildcard digit positions (i, j) (powers of ten), the

@@ -509,9 +509,16 @@ object MiningQueries extends QuerySuite {
     "text_heaps_law" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      // 1-row scalar: checkpoint width from the id span
-      val w = math.max(1L, math.ceil(
-        (docs.agg(max("doc_id")).head.getLong(0) + 1) / 100.0).toLong)
+      // 1-row scalar: checkpoint width from the id span. isNullAt
+      // guards the empty corpus (max over zero rows is NULL and
+      // getLong would NPE - the sample_pps_systematic precedent);
+      // width 1 degrades to the oracle's empty result. The 100.0 IS
+      // [[Checkpoints]], interpolated so tuning the val cannot
+      // silently fork the twins.
+      val mx = docs.agg(max("doc_id")).head
+      val w = if (mx.isNullAt(0)) 1L
+        else math.max(1L, math.ceil(
+          (mx.getLong(0) + 1) / Checkpoints.toDouble).toLong)
       val lws = TextOps.words(lower(col("text")))
       val tc = docs
         .select(expr(s"doc_id div $w").as("bucket"),
@@ -768,9 +775,9 @@ object MiningQueries extends QuerySuite {
          |ORDER BY n.doc_id""".stripMargin,
 
     "text_heaps_law" ->
-      """WITH wd AS (
-        |  SELECT greatest(1, CAST(ceil((max(doc_id)+1)/100.0) AS BIGINT))
-        |    AS w
+      s"""WITH wd AS (
+        |  SELECT greatest(1,
+        |    CAST(ceil((max(doc_id)+1)/$Checkpoints.0) AS BIGINT)) AS w
         |  FROM documents),
         |tc AS (
         |  SELECT doc_id // (SELECT w FROM wd) AS bucket,

@@ -189,7 +189,18 @@ object Multimodal extends QuerySuite {
     * the same index (complete for distance ≤ 3 by pigeonhole), and
     * only candidates pay the exact popcount verify — never an
     * all-pairs scan. */
-  private[llm] def phashPairs(sigs: DataFrame): DataFrame = {
+  private[llm] def phashPairs(sigs: DataFrame): DataFrame =
+    phashCandidates(sigs)
+      .filter(col("hamming") <= MaxPhashDist)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+
+  /** The banded candidate join itself — ONE definition shared by the
+    * dup query above and its calibration histogram, so the pigeonhole
+    * completeness proof can never silently desynchronize between them
+    * (an edit to the band shape lands in both or neither). Returns
+    * raw (doc_a, doc_b, hamming) pairs; callers filter/distinct. */
+  private def phashCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until PhashBands).map(b =>
         struct(lit(b).as("band_idx"),
@@ -201,11 +212,8 @@ object Multimodal extends QuerySuite {
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.phash").bitwiseXOR(col("y.phash")).as("px"))
-      .withColumn("hamming", expr("CAST(bit_count(px) AS BIGINT)"))
-      .filter(col("hamming") <= MaxPhashDist)
-      .select("doc_a", "doc_b", "hamming").distinct()
-      .orderBy("doc_a", "doc_b")
+        expr("CAST(bit_count(x.phash ^ y.phash) AS BIGINT)")
+          .as("hamming"))
   }
 
   /** documents.text reinterpreted as the media payload (UTF-8 bytes). */
@@ -409,25 +417,11 @@ object Multimodal extends QuerySuite {
     // dup query; the oracle replays it from the pixel-formula sigs
     // with hamming as the SUM of per-band 16-bit popcounts (bands
     // partition the 64 bits).
-    "multimodal_phash_cand_hist" -> ((s, d) => {
-      val sigs = phashTable(s, d)
-      val banded = sigs.select(col("doc_id"), col("phash"),
-        explode(array((0 until PhashBands).map(b =>
-          struct(lit(b).as("band_idx"),
-            bandVal(col("phash"), b).as("band_val"))): _*)).as("bd"))
-        .select(col("doc_id"), col("phash"),
-          col("bd.band_idx"), col("bd.band_val"))
-      banded.as("x").join(banded.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          expr("CAST(bit_count(x.phash ^ y.phash) AS BIGINT)")
-            .as("hamming"))
+    "multimodal_phash_cand_hist" -> ((s, d) =>
+      phashCandidates(phashTable(s, d))
         .distinct()
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("hamming")
-    }))
+        .orderBy("hamming")))
 
   /** The WITH-body both phash oracles share: predicts every dHash
     * band in DuckDB from the fixture's integer pixel formula (incl.

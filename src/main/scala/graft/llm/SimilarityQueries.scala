@@ -92,7 +92,12 @@ object SimilarityQueries extends QuerySuite {
   /** Brute-force cosine top-k: broadcast the query set, scan the
     * corpus once, rank per query. */
   private def bruteTopk(s: SparkSession, d: String): DataFrame = {
-    val e = corpus(s, d)
+    // cosine is undefined on zero-norm vectors, and the engines
+    // DISAGREE on the degenerate value (Spark: NULL, sorts last
+    // under DESC; DuckDB: NaN 0/0, sorts first) - exclude them
+    // from every cosine-ranked query, as the ivf/knn/semdedup
+    // siblings already do; the oracle twin filters identically
+    val e = corpus(s, d).filter(col("nrm") > 0)
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -116,7 +121,12 @@ object SimilarityQueries extends QuerySuite {
     * property that makes ANN viable at 10^9 vectors where brute force
     * scans everything per query. */
   private def lshTopk(s: SparkSession, d: String): DataFrame = {
-    val e = corpus(s, d)
+    // cosine is undefined on zero-norm vectors, and the engines
+    // DISAGREE on the degenerate value (Spark: NULL, sorts last
+    // under DESC; DuckDB: NaN 0/0, sorts first) - exclude them
+    // from every cosine-ranked query, as the ivf/knn/semdedup
+    // siblings already do; the oracle twin filters identically
+    val e = corpus(s, d).filter(col("nrm") > 0)
     val bands = DedupQueries.srpBands(e, dim = 64)
     val qb = bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("band_idx"), col("band_val"))
@@ -198,7 +208,12 @@ object SimilarityQueries extends QuerySuite {
     // greedy argmax path — are bit-identical to the oracle's UNROLLED
     // 10-step CTE chain; ties break to the smaller vec_id.
     "sim_mmr_topk" -> ((s, d) => {
-      val e = corpus(s, d)
+      // cosine is undefined on zero-norm vectors, and the engines
+      // DISAGREE on the degenerate value (Spark: NULL, sorts last
+      // under DESC; DuckDB: NaN 0/0, sorts first) - exclude them
+      // from every cosine-ranked query, as the ivf/knn/semdedup
+      // siblings already do; the oracle twin filters identically
+      val e = corpus(s, d).filter(col("nrm") > 0)
       val q = e.filter(col("vec_id") === 0L)
         .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val cand = e.crossJoin(broadcast(q))
@@ -255,7 +270,12 @@ object SimilarityQueries extends QuerySuite {
     // integers (ties to smaller vec_id), the fused score is a fixed
     // two-term float expression.
     "sim_rrf_fusion" -> ((s, d) => {
-      val e = corpus(s, d)
+      // cosine is undefined on zero-norm vectors, and the engines
+      // DISAGREE on the degenerate value (Spark: NULL, sorts last
+      // under DESC; DuckDB: NaN 0/0, sorts first) - exclude them
+      // from every cosine-ranked query, as the ivf/knn/semdedup
+      // siblings already do; the oracle twin filters identically
+      val e = corpus(s, d).filter(col("nrm") > 0)
       def ranksFor(qid: Long): Map[Long, Long] = {
         val q = e.filter(col("vec_id") === qid)
           .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -295,7 +315,12 @@ object SimilarityQueries extends QuerySuite {
     // cumulative-discount tables are 10-row broadcast literals.
     "sim_ndcg_eval" -> ((s, d) => {
       import s.implicits._
-      val e = corpus(s, d)
+      // cosine is undefined on zero-norm vectors, and the engines
+      // DISAGREE on the degenerate value (Spark: NULL, sorts last
+      // under DESC; DuckDB: NaN 0/0, sorts first) - exclude them
+      // from every cosine-ranked query, as the ivf/knn/semdedup
+      // siblings already do; the oracle twin filters identically
+      val e = corpus(s, d).filter(col("nrm") > 0)
       val probes = e.filter(col("vec_id") < 5L)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -341,7 +366,12 @@ object SimilarityQueries extends QuerySuite {
     // probe shape as sim_ndcg_eval; the cumulative-hits window runs
     // over 10 rows per probe.
     "sim_map_eval" -> ((s, d) => {
-      val e = corpus(s, d)
+      // cosine is undefined on zero-norm vectors, and the engines
+      // DISAGREE on the degenerate value (Spark: NULL, sorts last
+      // under DESC; DuckDB: NaN 0/0, sorts first) - exclude them
+      // from every cosine-ranked query, as the ivf/knn/semdedup
+      // siblings already do; the oracle twin filters identically
+      val e = corpus(s, d).filter(col("nrm") > 0)
       val probes = e.filter(col("vec_id") < 5L)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -389,7 +419,12 @@ object SimilarityQueries extends QuerySuite {
     // the exact-scan baseline; the LSH-bucketed variant
     // (sim_lsh_topk's routing with this threshold) is the index path.
     "sim_radius_search" -> ((s, d) => {
-      val e = corpus(s, d)
+      // cosine is undefined on zero-norm vectors, and the engines
+      // DISAGREE on the degenerate value (Spark: NULL, sorts last
+      // under DESC; DuckDB: NaN 0/0, sorts first) - exclude them
+      // from every cosine-ranked query, as the ivf/knn/semdedup
+      // siblings already do; the oracle twin filters identically
+      val e = corpus(s, d).filter(col("nrm") > 0)
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
@@ -884,11 +919,13 @@ object SimilarityQueries extends QuerySuite {
   private def cosSql(a: String, b: String) = Vectors.cosineSql(a, b)
 
   private def bruteTopkSql: String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-       |           FROM embeddings WHERE vec_id < 10),
+    s"""WITH nz AS (SELECT vec_id, label, embedding FROM embeddings
+       |      WHERE ${Vectors.normSql("embedding")} > 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM nz WHERE vec_id < 10),
        |scored AS (
        |  SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
-       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |  FROM nz e CROSS JOIN q WHERE e.vec_id <> q.q_id),
        |ranked AS (
        |  SELECT q_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
@@ -898,6 +935,8 @@ object SimilarityQueries extends QuerySuite {
 
   private def lshTopkSql: String =
     s"""WITH ${DedupQueries.srpBandsSqlCte},
+       |nz AS (SELECT vec_id, label, embedding FROM embeddings
+       |      WHERE ${Vectors.normSql("embedding")} > 0),
        |qb AS (SELECT vec_id AS q_id, band_idx, band_val
        |       FROM bands WHERE vec_id < 10),
        |cand AS (
@@ -908,8 +947,8 @@ object SimilarityQueries extends QuerySuite {
        |scored AS (
        |  SELECT c.q_id, c.vec_id, ${cosSql("qe.embedding", "e.embedding")} AS cos
        |  FROM cand c
-       |  JOIN embeddings qe ON qe.vec_id = c.q_id
-       |  JOIN embeddings e ON e.vec_id = c.vec_id),
+       |  JOIN nz qe ON qe.vec_id = c.q_id
+       |  JOIN nz e ON e.vec_id = c.vec_id),
        |ranked AS (
        |  SELECT q_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
@@ -1003,12 +1042,14 @@ object SimilarityQueries extends QuerySuite {
     // the hash match certifies the whole greedy path.
     "sim_mmr_topk" -> {
       val base =
-        s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+        s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${Vectors.normSql("embedding")} > 0),
+           |q AS (SELECT embedding AS q_emb FROM nz
            |  WHERE vec_id = 0),
            |cand AS MATERIALIZED (
            |  SELECT e.vec_id, e.embedding,
            |    ${cosSql("e.embedding", "q.q_emb")} AS rel
-           |  FROM embeddings e, q WHERE e.vec_id <> 0
+           |  FROM nz e, q WHERE e.vec_id <> 0
            |  ORDER BY rel DESC, e.vec_id LIMIT $MmrCand),
            |pair AS MATERIALIZED (
            |  SELECT a.vec_id AS ai, b.vec_id AS bi,
@@ -1039,16 +1080,18 @@ object SimilarityQueries extends QuerySuite {
     // against both probes and truncates at RrfCand, certifying that
     // the engine's two TakeOrdered lists carry the same global ranks.
     "sim_rrf_fusion" ->
-      s"""WITH q0 AS (SELECT embedding AS q_emb FROM embeddings
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${Vectors.normSql("embedding")} > 0),
+         |q0 AS (SELECT embedding AS q_emb FROM nz
          |  WHERE vec_id = 0),
-         |q1 AS (SELECT embedding AS q_emb FROM embeddings
+         |q1 AS (SELECT embedding AS q_emb FROM nz
          |  WHERE vec_id = 1),
          |s0 AS (
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q0.q_emb")} AS cos
-         |  FROM embeddings e, q0 WHERE e.vec_id NOT IN (0, 1)),
+         |  FROM nz e, q0 WHERE e.vec_id NOT IN (0, 1)),
          |s1 AS (
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q1.q_emb")} AS cos
-         |  FROM embeddings e, q1 WHERE e.vec_id NOT IN (0, 1)),
+         |  FROM nz e, q1 WHERE e.vec_id NOT IN (0, 1)),
          |rc AS (SELECT vec_id, CAST(row_number() OVER (
          |    ORDER BY cos DESC, vec_id) AS BIGINT) AS r FROM s0),
          |rd AS (SELECT vec_id, CAST(row_number() OVER (
@@ -1071,12 +1114,14 @@ object SimilarityQueries extends QuerySuite {
         .map { case (wv, i) => s"(${i + 1}, ${wv}::BIGINT)" }.mkString(", ")
       val cwVals = NdcgCumWPpb.zipWithIndex
         .map { case (cv, i) => s"(${i + 1}, ${cv}::BIGINT)" }.mkString(", ")
-      s"""WITH p AS (SELECT vec_id AS q_id, label AS q_label,
-         |    embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      s"""WITH nz AS (SELECT vec_id, label, embedding FROM embeddings
+         |      WHERE ${Vectors.normSql("embedding")} > 0),
+         |p AS (SELECT vec_id AS q_id, label AS q_label,
+         |    embedding AS q_emb FROM nz WHERE vec_id < 5),
          |scored AS (
          |  SELECT p.q_id, p.q_label, e.vec_id, e.label,
          |    ${cosSql("e.embedding", "p.q_emb")} AS cos
-         |  FROM embeddings e, p WHERE e.vec_id <> p.q_id),
+         |  FROM nz e, p WHERE e.vec_id <> p.q_id),
          |top AS (SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, vec_id) AS rk FROM scored)
@@ -1088,7 +1133,7 @@ object SimilarityQueries extends QuerySuite {
          |      AS BIGINT) AS dcg_ppb
          |  FROM top JOIN w USING (rk) GROUP BY q_id, q_label),
          |lc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT) AS c
-         |  FROM embeddings GROUP BY label)
+         |  FROM nz GROUP BY label)
          |SELECT d.q_id, d.q_label, lc.c - 1 AS n_rel, d.dcg_ppb,
          |  cw.cppb AS idcg_ppb,
          |  CASE WHEN cw.cppb IS NULL OR cw.cppb = 0 THEN NULL
@@ -1100,12 +1145,14 @@ object SimilarityQueries extends QuerySuite {
     },
 
     "sim_map_eval" ->
-      s"""WITH p AS (SELECT vec_id AS q_id, label AS q_label,
-         |    embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      s"""WITH nz AS (SELECT vec_id, label, embedding FROM embeddings
+         |      WHERE ${Vectors.normSql("embedding")} > 0),
+         |p AS (SELECT vec_id AS q_id, label AS q_label,
+         |    embedding AS q_emb FROM nz WHERE vec_id < 5),
          |scored AS (
          |  SELECT p.q_id, p.q_label, e.vec_id, e.label,
          |    ${cosSql("e.embedding", "p.q_emb")} AS cos
-         |  FROM embeddings e, p WHERE e.vec_id <> p.q_id),
+         |  FROM nz e, p WHERE e.vec_id <> p.q_id),
          |top AS (SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, vec_id) AS rk FROM scored)
@@ -1123,7 +1170,7 @@ object SimilarityQueries extends QuerySuite {
          |      ELSE 0 END) AS BIGINT) AS sum_p_ppb
          |  FROM th GROUP BY q_id, q_label),
          |lc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT) AS c
-         |  FROM embeddings GROUP BY label)
+         |  FROM nz GROUP BY label)
          |SELECT a.q_id, a.q_label, lc.c - 1 AS n_rel, a.n_hits,
          |  a.sum_p_ppb,
          |  CASE WHEN least(lc.c - 1, $NdcgK) <= 0 THEN NULL
@@ -1134,11 +1181,13 @@ object SimilarityQueries extends QuerySuite {
          |ORDER BY a.q_id""".stripMargin,
 
     "sim_radius_search" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |           FROM embeddings WHERE vec_id < 10)
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE ${Vectors.normSql("embedding")} > 0),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM nz WHERE vec_id < 10)
          |SELECT q.q_id, e.vec_id,
          |  ${cosSql("q.q_emb", "e.embedding")} AS cos
-         |FROM embeddings e CROSS JOIN q
+         |FROM nz e CROSS JOIN q
          |WHERE e.vec_id <> q.q_id
          |  AND ${cosSql("q.q_emb", "e.embedding")} >= $RadiusTau
          |ORDER BY q.q_id, e.vec_id""".stripMargin,

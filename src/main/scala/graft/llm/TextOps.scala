@@ -32,10 +32,15 @@ object TextOps {
   def shinglesNative(ws: Column, n: Int): Column =
     call_function(graft.plans.NGramShingles.Name, ws, lit(n))
 
-  /** Count-only Jaccard over two distinct-element arrays. */
+  /** Count-only Jaccard over two distinct-element arrays. The
+    * intersect — the expensive per-pair op on the dedup verify path —
+    * is built once and referenced twice; per-operator subexpression
+    * elimination then has one canonical subtree to dedupe (the
+    * verify-stage FILTER's own intersect is a separate operator and
+    * legitimately pays once more). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
   // ---- MinHash ----------------------------------------------------

@@ -85,7 +85,13 @@ object TextQueries extends QuerySuite {
         val l = least(length(a), length(b))
         val firstMismatch = array_min(filter(sequence(lit(1), l),
           i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
-        coalesce(firstMismatch - 1, l).cast("long")
+        // l = 0 (an empty text in the group) must short-circuit:
+        // Spark's sequence(1, 0) infers step -1 and yields [1, 0] —
+        // NOT empty like DuckDB's range(1, 1) — so the scan would
+        // "mismatch" at position 0 and emit prefix_len −1 (and a
+        // negative substr length downstream)
+        when(l === 0, lit(0L))
+          .otherwise(coalesce(firstMismatch - 1, l).cast("long"))
       }
       Tables.documents(s, d).groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

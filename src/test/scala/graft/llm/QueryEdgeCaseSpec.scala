@@ -173,4 +173,43 @@ class QueryEdgeCaseSpec extends SparkSpec {
     assert(live.getLong(live.fieldIndex("q_min")) == -127L,
       "max-|x| component quantizes to exactly +/-127")
   }
+
+  test("text_boilerplate_affixes: an empty text in a source yields prefix_len 0") {
+    // Spark's sequence(1, 0) infers step -1 and returns [1, 0] - NOT
+    // empty like DuckDB's range(1, 1) - so an unguarded lcp scanned
+    // position 0 and emitted prefix_len -1 (plus a negative substr
+    // length); the l = 0 short-circuit pins the oracle's 0
+    val dir = fixtureDir()
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "shared header text", "en", "web", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_boilerplate_affixes")(spark, dir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("prefix_len")) == 0L)
+    assert(r.getLong(r.fieldIndex("suffix_len")) == 0L)
+    assert(r.getString(r.fieldIndex("prefix_sample")) == "")
+  }
+
+  test("dedup CC and heaps-law survive a corpus with zero near-dup pairs") {
+    // sum() over an empty node set is NULL - the CC convergence probe
+    // and the heaps checkpoint-width pre-pass both read it driver-side
+    // and NPE'd before the coalesce/isNullAt guards
+    val dir = fixtureDir()
+    Seq(
+      (1L, "utterly unique first text", "en", "web", 24L),
+      (2L, "completely different words here", "en", "web", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("dedup_components")(spark, dir).count() == 0L)
+    assert(SparkEntry.queries("text_heaps_law")(spark, dir).count() >= 1L)
+    // and the fully-empty corpus path
+    val dir2 = fixtureDir()
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir2/documents.parquet")
+    assert(SparkEntry.queries("dedup_components")(spark, dir2).count() == 0L)
+    assert(SparkEntry.queries("text_heaps_law")(spark, dir2).count() == 0L)
+  }
 }
