@@ -153,6 +153,21 @@ object StatQueries extends QuerySuite {
       col("v3").as("v_disc"), col("v4").as("v_tax"))
   }
 
+  /** The (event_type, day, y = event count) table — the ONE daily
+    * series both trend tests (stat_trend_daily's OLS and
+    * stat_mann_kendall's rank test) and MannKendallSpec's replay pull
+    * through, so the daily-series contract cannot silently fork
+    * between companions. OBSERVED days only: a day with zero events
+    * of a type contributes no row (the calendar spine is never
+    * joined), so both tests measure the trend AMONG ACTIVE DAYS —
+    * activity-frequency changes at constant per-day volume (1/week →
+    * 1/day at y = 1) are invisible by design; both oracles replay
+    * exactly this. */
+  private[analytics] def dailyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-(event_type, day) z-score of every event's value — the
     // daily-cohort anomaly score. Scale shape: one groupBy for the
@@ -317,11 +332,9 @@ object StatQueries extends QuerySuite {
     // (single day: vx = 0) emit NULL slope/intercept per the SQL
     // regr_slope convention.
     "stat_trend_daily" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("event_type"), to_date(col("ts")).as("day"))
-      val d0 = ev.agg(min("day")).head.getDate(0).toString
-      val daily = ev.groupBy("event_type", "day")
-        .agg(count(lit(1)).as("y"))
+      val dc = dailyCounts(s, d)
+      val d0 = dc.agg(min("day")).head.getDate(0).toString
+      val daily = dc
         .withColumn("x", datediff(col("day"), lit(d0)).cast("long"))
       val m = daily.groupBy("event_type").agg(
         count(lit(1)).as("n"),
@@ -352,9 +365,11 @@ object StatQueries extends QuerySuite {
     }),
 
     // Mann–Kendall trend test (Mann '45, Kendall '75) per event type
-    // over the daily volume series — the NONPARAMETRIC companion of
-    // stat_trend_daily's OLS: rank-based, so it detects any monotone
-    // trend without a linearity assumption and one outlier day can't
+    // over the daily volume series (OBSERVED days only — see
+    // [[dailyCounts]] for what that excludes) — the NONPARAMETRIC
+    // companion of stat_trend_daily's OLS: rank-based, so it detects
+    // any monotone trend in the active-day counts without a
+    // linearity assumption and one outlier day can't
     // flip the verdict. (Cousins, not duplicates: stat_theil_sen in
     // ProfileQueries is the magnitude estimator that classically
     // pairs with this test, and stat_kendall_daily in InsightQueries
@@ -377,9 +392,7 @@ object StatQueries extends QuerySuite {
     // ≪ 2^62 (the calendar-bounded-exempt class of the BENCH_NOTES
     // ledger).
     "stat_mann_kendall" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .select(col("event_type"), to_date(col("ts")).as("day"))
-        .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val daily = dailyCounts(s, d)
       val pairS = daily.select(col("event_type"), col("day").as("di"),
           col("y").as("yi"))
         .join(daily.select(col("event_type"), col("day").as("dj"),

@@ -43,12 +43,10 @@ class MannKendallSpec extends SparkSpec {
 
   test("bit-exact sequential replay on the real sf0.001 series") {
     val sf = "/root/testdata/sf0.001"
-    // the (type, day, count) table through the same Spark projection
-    // (the shared contract, oracle-verified); day ORDER is the only
-    // thing the replay needs beyond the multiset of counts for ties
-    val daily = graft.Tables.events(spark, sf)
-      .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    // the (type, day, count) table through the SAME helper the query
+    // uses (the shared contract, oracle-verified); day ORDER is the
+    // only thing the replay needs beyond the multiset of counts
+    val daily = StatQueries.dailyCounts(spark, sf)
       .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
       .groupBy(_._1).view
       .mapValues(_.sortBy(_._2.toString).map(_._3).toSeq).toMap
