@@ -470,16 +470,27 @@ object BehaviorQueries extends QuerySuite {
         .orderBy("ta", "tb")
     }),
 
-    "ts_ewma_user" -> ((s, d) =>
+    "ts_ewma_user" -> ((s, d) => {
+      // NULL values are excluded in BOTH twins: the Spark null-init
+      // fold would silently RESTART the recursion at a NULL while
+      // DuckDB's list_reduce NULL-poisons to the end — neither is
+      // the feature anyone wants, so a null observation simply does
+      // not participate. And as with behavior_pattern_regex, each
+      // user is truncated to their LAST [[MaxSeqEvents]] observations
+      // AS PART OF THE QUERY'S SEMANTICS (the oracle replays the same
+      // rank cut): without the cap one pathological power user's
+      // whole history materializes in a single collect_list buffer —
+      // the OOM the regex query's cap comment warns about — while at
+      // weight 0.5 an observation 4096 steps back is ~2^-4096 of the
+      // answer anyway.
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
       Tables.events(s, d)
-        // NULL values are excluded in BOTH twins: the Spark null-init
-        // fold would silently RESTART the recursion at a NULL while
-        // DuckDB's list_reduce NULL-poisons to the end — neither is
-        // the feature anyone wants, so a null observation simply does
-        // not participate
         .filter(col("value").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
           graft.analytics.Exact.cents(col("value")).cast("double").as("v"))
+        .withColumn("rn", row_number().over(wDesc))
+        .filter(col("rn") <= MaxSeqEvents)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sort_array(collect_list(struct(col("ts"), col("event_id"),
@@ -489,7 +500,8 @@ object BehaviorQueries extends QuerySuite {
             lit(null).cast("double"),
             (acc, v) => when(acc.isNull, v)
               .otherwise(lit(0.5) * v + lit(0.5) * acc)).as("ewma_cents"))
-        .orderBy("user_id")),
+        .orderBy("user_id")
+    }),
 
     // First-order Markov next-event prediction, EVALUATED out of
     // sample — the sequence-model baseline every behavior stack
@@ -904,11 +916,16 @@ object BehaviorQueries extends QuerySuite {
     // the Spark null-init fold's semantics; the ordered list pins the
     // recursion order so both engines round identically
     "ts_ewma_user" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  list_reduce(
-        |    list(CAST(round(value*100) AS DOUBLE) ORDER BY ts, event_id),
+      s"""WITH r AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value*100) AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, count(*) AS n_events,
+        |  list_reduce(list(v ORDER BY ts, event_id),
         |    (acc, x) -> 0.5*x + 0.5*acc) AS ewma_cents
-        |FROM events WHERE value IS NOT NULL
+        |FROM r WHERE rn <= $MaxSeqEvents
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "path_transition_latency" ->

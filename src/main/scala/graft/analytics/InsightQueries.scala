@@ -202,13 +202,26 @@ object InsightQueries extends QuerySuite {
         countDistinct("o_orderpriority").as("c"))
       val t = cells.join(broadcast(rt), "c_mktsegment")
         .join(broadcast(ct), "o_orderpriority")
-        .select(expr("o * o * 1000000000L div (rt * ct)").as("t_ppb"))
-        .agg(sum("t_ppb").as("t_sum"))
+        .select(expr("o * o * 1000000000L div (rt * ct)").as("t_ppb"),
+          col("o"))
+        .agg(sum("t_ppb").as("t_sum"), max("o").as("mo"))
+      // loud headroom guard (Exact.momentGuard): the per-cell term
+      // o²·10⁹ wraps once a cell holds ~9.6·10⁴ orders — four orders
+      // of magnitude below the row counts a 100 TB run carries — and
+      // the final n·t_sum long product is bounded by n·r·c·10⁹
+      // (each t_ppb ≤ 10⁹ since o ≤ min(rt, ct)). Both bounds from
+      // wrap-proof count/max aggregates, in DOUBLE.
+      val chiBound = greatest(
+        col("mo").cast("double") * col("mo").cast("double") * lit(1.0e9),
+        col("n").cast("double") *
+          (col("r") * col("c")).cast("double") * lit(1.0e9))
       t.crossJoin(broadcast(tot))
         .select(col("n"),
           ((col("r") - 1L) * (col("c") - 1L)).as("df"),
-          ((col("n") * col("t_sum")).cast("double") / 1.0e9 -
-            col("n").cast("double")).as("chi2"),
+          Exact.momentGuard(s, "stat_chi_square",
+            "max(max_cell^2*1e9, n*r*c*1e9)", chiBound)(
+            (col("n") * col("t_sum")).cast("double") / 1.0e9 -
+              col("n").cast("double")).as("chi2"),
           least(col("r") - 1L, col("c") - 1L).as("k"))
         .select(col("n"), col("df"), col("chi2"),
           sqrt(col("chi2") / (col("n") * col("k")).cast("double"))
@@ -254,18 +267,25 @@ object InsightQueries extends QuerySuite {
           .as("r2a"),
         sum("na_v").as("na"),
         sum("t_v").as("n"),
-        sum(col("t_v") * col("t_v") * col("t_v") - col("t_v")).as("ts"))
+        sum(col("t_v") * col("t_v") * col("t_v") - col("t_v")).as("ts"),
+        count(lit(1)).as("nd")) // distinct values: 1 => zero variance
+      // degenerate-sample guard (the stat_auc_roc convention): one
+      // empty group, n < 2, or an all-tied sample (nd = 1) zeroes the
+      // z denominator, where the engines DISAGREE on x/0.0 (Spark
+      // non-ANSI divide NULL, DuckDB +-inf) - both twins emit NULL
       agg0.select(col("na"), (col("n") - col("na")).as("nb"), col("n"),
           (col("r2a") - col("na") * (col("na") + 1L)).as("u2a"),
-          col("ts"))
+          col("ts"), col("nd"))
         .select(col("na").as("n_a"), col("nb").as("n_b"),
           (col("u2a").cast("double") / 2.0).as("u_a"),
-          ((col("u2a") - col("na") * col("nb")).cast("double") /
-            (lit(2.0) * sqrt(
-              (col("na") * col("nb")).cast("double") / 12.0 *
-                ((col("n") + 1L).cast("double") -
-                  col("ts").cast("double") /
-                    (col("n") * (col("n") - 1L)).cast("double")))))
+          when(col("na") * col("nb") === 0L || col("n") < 2L ||
+              col("nd") === 1L, lit(null).cast("double"))
+            .otherwise((col("u2a") - col("na") * col("nb")).cast("double") /
+              (lit(2.0) * sqrt(
+                (col("na") * col("nb")).cast("double") / 12.0 *
+                  ((col("n") + 1L).cast("double") -
+                    col("ts").cast("double") /
+                      (col("n") * (col("n") - 1L)).cast("double")))))
             .as("z"))
     }),
 
@@ -609,11 +629,24 @@ object InsightQueries extends QuerySuite {
         .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select(col("c_mktsegment").as("seg"),
           cents(col("o_totalprice")).as("v"))
+      // two-level value-DOMAIN prefix sum (the stat_mann_whitney
+      // shape): the naive per-seg cumulative window would funnel each
+      // segment's whole distinct-cents table — tens of millions of
+      // rows at 100 TB — through ONE task's sort; bucketing by
+      // v div 1000 keeps every window partition bounded (within a
+      // bucket) or domain/1000-sized (the bucket-base table)
       val vc = g.groupBy("seg", "v").agg(count(lit(1)).as("c"))
-      val cum = vc
-        .withColumn("cum", sum("c").over(
-          Window.partitionBy("seg").orderBy("v")))
-        .withColumn("n", sum("c").over(Window.partitionBy("seg")))
+        .withColumn("bk", expr("v div 1000L"))
+      val base = vc.groupBy("seg", "bk").agg(sum("c").as("bt"))
+        .withColumn("base", coalesce(sum("bt").over(
+          Window.partitionBy("seg").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("seg", "bk", "base")
+      val nSeg = vc.groupBy("seg").agg(sum("c").as("n"))
+      val cum = vc.join(broadcast(base), Seq("seg", "bk"))
+        .withColumn("cum", col("base") + sum("c").over(
+          Window.partitionBy("seg", "bk").orderBy("v")))
+        .join(broadcast(nSeg), "seg")
       val qs = cum
         .select(col("seg"), col("v"), col("cum"), col("n"),
           explode(sequence(lit(1L), lit(9L))).as("decile"))
@@ -716,7 +749,16 @@ object InsightQueries extends QuerySuite {
             val mu = two.cast("double") / col("n").cast("double") + lit(1.0)
             val va = (two * (two - col("n"))).cast("double") /
               (col("n") * col("n") * (col("n") - 1L)).cast("double")
-            ((col("n_runs").cast("double") - mu) / sqrt(va)).as("z")
+            // degenerate-series guard (both twins): n < 2 zeroes the
+            // variance denominator, and a monotone/constant series
+            // (n_up = 0 or n) zeroes va itself - x/0.0 is where the
+            // engines disagree (Spark NULL, DuckDB +-inf), so both
+            // emit NULL. 2ab >= a+b for a,b >= 1, so va cannot go
+            // negative on any non-degenerate series.
+            when(col("n") < 2L || two === 0L || two === col("n"),
+              lit(null).cast("double"))
+              .otherwise((col("n_runs").cast("double") - mu) / sqrt(va))
+              .as("z")
           })
     }),
 
@@ -1231,14 +1273,17 @@ object InsightQueries extends QuerySuite {
          |  SELECT CAST(sum(na_v * (below * 2 + t_v + 1)) AS BIGINT) AS r2a,
          |    CAST(sum(na_v) AS BIGINT) AS na,
          |    CAST(sum(t_v) AS BIGINT) AS n,
-         |    CAST(sum(t_v * t_v * t_v - t_v) AS BIGINT) AS ts
+         |    CAST(sum(t_v * t_v * t_v - t_v) AS BIGINT) AS ts,
+         |    CAST(count(*) AS BIGINT) AS nd
          |  FROM cum)
          |SELECT na AS n_a, n - na AS n_b,
          |  CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
-         |  CAST((r2a - na * (na + 1)) - na * (n - na) AS DOUBLE) /
+         |  CASE WHEN na * (n - na) = 0 OR n < 2 OR nd = 1 THEN NULL
+         |  ELSE CAST((r2a - na * (na + 1)) - na * (n - na) AS DOUBLE) /
          |    (2.0 * sqrt(CAST(na * (n - na) AS DOUBLE) / 12.0 *
          |      (CAST(n + 1 AS DOUBLE) -
-         |        CAST(ts AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))) AS z
+         |        CAST(ts AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))))
+         |  END AS z
          |FROM m""".stripMargin,
 
     "stat_auc_roc" ->
@@ -1554,12 +1599,15 @@ object InsightQueries extends QuerySuite {
         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
         |  FROM ch)
         |SELECT n, n_up, n - n_up AS n_down, n_runs,
-        |  (CAST(n_runs AS DOUBLE) -
+        |  CASE WHEN n < 2 OR 2 * n_up * (n - n_up) = 0
+        |            OR 2 * n_up * (n - n_up) = n THEN NULL
+        |  ELSE (CAST(n_runs AS DOUBLE) -
         |    (CAST(2 * n_up * (n - n_up) AS DOUBLE) / CAST(n AS DOUBLE)
         |      + 1.0)) /
         |  sqrt(CAST(2 * n_up * (n - n_up) *
         |      (2 * n_up * (n - n_up) - n) AS DOUBLE) /
-        |    CAST(n * n * (n - 1) AS DOUBLE)) AS z
+        |    CAST(n * n * (n - 1) AS DOUBLE))
+        |  END AS z
         |FROM agg""".stripMargin,
 
     "ts_classical_decompose" ->

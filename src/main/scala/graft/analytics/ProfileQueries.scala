@@ -157,7 +157,12 @@ object ProfileQueries extends QuerySuite {
     // (n<2 or both variances 0) emit NULL.
     "stat_welch_ttest" -> ((s, d) => {
       val dow = (floor(unix_timestamp(col("ts")) / 86400L) + 4L) % 7L
-      val ev = Tables.events(s, d).select(col("event_type"),
+      // value IS NOT NULL in BOTH twins: an unfiltered NULL value
+      // would enter the group COUNTS but not the moment SUMS, biasing
+      // mean/variance with an inconsistent n - and both engines would
+      // agree on the wrong statistic, so the hash could not catch it
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
         (dow === 0L || dow === 6L).as("wkend"),
         round(col("value"), 0).cast("long").as("x"))
       val m = ev.groupBy("event_type").agg(
@@ -241,7 +246,9 @@ object ProfileQueries extends QuerySuite {
     // (n < 2 or zero pooled spread) emit NULL.
     "stat_effect_sizes" -> ((s, d) => {
       val dow = (floor(unix_timestamp(col("ts")) / 86400L) + 4L) % 7L
-      val ev = Tables.events(s, d).select(col("event_type"),
+      // value filter: the stat_welch_ttest consistency argument
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
         (dow === 0L || dow === 6L).as("wkend"),
         round(col("value"), 0).cast("long").as("x"))
       val m = ev.groupBy("event_type").agg(
@@ -287,8 +294,12 @@ object ProfileQueries extends QuerySuite {
     // self-join. Degenerate sides (n < 2, or zero pooled spread)
     // emit NULL.
     "stat_brown_forsythe" -> ((s, d) => {
+      // value IS NOT NULL in BOTH twins: NULLs would enter the n
+      // counts but not the sums (the welch argument), AND the median
+      // window orders NULLS FIRST in Spark but LAST in DuckDB
       val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "view"))
+        .filter(col("event_type").isin("click", "view") &&
+          col("value").isNotNull)
         .select(col("event_type"), round(col("value"), 0).cast("long").as("x"))
       val vc = ev.groupBy("event_type", "x").agg(count(lit(1)).as("c"))
       val wOrd = Window.partitionBy("event_type").orderBy("x")
@@ -437,9 +448,14 @@ object ProfileQueries extends QuerySuite {
       val ranked = slopes.withColumn("rk", row_number().over(
           Window.partitionBy("event_type").orderBy("slope")))
       val np = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+      // integer div, NOT Column./ (true division → DOUBLE): with an
+      // EVEN pair count the lower-middle rank (n+1)/2 is x.5 under
+      // float division and matches no row_number, so only the upper
+      // middle would be kept while the oracle's // averages BOTH
+      // middles — the classic even-n median bug
       val mid = ranked.join(broadcast(np), "event_type")
-        .filter(col("rk") === (col("n_pairs") + 1L) / 2L ||
-          col("rk") === col("n_pairs") / 2L + 1L)
+        .filter(col("rk") === expr("(n_pairs + 1) div 2") ||
+          col("rk") === expr("n_pairs div 2 + 1"))
         .groupBy("event_type")
         .agg((sum("slope") / count(lit(1))).as("ts_slope"))
       val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
@@ -1092,7 +1108,7 @@ object ProfileQueries extends QuerySuite {
         |    ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
         |      IN (0, 6) AS wkend,
         |    CAST(round("value") AS BIGINT) AS x
-        |  FROM events),
+        |  FROM events WHERE "value" IS NOT NULL),
         |m AS (
         |  SELECT event_type,
         |    CAST(sum(CASE WHEN NOT wkend THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -1160,7 +1176,7 @@ object ProfileQueries extends QuerySuite {
         |    ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
         |      IN (0, 6) AS wkend,
         |    CAST(round("value") AS BIGINT) AS x
-        |  FROM events),
+        |  FROM events WHERE "value" IS NOT NULL),
         |m AS (
         |  SELECT event_type,
         |    CAST(sum(CASE WHEN NOT wkend THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -1190,7 +1206,9 @@ object ProfileQueries extends QuerySuite {
     "stat_brown_forsythe" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round("value") AS BIGINT) AS x
-        |  FROM events WHERE event_type IN ('click', 'view')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND "value" IS NOT NULL),
         |r AS (SELECT event_type, x,
         |    row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
         |    count(*) OVER (PARTITION BY event_type) AS n

@@ -191,7 +191,13 @@ object WindowQueries extends QuerySuite {
     // The daily table this runs on is calendar-bounded, so the
     // collect_list frame is safe at any corpus size.
     "window_rolling_median" -> ((s, d) => {
+      // value IS NOT NULL in BOTH twins: a (type, day) whose values
+      // are all NULL yields yc = NULL, and Spark's collect_list DROPS
+      // it from the window array while DuckDB's list() keeps it (the
+      // window_hampel_outliers divergence) - shifting every selected
+      // middle element in windows containing that day
       val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(cents(col("value"))).as("yc"))
       val w = Window.partitionBy("event_type").orderBy("day")
@@ -304,7 +310,13 @@ object WindowQueries extends QuerySuite {
     "window_nth_values" -> ((s, d) => {
       val full = perUser.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.events(s, d).select(
+      // value IS NOT NULL in BOTH twins: a NULL-valued click would be
+      // skipped by first(..., ignoreNulls) here but anchored by the
+      // oracle's crn = 1, and a NULL-valued second event would return
+      // NULL from lead (its -1 default only fires past the partition
+      // end) where the oracle coalesces to -1 - so the series is
+      // defined over VALUED events in both engines
+      Tables.events(s, d).filter(col("value").isNotNull).select(
         col("user_id"),
         row_number().over(perUser).as("rn"),
         count(lit(1)).over(full).cast("long").as("n_events"),
@@ -676,7 +688,7 @@ object WindowQueries extends QuerySuite {
       s"""WITH daily AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
          |    CAST(sum(${Exact.centsSql("\"value\"")}) AS BIGINT) AS yc
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
          |win AS (
          |  SELECT event_type, day, yc,
          |    list_sort(list(yc) OVER (PARTITION BY event_type ORDER BY day
@@ -758,7 +770,7 @@ object WindowQueries extends QuerySuite {
          |    row_number() OVER (PARTITION BY user_id,
          |      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
          |      ORDER BY ts, event_id) AS crn
-         |  FROM events
+         |  FROM events WHERE "value" IS NOT NULL
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -44,4 +44,27 @@ class RobustStatSpec extends SparkSpec {
     }
     assert(got === want)
   }
+
+  test("stat_theil_sen averages BOTH middle slopes on an even pair count") {
+    // 4 days -> C(4,2) = 6 pairs (EVEN): the pre-fix rank filter used
+    // Column./ (true division), so rank (n+1)/2 = 3.5 matched nothing
+    // and only the upper middle (2.5) was returned; the integer-div
+    // spelling must average ranks 3 and 4 like the oracle's //
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("theil_even").toString
+    // daily sums y = (0, 1, 5, 6) at consecutive days ->
+    // sorted pairwise slopes (1, 1, 2, 2.5, 2.5, 4), median (2+2.5)/2
+    val rows = Seq(0.0, 1.0, 5.0, 6.0).zipWithIndex.map { case (y, d) =>
+      ((d + 1).toLong,
+        java.sql.Timestamp.valueOf(f"2025-04-${d + 1}%02d 12:00:00"),
+        1L, "click", y, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ProfileQueries.queries("stat_theil_sen")(spark, dir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 6L)
+    assert(r.getDouble(r.fieldIndex("ts_slope")) == 2.25,
+      s"even-count median must average ranks 3 and 4, got $r")
+  }
 }
