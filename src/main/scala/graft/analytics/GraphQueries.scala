@@ -722,11 +722,18 @@ object GraphQueries extends QuerySuite {
         val md = col("m").cast("double") * col("dmax").cast("double")
         md * md
       }
+      // a degree-REGULAR graph (every node equal degree: one edge, a
+      // perfect matching, a cycle) zeroes the variance denominator
+      // M·S3 − S2² — correlation is undefined, so NULL in both twins
+      // (the stat_corr_monthly sigma = 0 convention), never 0/0 NaN
       mom.select(
         Exact.momentGuard(s, "graph_assortativity", "(M*Dmax)^2",
           asBound)(col("m")).as("n_edges_sym"),
-        ((col("m") * col("s1") - col("s2") * col("s2")).cast("double") /
-          (col("m") * col("s3") - col("s2") * col("s2")).cast("double"))
+        when(col("m") * col("s3") - col("s2") * col("s2") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("m") * col("s1") - col("s2") * col("s2")).cast("double") /
+              (col("m") * col("s3") - col("s2") * col("s2")).cast("double"))
           .as("assortativity"))
     }),
 
@@ -1135,8 +1142,9 @@ object GraphQueries extends QuerySuite {
          |  JOIN deg da ON da.node = sym.a
          |  JOIN deg db ON db.node = sym.b)
          |SELECT m AS n_edges_sym,
-         |  CAST(m * s1 - s2 * s2 AS DOUBLE) /
-         |    CAST(m * s3 - s2 * s2 AS DOUBLE) AS assortativity
+         |  CASE WHEN m * s3 - s2 * s2 = 0 THEN NULL
+         |  ELSE CAST(m * s1 - s2 * s2 AS DOUBLE) /
+         |    CAST(m * s3 - s2 * s2 AS DOUBLE) END AS assortativity
          |FROM mom""".stripMargin,
 
     "graph_degree_census" ->

@@ -72,11 +72,21 @@ object RoutingQueries extends QuerySuite {
       val cum = vc.withColumn("b",
         coalesce(sum("c").over(Window.orderBy("x")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // loud headroom guard (Exact.momentGuard): the rank-block terms
+      // x·2·(b·c + c(c+1)/2) sum to ≤ 4·n²·x_max, and (n+1)·Σx ≤
+      // 2·n²·x_max — bounded by CLIENT COUNT times per-client load,
+      // not the calendar, so the exempt rationale does not apply; at
+      // ~10⁸ clients with ~10⁵ loads the products pass 2⁶³ and would
+      // abort generically (ANSI) or wrap (non-ANSI) without this.
       cum.agg(sum("c").as("n"), sum(col("x") * col("c")).as("sx"),
-          sum(expr("x * 2 * (b * c + (c * (c + 1)) div 2)")).as("s2i"))
+          sum(expr("x * 2 * (b * c + (c * (c + 1)) div 2)")).as("s2i"),
+          max("x").as("mx"))
         .select(col("n").as("n_clients"), col("sx").as("total_load"),
-          ((col("s2i") - (col("n") + 1L) * col("sx")).cast("double") /
-            (col("n") * col("sx")).cast("double")).as("gini"))
+          Exact.momentGuard(s, "route_delivery_gini", "4*n^2*x_max",
+            lit(4.0) * col("n").cast("double") * col("n").cast("double") *
+              col("mx").cast("double"))(
+            (col("s2i") - (col("n") + 1L) * col("sx")).cast("double") /
+              (col("n") * col("sx")).cast("double")).as("gini"))
     }),
 
     // O6/O12 — subscriptions per node: channel count + client count.

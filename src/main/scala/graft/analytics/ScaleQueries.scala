@@ -310,12 +310,21 @@ object ScaleQueries extends QuerySuite {
       val bySrc = Tables.documents(s, d).groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
       val tot = bySrc.agg(sum("bytes").as("total_bytes"),
-        count(lit(1)).as("n_sources"))
+        count(lit(1)).as("n_sources"), max("bytes").as("max_bytes"))
       bySrc.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("bytes"),
           ceil(col("bytes").cast("double") / 134217728.0).cast("long")
             .as("target_files"),
-          expr("bytes * n_sources * 1000000 div total_bytes")
+          // loud headroom guard: bytes·n_sources·10⁶ reaches ~10²³ at
+          // the 100 TB design point this query exists to plan for —
+          // exactly where an unguarded product would abort (ANSI) or
+          // wrap (non-ANSI); max_bytes·n_sources·10⁶ bounds it from
+          // wrap-proof aggregates
+          Exact.momentGuard(s, "layout_partition_stats",
+            "max_bytes*n_sources*1e6",
+            col("max_bytes").cast("double") *
+              col("n_sources").cast("double") * lit(1.0e6))(
+            expr("bytes * n_sources * 1000000 div total_bytes"))
             .as("vs_mean_ppm"))
         .orderBy("source")
     }),
@@ -332,8 +341,22 @@ object ScaleQueries extends QuerySuite {
       val vc = Tables.orders(s, d)
         .select(cents(col("o_totalprice")).as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
-      val cum = vc.withColumn("cum", sum("c").over(
-        org.apache.spark.sql.expressions.Window.orderBy("v")))
+      // two-level bucketed cumsum (the stat_ks_segments discipline):
+      // o_totalprice is near-unique, so a naive global window over the
+      // value-count table would funnel ~|orders| rows through ONE
+      // task at 100 TB; bucketing by v div 1000 bounds every window
+      // partition (within-bucket) or shrinks it 1000x (bucket bases)
+      val bk = vc.withColumn("b", expr("v div 1000L"))
+      val bases = bk.groupBy("b").agg(sum("c").as("bt"))
+        .withColumn("base", coalesce(sum("bt").over(
+          org.apache.spark.sql.expressions.Window.orderBy("b")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        .select("b", "base")
+      val cum = bk.join(broadcast(bases), "b")
+        .withColumn("cum", col("base") + sum("c").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("b").orderBy("v")))
       val n = vc.agg(sum("c").as("n"))
       cum.crossJoin(broadcast(n))
         .select(col("v"), col("cum"), col("n"),
@@ -367,8 +390,11 @@ object ScaleQueries extends QuerySuite {
           .select(lit(label).as("column_name"), col("n_rows"),
             col("n_distinct"), col("top_count"),
             expr("top_count * 1000000 div n_rows").as("top_ppm"),
-            (col("n_distinct") * DictMaxRatio <= col("n_rows"))
-              .cast("long").as("dict_recommended"))
+            // coalesce: an empty/all-NULL column leaves n_rows NULL
+            // (sum over zero rows) and the 3VL comparison NULL, while
+            // the oracle CASE lands in ELSE 0 — pin 0 in both
+            coalesce((col("n_distinct") * DictMaxRatio <= col("n_rows"))
+              .cast("long"), lit(0L)).as("dict_recommended"))
       }
       prof(Tables.lineitem(s, d), "l_returnflag", "lineitem.l_returnflag")
         .union(prof(Tables.lineitem(s, d), "l_suppkey", "lineitem.l_suppkey"))
@@ -410,9 +436,14 @@ object ScaleQueries extends QuerySuite {
         .select(col("event_type"), col("n_early"), col("n_late"),
           // exact integer num (≤ 2·N1·N2, inside BIGINT to ~10^9 rows
           // per half) then one float scale — ×10^6 BEFORE the divide
-          // would overflow BIGINT three decades earlier
-          (col("num").cast("double") * 1000000.0 /
-            (lit(2L) * col("n_early") * col("n_late")).cast("double"))
+          // would overflow BIGINT three decades earlier. A type
+          // confined to ONE half (introduced late / retired early)
+          // has no cross-half distance: NULL in both twins, never the
+          // x/0.0 Inf/NaN the engines need not agree on
+          when(col("n_early") === 0L || col("n_late") === 0L,
+            lit(null).cast("double"))
+            .otherwise(col("num").cast("double") * 1000000.0 /
+              (lit(2L) * col("n_early") * col("n_late")).cast("double"))
             .as("tvd_ppm"))
         .orderBy("event_type")
     }),
@@ -621,7 +652,10 @@ object ScaleQueries extends QuerySuite {
       import org.apache.spark.sql.expressions.Window
       val files = Tables.documents(s, d)
         .groupBy(col("source"),
-          ((col("doc_id") / 20L).cast("long") % 16L).as("file_id"))
+          // integer div, not Column./ (IEEE double division): above 2^53
+          // the double quotient loses integer precision and bins
+          // differently than the oracle's exact //
+          (expr("doc_id div 20L") % 16L).as("file_id"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
       val w = Window.partitionBy("source").orderBy("file_id")
       val binned = files.withColumn("cum_before",
@@ -837,8 +871,9 @@ object ScaleQueries extends QuerySuite {
          |    CAST(sum(n2) AS BIGINT) AS tn2
          |  FROM counts GROUP BY event_type)
          |SELECT c.event_type, max(tn1) AS n_early, max(tn2) AS n_late,
-         |  CAST(sum(abs(n1 * tn2 - n2 * tn1)) AS DOUBLE) * 1000000.0 /
-         |    CAST(2 * max(tn1) * max(tn2) AS DOUBLE) AS tvd_ppm
+         |  CASE WHEN max(tn1) = 0 OR max(tn2) = 0 THEN NULL
+         |  ELSE CAST(sum(abs(n1 * tn2 - n2 * tn1)) AS DOUBLE) * 1000000.0 /
+         |    CAST(2 * max(tn1) * max(tn2) AS DOUBLE) END AS tvd_ppm
          |FROM counts c JOIN totals t ON c.event_type = t.event_type
          |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
 

@@ -212,8 +212,11 @@ object StatQueries extends QuerySuite {
     // aggregate to (type, value)-counts, windows + four rank probes
     // on that bounded table.
     "stat_percentile_cont" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        cents(col("value")).as("xc"))
+      // value IS NOT NULL in BOTH twins: a NULL cents group would
+      // sort FIRST in Spark's window but LAST in DuckDB's ORDER BY,
+      // shifting every rank probe by the NULL-group count
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).as("xc"))
       val vc = ev.groupBy("event_type", "xc").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("event_type").orderBy("xc")
       val tot = vc.groupBy("event_type").agg(sum("cnt").as("n"))
@@ -333,7 +336,12 @@ object StatQueries extends QuerySuite {
     // regr_slope convention.
     "stat_trend_daily" -> ((s, d) => {
       val dc = dailyCounts(s, d)
-      val d0 = dc.agg(min("day")).head.getDate(0).toString
+      // isNullAt guards the empty corpus: min over zero rows is a
+      // NULL Date and .toString would NPE (the sql_recursive_spine
+      // precedent); any literal origin works then - the frame below
+      // is empty and the query yields zero rows like the oracle
+      val mn = dc.agg(min("day")).head
+      val d0 = if (mn.isNullAt(0)) "1970-01-01" else mn.getDate(0).toString
       val daily = dc
         .withColumn("x", datediff(col("day"), lit(d0)).cast("long"))
       val m = daily.groupBy("event_type").agg(
@@ -472,7 +480,8 @@ object StatQueries extends QuerySuite {
     // 5-row median table map-side.
     "stat_mad_daily" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
+      // value filter: the stat_percentile_cont NULL-ordering argument
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_type"), cents(col("value")).as("xc"))
       def medianOf(df: DataFrame, valueCol: String, out: String) = {
         val vc = df.groupBy("event_type", valueCol)
@@ -552,8 +561,17 @@ object StatQueries extends QuerySuite {
           // 10⁶·n1·n2 is the binding BIGINT bound (comment above).
           momentGuard(s, "stat_ks_segments", "1e6*n1*n2",
             lit(1e6) * col("n1").cast("double") * col("n2").cast("double"))(
-            expr("(m.dnum * 1000000) div (n1 * n2)")).as("ks_ppm"),
+            // nullif-fold (the sample_pps discipline): an empty
+            // segment must NOT reach an ANSI DIVIDE_BY_ZERO abort
+            // regardless of filter/projection evaluation order
+            expr("(m.dnum * 1000000) div (nullif(n1 * n2, 0))"))
+            .as("ks_ppm"),
           (-col("m.nv")).as("ks_at_cents"))
+        // one segment empty => the KS statistic is undefined; empty
+        // input additionally leaves Spark's global agg with one
+        // all-NULL row where the oracle's LIMIT 1 over nothing yields
+        // zero rows - drop both degenerate shapes in BOTH twins
+        .filter(col("n1") > 0L && col("n2") > 0L)
     }),
 
     "stat_mode_per_type" -> ((s, d) => {
@@ -842,8 +860,9 @@ object StatQueries extends QuerySuite {
     // integer ranks.
     "stat_median_ci" -> ((s, d) => {
       val z = lit(1.96)
-      val ev = Tables.events(s, d).select(col("event_type"),
-        cents(col("value")).as("xc"))
+      // value filter: the stat_percentile_cont NULL-ordering argument
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).as("xc"))
       val vc = ev.groupBy("event_type", "xc")
         .agg(count(lit(1)).as("cnt"))
       val cum = vc
@@ -917,7 +936,7 @@ object StatQueries extends QuerySuite {
     "stat_percentile_cont" ->
       s"""WITH ev AS (
          |  SELECT event_type, ${Exact.centsSql("\"value\"")} AS xc
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |vc AS (SELECT event_type, xc, CAST(count(*) AS BIGINT) AS cnt
          |       FROM ev GROUP BY 1, 2),
          |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
@@ -982,6 +1001,7 @@ object StatQueries extends QuerySuite {
          |  CAST((s.dnum * 1000000) // (n.n1 * n.n2) AS BIGINT) AS ks_ppm,
          |  CAST(s.v AS BIGINT) AS ks_at_cents
          |FROM sc s CROSS JOIN n
+         |WHERE n.n1 > 0 AND n.n2 > 0
          |ORDER BY s.dnum DESC, s.v LIMIT 1""".stripMargin,
     "stat_zscore_daily" ->
       s"""WITH e AS (
@@ -1132,7 +1152,8 @@ object StatQueries extends QuerySuite {
     // cumulative range covers it.
     "stat_mad_daily" ->
       s"""WITH e AS (
-         |  SELECT event_type, ${centsSql("value")} AS xc FROM events),
+         |  SELECT event_type, ${centsSql("value")} AS xc
+         |  FROM events WHERE "value" IS NOT NULL),
          |r AS (SELECT event_type, xc,
          |    row_number() OVER (PARTITION BY event_type ORDER BY xc) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS n
@@ -1264,7 +1285,8 @@ object StatQueries extends QuerySuite {
 
     "stat_median_ci" ->
       s"""WITH ev AS (
-         |  SELECT event_type, ${centsSql("\"value\"")} AS xc FROM events),
+         |  SELECT event_type, ${centsSql("\"value\"")} AS xc
+         |  FROM events WHERE "value" IS NOT NULL),
          |vc AS (SELECT event_type, xc, CAST(count(*) AS BIGINT) AS cnt
          |       FROM ev GROUP BY 1, 2),
          |cum AS (

@@ -22,7 +22,8 @@ class MomentGuardSpec extends SparkSpec {
     "stat_ks_segments", "stat_linreg_multi", "stat_pca_power",
     "stat_ridge_path", "stat_jackknife", "stat_capture_recapture",
     "graph_assortativity", "graph_betweenness_panel",
-    "sim_centroid_drift", "text_simpson_diversity", "stat_chi_square")
+    "sim_centroid_drift", "text_simpson_diversity", "stat_chi_square",
+    "route_delivery_gini", "layout_partition_stats")
 
   private val Sf = "/root/testdata/sf0.001"
 
