@@ -71,10 +71,17 @@ class PqKernelSpec extends SparkSpec {
       "'sub', array(1.0D, 2.0D)))").isNullAt(0))
   }
 
-  test("whole-stage codegen handles the kernel (no interpreted fallback crash)") {
+  test("the kernel actually plans, and codegen executes it without fallback") {
+    // the old string probe ended in `|| plan.nonEmpty` — a tautology
+    // (a plan string is never empty) that would keep passing if the
+    // kernel silently stopped planning; traverse the optimized plan's
+    // expressions instead, then execute
     PqAssign.register(spark)
-    val plan = graft.llm.SimilarityQueries.queries("sim_pq_codes")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("graft_pq_assign") || plan.nonEmpty)
+    val df = graft.llm.SimilarityQueries.queries("sim_pq_codes")(spark, sf)
+    val kernels = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect { case e: PqAssign => e })
+    }.flatten
+    assert(kernels.nonEmpty, "PqAssign kernel absent from the optimized plan")
+    assert(df.collect().nonEmpty)
   }
 }
