@@ -480,7 +480,10 @@ object InsightQueries extends QuerySuite {
             countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
           .select(lit(s"$table.$colName").as("column_name"),
             col("n_rows"), col("n_distinct"),
-            expr("n_distinct * 1000000 div n_rows").as("uniq_ppm"),
+            // nullif: an empty table (n_rows = 0) is an ANSI
+            // DIVIDE_BY_ZERO abort otherwise; NULL ppm in both twins
+            expr("n_distinct * 1000000 div nullif(n_rows, 0)")
+              .as("uniq_ppm"),
             (col("n_distinct") === col("n_rows")).as("is_key"))
       val specs: Seq[DataFrame] = Seq(
         prof(Tables.orders(s, d), "orders", "o_orderkey", Seq("o_orderkey")),
@@ -1417,8 +1420,8 @@ object InsightQueries extends QuerySuite {
         s"""SELECT '$table.$label' AS column_name,
            |  CAST(count(*) AS BIGINT) AS n_rows,
            |  CAST(count(DISTINCT $distinctExpr) AS BIGINT) AS n_distinct,
-           |  CAST(count(DISTINCT $distinctExpr) * 1000000 // count(*)
-           |    AS BIGINT) AS uniq_ppm,
+           |  CAST(count(DISTINCT $distinctExpr) * 1000000
+           |    // nullif(count(*), 0) AS BIGINT) AS uniq_ppm,
            |  count(DISTINCT $distinctExpr) = count(*) AS is_key
            |FROM $table""".stripMargin
       Seq(

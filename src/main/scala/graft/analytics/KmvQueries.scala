@@ -134,11 +134,16 @@ object KmvQueries extends QuerySuite {
           .select(col("user_id")).distinct(), "user_id")
         .agg(count(lit(1)).as("exact_overlap"))
       inter.crossJoin(union).crossJoin(theta).crossJoin(exact)
+        // n_union = 0 (empty corpus): under Spark 4's ANSI default
+        // even DOUBLE x/0 throws DIVIDE_BY_ZERO (empirically checked
+        // - not the IEEE inf one might expect), so the degenerate
+        // estimate is NULL in both twins
         .select(col("n_inter"), col("n_union"), col("theta"),
           (col("n_inter").cast("double") * lit(9223372036854775808.0) /
             col("theta").cast("double")).as("est_inter"),
-          (col("n_inter").cast("double") / col("n_union").cast("double"))
-            .as("jaccard_est"),
+          when(col("n_union") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_inter").cast("double") /
+              col("n_union").cast("double")).as("jaccard_est"),
           col("exact_overlap"))
     }))
 
@@ -219,7 +224,9 @@ object KmvQueries extends QuerySuite {
          |SELECT n_inter, n_union, theta,
          |  CAST(n_inter AS DOUBLE) * 9223372036854775808.0
          |    / CAST(theta AS DOUBLE) AS est_inter,
-         |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_est,
+         |  CASE WHEN n_union = 0 THEN NULL
+         |  ELSE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) END
+         |    AS jaccard_est,
          |  exact_overlap
          |FROM i, u, theta, ex""".stripMargin)
 }

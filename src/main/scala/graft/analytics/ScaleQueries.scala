@@ -76,8 +76,18 @@ object ScaleQueries extends QuerySuite {
     "sketch_bloom_prejoin" -> ((s, d) => {
       val rich = Tables.customer(s, d)
         .filter(col("c_acctbal") > 9000).select("c_custkey")
-      val bloom = rich.stat.bloomFilter("c_custkey", 10000L, 0.01)
-      val mightContain = udf((k: Long) => bloom.mightContain(k))
+      // an EMPTY build side leaves Spark's aggregated BloomFilter
+      // with a NULL bit buffer — every method on it (mightContain,
+      // even bitSize) NPEs — so probe emptiness FIRST (one action on
+      // the dim-sized side, the pps-sizing discipline); an empty set
+      // contains nothing and the gate is constant-false (the semi
+      // join below yields the same empty answer either way)
+      val mightContain =
+        if (rich.isEmpty) udf((_: Long) => false)
+        else {
+          val bloom = rich.stat.bloomFilter("c_custkey", 10000L, 0.01)
+          udf((k: Long) => bloom.mightContain(k))
+        }
       Tables.orders(s, d)
         .filter(mightContain(col("o_custkey")))
         .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")

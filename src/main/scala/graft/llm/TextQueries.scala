@@ -489,7 +489,9 @@ object TextQueries extends QuerySuite {
         .crossJoin(broadcast(
           covered.agg(count(lit(1)).as("n_covered"))))
         .select(col("n_test_ngrams"), col("n_covered"),
-          expr("n_covered * 1000000 div n_test_ngrams")
+          // nullif: zero test n-grams is an ANSI DIVIDE_BY_ZERO
+          // abort otherwise; NULL coverage in both twins
+          expr("n_covered * 1000000 div nullif(n_test_ngrams, 0)")
             .as("coverage_ppm"))
     }),
 
@@ -1049,7 +1051,8 @@ object TextQueries extends QuerySuite {
         |        FROM te WHERE g IN (SELECT g FROM tr)),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_test_ngrams FROM te)
         |SELECT tot.n_test_ngrams, cov.n_covered,
-        |  CAST(cov.n_covered * 1000000 // tot.n_test_ngrams AS BIGINT)
+        |  CAST(cov.n_covered * 1000000
+        |    // nullif(tot.n_test_ngrams, 0) AS BIGINT)
         |    AS coverage_ppm
         |FROM tot, cov""".stripMargin,
 
