@@ -349,9 +349,12 @@ object InsightQueries extends QuerySuite {
         sum(when(!col("wkend"), 1L).otherwise(0L)).as("c"),
         sum(when(col("wkend"), 1L).otherwise(0L)).as("e"))
       val tot = m.agg(sum("c").as("n1"), sum("e").as("n2"))
+      // nullif: one distribution empty (n1 or n2 = 0 - a weekday- or
+      // weekend-only corpus) is an ANSI x/0 abort otherwise; the NULL
+      // terms NULL-propagate to NULL distance in both twins
       val terms = m.crossJoin(broadcast(tot))
         .select(floor(sqrt((col("c") * col("e")).cast("double") /
-          (col("n1") * col("n2")).cast("double")) * 1.0e9)
+          expr("CAST(nullif(n1 * n2, 0) AS DOUBLE)")) * 1.0e9)
           .cast("long").as("b_ppb"))
       terms.agg(sum("b_ppb").as("b_sum"), count(lit(1)).as("n_types"))
         .select(col("n_types"),
@@ -1003,13 +1006,20 @@ object InsightQueries extends QuerySuite {
           sum(when(col("l1").isNotNull, abs(col("yc") - col("l1")))
             .otherwise(0L)).as("nv_err_c"),
           sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("nv_n"))
+        // a series shorter than the lags (n_days <= 7 zeroes sn_n,
+        // n_days = 1 zeroes nv_n, a constant series zeroes nv_err) has
+        // no defined error ratio: NULL in both twins, never ANSI x/0
         .select(col("event_type"), col("n_days"),
-          (col("sn_err_c").cast("double") /
-            (col("sn_n") * 100L).cast("double")).as("sn_mae"),
-          (col("nv_err_c").cast("double") /
-            (col("nv_n") * 100L).cast("double")).as("naive_mae"),
-          ((col("sn_err_c") * col("nv_n")).cast("double") /
-            (col("sn_n") * col("nv_err_c")).cast("double")).as("mase"))
+          when(col("sn_n") === 0L, lit(null).cast("double"))
+            .otherwise(col("sn_err_c").cast("double") /
+              (col("sn_n") * 100L).cast("double")).as("sn_mae"),
+          when(col("nv_n") === 0L, lit(null).cast("double"))
+            .otherwise(col("nv_err_c").cast("double") /
+              (col("nv_n") * 100L).cast("double")).as("naive_mae"),
+          when(col("sn_n") === 0L || col("nv_err_c") === 0L,
+            lit(null).cast("double"))
+            .otherwise((col("sn_err_c") * col("nv_n")).cast("double") /
+              (col("sn_n") * col("nv_err_c")).cast("double")).as("mase"))
         .orderBy("event_type")
     }),
 
@@ -1333,7 +1343,8 @@ object InsightQueries extends QuerySuite {
         |          CAST(sum(e) AS BIGINT) AS n2 FROM m),
         |terms AS (
         |  SELECT CAST(floor(sqrt(CAST(c * e AS DOUBLE) /
-        |    CAST(n1 * n2 AS DOUBLE)) * 1.0e9) AS BIGINT) AS b_ppb
+        |    CAST(nullif(n1 * n2, 0) AS DOUBLE)) * 1.0e9) AS BIGINT)
+        |    AS b_ppb
         |  FROM m, tot)
         |SELECT CAST(count(*) AS BIGINT) AS n_types,
         |  CAST(sum(b_ppb) AS DOUBLE) / 1.0e9 AS bhattacharyya,
@@ -1801,11 +1812,16 @@ object InsightQueries extends QuerySuite {
         |      AS BIGINT) AS nv_n
         |  FROM lagged GROUP BY event_type)
         |SELECT event_type, n_days,
-        |  CAST(sn_err_c AS DOUBLE) / CAST(sn_n * 100 AS DOUBLE) AS sn_mae,
-        |  CAST(nv_err_c AS DOUBLE) / CAST(nv_n * 100 AS DOUBLE)
-        |    AS naive_mae,
-        |  CAST(sn_err_c * nv_n AS DOUBLE) / CAST(sn_n * nv_err_c AS DOUBLE)
-        |    AS mase
+        |  CASE WHEN sn_n = 0 THEN NULL
+        |  ELSE CAST(sn_err_c AS DOUBLE) / CAST(sn_n * 100 AS DOUBLE)
+        |  END AS sn_mae,
+        |  CASE WHEN nv_n = 0 THEN NULL
+        |  ELSE CAST(nv_err_c AS DOUBLE) / CAST(nv_n * 100 AS DOUBLE)
+        |  END AS naive_mae,
+        |  CASE WHEN sn_n = 0 OR nv_err_c = 0 THEN NULL
+        |  ELSE CAST(sn_err_c * nv_n AS DOUBLE)
+        |    / CAST(sn_n * nv_err_c AS DOUBLE)
+        |  END AS mase
         |FROM agg ORDER BY event_type""".stripMargin,
 
     "ts_holt_linear" ->

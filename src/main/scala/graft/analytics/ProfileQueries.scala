@@ -776,8 +776,12 @@ object ProfileQueries extends QuerySuite {
           col("ng").cast("double")).as("ug"))
         .agg(count(lit(1)).as("k"), sum("ng").as("n"),
           sum("qg").as("q"), sum("ug").as("u"))
-        .select(((col("q") - col("u")).cast("double") /
-          (col("n") - col("k")).cast("double")).as("msw"))
+        // n = k (every group a single row) zeroes the within-group
+        // df: msw undefined -> NULL (q_stat NULL-propagates), never
+        // an ANSI x/0 abort
+        .select(when(col("n") === col("k"), lit(null).cast("double"))
+          .otherwise((col("q") - col("u")).cast("double") /
+            (col("n") - col("k")).cast("double")).as("msw"))
       val a = gq.select(col("event_type").as("type_a"),
         col("ng").as("na"), col("sg").as("sa"))
       val b = gq.select(col("event_type").as("type_b"),
@@ -843,9 +847,12 @@ object ProfileQueries extends QuerySuite {
         (lit(12.0) / (col("n").cast("double") *
           (col("n") + 1L).cast("double")) * col("u").cast("double") -
           lit(3.0) * (col("n") + 1L).cast("double")).as("h_stat"),
-        (lit(1.0) - col("ts").cast("double") /
-          (col("n").cast("double") * col("n").cast("double") *
-            col("n").cast("double") - col("n").cast("double")))
+        // n < 2: n^3 - n = 0 and the correction is undefined -> NULL
+        // (h_corrected NULL-propagates), never an ANSI x/0 abort
+        when(col("n") < 2L, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("ts").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") *
+              col("n").cast("double") - col("n").cast("double")))
           .as("tie_corr"))
       res.select(col("k_groups"), col("n"), col("ts").as("ties_term"),
         col("h_stat"), col("tie_corr"),
@@ -886,10 +893,13 @@ object ProfileQueries extends QuerySuite {
       val glob = r.agg(sum("ng").as("n"))
         .crossJoin(broadcast(vc.agg(
           sum(col("t") * col("t") * col("t") - col("t")).as("ts"))))
-        .select((col("n").cast("double") *
-          (col("n") + 1L).cast("double") / 12.0 -
-          col("ts").cast("double") /
-            (lit(12.0) * (col("n") - 1L).cast("double"))).as("vterm"))
+        // n < 2 zeroes the 12(n-1) tie denominator: variance term
+        // undefined -> NULL (z NULL-propagates), never an ANSI x/0
+        .select(when(col("n") < 2L, lit(null).cast("double"))
+          .otherwise(col("n").cast("double") *
+            (col("n") + 1L).cast("double") / 12.0 -
+            col("ts").cast("double") /
+              (lit(12.0) * (col("n") - 1L).cast("double"))).as("vterm"))
       val a = r.select(col("g").as("type_a"), col("ng").as("na"),
         col("r2").as("ra"))
       val b = r.select(col("g").as("type_b"), col("ng").as("nb"),
@@ -1498,8 +1508,9 @@ object ProfileQueries extends QuerySuite {
          |    CAST(sum(ng) AS BIGINT) AS n, CAST(sum(qg) AS BIGINT) AS q,
          |    CAST(sum(ug) AS BIGINT) AS u
          |  FROM gq),
-         |msw AS (SELECT CAST(q - u AS DOUBLE) /
-         |    CAST(n - k AS DOUBLE) AS msw FROM m)
+         |msw AS (SELECT CASE WHEN n = k THEN NULL
+         |    ELSE CAST(q - u AS DOUBLE) / CAST(n - k AS DOUBLE)
+         |    END AS msw FROM m)
          |SELECT a.event_type AS type_a, b.event_type AS type_b,
          |  a.ng AS na, b.ng AS nb,
          |  abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE) -
@@ -1541,9 +1552,10 @@ object ProfileQueries extends QuerySuite {
          |res AS (SELECT k_groups, n, ts,
          |    12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) *
          |      CAST(u AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE) AS h_stat,
-         |    1.0 - CAST(ts AS DOUBLE) /
+         |    CASE WHEN n < 2 THEN NULL
+         |    ELSE 1.0 - CAST(ts AS DOUBLE) /
          |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
-         |       CAST(n AS DOUBLE)) AS tie_corr
+         |       CAST(n AS DOUBLE)) END AS tie_corr
          |  FROM m, ties)
          |SELECT k_groups, n, ts AS ties_term, h_stat, tie_corr,
          |  CASE WHEN tie_corr = 0 THEN NULL
@@ -1567,9 +1579,10 @@ object ProfileQueries extends QuerySuite {
          |    CAST(sum(c * (below * 2 + t + 1)) AS BIGINT) AS r2
          |  FROM gv JOIN cum USING (v) GROUP BY g),
          |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts FROM vc),
-         |vt AS (SELECT CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 12.0
+         |vt AS (SELECT CASE WHEN n < 2 THEN NULL
+         |      ELSE CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 12.0
          |      - CAST(ts AS DOUBLE) / (12.0 * CAST(n - 1 AS DOUBLE))
-         |      AS vterm
+         |      END AS vterm
          |  FROM (SELECT CAST(sum(ng) AS BIGINT) AS n FROM r) nn, ties)
          |SELECT a.g AS type_a, b.g AS type_b,
          |  CAST(a.r2 AS DOUBLE) / CAST(a.ng * 2 AS DOUBLE)

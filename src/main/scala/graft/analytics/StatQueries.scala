@@ -145,7 +145,12 @@ object StatQueries extends QuerySuite {
       cur = cur.select(keep ++ ws: _*)
       nrmExpr = sqrt(dims.map(j => col(s"w$j") * col(s"w$j"))
         .reduceLeft(_ + _))
-      val vs = dims.map(j => (col(s"w$j") / nrmExpr).as(s"v$j"))
+      // nrm = 0 (all-constant features, e.g. a single row zeroes the
+      // covariance) has no principal direction: NULL v, and the NULL
+      // propagates through later rounds - never an ANSI x/0 abort
+      val vs = dims.map(j =>
+        when(nrmExpr === 0.0, lit(null).cast("double"))
+          .otherwise(col(s"w$j") / nrmExpr).as(s"v$j"))
       cur = cur.select((keep :+ nrmExpr.as("nrm")) ++ vs: _*)
     }
     cur.select(col("n"), col("nrm").as("lambda"),
@@ -627,15 +632,21 @@ object StatQueries extends QuerySuite {
           .cast("double").as("d2y"),
         (col("n") * col("syy") - col("sy") * col("sy"))
           .cast("double").as("dyy"))
+      // the det guard must live AT the division: the betas are
+      // referenced by several downstream whens, so CollapseProject
+      // keeps this Project alive and an unconditional x/det would
+      // evaluate EAGERLY - an ANSI DIVIDE_BY_ZERO abort on a
+      // degenerate (constant-predictor) corpus before any mask runs
+      val detE = col("d11") * col("d22") - col("d12") * col("d12")
       val b = c.select(col("n"), col("s1"), col("s2"), col("sy"),
         col("d1y"), col("d2y"), col("dyy"),
-        (col("d11") * col("d22") - col("d12") * col("d12")).as("det"),
-        ((col("d22") * col("d1y") - col("d12") * col("d2y")) /
-          (col("d11") * col("d22") - col("d12") * col("d12")))
-          .as("beta_hour"),
-        ((col("d11") * col("d2y") - col("d12") * col("d1y")) /
-          (col("d11") * col("d22") - col("d12") * col("d12")))
-          .as("beta_weekend"))
+        detE.as("det"),
+        when(detE === 0.0, lit(null).cast("double"))
+          .otherwise((col("d22") * col("d1y") - col("d12") * col("d2y")) /
+            detE).as("beta_hour"),
+        when(detE === 0.0, lit(null).cast("double"))
+          .otherwise((col("d11") * col("d2y") - col("d12") * col("d1y")) /
+            detE).as("beta_weekend"))
       b.select(col("n"),
         when(col("det") === 0.0, lit(null).cast("double"))
           .otherwise((col("sy").cast("double") -
@@ -731,8 +742,11 @@ object StatQueries extends QuerySuite {
         (col("n") * col("syy") - col("sy") * col("sy"))
           .cast("double").as("dyy"))
       val det = col("d11") * col("d22") - col("d12") * col("d12")
-      val bh = (col("d22") * col("d1y") - col("d12") * col("d2y")) / det
-      val bw = (col("d11") * col("d2y") - col("d12") * col("d1y")) / det
+      // det-guard at the division (the stat_linreg_multi rationale)
+      val bh = when(det === 0.0, lit(null).cast("double"))
+        .otherwise((col("d22") * col("d1y") - col("d12") * col("d2y")) / det)
+      val bw = when(det === 0.0, lit(null).cast("double"))
+        .otherwise((col("d11") * col("d2y") - col("d12") * col("d1y")) / det)
       val b = c.select(col("lambda"), col("n"), col("s1"), col("s2"),
         col("sy"), col("d1y"), col("d2y"), col("dyy"),
         det.as("det"), bh.as("beta_hour"), bw.as("beta_weekend"))
@@ -1216,10 +1230,12 @@ object StatQueries extends QuerySuite {
         |  FROM m),
         |b AS (SELECT n, s1, s2, sy, d1y, d2y, dyy,
         |    d11 * d22 - d12 * d12 AS det,
-        |    (d22 * d1y - d12 * d2y) / (d11 * d22 - d12 * d12)
-        |      AS beta_hour,
-        |    (d11 * d2y - d12 * d1y) / (d11 * d22 - d12 * d12)
-        |      AS beta_weekend
+        |    CASE WHEN d11 * d22 - d12 * d12 = 0 THEN NULL
+        |    ELSE (d22 * d1y - d12 * d2y) / (d11 * d22 - d12 * d12)
+        |    END AS beta_hour,
+        |    CASE WHEN d11 * d22 - d12 * d12 = 0 THEN NULL
+        |    ELSE (d11 * d2y - d12 * d1y) / (d11 * d22 - d12 * d12)
+        |    END AS beta_weekend
         |  FROM c)
         |SELECT n,
         |  CASE WHEN det = 0 THEN NULL
@@ -1376,10 +1392,12 @@ object StatQueries extends QuerySuite {
          |  FROM m CROSS JOIN spine),
          |b AS (SELECT lambda, n, s1, s2, sy, d1y, d2y, dyy,
          |    d11 * d22 - d12 * d12 AS det,
-         |    (d22 * d1y - d12 * d2y) / (d11 * d22 - d12 * d12)
-         |      AS beta_hour,
-         |    (d11 * d2y - d12 * d1y) / (d11 * d22 - d12 * d12)
-         |      AS beta_weekend
+         |    CASE WHEN d11 * d22 - d12 * d12 = 0 THEN NULL
+         |    ELSE (d22 * d1y - d12 * d2y) / (d11 * d22 - d12 * d12)
+         |    END AS beta_hour,
+         |    CASE WHEN d11 * d22 - d12 * d12 = 0 THEN NULL
+         |    ELSE (d11 * d2y - d12 * d1y) / (d11 * d22 - d12 * d12)
+         |    END AS beta_weekend
          |  FROM c)
          |SELECT lambda, n,
          |  CASE WHEN det = 0 THEN NULL
@@ -1423,7 +1441,9 @@ object StatQueries extends QuerySuite {
         }.mkString(" + ") + s" AS w$j"
       }.mkString(",\n    ")
       val nrm = "sqrt(" + dims.map(j => s"w$j * w$j").mkString(" + ") + ")"
-      val vs = dims.map(j => s"w$j / $nrm AS v$j").mkString(",\n    ")
+      val vs = dims.map(j =>
+        s"CASE WHEN $nrm = 0 THEN NULL ELSE w$j / $nrm END AS v$j")
+        .mkString(",\n    ")
       Seq(
         s"r${r}w AS (SELECT n, $covKeep,\n    $ws\n  FROM $prev)",
         s"r${r}v AS (SELECT n, $covKeep, $nrm AS nrm,\n    $vs\n  FROM r${r}w)")

@@ -35,4 +35,32 @@ class EmptyCorpusSweepSpec extends SparkSpec {
       s"${failures.size} queries crash on an empty corpus:\n" +
         failures.mkString("\n"))
   }
+
+  test("every query survives a single-row corpus") {
+    // one real row per table (limit 1 from the fixtures, so values
+    // are plausible but joins mostly miss): exercises the OTHER
+    // degenerate family — n = 1 variances, single-day series,
+    // (n−1)/0 denominators — that empty input cannot reach
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("one_row").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"$src/$t.parquet").limit(1)
+        .coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).collect(); None }
+        catch {
+          case e: Throwable =>
+            val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .map(x => Option(x.getMessage).getOrElse(""))
+              .mkString(" | ").take(200)
+            Some(s"$name -> $m")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries crash on a single-row corpus:\n" +
+        failures.mkString("\n"))
+  }
 }
