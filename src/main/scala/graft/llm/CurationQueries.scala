@@ -408,16 +408,26 @@ object CurationQueries extends QuerySuite {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
       val tot = bySrc.agg(sum("tokens").as("total_tokens"))
+      // defense-in-depth denominator guards in BOTH twins (ANSI
+      // throws on DOUBLE x/0 too): under the CURRENT tokenizer a
+      // source with rows always has tokens >= n_docs (split("") is
+      // [""]), so the zero paths are unreachable - but a tokenizer
+      // change that can emit zero tokens must degrade to NULL boost,
+      // not to a query abort
       val w = bySrc.crossJoin(broadcast(tot))
         .withColumn("nat_frac",
-          col("tokens").cast("double") / col("total_tokens").cast("double"))
+          col("tokens").cast("double") /
+            expr("CAST(nullif(total_tokens, 0) AS DOUBLE)"))
         .withColumn("w_e9",
           floor(sqrt(col("nat_frac")) * 1e9).cast("long"))
       val totW = w.agg(sum("w_e9").as("tot_w"))
       w.crossJoin(broadcast(totW))
         .withColumn("temp_frac",
-          col("w_e9").cast("double") / col("tot_w").cast("double"))
-        .withColumn("boost", col("temp_frac") / col("nat_frac"))
+          col("w_e9").cast("double") /
+            expr("CAST(nullif(tot_w, 0) AS DOUBLE)"))
+        .withColumn("boost",
+          when(col("nat_frac") === 0.0, lit(null).cast("double"))
+            .otherwise(col("temp_frac") / col("nat_frac")))
         .withColumn("planned_tokens",
           floor(col("temp_frac") * col("total_tokens").cast("double"))
             .cast("long"))
@@ -839,16 +849,18 @@ object CurationQueries extends QuerySuite {
         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM s),
         |w AS (
         |  SELECT source, n_docs, tokens,
-        |    CAST(tokens AS DOUBLE) / total_tokens AS nat_frac,
-        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE) / total_tokens) * 1e9)
-        |      AS BIGINT) AS w_e9,
+        |    CAST(tokens AS DOUBLE) / nullif(total_tokens, 0) AS nat_frac,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)
+        |      / nullif(total_tokens, 0)) * 1e9) AS BIGINT) AS w_e9,
         |    total_tokens
         |  FROM s CROSS JOIN t),
         |tw AS (SELECT CAST(sum(w_e9) AS BIGINT) AS tot_w FROM w)
         |SELECT source, n_docs, tokens, nat_frac,
-        |  CAST(w_e9 AS DOUBLE) / tot_w AS temp_frac,
-        |  (CAST(w_e9 AS DOUBLE) / tot_w) / nat_frac AS boost,
-        |  CAST(floor((CAST(w_e9 AS DOUBLE) / tot_w) *
+        |  CAST(w_e9 AS DOUBLE) / nullif(tot_w, 0) AS temp_frac,
+        |  CASE WHEN nat_frac = 0 THEN NULL
+        |  ELSE (CAST(w_e9 AS DOUBLE) / nullif(tot_w, 0)) / nat_frac
+        |  END AS boost,
+        |  CAST(floor((CAST(w_e9 AS DOUBLE) / nullif(tot_w, 0)) *
         |    CAST(total_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
         |FROM w CROSS JOIN tw ORDER BY source""".stripMargin,
 
