@@ -139,8 +139,12 @@ object KmvQueries extends QuerySuite {
         // - not the IEEE inf one might expect), so the degenerate
         // estimate is NULL in both twins
         .select(col("n_inter"), col("n_union"), col("theta"),
+          // theta = 0 (a kth-minimum hash of exactly 0 on a degenerate
+          // sketch) is an ANSI DIVIDE_BY_ZERO abort — fold to NULL like
+          // jaccard_est one column over (nullif discipline)
           (col("n_inter").cast("double") * lit(9223372036854775808.0) /
-            col("theta").cast("double")).as("est_inter"),
+            when(col("theta") === 0L, lit(null).cast("double"))
+              .otherwise(col("theta").cast("double"))).as("est_inter"),
           when(col("n_union") === 0L, lit(null).cast("double"))
             .otherwise(col("n_inter").cast("double") /
               col("n_union").cast("double")).as("jaccard_est"),
@@ -223,7 +227,7 @@ object KmvQueries extends QuerySuite {
          |    (SELECT user_id FROM events WHERE event_type = 'purchase'))
          |SELECT n_inter, n_union, theta,
          |  CAST(n_inter AS DOUBLE) * 9223372036854775808.0
-         |    / CAST(theta AS DOUBLE) AS est_inter,
+         |    / CAST(nullif(theta, 0) AS DOUBLE) AS est_inter,
          |  CASE WHEN n_union = 0 THEN NULL
          |  ELSE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) END
          |    AS jaccard_est,

@@ -54,14 +54,28 @@ object ScaleQueries extends QuerySuite {
     }),
 
     // Sketch-based distinct counting (HLL++): approximate per-channel
-    // user counts next to the exact answer. Rows-only driver check
-    // (sketch estimates are engine-specific); the exactness bound is
-    // asserted in ScaleSpec.
+    // user counts checked against the exact answer INSIDE the query —
+    // the estimate itself is engine-specific, so the output row is the
+    // deterministic contract (key, exact, bound, within_bound) and the
+    // DuckDB oracle replays the exact side with a TRUE literal. The
+    // bound test is multiplication-only (|approx−exact| ≤ bound·exact)
+    // so a zero-cardinality group can never divide by zero; exact = 0
+    // degenerates to "estimate must be 0 too". rsd = 0.02, bound = 5%
+    // (2.5σ) — the same envelope ScaleSpec has pinned since round 1.
     "sketch_hll_users" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("exact_users"),
           approx_count_distinct("user_id", 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          lit(50000L).as("rel_err_ppm_bound"),
+          when(col("exact_users") === 0L,
+            coalesce(col("approx_users"), lit(0L)) === 0L)
+            .otherwise(
+              abs(col("approx_users").cast("double") -
+                col("exact_users").cast("double")) <=
+                lit(0.05) * col("exact_users").cast("double"))
+            .as("within_bound"))
         .orderBy("event_type")),
 
     // Bloom-filter pre-join gate: build a bloom filter over the SMALL
@@ -130,33 +144,49 @@ object ScaleQueries extends QuerySuite {
 
     // Approximate quantiles (KLL-style percentile_approx sketch): the
     // mergeable one-pass scale path next to the exact rank-selection
-    // percentiles of agg_percentiles_disc. Rows-only driver check
-    // (sketch internals are engine-specific); the error bound vs the
-    // exact percentiles is asserted in ScaleSpec. The three quantiles
-    // are projected to scalar double columns — the harness compare
-    // sorts column values, which an array column would break.
-    "sketch_approx_quantiles" -> ((s, d) =>
+    // percentiles of agg_percentiles_disc. The sketch values are
+    // engine-specific, so the output is the deterministic contract:
+    // per flag, the row count and one within-1% boolean per quantile
+    // (|approx−exact| ≤ 0.01·exact, multiplication-only — prices are
+    // positive so exact > 0 whenever a group exists; exact = 0 would
+    // degenerate to approx = 0). The DuckDB twin replays the counts
+    // and TRUE literals. Exact percentiles come from the same
+    // aggregate pass (no second scan).
+    "sketch_approx_quantiles" -> ((s, d) => {
+      def within(a: org.apache.spark.sql.Column,
+          e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(e === 0.0, coalesce(a, lit(0.0)) === 0.0)
+          .otherwise(abs(a - e) <= lit(0.01) * abs(e))
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
             array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
           .as("approx_pcts"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+            .as("exact_pcts"),
           count(lit(1)).as("n_rows"))
-        .select(col("l_returnflag"),
-          col("approx_pcts").getItem(0).as("p50"),
-          col("approx_pcts").getItem(1).as("p90"),
-          col("approx_pcts").getItem(2).as("p99"),
-          col("n_rows"))
-        .orderBy("l_returnflag")),
+        .select(col("l_returnflag"), col("n_rows"),
+          lit(10000L).as("rel_err_ppm_bound"),
+          within(col("approx_pcts").getItem(0),
+            col("exact_pcts").getItem(0)).as("p50_within"),
+          within(col("approx_pcts").getItem(1),
+            col("exact_pcts").getItem(1)).as("p90_within"),
+          within(col("approx_pcts").getItem(2),
+            col("exact_pcts").getItem(2)).as("p99_within"))
+        .orderBy("l_returnflag")
+    }),
 
     // Sketch MERGEABILITY — the property that makes sketches the scale
     // answer: one HLL sketch per event_type (built independently, as
     // shards would), then hll_union_agg merges the sketches and
     // estimates the GLOBAL distinct count without ever rescanning rows
     // — a 100 TB rollup reuses per-partition/per-day sketches instead
-    // of a second global pass. Exact global count alongside for the
-    // error bound (asserted in ScaleSpec); rows-only driver check
-    // (sketch estimates are engine-specific).
+    // of a second global pass. The merged estimate is engine-specific,
+    // so the output is the deterministic contract: the replayable
+    // exact sides (sketch count, global exact, double-counting sum)
+    // plus a within-2% boolean on the merged estimate
+    // (multiplication-only; exact = 0 degenerates to estimate = 0).
+    // The DuckDB twin replays the exact columns and a TRUE literal.
     "sketch_hll_merge" -> ((s, d) => {
       val perType = Tables.events(s, d)
         .groupBy("event_type")
@@ -169,8 +199,16 @@ object ScaleQueries extends QuerySuite {
           count(lit(1)).as("n_sketches"),
           sum("type_users").as("sum_type_users"))
         .crossJoin(exact)
-        .select(col("n_sketches"), col("merged_est"),
-          col("exact_users"), col("sum_type_users"))
+        .select(col("n_sketches"), col("exact_users"),
+          coalesce(col("sum_type_users"), lit(0L)).as("sum_type_users"),
+          lit(20000L).as("rel_err_ppm_bound"),
+          when(col("exact_users") === 0L,
+            coalesce(col("merged_est"), lit(0L)) === 0L)
+            .otherwise(
+              abs(col("merged_est").cast("double") -
+                col("exact_users").cast("double")) <=
+                lit(0.02) * col("exact_users").cast("double"))
+            .as("merged_within_bound"))
     }),
 
     // Hand-rolled HLL registers, per event_type — the glass-box twin
@@ -334,7 +372,7 @@ object ScaleQueries extends QuerySuite {
             "max_bytes*n_sources*1e6",
             col("max_bytes").cast("double") *
               col("n_sources").cast("double") * lit(1.0e6))(
-            expr("bytes * n_sources * 1000000 div total_bytes"))
+            expr("bytes * n_sources * 1000000 div nullif(total_bytes, 0)"))
             .as("vs_mean_ppm"))
         .orderBy("source")
     }),
@@ -719,6 +757,34 @@ object ScaleQueries extends QuerySuite {
   }
 
   def oracles: Map[String, String] = Map(
+    // The three sketch oracles replay only the DETERMINISTIC side of
+    // each contract row: the exact counts DuckDB can recompute, the
+    // inlined bound constants, and TRUE for the within-bound booleans
+    // the Spark twin proves (any out-of-bound estimate flips the flag
+    // and hash-fails here).
+    "sketch_hll_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  CAST(50000 AS BIGINT) AS rel_err_ppm_bound,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_hll_merge" ->
+      """WITH t AS (SELECT event_type,
+        |    count(DISTINCT user_id) AS type_users
+        |  FROM events GROUP BY event_type)
+        |SELECT (SELECT count(*) FROM t) AS n_sketches,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
+        |  CAST(COALESCE((SELECT sum(type_users) FROM t), 0) AS BIGINT)
+        |    AS sum_type_users,
+        |  CAST(20000 AS BIGINT) AS rel_err_ppm_bound,
+        |  TRUE AS merged_within_bound""".stripMargin,
+
+    "sketch_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(10000 AS BIGINT) AS rel_err_ppm_bound,
+        |  TRUE AS p50_within, TRUE AS p90_within, TRUE AS p99_within
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "sketch_cms_terms" ->
       s"""WITH tok AS (
          |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
@@ -857,7 +923,7 @@ object ScaleQueries extends QuerySuite {
         |SELECT source, n_docs, bytes,
         |  CAST(ceil(CAST(bytes AS DOUBLE) / 134217728.0) AS BIGINT)
         |    AS target_files,
-        |  bytes * n_sources * 1000000 // total_bytes AS vs_mean_ppm
+        |  bytes * n_sources * 1000000 // nullif(total_bytes, 0) AS vs_mean_ppm
         |FROM bs, tot ORDER BY source""".stripMargin,
 
     "dq_distribution_drift" ->

@@ -74,29 +74,24 @@ class PcaPowerSpec extends SparkSpec {
     // while the shapes are taken — AdaptiveSparkPlanExec is a leaf,
     // so under AQE collect() sees neither exchanges nor aggregates
     // and the comparison would be vacuously (0,0)==(0,0)
-    // (PlanShapeSpec/ShuffleVolumeSpec precedent).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
-      def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
-        val p = df.queryExecution.executedPlan
-        (p.collect { case e: org.apache.spark.sql.execution.exchange
-            .ShuffleExchangeExec => e }.size,
-          p.collect { case a: org.apache.spark.sql.execution.aggregate
-            .BaseAggregateExec => a }.size)
-      }
-      val sb = shape(StatQueries.queries("stat_pca_power")(spark, sf))
-      val sd = shape(
-        StatQueries.queries("stat_pca_power_decimal")(spark, sf))
-      assert(sb._1 > 0 && sb._2 > 0,
-        s"shape probe saw no exchange/aggregate nodes ($sb) — vacuous")
-      assert(sb == sd, s"plan shape drifted: $sb vs $sd")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
+    // (PlanShapeSpec/ShuffleVolumeSpec precedent). Toggle AQE on a
+    // CLONED session (isolated SQLConf, shared context) — mutating the
+    // shared session's conf is the cross-suite race MomentGuardSpec
+    // avoids the same way.
+    val shapeSession = spark.newSession()
+    shapeSession.conf.set("spark.sql.adaptive.enabled", "false")
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan
+      (p.collect { case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }.size,
+        p.collect { case a: org.apache.spark.sql.execution.aggregate
+          .BaseAggregateExec => a }.size)
     }
+    val sb = shape(StatQueries.queries("stat_pca_power")(shapeSession, sf))
+    val sd = shape(
+      StatQueries.queries("stat_pca_power_decimal")(shapeSession, sf))
+    assert(sb._1 > 0 && sb._2 > 0,
+      s"shape probe saw no exchange/aggregate nodes ($sb) — vacuous")
+    assert(sb == sd, s"plan shape drifted: $sb vs $sd")
   }
 }
