@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -354,7 +355,7 @@ object BehaviorQueries extends QuerySuite {
       val hourly = Tables.events(s, d)
         .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val stats = hourly.agg(count(lit(1)).as("n"),
         sum("c").as("sc"), sum(col("c") * col("c")).as("scc"))
       // zero variance (constant traffic) → NULL z, never NaN: Spark's
@@ -389,7 +390,7 @@ object BehaviorQueries extends QuerySuite {
       val dense = hours.crossJoin(broadcast(types))
         .join(counts, Seq("h", "event_type"), "left")
         .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val a = dense.select(col("h"), col("event_type").as("ta"), col("n").as("na"))
       val b = dense.select(col("h"), col("event_type").as("tb"), col("n").as("nb"))
       val stats = a.join(b, Seq("h")).filter(col("ta") < col("tb"))

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -57,14 +58,14 @@ object GraphQueries extends QuerySuite {
     var nodes = sym.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("dg"))
       .filter(col("dg") >= k).select("node")
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var size = nodes.count()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
       val next = induced(nodes).filter(col("dg") >= k)
-        .select("node").localCheckpoint(true)
+        .select("node").truncateLineage(true)
       val m = next.count()
       if (m == size) converged = true
       nodes = next
@@ -172,7 +173,7 @@ object GraphQueries extends QuerySuite {
     * reports. Ship strategy per [[BroadcastNodeBudget]]. */
   private[analytics] def lpaLabels(e: DataFrame): DataFrame = {
     val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out_deg")).localCheckpoint()
+      .agg(count(lit(1)).as("out_deg")).truncateLineage()
     val bcast = deg.count() <= BroadcastNodeBudget
     var labels = deg.select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpaRounds) {
@@ -200,7 +201,7 @@ object GraphQueries extends QuerySuite {
     // frame and must not re-run the orderkey shuffle each time (the
     // iterative-reuse pattern dedup_components documents)
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .truncateLineage()
   }
 
   /** SQL twin of graph_betweenness_panel, generated level-by-level
@@ -293,7 +294,7 @@ object GraphQueries extends QuerySuite {
         (lit(SuppBase) + col("l_suppkey")).cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint()
+      .truncateLineage()
   }
 
   /** One damped weighted round: per-edge contribution
@@ -455,10 +456,10 @@ object GraphQueries extends QuerySuite {
       // strictly, so the two union legs cannot collide
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint(true) // read every round — truncate lineage once
+        .truncateLineage(true) // read every round — truncate lineage once
       val src = sym.agg(min("a").as("node"))
         .withColumn("dist", lit(0L))
-      var settled = src.localCheckpoint(true)
+      var settled = src.truncateLineage(true)
       var frontier = settled
       var round = 0
       var converged = false
@@ -468,10 +469,10 @@ object GraphQueries extends QuerySuite {
           .join(sym, "a").select(col("b").as("node")).distinct()
           .join(settled, Seq("node"), "left_anti")
           .withColumn("dist", lit(round.toLong))
-          .localCheckpoint(true) // the round's single action
+          .truncateLineage(true) // the round's single action
         if (next.isEmpty) converged = true
         else {
-          settled = settled.union(next).localCheckpoint(true)
+          settled = settled.union(next).truncateLineage(true)
           frontier = next
         }
       }
@@ -504,7 +505,7 @@ object GraphQueries extends QuerySuite {
       // strictly, so the two union legs cannot collide
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint(true) // read every round — truncate lineage once
+        .truncateLineage(true) // read every round — truncate lineage once
       // panel = the ClosenessSeeds smallest node ids present in the
       // graph: deterministic and non-empty at every sf (a modulus
       // rule can miss every node on a small id domain); production
@@ -512,7 +513,7 @@ object GraphQueries extends QuerySuite {
       val seeds = sym.select(col("a").as("node")).distinct()
         .orderBy("node").limit(ClosenessSeeds)
       var settled = seeds.select(col("node").as("seed"), col("node"),
-        lit(0L).as("dist")).localCheckpoint(true)
+        lit(0L).as("dist")).truncateLineage(true)
       var frontier = settled
       var round = 0
       var live = true
@@ -524,10 +525,10 @@ object GraphQueries extends QuerySuite {
           .join(settled.select("seed", "node"), Seq("seed", "node"),
             "left_anti")
           .withColumn("dist", lit(round.toLong))
-          .localCheckpoint(true) // the round's single action
+          .truncateLineage(true) // the round's single action
         if (next.isEmpty) live = false
         else {
-          settled = settled.union(next).localCheckpoint(true)
+          settled = settled.union(next).truncateLineage(true)
           frontier = next
         }
       }
@@ -564,13 +565,13 @@ object GraphQueries extends QuerySuite {
       val e0 = coSupplyEdges(s, d)
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint(true) // read 2·radius times — truncate once
+        .truncateLineage(true) // read 2·radius times — truncate once
       val seeds = sym.select(col("a").as("node")).distinct()
         .orderBy("node").limit(BetwSeeds)
       var level = seeds.select(col("node").as("seed"), col("node"),
-        lit(1L).as("sigma")).localCheckpoint(true)
+        lit(1L).as("sigma")).truncateLineage(true)
       val levels = scala.collection.mutable.ArrayBuffer(level)
-      var settled = level.select("seed", "node").localCheckpoint(true)
+      var settled = level.select("seed", "node").truncateLineage(true)
       for (r <- 1 to BetwRadius) {
         // forward headroom guard: σ(w) = Σ σ(v) over ≤ in_deg
         // predecessors, each proven < ceiling by the PREVIOUS round's
@@ -591,14 +592,14 @@ object GraphQueries extends QuerySuite {
               "in_deg*sigma_max (forward round)",
               col("in_deg").cast("double") * col("ms").cast("double"))(
               col("sg")).as("sigma"))
-          .localCheckpoint(true) // the forward round's single action
+          .truncateLineage(true) // the forward round's single action
         levels += next
         // only the NEXT round's anti-join reads settled — don't pay
         // an eager materialization of the largest union after the
         // final round
         if (r < BetwRadius)
           settled = settled.union(next.select("seed", "node"))
-            .localCheckpoint(true)
+            .truncateLineage(true)
         level = next
       }
       // backward: δ at the deepest level is 0 (no successors inside
@@ -640,7 +641,7 @@ object GraphQueries extends QuerySuite {
               col("in_deg").cast("double") * col("msv").cast("double") *
                 (lit(BetwPpm.toDouble) + col("mdw").cast("double")))(
               col("delta")).as("delta"))
-          .localCheckpoint(true) // the backward round's single action
+          .truncateLineage(true) // the backward round's single action
         perLevel += dr
         deltaAbove = Some(dr)
       }
@@ -681,7 +682,7 @@ object GraphQueries extends QuerySuite {
       val e0 = coSupplyEdges(s, d)
       val sym = e0.select(col("u").as("a"), col("v").as("b"))
         .union(e0.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint(true) // read every round — truncate lineage once
+        .truncateLineage(true) // read every round — truncate lineage once
       kcorePeel(sym, KCoreK, MaxPeelRounds)
         .orderBy("node")
     }),
@@ -763,7 +764,7 @@ object GraphQueries extends QuerySuite {
     // 3T / ΣC(deg,2), both sides exact BIGINTs, divided once.
     "graph_triangles" -> ((s, d) => {
       val edges = coSupplyEdges(s, d)
-        .localCheckpoint() // referenced by deg + orientation + closure
+        .truncateLineage() // referenced by deg + orientation + closure
       val deg = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -819,7 +820,7 @@ object GraphQueries extends QuerySuite {
     // rows — suppliers here), totally ordered by node id.
     "graph_local_clustering" -> ((s, d) => {
       val edges = coSupplyEdges(s, d)
-        .localCheckpoint() // referenced by deg + orientation + closure
+        .truncateLineage() // referenced by deg + orientation + closure
       val deg = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -906,7 +907,7 @@ object GraphQueries extends QuerySuite {
     // that (StatQueries note).
     "graph_modularity" -> ((s, d) => {
       val e = edges(s, d)
-      val labels = lpaLabels(e).localCheckpoint()
+      val labels = lpaLabels(e).truncateLineage()
       // node-sized label table: ship broadcast below the budget (the
       // lpaLabels/PageRank degrade pattern), keyed shuffle join above
       val bc = labels.count() <= BroadcastNodeBudget
@@ -946,7 +947,7 @@ object GraphQueries extends QuerySuite {
       // re-aggregate the full edge list
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("out_deg"))
-        .localCheckpoint()
+        .truncateLineage()
       // one O(partitions) count over the checkpointed node table
       // decides the per-round ship strategy (see BroadcastNodeBudget)
       val bcast = deg.count() <= BroadcastNodeBudget
@@ -982,7 +983,7 @@ object GraphQueries extends QuerySuite {
         .select(col("o_custkey").cast("long").as("cust"),
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
-        .localCheckpoint() // read 2·HitsRounds times
+        .truncateLineage() // read 2·HitsRounds times
       val bcast = e.select("cust").distinct().count() <=
         BroadcastNodeBudget
       def ship(df: DataFrame) = if (bcast) broadcast(df) else df
@@ -992,7 +993,7 @@ object GraphQueries extends QuerySuite {
         // lineage truncation each reference replays every earlier
         // round, turning 3 rounds into ~2^6 edge joins (measured
         // 6.8 s warm → 2.9 s with the checkpoint at sf0.1)
-        val sc = scores.localCheckpoint()
+        val sc = scores.truncateLineage()
         val mx = sc.agg(max("s").as("mx"))
         sc.crossJoin(broadcast(mx))
           .select(col(key), expr(s"s * $HitsScale div mx").as("s"))
@@ -1028,7 +1029,7 @@ object GraphQueries extends QuerySuite {
       val e = weightedEdges(s, d)
       val deg = e.groupBy(col("src").as("node"))
         .agg(sum("w").as("w_src"))
-        .localCheckpoint()
+        .truncateLineage()
       val bcast = deg.count() <= BroadcastNodeBudget
       var mass = deg.select(col("node"), lit(InitMass).as("mass"))
       for (_ <- 1 to Rounds) mass = stepWeighted(e, deg, mass, bcast)

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -541,7 +542,7 @@ object ProfileQueries extends QuerySuite {
             .when(col("pv") < SaxBreaks(1), "b")
             .when(col("pv") < SaxBreaks(2), "c")
             .otherwise("d"))
-        .localCheckpoint() // read 3× by the trigram self-joins
+        .truncateLineage() // read 3× by the trigram self-joins
       val nw = paa.groupBy("event_type").agg(count(lit(1)).as("n_windows"))
       val tri = paa.as("w0")
         .join(paa.as("w1"), col("w0.event_type") === col("w1.event_type")

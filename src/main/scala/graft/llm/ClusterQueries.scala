@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -249,7 +250,7 @@ object ClusterQueries extends QuerySuite {
         .select("vec_id", "cluster", "embedding", "nrm")
         // consumed three times (both pair sides + the anti-join
         // probe) — cut the lineage once, lazily, like the stride twin
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -190,7 +191,7 @@ object CurationQueries extends QuerySuite {
         .withColumn("bv", expr(s"n_vocab div $SkylineGridV"))
         .withColumn("br", expr(s"max_tf div $SkylineGridR"))
       val cells = m.groupBy("bw", "bv", "br").agg(count(lit(1)).as("n"))
-        .localCheckpoint() // grid-bounded; read by both prune sides
+        .truncateLineage() // grid-bounded; read by both prune sides
       val dominated = cells.as("lo").join(broadcast(cells.as("hi")),
           col("hi.bw") > col("lo.bw") && col("hi.bv") > col("lo.bv") &&
             col("hi.br") < col("lo.br"), "left_semi")
@@ -198,7 +199,7 @@ object CurationQueries extends QuerySuite {
       val cands = m.join(broadcast(dominated), Seq("bw", "bv", "br"),
           "left_anti")
         .select("doc_id", "n_words", "n_vocab", "max_tf")
-        .localCheckpoint() // read by the count gate + both join sides
+        .truncateLineage() // read by the count gate + both join sides
       val nCands = cands.count()
       require(nCands <= SkylineCandidateBudget,
         s"skyline boundary set $nCands exceeds $SkylineCandidateBudget " +

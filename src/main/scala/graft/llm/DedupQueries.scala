@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -362,7 +363,7 @@ object DedupQueries extends QuerySuite {
           col("comp").as("comp2")).as("b"), Seq("comp"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .truncateLineage(true)
       // Convergence via a monotone invariant: labels only ever
       // decrease, so sum(comp) is strictly smaller while anything
       // changed — one aggregate over the just-checkpointed (in-memory)
@@ -858,7 +859,7 @@ object DedupQueries extends QuerySuite {
           call_function(graft.plans.NearestCentroid.Name,
             col("embedding"), col("nrm"), col("cents")).as("cluster"),
           col("embedding"), col("nrm"))
-        .localCheckpoint(eager = false)
+        .truncateLineage(eager = false)
       val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
