@@ -19,7 +19,8 @@ object StatusSnapshot {
       ready: Boolean,       // made progress at least once
       batchId: Long,
       numInputRows: Long,
-      stateRows: Long)
+      stateRows: Long,
+      lateAbsorbed: Long)   // out-of-order rows absorbed LAST batch
 
   def streamingStatus(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -35,7 +36,20 @@ object StatusSnapshot {
         // several, and reporting only the first would understate the
         // state size this snapshot exists to monitor
         stateRows = p.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L))
+          .getOrElse(0L),
+        // any Dataset.observe block reporting a `late_absorbed`
+        // counter (TrailingDistinctStream.deltas attaches one) is
+        // summed here — absorbed out-of-order rows are the silent-
+        // undercount mode this snapshot exists to make visible; 0
+        // also covers queries that report no such metric
+        lateAbsorbed = p.map { pp =>
+          import scala.jdk.CollectionConverters._
+          pp.observedMetrics.asScala.values.collect {
+            case r if r.schema.fieldNames.contains("late_absorbed") =>
+              val i = r.fieldIndex("late_absorbed")
+              if (r.isNullAt(i)) 0L else r.getLong(i)
+          }.sum
+        }.getOrElse(0L))
     }.toDF()
   }
 }

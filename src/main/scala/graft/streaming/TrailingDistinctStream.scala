@@ -31,8 +31,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * across batches each user's days must arrive non-decreasing — the
   * same event-time-ordered-ingest assumption the suite's other
   * incremental twins make; a day at or before the user's last seen
-  * day is absorbed silently and counted on the state (`n_late`), it
-  * never corrupts the emitted segment algebra.
+  * day — INCLUDING a genuinely new day arriving out of order, which
+  * diverges from the batch twin under out-of-order ingest — is
+  * absorbed: counted on the state (`n_late`) and surfaced as a
+  * zero-delta marker row `Delta(user, day, 0)`. The marker is inert
+  * in the day aggregate (sums add 0) but makes the undercount mode
+  * OBSERVABLE: [[TrailingDistinctStream.deltas]] attaches a
+  * `Dataset.observe` counter over the markers, which
+  * `StatusSnapshot.streamingStatus` reports per batch as
+  * `lateAbsorbed` (TrailingDistinctLateSpec pins both).
   *
   * Scale honesty: state is ONE fixed-size row per active user (last
   * day + a counter) — the information floor for exact sliding
@@ -81,7 +88,10 @@ object TrailingDistinctStream {
         out += Delta(key, d + windowDays, -1L)
         st = st.copy(last_day = d)
       } else if (d <= st.last_day) {
-        st = st.copy(n_late = st.n_late + 1L) // dup or late: absorbed
+        // dup or late: absorbed — zero-delta marker keeps the day
+        // aggregate untouched while making the absorb observable
+        out += Delta(key, d, 0L)
+        st = st.copy(n_late = st.n_late + 1L)
       } else if (d - st.last_day <= windowDays) {
         // extend: move the close marker from last+W to d+W
         out += Delta(key, st.last_day + windowDays, 1L)
@@ -102,10 +112,18 @@ object TrailingDistinctStream {
     * `groupBy(day).agg(sum(delta))` + a prefix sum over the day spine
     * to read the exact trailing-`windowDays` distinct count. */
   def deltas(obs: Dataset[Obs], windowDays: Long): Dataset[Delta] = {
+    import org.apache.spark.sql.functions.{abs, col, count, sum, when}
     implicit val outEnc = Encoders.product[Delta]
     obs
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TrailingDistinctStream(windowDays),
         TimeMode.None(), OutputMode.Append())
+      // per-batch observability: late/duplicate absorptions (the
+      // zero-delta markers) and live segment deltas land in
+      // StreamingQueryProgress.observedMetrics, where StatusSnapshot
+      // reports them — the silent-undercount mode is monitorable
+      .observe("trailing_distinct_meta",
+        count(when(col("delta") === 0L, 1L)).as("late_absorbed"),
+        sum(abs(col("delta"))).as("segment_deltas"))
   }
 }
