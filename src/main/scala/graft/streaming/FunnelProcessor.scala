@@ -28,19 +28,13 @@ class FunnelProcessor
 
   override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
       timers: TimerValues): Iterator[StageAdvance] = {
-    var st = if (stage.exists()) stage.get() else StageState(0, Long.MinValue)
-    val out = Seq.newBuilder[StageAdvance]
+    val st0 = if (stage.exists()) stage.get() else StageState(0, Long.MinValue)
     // batch-local time order so intra-batch progressions resolve the
     // same way the batch query's min-chain does
-    for (e <- rows.toSeq.sortBy(r => (r.sec, r.event_id))) {
-      val next = Stages.indexOf(e.event_type) + 1
-      if (next == st.stage + 1 && (st.stage == 0 || e.sec > st.sec)) {
-        st = StageState(next, e.sec)
-        out += StageAdvance(user, next.toLong, Stages(next - 1), e.sec)
-      }
-    }
+    val (out, st) = advance(user, st0,
+      rows.toSeq.sortBy(r => (r.sec, r.event_id)))
     if (st.stage > 0) stage.update(st)
-    out.result().iterator
+    out.iterator
   }
 }
 
@@ -53,6 +47,26 @@ object FunnelProcessor {
   case class StageState(stage: Int, sec: Long)
   case class StageAdvance(user_id: Long, stage: Long, stage_name: String,
       sec: Long)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): fold the key's (sec, event_id)-sorted batch through the
+    * strict-progression rule, emitting one row per stage advance.
+    * `StageState(0, Long.MinValue)` is the empty state. Extracted so
+    * FunnelPropertySpec can drive random interleavings and replay
+    * prefixes without a streaming harness. */
+  def advance(user: Long, st0: StageState,
+      sortedRows: Seq[FunnelEvent]): (Seq[StageAdvance], StageState) = {
+    var st = st0
+    val out = Seq.newBuilder[StageAdvance]
+    for (e <- sortedRows) {
+      val next = Stages.indexOf(e.event_type) + 1
+      if (next == st.stage + 1 && (st.stage == 0 || e.sec > st.sec)) {
+        st = StageState(next, e.sec)
+        out += StageAdvance(user, next.toLong, Stages(next - 1), e.sec)
+      }
+    }
+    (out.result(), st)
+  }
 
   def advances(events: Dataset[FunnelEvent]): Dataset[StageAdvance] = {
     implicit val outEnc = Encoders.product[StageAdvance]

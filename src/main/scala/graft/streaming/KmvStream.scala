@@ -33,6 +33,29 @@ class KmvStream(k: Int)
   override def handleInputRows(key: String, rows: Iterator[HashEvent],
       timers: TimerValues): Iterator[SketchRow] = {
     val prev = if (sketch.exists()) sketch.get() else Sketch(0L, 0L, Seq.empty)
+    val (out, st) = advance(key, prev, rows.toSeq, k)
+    sketch.update(st)
+    out.iterator
+  }
+}
+
+object KmvStream {
+  case class HashEvent(key: String, hash: Long)
+  case class Sketch(version: Long, n_distinct_est_input: Long,
+      hashes: Seq[Long])
+  case class SketchRow(key: String, version: Long, n_in_sketch: Long,
+      kth_min: Long, estimate: Double)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): fold the key's batch through the k-minimum-values
+    * insert, emitting a versioned summary row only when the sketch
+    * changed (the input counter always persists so replays stay
+    * visible in state). `Sketch(0, 0, Seq.empty)` is the empty state.
+    * Extracted so KmvStreamPropertySpec can drive random interleavings
+    * and replay prefixes against the pure k-minima algebra without a
+    * streaming harness. */
+  def advance(key: String, prev: Sketch, rows: Seq[HashEvent],
+      k: Int): (Seq[SketchRow], Sketch) = {
     var hs = prev.hashes.toList // ascending
     var nSeen = prev.n_distinct_est_input
     var changed = false
@@ -45,30 +68,18 @@ class KmvStream(k: Int)
       }
       nSeen += 1
     }
-    if (!changed) {
-      // still persist the input counter so replays are visible in state
-      sketch.update(Sketch(prev.version, nSeen, hs))
-      Iterator.empty
-    } else {
+    if (!changed) (Seq.empty, Sketch(prev.version, nSeen, hs))
+    else {
       val version = prev.version + 1
-      sketch.update(Sketch(version, nSeen, hs))
       val kth = if (hs.length >= k) Some(hs.last) else None
       val est = kth match {
         case Some(t) => (k - 1).toDouble * 9223372036854775808.0 / t.toDouble
         case None => hs.length.toDouble
       }
-      Iterator.single(SketchRow(key, version, hs.length.toLong,
-        kth.getOrElse(-1L), est))
+      (Seq(SketchRow(key, version, hs.length.toLong,
+        kth.getOrElse(-1L), est)), Sketch(version, nSeen, hs))
     }
   }
-}
-
-object KmvStream {
-  case class HashEvent(key: String, hash: Long)
-  case class Sketch(version: Long, n_distinct_est_input: Long,
-      hashes: Seq[Long])
-  case class SketchRow(key: String, version: Long, n_in_sketch: Long,
-      kth_min: Long, estimate: Double)
 
   /** Wire the sketch maintainer onto a hash stream (RocksDB state
     * store, same provider requirement as [[ChannelProcessor]]). */

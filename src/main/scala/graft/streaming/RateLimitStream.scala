@@ -38,20 +38,11 @@ class RateLimitStream
 
   override def handleInputRows(key: Long, rows: Iterator[Event],
       timers: TimerValues): Iterator[Verdict] = {
-    var st =
+    val st0 =
       if (bucket.exists()) bucket.get()
       else Bucket(CapacityMilli, Long.MinValue)
-    val out = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
-      val elapsed =
-        if (st.last_ms == Long.MinValue) 0L
-        else math.max(0L, e.ts_ms - st.last_ms)
-      val refilled = math.min(CapacityMilli,
-        st.tokens_milli + elapsed * RefillMilliPerMs)
-      val allowed = refilled >= CostMilli
-      val left = if (allowed) refilled - CostMilli else refilled
-      st = Bucket(left, math.max(st.last_ms, e.ts_ms))
-      Verdict(e.event_id, key, e.ts_ms, allowed, left)
-    }
+    val (out, st) = advance(key, st0,
+      rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)))
     bucket.update(st)
     out.iterator
   }
@@ -68,6 +59,29 @@ object RateLimitStream {
   case class Bucket(tokens_milli: Long, last_ms: Long)
   case class Verdict(event_id: Long, user_id: Long, ts_ms: Long,
       allowed: Boolean, tokens_left_milli: Long)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): fold the key's (ts, event_id)-sorted batch through the
+    * event-time token bucket, one verdict per row.
+    * `Bucket(CapacityMilli, Long.MinValue)` is the empty state.
+    * Extracted so RateLimitPropertySpec can drive random interleavings
+    * and the token-bucket admission law without a streaming harness. */
+  def advance(key: Long, st0: Bucket,
+      sortedRows: Seq[Event]): (Seq[Verdict], Bucket) = {
+    var st = st0
+    val out = sortedRows.map { e =>
+      val elapsed =
+        if (st.last_ms == Long.MinValue) 0L
+        else math.max(0L, e.ts_ms - st.last_ms)
+      val refilled = math.min(CapacityMilli,
+        st.tokens_milli + elapsed * RefillMilliPerMs)
+      val allowed = refilled >= CostMilli
+      val left = if (allowed) refilled - CostMilli else refilled
+      st = Bucket(left, math.max(st.last_ms, e.ts_ms))
+      Verdict(e.event_id, key, e.ts_ms, allowed, left)
+    }
+    (out, st)
+  }
 
   /** Wire the limiter onto an (event_id, user_id, ts_ms) stream: one
     * keyed stateful stage (RocksDB state store, same provider

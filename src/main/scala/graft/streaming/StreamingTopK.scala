@@ -27,12 +27,34 @@ class StreamingTopK(k: Int)
     board = getHandle.getValueState[Board](
       "board", Encoders.product[Board], TTLConfig.NONE)
 
-  private def beats(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-
   override def handleInputRows(channel: String, rows: Iterator[ValueEvent],
       timers: TimerValues): Iterator[LeaderRow] = {
     val prev = if (board.exists()) board.get() else Board(0L, Seq.empty)
+    val (out, st) = advance(channel, prev, rows.toSeq, k)
+    if (st.version != prev.version) board.update(st)
+    out.iterator
+  }
+}
+
+object StreamingTopK {
+  case class ValueEvent(channel: String, event_id: Long, value: Double)
+  case class Entry(event_id: Long, value: Double)
+  case class Board(version: Long, entries: Seq[Entry])
+  case class LeaderRow(channel: String, version: Long, rank: Long,
+      event_id: Long, value: Double)
+
+  private def beats(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): fold the channel's batch through the ordered k-insert,
+    * emitting the full re-versioned ranking iff the board changed.
+    * `Board(0, Seq.empty)` is the empty state. Extracted so
+    * StreamingTopKPropertySpec can drive random interleavings and
+    * replay prefixes against the pure top-k-of-per-id-maxima algebra
+    * without a streaming harness. */
+  def advance(channel: String, prev: Board, rows: Seq[ValueEvent],
+      k: Int): (Seq[LeaderRow], Board) = {
     var entries = prev.entries.map(e => (e.event_id, e.value)).toList
     var changed = false
     for (r <- rows) {
@@ -54,24 +76,15 @@ class StreamingTopK(k: Int)
         }
       }
     }
-    if (!changed) Iterator.empty
+    if (!changed) (Seq.empty, prev)
     else {
       val version = prev.version + 1
-      board.update(Board(version,
-        entries.map { case (id, v) => Entry(id, v) }))
-      entries.iterator.zipWithIndex.map { case ((id, v), i) =>
+      val out = entries.zipWithIndex.map { case ((id, v), i) =>
         LeaderRow(channel, version, i + 1L, id, v)
       }
+      (out, Board(version, entries.map { case (id, v) => Entry(id, v) }))
     }
   }
-}
-
-object StreamingTopK {
-  case class ValueEvent(channel: String, event_id: Long, value: Double)
-  case class Entry(event_id: Long, value: Double)
-  case class Board(version: Long, entries: Seq[Entry])
-  case class LeaderRow(channel: String, version: Long, rank: Long,
-      event_id: Long, value: Double)
 
   /** Wire the leaderboard onto an event stream (RocksDB state store,
     * same provider requirement as [[ChannelProcessor]]). */
