@@ -46,6 +46,49 @@ object ScalarQueries extends QuerySuite {
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
         .orderBy("event_id")),
 
+    // VARIANT family (Spark 4 `parse_json`/`variant_get`): the modern
+    // spelling of SURVEY §1.3's "variant-style handling" row — the
+    // reference's payloads are schema-dynamic JSON (`lib/util.js:
+    // 234-240`), and at 100 TB the open-schema column should ride the
+    // shredded binary VARIANT encoding, not repeated string parsing.
+    // Values go text → VARIANT → typed-path extraction → aggregate;
+    // the DuckDB oracle recomputes from the JSON text (no VARIANT
+    // there), proving the encode→extract roundtrip value-exact.
+    "variant_props_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").as("sum_k"),
+          max("k").as("max_k"),
+          sum(when(col("k") % 2 === 0L, 1L).otherwise(0L)).as("n_even_k"))
+        .orderBy("event_type")),
+
+    // ...and NESTED paths through one VARIANT document per event —
+    // object-in-object and array indexing (`$.m.cents`, `$.arr[1]`),
+    // typed extraction (bigint/string), and the missing-path → NULL
+    // contract. The document is constructed from base columns
+    // (integer-cents money so the roundtrip is bit-exact), so the
+    // oracle can recompute every extracted value WITHOUT JSON — the
+    // strongest possible check of the whole construct→parse→shred→
+    // extract path.
+    "variant_nested_paths" -> ((s, d) => {
+      val v = parse_json(to_json(struct(
+        col("user_id").as("u"),
+        struct(Exact.cents(col("value")).as("cents"),
+          col("event_type").as("t")).as("m"),
+        array(col("event_id") % 5L, col("event_id") % 3L).as("arr"))))
+      Tables.events(s, d).select(
+        col("event_id"),
+        variant_get(v, "$.u", "bigint").as("u"),
+        variant_get(v, "$.m.cents", "bigint").as("cents"),
+        variant_get(v, "$.m.t", "string").as("t"),
+        variant_get(v, "$.arr[1]", "bigint").as("arr_1"),
+        variant_get(v, "$.missing", "string").isNull.as("missing_is_null"))
+        .orderBy("event_id")
+    }),
+
     // Array family over tokenized documents (membership-array analogs
     // of lib/ChannelHub.js:65-82 push/splice/indexOf).
     "scalar_array_suite" -> ((s, d) => {
@@ -207,6 +250,24 @@ object ScalarQueries extends QuerySuite {
         |  json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "variant_props_stats" ->
+      """WITH k AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_even_k
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "variant_nested_paths" ->
+      s"""SELECT event_id, user_id AS u,
+         |  ${graft.analytics.Exact.centsSql("value")} AS cents,
+         |  event_type AS t,
+         |  event_id % 3 AS arr_1,
+         |  TRUE AS missing_is_null
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "scalar_array_suite" ->
       """SELECT doc_id,
