@@ -32,6 +32,30 @@ object Exact {
   def moneySumSql(x: String): String = s"sum(${centsSql(x)})/100.0"
   def moneyAvgSql(x: String): String = s"sum(${centsSql(x)})/100.0/count(*)"
 
+  /** TPC-H revenue = extendedprice·(1−discount) in exact 1e-4 dollar
+    * units: cents(price) × (100 − discount basis points) — exact
+    * integers, associative under partial agg. ONE source of truth
+    * (used by TpchQueries and RelationalQueries in both twins): a
+    * change to the cents contract lands everywhere or nowhere. */
+  def revE4: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+  val revE4Sql: String =
+    s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+
+  /** `sum(revE4)` under the momentGuard discipline: the revenue moment
+    * is price-scale (~10⁹ in e4 units per row), so any group that
+    * scales with the corpus or with one hot entity crosses 2⁶² around
+    * 4.6·10⁹ rows — inside the 100 TB design envelope. The bound
+    * n·max_cents·100 comes from wrap-proof aggregates computed in the
+    * SAME aggregate pass (per group — exactly the granularity the sum
+    * overflows at). Schema-bounded groups (per-order: ≤ 7 lineitems by
+    * TPC-H construction) stay exempt — see the BENCH_NOTES ledger. */
+  def guardedRevE4Sum(s: SparkSession, query: String): Column =
+    momentGuard(s, query, "n*max_cents*100",
+      count(lit(1)).cast("double") *
+        max(cents(col("l_extendedprice"))).cast("double") * lit(100.0))(
+      sum(revE4))
+
   /** 2^62 — the default integer-moment headroom ceiling: every BIGINT
     * moment sum must PROVE (via an a-priori count·max-magnitude bound)
     * that it stays under half of Long range, a factor-2 margin before

@@ -12,18 +12,44 @@ import Exact._
   */
 object ExtendedQueries extends QuerySuite {
 
+  /** dq_rate_limit_audit's per-principal-day simulation bound: the
+    * fold buffer holds at most this many (ms, event_id) pairs (~2 MB)
+    * no matter how hot the principal. Chosen above the bucket's own
+    * hard admission ceiling per day (capacity/cost + 86.4e6 ms ·
+    * refill/cost ≈ 86 405), so any truncated event could only ever
+    * have been denied-or-late; truncation is surfaced as n_truncated,
+    * never silent. Same constant inlined in the oracle twin. */
+  val MaxAuditEvents = 131072
+
   /** Exact quantity-weighted mean price as a typed Aggregator:
     * buffer = (Σ cents(price)·qty, Σ qty) — both exact integers-in-long
     * /integral-double, so the single final division is deterministic.
-    * Demonstrates the UDAF path (partial merge comes from Catalyst). */
+    * Demonstrates the UDAF path (partial merge comes from Catalyst).
+    *
+    * Overflow honesty: typed-Aggregator arithmetic runs on RAW JVM
+    * longs — Catalyst's ANSI overflow checks never see it, so plain
+    * `+`/`*` would WRAP silently where every other moment sum in the
+    * engine aborts loudly. All three accumulation sites use
+    * addExact/multiplyExact instead: past ~1.8·10¹⁰ rows per brand
+    * (Σ cents·qty ≈ 5·10⁸ per row) the query dies with an
+    * ArithmeticException naming this aggregator, never returns a
+    * corrupted mean. DECIMAL(38,0) buffer is the headroom escape
+    * hatch (see BENCH_NOTES integer-headroom ledger). */
   object WeightedPriceAvg extends Aggregator[(Double, Double), (Long, Double), Double] {
+    private def loud(op: => Long): Long =
+      try op catch {
+        case _: ArithmeticException => throw new ArithmeticException(
+          "WeightedPriceAvg (udaf_weighted_price): Σ cents·qty overflowed " +
+            "Long — re-spell the buffer as DECIMAL(38,0) for more headroom")
+      }
     def zero: (Long, Double) = (0L, 0.0)
     def reduce(b: (Long, Double), in: (Double, Double)): (Long, Double) = {
       val cents = math.round(in._1 * 100)
-      (b._1 + cents * math.round(in._2), b._2 + in._2)
+      (loud(Math.addExact(b._1, Math.multiplyExact(cents, math.round(in._2)))),
+        b._2 + in._2)
     }
     def merge(a: (Long, Double), b: (Long, Double)): (Long, Double) =
-      (a._1 + b._1, a._2 + b._2)
+      (loud(Math.addExact(a._1, b._1)), a._2 + b._2)
     def finish(b: (Long, Double)): Double =
       if (b._2 == 0) 0.0 else b._1 / 100.0 / b._2
     def bufferEncoder = Encoders.product[(Long, Double)]
@@ -295,27 +321,44 @@ object ExtendedQueries extends QuerySuite {
         .orderBy("nationkey")),
 
     // Exact discrete percentiles (p50/p90/p99) of order value per
-    // status, via the explicit rank-selection formula — element
-    // SELECTION from the sorted multiset involves no float
-    // interpolation, so both engines agree bit-exactly (interpolating
-    // percentile_cont would race engine-specific float math; the
-    // approximate scale path at 100 TB is a t-digest/approx_percentile
-    // sketch, same dataflow). One shuffle for both windows.
+    // status, via rank selection over the VALUE-COUNT table with the
+    // two-level bucketed prefix sum (the layout_equidepth_hist
+    // discipline) — element SELECTION from the sorted multiset
+    // involves no float interpolation, so both engines agree
+    // bit-exactly. The old spelling windowed raw rows PARTITION BY
+    // status (~3 keys): a data-sized single-partition exchange at
+    // 100 TB. Here the windows run over the (status, value)-count
+    // table, bucketed by tp div 1000 so every window partition is
+    // within-bucket (bounded) or over bucket bases (1000× smaller).
+    // The pick is the pure-integer compare cum·100 ≥ n·p100 — the
+    // smallest value whose cumulative count reaches ceil(p·n).
+    // NULL prices are excluded in BOTH twins (Spark windows sort
+    // NULLS FIRST, DuckDB NULLS LAST — a NULL row would shift every
+    // rank differently per engine).
     "agg_percentiles_disc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val o = Tables.orders(s, d).select(
-        col("o_orderstatus").as("status"),
-        cents(col("o_totalprice")).as("tp"))
-      val ranked = o
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("status").orderBy(col("tp"))))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("status")))
-      def pick(p: Double, name: String) =
-        (min(when(col("rn") ===
-          greatest(lit(1L), ceil(col("cnt") * p)), col("tp"))) / 100.0).as(name)
-      ranked.groupBy("status")
-        .agg(max("cnt").as("n_orders"),
-          pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+      val vc = Tables.orders(s, d)
+        .filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderstatus").as("status"),
+          cents(col("o_totalprice")).as("tp"))
+        .groupBy("status", "tp").agg(count(lit(1)).as("c"))
+        .withColumn("b", expr("tp div 1000L"))
+      val bases = vc.groupBy("status", "b").agg(sum("c").as("bt"))
+        .withColumn("base", coalesce(sum("bt").over(
+          Window.partitionBy("status").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("status", "b", "base")
+      val cum = vc.join(broadcast(bases), Seq("status", "b"))
+        .withColumn("cum", col("base") + sum("c").over(
+          Window.partitionBy("status", "b").orderBy("tp")))
+      val n = vc.groupBy("status").agg(sum("c").as("n"))
+      def pick(p100: Long, name: String) =
+        (min(when(col("cum") * 100L >= col("n") * p100, col("tp")))
+          / 100.0).as(name)
+      cum.join(broadcast(n), "status")
+        .groupBy("status")
+        .agg(max("n").as("n_orders"),
+          pick(50L, "p50"), pick(90L, "p90"), pick(99L, "p99"))
         .orderBy("status")
     }),
 
@@ -407,13 +450,27 @@ object ExtendedQueries extends QuerySuite {
     // bucket always admits the first event). RateLimitStreamSpec pins
     // this twin event-for-event against the streaming processor.
     "dq_rate_limit_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val cap = graft.streaming.RateLimitStream.CapacityMilli
       val cost = graft.streaming.RateLimitStream.CostMilli
       val ev = Tables.events(s, d)
         .select(col("user_id"),
           expr("unix_micros(ts) div 1000").as("ms"), col("event_id"))
         .withColumn("day", expr("ms div 86400000"))
-      ev.groupBy("user_id", "day")
+      // bound the fold buffer: a hot principal's day — precisely the
+      // client this audit hunts — would otherwise collect unbounded
+      // into ONE aggregation buffer. The audit simulates each
+      // principal-day's FIRST MaxAuditEvents events (deterministic
+      // (ms, event_id) order; the rank window spills gracefully where
+      // an array buffer OOMs) and reports what it skipped as
+      // n_truncated, so the cap is observable, never silent. Same cap
+      // in the oracle twin — hash-neutral below the cap at any sf.
+      val ranked = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "day").orderBy("ms", "event_id")))
+      val truncated = ranked.filter(col("rn") > MaxAuditEvents)
+        .groupBy("day").agg(count(lit(1)).as("n_truncated"))
+      ranked.filter(col("rn") <= MaxAuditEvents)
+        .groupBy("user_id", "day")
         .agg(sort_array(collect_list(
           struct(col("ms"), col("event_id")))).as("arr"))
         .select(col("day"), expr("CAST(size(arr) AS BIGINT)").as("n"),
@@ -446,6 +503,8 @@ object ExtendedQueries extends QuerySuite {
           sum("n").as("n_events"),
           sum("allowed").as("n_allowed"),
           (sum("n") - sum("allowed")).as("n_denied"))
+        .join(truncated, Seq("day"), "left")
+        .withColumn("n_truncated", coalesce(col("n_truncated"), lit(0L)))
         .orderBy("day")
     }),
 
@@ -586,6 +645,10 @@ object ExtendedQueries extends QuerySuite {
     // integer-cents contract.
     "agg_value_histogram" -> ((s, d) =>
       Tables.events(s, d)
+        // a NULL value would form a NULL bucket row that Spark's
+        // orderBy places first and DuckDB's last — excluded in BOTH
+        // twins (hash-neutral on the NULL-free fixtures)
+        .filter(col("value").isNotNull)
         .withColumn("bucket", floor(col("value") / 25.0).cast("long"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_events"),
@@ -741,25 +804,25 @@ object ExtendedQueries extends QuerySuite {
          |  count(*) AS n_events,
          |  min(value) AS min_value, max(value) AS max_value,
          |  ${moneySumSql("value")} AS total_value
-         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "agg_percentiles_disc" ->
       """WITH o AS (
         |  SELECT o_orderstatus AS status,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS tp
-        |  FROM orders),
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |vc AS (SELECT status, tp, count(*) AS c FROM o GROUP BY 1, 2),
         |r AS (
         |  SELECT status, tp,
-        |    row_number() OVER (PARTITION BY status ORDER BY tp) AS rn,
-        |    count(*) OVER (PARTITION BY status) AS cnt
-        |  FROM o)
-        |SELECT status, max(cnt) AS n_orders,
-        |  min(CASE WHEN rn = greatest(1, CAST(ceil(cnt * 0.5) AS BIGINT))
-        |      THEN tp END)/100.0 AS p50,
-        |  min(CASE WHEN rn = greatest(1, CAST(ceil(cnt * 0.9) AS BIGINT))
-        |      THEN tp END)/100.0 AS p90,
-        |  min(CASE WHEN rn = greatest(1, CAST(ceil(cnt * 0.99) AS BIGINT))
-        |      THEN tp END)/100.0 AS p99
+        |    CAST(sum(c) OVER (PARTITION BY status ORDER BY tp) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY status) AS BIGINT) AS n
+        |  FROM vc)
+        |SELECT status, max(n) AS n_orders,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN tp END)/100.0 AS p50,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN tp END)/100.0 AS p90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN tp END)/100.0 AS p99
         |FROM r GROUP BY status ORDER BY status""".stripMargin,
 
     "pivot_segment_counts" ->
@@ -811,13 +874,19 @@ object ExtendedQueries extends QuerySuite {
       val refill = s"least($cap, acc.tok + greatest(0, x.last - acc.last))"
       s"""WITH ev AS (
          |  SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
-         |    (epoch_us(ts) // 1000) // 86400000 AS day
+         |    (epoch_us(ts) // 1000) // 86400000 AS day,
+         |    row_number() OVER (PARTITION BY user_id,
+         |        (epoch_us(ts) // 1000) // 86400000
+         |      ORDER BY epoch_us(ts) // 1000, event_id) AS rn
          |  FROM events),
+         |trunc AS (
+         |  SELECT day, CAST(count(*) AS BIGINT) AS n_truncated
+         |  FROM ev WHERE rn > $MaxAuditEvents GROUP BY day),
          |g AS (
          |  SELECT user_id, day,
          |    list_sort(list(struct_pack(ms := ms,
          |      event_id := event_id))) AS arr
-         |  FROM ev GROUP BY user_id, day),
+         |  FROM ev WHERE rn <= $MaxAuditEvents GROUP BY user_id, day),
          |f AS (
          |  SELECT day, CAST(len(arr) AS BIGINT) AS n,
          |    list_reduce(
@@ -833,11 +902,13 @@ object ExtendedQueries extends QuerySuite {
          |          CASE WHEN $refill >= $cost THEN 1 ELSE 0 END)
          |    ).allowed AS allowed
          |  FROM g)
-         |SELECT CAST(day AS BIGINT) AS day,
+         |SELECT CAST(f.day AS BIGINT) AS day,
          |  CAST(sum(n) AS BIGINT) AS n_events,
          |  CAST(sum(allowed) AS BIGINT) AS n_allowed,
-         |  CAST(sum(n) - sum(allowed) AS BIGINT) AS n_denied
-         |FROM f GROUP BY day ORDER BY day""".stripMargin
+         |  CAST(sum(n) - sum(allowed) AS BIGINT) AS n_denied,
+         |  COALESCE(any_value(trunc.n_truncated), 0) AS n_truncated
+         |FROM f LEFT JOIN trunc ON f.day = trunc.day
+         |GROUP BY f.day ORDER BY day""".stripMargin
     },
 
     "dq_sequence_gaps" ->

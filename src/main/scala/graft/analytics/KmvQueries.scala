@@ -34,9 +34,15 @@ object KmvQueries extends QuerySuite {
 
   private val K = 64
 
-  /** Distinct masked hashes of user ids per event_type. */
+  /** Distinct masked hashes of user ids per event_type. NULL user ids
+    * are excluded in BOTH twins: Spark's xxhash64 hashes NULL to the
+    * seed (42 — a near-minimal sketch value that would poison the
+    * min-K ranks), while the oracle's XxhSql replay of a NULL VARCHAR
+    * propagates NULL — and the exact countDistinct audit column never
+    * counts NULL anyway. */
   private def typeHashes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"),
         xxhash64(col("user_id").cast("string"))
           .bitwiseAND(lit(Long.MaxValue)).as("uh"))
@@ -55,9 +61,10 @@ object KmvQueries extends QuerySuite {
     "sketch_kmv_users" -> ((s, d) => {
       val mink = TopKPerKey(typeHashes(s, d), Seq("event_type"),
         Seq(col("uh")), K)
+      // only the kth value surfaces here; n_hashes (the UNCAPPED
+      // distinct count the estimator needs) comes from nAll below
       val stats = mink.groupBy("event_type")
-        .agg(count(lit(1)).as("n_hashes_capped"),
-          max(when(col("rk") === K, col("uh"))).as("kth_min"))
+        .agg(max(when(col("rk") === K, col("uh"))).as("kth_min"))
       val nAll = typeHashes(s, d).groupBy("event_type")
         .agg(count(lit(1)).as("n_hashes"))
       val exact = Tables.events(s, d).groupBy("event_type")
@@ -155,7 +162,7 @@ object KmvQueries extends QuerySuite {
     * xxhash64 → masked distinct uh per type, ranked ascending. */
   private def uhCtes: String =
     s"""src AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s
-       |        FROM events),
+       |        FROM events WHERE user_id IS NOT NULL),
        |${XxhSql.ctes("src", Seq("event_type"), "s", "x")},
        |uhs AS (SELECT DISTINCT event_type,
        |          hv & 9223372036854775807 AS uh FROM x_out),

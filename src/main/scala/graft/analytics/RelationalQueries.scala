@@ -22,10 +22,8 @@ import Exact._
   */
 object RelationalQueries extends QuerySuite {
 
-  // revenue = extendedprice*(1-discount), exact in 1e-4 units (SQL twin
-  // of the inline `cents(...) * (100 - cents(...))` Spark expression).
-  private val revE4Sql =
-    s"${centsSql("l_extendedprice")} * (100 - CAST(round(l_discount*100) AS BIGINT))"
+  // revE4 / revE4Sql (exact 1e-4-unit revenue) come from Exact._ —
+  // one source of truth shared with TpchQueries.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LISTAGG/string_agg — the reporting staple that folds a group's
@@ -72,6 +70,14 @@ object RelationalQueries extends QuerySuite {
     }),
 
     // TPC-H Q1-style pricing summary: scan + filter + groupBy/agg.
+    // sum_charge is the engine's widest per-row moment — cents·
+    // (100−disc)·(100+tax) ≈ 1.1e11/row — crossing 2^62 at only
+    // ~4·10⁷ rows per (flag, status) group, i.e. around sf25 of this
+    // data: squarely inside the 100 TB design envelope, so it carries
+    // a momentGuard (n·max_cents·100·(100+max_tax), all wrap-proof
+    // aggregates). The guard dominates sum_disc_price's bound (same
+    // product sans the tax factor), and both sums abort together when
+    // it fires — one guard covers the family.
     "q1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02"))
@@ -79,11 +85,15 @@ object RelationalQueries extends QuerySuite {
         .agg(
           sum("l_quantity").as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
-          (sum(cents(col("l_extendedprice")) *
-            (lit(100L) - cents(col("l_discount")))) / 10000.0).as("sum_disc_price"),
-          (sum(cents(col("l_extendedprice")) *
-            (lit(100L) - cents(col("l_discount"))) *
-            (lit(100L) + cents(col("l_tax")))) / 1000000.0).as("sum_charge"),
+          (sum(revE4) / 10000.0).as("sum_disc_price"),
+          Exact.momentGuard(s, "q1_pricing_summary",
+            "n*max_cents*100*(100+max_tax)",
+            count(lit(1)).cast("double") *
+              max(cents(col("l_extendedprice"))).cast("double") *
+              lit(100.0) *
+              (lit(100.0) + max(cents(col("l_tax"))).cast("double")))(
+            (sum(revE4 * (lit(100L) + cents(col("l_tax")))) / 1000000.0))
+            .as("sum_charge"),
           (sum("l_quantity") / count(lit(1))).as("avg_qty"),
           moneyAvg(col("l_extendedprice")).as("avg_price"),
           (sum(cents(col("l_discount"))) / 100.0 / count(lit(1))).as("avg_disc"),
@@ -98,8 +108,7 @@ object RelationalQueries extends QuerySuite {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-        .agg((sum(cents(col("l_extendedprice")) *
-          (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+        .agg((sum(revE4) / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -134,8 +143,11 @@ object RelationalQueries extends QuerySuite {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg((sum(cents(col("l_extendedprice")) *
-          (lit(100L) - cents(col("l_discount")))) / 10000.0).as("revenue"))
+        // per-nation groups scale with the corpus: at 100 TB
+        // (~5·10¹¹ lineitems / 25 nations) the revenue sum crosses
+        // 2^62 — guarded like the rest of the revE4 family
+        .agg((guardedRevE4Sum(s, "q5_region_revenue") / 10000.0)
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 

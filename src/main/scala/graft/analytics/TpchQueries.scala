@@ -30,12 +30,8 @@ import Exact._
   */
 object TpchQueries extends QuerySuite {
 
-  /** revenue in 1e-4 dollar units: cents(extprice) × (100 − discount
-    * basis points) — exact integers, associative under partial agg. */
-  private def revE4: Column =
-    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
-  private val revE4Sql =
-    s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+  // revE4 / revE4Sql (exact 1e-4-unit revenue) come from Exact._ —
+  // one source of truth shared with RelationalQueries.
 
   /** l_quantity is integral in the testdata (verified: 0 rows with a
     * fractional part) — cast once, sum as exact longs. */
@@ -105,7 +101,8 @@ object TpchQueries extends QuerySuite {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg((sum(revE4) / 10000.0).as("revenue"))
+        .agg((guardedRevE4Sum(s, "q7_nation_volume") / 10000.0)
+          .as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -134,7 +131,7 @@ object TpchQueries extends QuerySuite {
         .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg((sum(when(col("supp_nation") === "NATION_3", revE4).otherwise(0L)) /
-          sum(revE4)).as("mkt_share"))
+          guardedRevE4Sum(s, "q8_market_share")).as("mkt_share"))
         .orderBy("o_year")
     }),
 
@@ -156,7 +153,15 @@ object TpchQueries extends QuerySuite {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg((sum(amountE4) / 10000.0).as("sum_profit"))
+        // profit moment is wider than revE4: |amount| <= max_cents·100
+        // + max_retail_cents·80·max_qty per row, all wrap-proof maxima
+        .agg((Exact.momentGuard(s, "q9_profit_by_nation_year",
+          "n*(max_cents*100 + max_retail_cents*80*max_qty)",
+          count(lit(1)).cast("double") *
+            (max(cents(col("l_extendedprice"))).cast("double") * lit(100.0) +
+              max(cents(col("p_retailprice"))).cast("double") * lit(80.0) *
+                max(qtyL).cast("double")))(
+          sum(amountE4)) / 10000.0).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -173,7 +178,8 @@ object TpchQueries extends QuerySuite {
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg((sum(revE4) / 10000.0).as("revenue"))
+        .agg((guardedRevE4Sum(s, "q10_returned_items") / 10000.0)
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
 
@@ -186,8 +192,15 @@ object TpchQueries extends QuerySuite {
           .filter(col("s_nationkey") < 5).select("s_suppkey")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey").as("p_partkey"))
-        .agg(sum(revE4).as("value_e4"))
-      val total = contrib.agg(sum(col("value_e4")).as("total_e4"))
+        .agg(guardedRevE4Sum(s, "q11_part_value_concentration")
+          .as("value_e4"))
+      // second level: the corpus-wide total of already-guarded longs —
+      // bound n_parts·max|value| from wrap-proof aggregates
+      val total = contrib.agg(Exact.momentGuard(s,
+        "q11_part_value_concentration", "n_parts*max_part_value",
+        count(lit(1)).cast("double") *
+          max(abs(col("value_e4"))).cast("double"))(
+        sum(col("value_e4"))).as("total_e4"))
       contrib.crossJoin(broadcast(total))
         .filter(col("value_e4") > col("total_e4") * 0.0005)
         .select(col("p_partkey"), (col("value_e4") / 10000.0).as("part_value"))
@@ -239,7 +252,8 @@ object TpchQueries extends QuerySuite {
           sum(revE4)).as("promo_share"),
           (sum(when(col("p_type") === "PROMO", revE4).otherwise(0L)) / 10000.0)
             .as("promo_revenue"),
-          (sum(revE4) / 10000.0).as("total_revenue"))),
+          (guardedRevE4Sum(s, "q14_promo_revenue_share") / 10000.0)
+            .as("total_revenue"))),
 
     // Q15: top supplier(s) by quarterly revenue — revenue per supplier,
     // then an integer-exact equality against the broadcast scalar max
@@ -249,7 +263,7 @@ object TpchQueries extends QuerySuite {
         .filter(col("l_shipdate") >= lit("1997-01-01") &&
           col("l_shipdate") < lit("1997-04-01"))
         .groupBy("l_suppkey")
-        .agg(sum(revE4).as("rev_e4"))
+        .agg(guardedRevE4Sum(s, "q15_top_supplier").as("rev_e4"))
       val mx = rev.agg(max(col("rev_e4")).as("max_e4"))
       rev.crossJoin(broadcast(mx))
         .filter(col("rev_e4") === col("max_e4"))
@@ -263,8 +277,13 @@ object TpchQueries extends QuerySuite {
     // Q16: part-supplier variety — distinct shippers per (brand, type,
     // size) bucket, excluding one brand, one type, and "complaint"
     // suppliers (s_acctbal < 0 stands in for the comment match).
+    // NULL l_suppkey is excluded in BOTH twins: left_anti KEEPS a
+    // NULL-key row (NULL === x never matches) while SQL NOT IN
+    // evaluates it to NULL and DROPS it whenever the complaint set is
+    // non-empty — the 3VL fork the twins must not straddle.
     "q16_part_supplier_variety" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .filter(col("l_suppkey").isNotNull)
         .join(broadcast(Tables.part(s, d)
           .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
             col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
@@ -326,7 +345,8 @@ object TpchQueries extends QuerySuite {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30)))
-        .agg((sum(revE4) / 10000.0).as("revenue"),
+        .agg((guardedRevE4Sum(s, "q19_disjunct_revenue") / 10000.0)
+          .as("revenue"),
           count(lit(1)).as("n_lines"))),
 
     // Q20: heavy part shippers — suppliers in one region who shipped
@@ -535,6 +555,7 @@ object TpchQueries extends QuerySuite {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
         |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey IS NOT NULL
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,

@@ -23,9 +23,24 @@ class MomentGuardSpec extends SparkSpec {
     "stat_ridge_path", "stat_jackknife", "stat_capture_recapture",
     "graph_assortativity", "graph_betweenness_panel",
     "sim_centroid_drift", "text_simpson_diversity", "stat_chi_square",
-    "route_delivery_gini", "layout_partition_stats")
+    "route_delivery_gini", "layout_partition_stats",
+    // the TPC-H revenue-moment family (round-12 review): price-scale
+    // sums (~1e9/row in e4 units) over corpus-scaling or hot-entity
+    // groups cross 2^62 at ~4.6e9 rows per group — inside the 100 TB
+    // envelope. Per-ORDER groups (q3/q18, ≤ 7 lineitems by TPC-H
+    // construction) stay exempt; see the BENCH_NOTES ledger.
+    "q1_pricing_summary", "q5_region_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
+    "q11_part_value_concentration", "q14_promo_revenue_share",
+    "q15_top_supplier", "q19_disjunct_revenue")
 
   private val Sf = "/root/testdata/sf0.001"
+
+  /** q7's nation-pair × ship-year slice is EMPTY at sf0.001 (zero
+    * rows → the guard never evaluates, the raise path can't be
+    * exercised); it gets the sf0.01 fixture, where it emits 4 rows. */
+  private def sfOf(q: String): String =
+    if (q == "q7_nation_volume") "/root/testdata/sf0.01" else Sf
 
   private def messages(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
@@ -39,7 +54,10 @@ class MomentGuardSpec extends SparkSpec {
     // one) fails here until the matrix is updated
     import scala.jdk.CollectionConverters._
     val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
-    val namePat = """momentGuard\(\w+,\s*"([a-z0-9_]+)"""".r
+    // both spellings count as call sites: direct momentGuard(...) and
+    // the shared guardedRevE4Sum(...) revenue-family helper
+    val namePat =
+      """(?:momentGuard|guardedRevE4Sum)\(\w+,\s*"([a-z0-9_]+)"""".r
     val siteNames = java.nio.file.Files.walk(srcRoot).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .flatMap { p =>
@@ -70,7 +88,7 @@ class MomentGuardSpec extends SparkSpec {
       // the betweenness rounds checkpoint eagerly, so the raise can
       // fire during BUILD — wrap builder and action together
       val e = intercept[Throwable] {
-        SparkEntry.queries(q)(s2, Sf).collect()
+        SparkEntry.queries(q)(s2, sfOf(q)).collect()
       }
       val ms = messages(e)
       assert(ms.exists(m => m.contains(q) &&
@@ -83,7 +101,7 @@ class MomentGuardSpec extends SparkSpec {
 
   test("default ceiling: every guarded query passes untouched") {
     for (q <- Guarded)
-      assert(SparkEntry.queries(q)(spark, Sf).collect().nonEmpty, q)
+      assert(SparkEntry.queries(q)(spark, sfOf(q)).collect().nonEmpty, q)
   }
 
   test("ceiling defaults to 2^62 and a configured value above it is clamped") {
