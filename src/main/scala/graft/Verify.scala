@@ -25,7 +25,11 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce inserts no shuffle,
+      // so on a narrow plan it collapses the WHOLE scan+transform into
+      // one task (and single-threads a global-sort tail) — repartition
+      // keeps the computation parallel and single-files only the write
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

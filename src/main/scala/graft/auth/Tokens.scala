@@ -83,9 +83,15 @@ object Tokens {
     s"$body-${b64(hmac(body, secret))}"
   }
 
-  /** Verify → Some(id) or None; `now` injected for determinism. */
+  /** Verify → Some(id) or None; `now` injected for determinism. The
+    * contract is TOTAL: any malformed input — including NULL (a token
+    * extracted from a malformed frame is NULL by the Frames contract)
+    * and non-numeric claim text in a validly-signed body — returns
+    * None; the verifier never throws, because via [[verifyUdf]] a
+    * single throwing row would abort the whole ingress query. */
   def verify(token: String, tokenType: Int, secret: String,
       now: Long): Option[String] = {
+    if (token == null) return None
     val parts = token.split("-", -1)
     if (parts.length != 2 || parts(0).isEmpty || parts(1).isEmpty) return None
     val (body, sig) = (parts(0), parts(1))
@@ -105,12 +111,15 @@ object Tokens {
     def idField: Option[String] =
       """"_i":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
         .map(m => jsonUnescape(m.group(1)))
+    // toLongOption, not toLong: a validly-SIGNED token minted by
+    // another implementation can carry non-numeric claim text
+    // ("_v":null, a float expiry) — that is a reject, not a crash
     val ok = for {
-      v <- field("_v") if v.toLong == Version
-      t <- field("_t") if t.toLong == tokenType
+      v <- field("_v").flatMap(_.toLongOption) if v == Version
+      t <- field("_t").flatMap(_.toLongOption) if t == tokenType
       // reference boundary (lib/token.js: `_e < now` rejects): a token
       // expiring exactly AT `now` is still valid.
-      e <- field("_e") if e.toLong >= now
+      e <- field("_e").flatMap(_.toLongOption) if e >= now
       i <- idField
     } yield i
     ok

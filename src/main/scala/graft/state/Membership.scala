@@ -86,12 +86,19 @@ object Membership {
     nc.filter(!(col("sid") <=> sid)) // null-safe: keep NULL-sid rows
 
   /** O8 subscribeClient (`lib/ChannelHub.js:143-154`): add client row
-    * (idempotent) — node row is implied by the sid column. */
+    * (idempotent) — node row is implied by the sid column. A client
+    * already subscribed under a DIFFERENT sid is deterministically
+    * REASSIGNED to the new one (latest-wins, the reference's
+    * `clients[cid] = socket` overwrite): anti-join the old row out,
+    * then add — `dropDuplicates` on (channel, cid) would keep an
+    * ARBITRARY survivor, flipping the sid between runs/partitionings. */
   def subscribeClient(cc: DataFrame, sid: String, cid: Long, channel: String): DataFrame = {
     val one = cc.sparkSession
       .createDataFrame(Seq((channel, cid, sid)))
       .toDF("channel", "cid", "sid")
-    cc.unionByName(one).dropDuplicates("channel", "cid")
+    cc.join(broadcast(one.select("channel", "cid")),
+        Seq("channel", "cid"), "left_anti")
+      .unionByName(one)
   }
 
   /** O9 unsubscribeClient (`lib/ChannelHub.js:162-173`): remove the
@@ -115,16 +122,27 @@ object Membership {
     cc.filter(col("cid") === cid).select("channel")
 
   /** O13 removeChannel (`lib/ChannelHub.js:221-238`): tear a channel out
-    * of both maps. */
+    * of both maps. Null-safe like its siblings (O4/O7/O9/O11): `=!=`
+    * is NULL on a NULL-channel row and would silently drop UNRELATED
+    * subscriptions instead of keeping them. */
   def removeChannel(nc: DataFrame, cc: DataFrame, channel: String): (DataFrame, DataFrame) =
-    (nc.filter(col("channel") =!= channel), cc.filter(col("channel") =!= channel))
+    (nc.filter(!(col("channel") <=> channel)),
+      cc.filter(!(col("channel") <=> channel)))
 
   /** The cascade of `unsubscribeClient` (`lib/ChannelHub.js:168-172`):
     * node subscriptions survive only for channels that still have at
-    * least one client. Implemented as a left-semi join (no shuffle of
-    * the node side when the surviving-channel set is small/broadcast). */
-  def cascadeEmptyChannels(nc: DataFrame, cc: DataFrame): DataFrame =
-    nc.join(broadcast(cc.select("channel").distinct()), Seq("channel"), "left_semi")
+    * least one client. Implemented as a left-semi join with a
+    * NULL-SAFE key (a plain equi-join never matches NULL to NULL, so
+    * a NULL-channel node row would be torn down even while NULL-channel
+    * client rows survive — the opposite of the contract). No broadcast
+    * hint: the distinct channel set is usually dictionary-small and AQE
+    * broadcasts it on its own; hard-hinting would ABORT past Spark's
+    * 8 GB/512M-row broadcast ceiling instead of falling back to a
+    * shuffle join. */
+  def cascadeEmptyChannels(nc: DataFrame, cc: DataFrame): DataFrame = {
+    val live = cc.select(col("channel").as("live_channel")).distinct()
+    nc.join(live, nc("channel") <=> live("live_channel"), "left_semi")
+  }
 
   /** O14 `channels` getter (`lib/ChannelHub.js:33-51`): distinct union
     * of channel names across both maps — the one genuine set-op in the

@@ -56,4 +56,31 @@ class TokensSpec extends AnyFunSuite {
       assert(Tokens.verify(bad, Tokens.TypeCluster, secret, now).isEmpty,
         s"should reject '$bad'")
   }
+
+  test("verify is total: NULL token and non-numeric claims reject, never throw") {
+    // round-12 review: via verifyUdf a single throwing row aborts the
+    // whole ingress query — the contract is None, not an exception
+    assert(Tokens.verify(null, Tokens.TypeCluster, secret, now).isEmpty)
+    // validly-SIGNED bodies with non-Long claim text (another minter
+    // sharing the secret): reject via toLongOption, no crash
+    def signed(json: String): String = {
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(json.getBytes("UTF-8"))
+      val sig = java.util.Base64.getEncoder.encodeToString(
+        javax.crypto.Mac.getInstance("HmacSHA256") match {
+          case m =>
+            m.init(new javax.crypto.spec.SecretKeySpec(
+              secret.getBytes("UTF-8"), "HmacSHA256"))
+            m.doFinal(b64.getBytes("UTF-8"))
+        })
+      s"$b64-$sig"
+    }
+    val badClaims = Seq(
+      """{"_v":null,"_t":1,"_e":9999999999999,"_i":"u1"}""",
+      """{"_v":1,"_t":1,"_e":1704067200000.5,"_i":"u1"}""",
+      """{"_v":abc,"_t":1,"_e":9999999999999,"_i":"u1"}""")
+    for (j <- badClaims)
+      assert(Tokens.verify(signed(j), Tokens.TypeCluster, secret, now).isEmpty,
+        s"should reject (not throw) on $j")
+  }
 }

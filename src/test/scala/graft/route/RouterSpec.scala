@@ -70,6 +70,16 @@ class RouterSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("sid")).toSet == Set("n2"))
   }
 
+  test("excludeSelf keeps NULL-sid deliveries (3VL — they are not the sender)") {
+    // round-12 review: =!= evaluated NULL on a NULL-sid fan-out row
+    // (a sid derived from a NULL user) and silently dropped the
+    // delivery; NULL is not self, so the row must survive
+    val fanout = Seq((1L, "news", "n1"), (2L, "news", null),
+      (3L, "news", "n2")).toDF("event_id", "channel", "sid")
+    val out = Router.excludeSelf(fanout, "n1").collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSet == Set(2L, 3L))
+  }
+
   test("provenance split: node-originated messages skip node fan-out") {
     val msgs = Seq((1L, "news", "publisher"), (2L, "news", "node"))
       .toDF("event_id", "channel", "origin")

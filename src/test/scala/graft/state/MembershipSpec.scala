@@ -64,6 +64,38 @@ class MembershipSpec extends SparkSpec {
     assert(Membership.removeClient(ccNull, 9L).count() == 2)
   }
 
+  test("removeChannel keeps UNRELATED NULL-channel rows; cascade matches NULL to NULL") {
+    // round-12 review: removeChannel used =!= (drops NULL-channel rows
+    // from BOTH maps) and the cascade's equi-join never matched a
+    // NULL-channel node row to its surviving NULL-channel clients
+    val nodes = Seq(("news", "n1"), (null, "n3")).toDF("channel", "sid")
+    val clients = Seq(("news", 1L, "n1"), (null, 7L, "n3"))
+      .toDF("channel", "cid", "sid")
+    val (nc2, cc2) = Membership.removeChannel(nodes, clients, "news")
+    assert(nc2.count() == 1 && cc2.count() == 1,
+      "NULL-channel subscriptions must survive removing a named channel")
+    val surviving = Membership.cascadeEmptyChannels(nodes, clients)
+    assert(surviving.count() == 2,
+      "a NULL channel that still has a client keeps its node row")
+    val gone = Membership.cascadeEmptyChannels(nodes,
+      clients.filter("channel IS NOT NULL"))
+    assert(gone.collect().map(_.getString(0)).toSeq == Seq("news"),
+      "a NULL channel with no clients left is torn down")
+  }
+
+  test("subscribeClient reassigns an existing client deterministically (latest sid wins)") {
+    val base = cc(("news", 5L, "node-1"))
+    val after = Membership.subscribeClient(base, "node-2", 5L, "news")
+    val rows = after.collect().map(r =>
+      (r.getAs[String]("channel"), r.getAs[Long]("cid"),
+        r.getAs[String]("sid")))
+    assert(rows.toSeq == Seq(("news", 5L, "node-2")),
+      "the NEW sid must win — dropDuplicates kept an arbitrary survivor")
+    // idempotent when the sid is unchanged
+    assert(Membership.subscribeClient(after, "node-2", 5L, "news")
+      .count() == 1)
+  }
+
   test("isClientSubscribed / isNodeSubscribed membership probes") {
     val clients = cc(("news", 1L, "n1"))
     assert(Membership.isClientSubscribed(clients, 1L, "news"))
