@@ -41,14 +41,35 @@ class CdcStream(ttl: Option[java.time.Duration] = None)
       "latest", Encoders.product[Snapshot],
       ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
-  private def beats(c: Change, s: Snapshot): Boolean =
-    c.ts > s.last_ts || (c.ts == s.last_ts && c.event_id > s.last_event)
-
   override def handleInputRows(key: Long, rows: Iterator[Change],
       timers: TimerValues): Iterator[Snapshot] = {
     val prev = if (cur.exists()) Some(cur.get()) else None
+    val (out, next) = advance(key, prev, rows.toSeq)
+    next.filter(n => prev.forall(_ != n)).foreach(cur.update)
+    out.iterator
+  }
+}
+
+object CdcStream {
+  case class Change(user_id: Long, ts: Long, event_id: Long,
+      event_type: String, value: Double)
+  case class Snapshot(user_id: Long, last_ts: Long, last_event: Long,
+      last_type: String, last_value: Double, version: Long)
+
+  private def beats(c: Change, s: Snapshot): Boolean =
+    c.ts > s.last_ts || (c.ts == s.last_ts && c.event_id > s.last_event)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): keep-last under the (ts, event_id) total order —
+    * arrival order inside the batch is irrelevant by construction.
+    * Emits the re-versioned snapshot iff the batch actually advanced
+    * the key. `None` is the empty state. Extracted so
+    * CdcPropertySpec can drive random interleavings and replay
+    * prefixes against the pure argmax algebra without a harness. */
+  def advance(key: Long, prev: Option[Snapshot],
+      rows: Seq[Change]): (Seq[Snapshot], Option[Snapshot]) = {
     var best = prev
-    var version = prev.map(_.version).getOrElse(0L)
+    val version = prev.map(_.version).getOrElse(0L)
     for (r <- rows) {
       if (best.forall(beats(r, _))) {
         best = Some(Snapshot(key, r.ts, r.event_id, r.event_type, r.value,
@@ -59,18 +80,10 @@ class CdcStream(ttl: Option[java.time.Duration] = None)
       case Some(b) if prev.forall(p =>
           (b.last_ts, b.last_event) != (p.last_ts, p.last_event)) =>
         val next = b.copy(version = version + 1)
-        cur.update(next)
-        Iterator.single(next)
-      case _ => Iterator.empty // batch carried nothing newer
+        (Seq(next), Some(next))
+      case _ => (Seq.empty, prev) // batch carried nothing newer
     }
   }
-}
-
-object CdcStream {
-  case class Change(user_id: Long, ts: Long, event_id: Long,
-      event_type: String, value: Double)
-  case class Snapshot(user_id: Long, last_ts: Long, last_event: Long,
-      last_type: String, last_value: Double, version: Long)
 
   /** Wire latest-state maintenance onto a change stream (RocksDB state
     * store, same provider requirement as [[ChannelProcessor]]). A

@@ -30,14 +30,10 @@ class DedupStream
 
   override def handleInputRows(digest: String, rows: Iterator[DocEvent],
       timers: TimerValues): Iterator[Decision] = {
-    val rs = rows.toSeq
     val existing = if (first.exists()) Some(first.get().doc_id) else None
-    // deterministic within a batch regardless of row arrival order:
-    // the smallest doc_id of the first batch becomes canonical
-    val canonical = existing.getOrElse(rs.map(_.doc_id).min)
+    val (out, canonical) = advance(digest, existing, rows.toSeq)
     if (existing.isEmpty) first.update(FirstSeen(canonical))
-    rs.iterator.map(r =>
-      Decision(r.doc_id, digest, r.doc_id == canonical, canonical))
+    out.iterator
   }
 }
 
@@ -46,6 +42,21 @@ object DedupStream {
   case class FirstSeen(doc_id: Long)
   case class Decision(doc_id: Long, digest: String, kept: Boolean,
       canonical: Long)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): the smallest doc_id of the FIRST batch carrying the
+    * digest becomes canonical (deterministic regardless of row arrival
+    * order inside the batch); every row gets a keep/drop decision
+    * against it. `None` is the empty state. Extracted so
+    * DedupPropertySpec can drive random interleavings and replay
+    * prefixes without a harness. */
+  def advance(digest: String, existing: Option[Long],
+      rows: Seq[DocEvent]): (Seq[Decision], Long) = {
+    val canonical = existing.getOrElse(rows.map(_.doc_id).min)
+    (rows.map(r =>
+      Decision(r.doc_id, digest, r.doc_id == canonical, canonical)),
+      canonical)
+  }
 
   /** Wire the dedup gate onto a (doc_id, text) stream: digest map-side
     * with the SAME normalization as the batch `dedup_normalized_groups`

@@ -44,14 +44,32 @@ class EwmaStream(ttl: Option[java.time.Duration] = None)
   override def handleInputRows(key: Long, rows: Iterator[Obs],
       timers: TimerValues): Iterator[Feat] = {
     val prev = if (cur.exists()) Some(cur.get()) else None
+    val (out, next) = advance(key, prev,
+      rows.toArray.sortBy(o => (o.ts, o.event_id)).toSeq)
+    next.filter(n => prev.forall(_ != n)).foreach(cur.update)
+    out.iterator
+  }
+}
+
+object EwmaStream {
+  case class Obs(user_id: Long, ts: Long, event_id: Long, v: Double)
+  case class Feat(user_id: Long, ewma_cents: Double, last_ts: Long,
+      last_event: Long, n_applied: Long, n_stale: Long, version: Long)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): fold the key's (ts, event_id)-sorted batch through the
+    * frontier-gated EWMA. `None` is the empty state. Extracted so
+    * EwmaPropertySpec can drive random interleavings and replay
+    * prefixes against the sequential fold without a harness. */
+  def advance(key: Long, prev: Option[Feat],
+      sortedRows: Seq[Obs]): (Seq[Feat], Option[Feat]) = {
     var ewma = prev.map(_.ewma_cents).getOrElse(0.0)
     var n = prev.map(_.n_applied).getOrElse(0L)
     var stale = prev.map(_.n_stale).getOrElse(0L)
     var lastTs = prev.map(_.last_ts).getOrElse(Long.MinValue)
     var lastEv = prev.map(_.last_event).getOrElse(Long.MinValue)
     var applied = 0L
-    val ordered = rows.toArray.sortBy(o => (o.ts, o.event_id))
-    for (o <- ordered) {
+    for (o <- sortedRows) {
       if (o.ts > lastTs || (o.ts == lastTs && o.event_id > lastEv)) {
         ewma = if (n == 0L) o.v else 0.5 * o.v + 0.5 * ewma
         n += 1; applied += 1
@@ -64,22 +82,13 @@ class EwmaStream(ttl: Option[java.time.Duration] = None)
     if (applied == 0L) {
       // no advance → no emission (redelivery must not emit); still
       // persist any stale-count change so it surfaces next advance
-      if (stale != prev.map(_.n_stale).getOrElse(0L))
-        prev.foreach(p => cur.update(p.copy(n_stale = stale)))
-      Iterator.empty
+      (Seq.empty, prev.map(p => p.copy(n_stale = stale)))
     } else {
       val next = Feat(key, ewma, lastTs, lastEv, n, stale,
         prev.map(_.version).getOrElse(0L) + 1)
-      cur.update(next)
-      Iterator.single(next)
+      (Seq(next), Some(next))
     }
   }
-}
-
-object EwmaStream {
-  case class Obs(user_id: Long, ts: Long, event_id: Long, v: Double)
-  case class Feat(user_id: Long, ewma_cents: Double, last_ts: Long,
-      last_event: Long, n_applied: Long, n_stale: Long, version: Long)
 
   /** Wire EWMA maintenance onto an observation stream (RocksDB state
     * store, same provider requirement as [[ChannelProcessor]]). A

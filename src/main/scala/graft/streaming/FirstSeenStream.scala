@@ -48,18 +48,10 @@ class FirstSeenStream(ttl: Option[java.time.Duration] = None)
 
   override def handleInputRows(key: Long, rows: Iterator[Obs],
       timers: TimerValues): Iterator[FirstSeen] = {
-    val batchMin = rows.map(o => (o.day, o.ts)).minBy(identity)
-    if (!seen.exists()) {
-      val first = FirstSeen(key, batchMin._1, batchMin._2, 0L)
-      seen.update(first)
-      Iterator.single(first)
-    } else {
-      val cur = seen.get()
-      if (batchMin._1 < cur.first_day ||
-          (batchMin._1 == cur.first_day && batchMin._2 < cur.first_ts))
-        seen.update(cur.copy(n_corrections = cur.n_corrections + 1L))
-      Iterator.empty
-    }
+    val prev = if (seen.exists()) Some(seen.get()) else None
+    val (out, next) = advance(key, prev, rows.toSeq)
+    if (prev.forall(_ != next)) seen.update(next)
+    out.iterator
   }
 }
 
@@ -67,6 +59,30 @@ object FirstSeenStream {
   case class Obs(user_id: Long, day: Long, ts: Long)
   case class FirstSeen(user_id: Long, first_day: Long, first_ts: Long,
       n_corrections: Long)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): the batch collapses to its min (day, ts) — arrival
+    * order inside the batch is irrelevant; first batch emits exactly
+    * one row, later batches absorb (counting earlier-coordinate late
+    * arrivals in n_corrections). `None` is the empty state. Extracted
+    * so FirstSeenPropertySpec can drive random interleavings and
+    * replay prefixes without a harness. */
+  def advance(key: Long, prev: Option[FirstSeen],
+      rows: Seq[Obs]): (Seq[FirstSeen], FirstSeen) = {
+    val batchMin = rows.map(o => (o.day, o.ts)).min
+    prev match {
+      case None =>
+        val first = FirstSeen(key, batchMin._1, batchMin._2, 0L)
+        (Seq(first), first)
+      case Some(cur) =>
+        val corrected =
+          if (batchMin._1 < cur.first_day ||
+              (batchMin._1 == cur.first_day && batchMin._2 < cur.first_ts))
+            cur.copy(n_corrections = cur.n_corrections + 1L)
+          else cur
+        (Seq.empty, corrected)
+    }
+  }
 
   /** Wire first-seen detection onto an observation stream (RocksDB
     * state store). A `ttl` expires idle entities, turning the

@@ -44,21 +44,10 @@ class LshStream
 
   override def handleInputRows(key: String, rows: Iterator[BandEvent],
       timers: TimerValues): Iterator[BandHit] = {
-    // deterministic within a batch regardless of arrival order
-    val rs = rows.toSeq.sortBy(_.doc_id)
-    var st = if (bucket.exists()) bucket.get()
+    val st0 = if (bucket.exists()) bucket.get()
       else BucketState(-1L, Seq.empty)
-    val out = rs.flatMap { r =>
-      if (st.canonical < 0) { st = BucketState(r.doc_id, Seq.empty); None }
-      else if (r.doc_id == st.canonical ||
-          st.members.contains(r.doc_id)) None // replay: absorbed
-      // occupancy counts the canonical too: the bucket holds at most
-      // MaxBucket distinct docs, canonical + (MaxBucket − 1) members
-      else if (st.members.size < MaxBucket - 1) {
-        st = st.copy(members = st.members :+ r.doc_id)
-        Some(BandHit(r.doc_id, r.band_idx, r.band_hash, st.canonical))
-      } else None // hot bucket at distinct-cap: stop emitting
-    }
+    // deterministic within a batch regardless of arrival order
+    val (out, st) = advance(st0, rows.toSeq.sortBy(_.doc_id))
     bucket.update(st)
     out.iterator
   }
@@ -74,6 +63,29 @@ object LshStream {
   case class BucketState(canonical: Long, members: Seq[Long])
   case class BandHit(doc_id: Long, band_idx: Int, band_hash: Long,
       candidate_of: Long)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): fold the bucket's doc_id-sorted batch through the
+    * first-is-canonical / member-set / distinct-cap rules.
+    * `BucketState(-1, Seq.empty)` is the empty state. Extracted so
+    * LshPropertySpec can drive random interleavings and replay
+    * prefixes without a harness. */
+  def advance(st0: BucketState,
+      sortedRows: Seq[BandEvent]): (Seq[BandHit], BucketState) = {
+    var st = st0
+    val out = sortedRows.flatMap { r =>
+      if (st.canonical < 0) { st = BucketState(r.doc_id, Seq.empty); None }
+      else if (r.doc_id == st.canonical ||
+          st.members.contains(r.doc_id)) None // replay: absorbed
+      // occupancy counts the canonical too: the bucket holds at most
+      // MaxBucket distinct docs, canonical + (MaxBucket − 1) members
+      else if (st.members.size < MaxBucket - 1) {
+        st = st.copy(members = st.members :+ r.doc_id)
+        Some(BandHit(r.doc_id, r.band_idx, r.band_hash, st.canonical))
+      } else None // hot bucket at distinct-cap: stop emitting
+    }
+    (out, st)
+  }
 
   /** Wire the gate onto a pre-banded (doc_id, band_idx, band_hash)
     * stream — the map-side banding (native MinHash signature + band

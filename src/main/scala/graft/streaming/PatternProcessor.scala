@@ -41,10 +41,36 @@ class PatternProcessor
 
   override def handleInputRows(user: Long, rows: Iterator[PatternEvent],
       timers: TimerValues): Iterator[PatternMatch] = {
-    var s = if (st.exists()) st.get()
-      else MatchState(armed = false, 0L, 0L, Long.MinValue, Long.MinValue, 0L)
+    val s0 = if (st.exists()) st.get() else Empty
+    val (out, s) = advance(user, s0,
+      rows.toSeq.sortBy(r => (r.sec, r.event_id)))
+    st.update(s)
+    out.iterator
+  }
+}
+
+object PatternProcessor {
+  case class PatternEvent(user_id: Long, event_id: Long,
+      event_type: String, sec: Long)
+  case class MatchState(armed: Boolean, startSec: Long, n: Long,
+      lastSec: Long, lastEvent: Long, seen: Long)
+  case class PatternMatch(user_id: Long, start_sec: Long, end_sec: Long,
+      n_matches: Long)
+
+  val Empty: MatchState =
+    MatchState(armed = false, 0L, 0L, Long.MinValue, Long.MinValue, 0L)
+
+  /** The PURE per-batch transition (the TrailingDistinctStream.advance
+    * pattern): fold the user's (sec, event_id)-sorted batch through
+    * the 2-state v[^p]*p machine behind the frontier gate and the
+    * MaxSeqEvents budget. [[Empty]] is the empty state. Extracted so
+    * PatternPropertySpec can drive random interleavings and replay
+    * prefixes against java.util.regex without a harness. */
+  def advance(user: Long, s0: MatchState,
+      sortedRows: Seq[PatternEvent]): (Seq[PatternMatch], MatchState) = {
+    var s = s0
     val out = Seq.newBuilder[PatternMatch]
-    for (e <- rows.toSeq.sortBy(r => (r.sec, r.event_id))
+    for (e <- sortedRows
         if (e.sec > s.lastSec ||
             (e.sec == s.lastSec && e.event_id > s.lastEvent))
           && s.seen < graft.analytics.BehaviorQueries.MaxSeqEvents) {
@@ -58,18 +84,8 @@ class PatternProcessor
         s = s.copy(armed = false, startSec = 0L, n = n)
       } // any non-purchase keeps the match open: the [^p]* gap
     }
-    st.update(s)
-    out.result().iterator
+    (out.result(), s)
   }
-}
-
-object PatternProcessor {
-  case class PatternEvent(user_id: Long, event_id: Long,
-      event_type: String, sec: Long)
-  case class MatchState(armed: Boolean, startSec: Long, n: Long,
-      lastSec: Long, lastEvent: Long, seen: Long)
-  case class PatternMatch(user_id: Long, start_sec: Long, end_sec: Long,
-      n_matches: Long)
 
   def matches(events: Dataset[PatternEvent]): Dataset[PatternMatch] = {
     implicit val outEnc = Encoders.product[PatternMatch]
