@@ -61,25 +61,13 @@ object Bench {
     // "0,123" - malformed JSON the driver cannot parse.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // JSON string escape (the Verify.q discipline): a quote/backslash
-    // in SPARK_GRAFT_SF_DIR or a query name would emit malformed JSON
-    // and lose the round's bench metrics to a parse error.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val qs = results.map { case (k, v, ok) =>
-      q(k) + ":" + (if (ok) num(v) else "-1") }
+      JsonOut.q(k) + ":" + (if (ok) num(v) else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => q(k) }
+    val failed = results.collect { case (k, _, false) => JsonOut.q(k) }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 }

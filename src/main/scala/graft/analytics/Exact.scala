@@ -51,9 +51,14 @@ object Exact {
     * overflows at). Schema-bounded groups (per-order: ≤ 7 lineitems by
     * TPC-H construction) stay exempt — see the BENCH_NOTES ledger. */
   def guardedRevE4Sum(s: SparkSession, query: String): Column =
+    // coalesce(max, 0): rows whose price is NULL contribute NULL
+    // products (never summed), so 0 is a sound stand-in that keeps the
+    // bound non-NULL — a NULL bound would trip momentGuard's
+    // cannot-prove raise even on groups whose sums are harmless
     momentGuard(s, query, "n*max_cents*100",
       count(lit(1)).cast("double") *
-        max(cents(col("l_extendedprice"))).cast("double") * lit(100.0))(
+        coalesce(max(cents(col("l_extendedprice"))), lit(0L))
+          .cast("double") * lit(100.0))(
       sum(revE4))
 
   /** 2^62 — the default integer-moment headroom ceiling: every BIGINT
@@ -117,11 +122,21 @@ object Exact {
   def momentGuard(s: SparkSession, query: String, what: String,
       bound: Column)(value: Column): Column = {
     val c = ceiling(s)
-    when(bound >= lit(c), raise_error(concat(
-      lit(s"$query: BIGINT moment headroom exceeded — $what reaches "),
-      bound.cast("string"),
-      lit(f" >= ceiling $c%.4e; re-spell the moments in DECIMAL(38,0) " +
-        "(StatQueries suite header) before running at this scale"))))
+    // a NULL bound (a max() aggregate over all-NULL inputs) must not
+    // silently DISABLE the guard — when(NULL >= c) would fall through
+    // to .otherwise and the unproven value would flow out. If the
+    // guarded value itself is NULL there is nothing to corrupt (the
+    // empty-corpus case); otherwise a NULL bound means "safety not
+    // provable" and the honest behavior is the same loud raise.
+    when(bound.isNull && value.isNotNull, raise_error(lit(
+      s"$query: BIGINT moment guard bound ($what) is NULL — overflow " +
+        "safety cannot be proven for a non-NULL result; coalesce the " +
+        "bound's aggregates or re-spell the moments in DECIMAL(38,0)")))
+      .when(bound >= lit(c), raise_error(concat(
+        lit(s"$query: BIGINT moment headroom exceeded — $what reaches "),
+        bound.cast("string"),
+        lit(f" >= ceiling $c%.4e; re-spell the moments in DECIMAL(38,0) " +
+          "(StatQueries suite header) before running at this scale"))))
       .otherwise(value)
   }
 }

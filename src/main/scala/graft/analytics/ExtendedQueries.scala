@@ -14,11 +14,16 @@ object ExtendedQueries extends QuerySuite {
 
   /** dq_rate_limit_audit's per-principal-day simulation bound: the
     * fold buffer holds at most this many (ms, event_id) pairs (~2 MB)
-    * no matter how hot the principal. Chosen above the bucket's own
-    * hard admission ceiling per day (capacity/cost + 86.4e6 ms ·
-    * refill/cost ≈ 86 405), so any truncated event could only ever
-    * have been denied-or-late; truncation is surfaced as n_truncated,
-    * never silent. Same constant inlined in the oracle twin. */
+    * no matter how hot the principal. The audit's CONTRACT above the
+    * cap: n_allowed/n_denied describe the day's FIRST MaxAuditEvents
+    * events only — a positionally-truncated event is not classified
+    * (it could be one the true simulation would admit, e.g. a
+    * lone late event after a fully-refilled gap), it is COUNTED in
+    * n_truncated so the truncation is visible, never silent. Chosen
+    * above the bucket's hard per-day admission ceiling (capacity/cost
+    * + 86.4e6 ms · refill/cost ≈ 86 405) so the admit-side count can
+    * never saturate the window. Same constant inlined in the oracle
+    * twin, so both engines audit the identical prefix. */
   val MaxAuditEvents = 131072
 
   /** Exact quantity-weighted mean price as a typed Aggregator:

@@ -8,7 +8,8 @@ import graft.plans.TopKPerKey
 
 /** KMV (k-minimum-values) distinct sketches — the HASH-CHECKED member
   * of the sketch family. sketch_hll_users/merge use the engine's opaque
-  * DataSketches binaries (rows-only by design); the KMV sketch carries
+  * DataSketches binaries (their OUTPUTS are oracle-checked bound
+  * contracts since round 12); the KMV sketch carries
   * the same capabilities — mergeable distinct estimation and
   * theta-style set intersection (Beyer et al., SIGMOD'07; the
   * DataSketches theta sketch is the industrial form) — as pure integer

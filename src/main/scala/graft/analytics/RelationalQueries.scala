@@ -86,12 +86,17 @@ object RelationalQueries extends QuerySuite {
           sum("l_quantity").as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
           (sum(revE4) / 10000.0).as("sum_disc_price"),
+          // maxes are coalesced to 0 so an all-NULL column (whose rows
+          // contribute NULL products, never summed) cannot NULL the
+          // bound and disable the guard while the UNGUARDED dominated
+          // sums (sum_disc_price has no tax factor) still accumulate
           Exact.momentGuard(s, "q1_pricing_summary",
             "n*max_cents*100*(100+max_tax)",
             count(lit(1)).cast("double") *
-              max(cents(col("l_extendedprice"))).cast("double") *
-              lit(100.0) *
-              (lit(100.0) + max(cents(col("l_tax"))).cast("double")))(
+              coalesce(max(cents(col("l_extendedprice"))), lit(0L))
+                .cast("double") * lit(100.0) *
+              (lit(100.0) +
+                coalesce(max(cents(col("l_tax"))), lit(0L)).cast("double")))(
             (sum(revE4 * (lit(100L) + cents(col("l_tax")))) / 1000000.0))
             .as("sum_charge"),
           (sum("l_quantity") / count(lit(1))).as("avg_qty"),

@@ -645,9 +645,10 @@ object ScaleQueries extends QuerySuite {
 
     // Histogram-quantile sketch: the HASH-CHECKED mergeable
     // approximate-quantile — the glass-box counterpart to
-    // sketch_approx_quantiles (whose KLL internals are rows-only by
-    // design), completing the sketch family's oracle story alongside
-    // the KMV distinct twin. 64 equi-width integer-cents buckets
+    // sketch_approx_quantiles (whose KLL internals stay opaque; since
+    // round 12 its OUTPUT is an oracle-checked bound contract),
+    // completing the sketch family's oracle story alongside the KMV
+    // distinct twin. 64 equi-width integer-cents buckets
     // between the global min/max (a 1-row broadcast); the p-quantile
     // estimate is the UPPER EDGE of the first bucket whose cumulative
     // count reaches ceil(p·n) — error bounded by one bucket width

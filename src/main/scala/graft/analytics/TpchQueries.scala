@@ -158,9 +158,11 @@ object TpchQueries extends QuerySuite {
         .agg((Exact.momentGuard(s, "q9_profit_by_nation_year",
           "n*(max_cents*100 + max_retail_cents*80*max_qty)",
           count(lit(1)).cast("double") *
-            (max(cents(col("l_extendedprice"))).cast("double") * lit(100.0) +
-              max(cents(col("p_retailprice"))).cast("double") * lit(80.0) *
-                max(qtyL).cast("double")))(
+            (coalesce(max(cents(col("l_extendedprice"))), lit(0L))
+              .cast("double") * lit(100.0) +
+              coalesce(max(cents(col("p_retailprice"))), lit(0L))
+                .cast("double") * lit(80.0) *
+                coalesce(max(qtyL), lit(0L)).cast("double")))(
           sum(amountE4)) / 10000.0).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
@@ -199,7 +201,7 @@ object TpchQueries extends QuerySuite {
       val total = contrib.agg(Exact.momentGuard(s,
         "q11_part_value_concentration", "n_parts*max_part_value",
         count(lit(1)).cast("double") *
-          max(abs(col("value_e4"))).cast("double"))(
+          coalesce(max(abs(col("value_e4"))), lit(0L)).cast("double"))(
         sum(col("value_e4"))).as("total_e4"))
       contrib.crossJoin(broadcast(total))
         .filter(col("value_e4") > col("total_e4") * 0.0005)

@@ -54,7 +54,11 @@ object Tokens {
     sb.toString
   }
 
-  private def jsonUnescape(s: String): String = {
+  /** Returns None on a malformed \u escape (non-hex digits): the
+    * caller's contract is reject-not-crash, and a validly-signed body
+    * minted elsewhere can carry any bytes — a NumberFormatException
+    * here would abort a whole ingress query through [[verifyUdf]]. */
+  private def jsonUnescape(s: String): Option[String] = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -62,14 +66,17 @@ object Tokens {
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
           case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            val hex = s.substring(i + 2, i + 6)
+            if (!hex.forall(ch => Character.digit(ch, 16) >= 0)) return None
+            sb.append(Integer.parseInt(hex, 16).toChar)
             i += 5
+          case 'u' => return None // truncated \u escape
           case e => sb.append(e); i += 1
         }
       } else sb.append(c)
       i += 1
     }
-    sb.toString
+    Some(sb.toString)
   }
 
   /** Minimal JSON for the fixed claim set (no library dependency). */
@@ -110,7 +117,7 @@ object Tokens {
     // pattern above).
     def idField: Option[String] =
       """"_i":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-        .map(m => jsonUnescape(m.group(1)))
+        .flatMap(m => jsonUnescape(m.group(1)))
     // toLongOption, not toLong: a validly-SIGNED token minted by
     // another implementation can carry non-numeric claim text
     // ("_v":null, a float expiry) — that is a reject, not a crash

@@ -104,6 +104,25 @@ class MomentGuardSpec extends SparkSpec {
       assert(SparkEntry.queries(q)(spark, sfOf(q)).collect().nonEmpty, q)
   }
 
+  test("a NULL bound raises for a non-NULL value, passes a NULL value through") {
+    import org.apache.spark.sql.functions._
+    // when(NULL >= c) silently falls to .otherwise — the guard must
+    // treat an unprovable (NULL) bound as a loud failure whenever
+    // there is a non-NULL result to corrupt (round-12 self-review)
+    val df = spark.range(1).select(lit(5L).as("v"),
+      lit(null).cast("double").as("b"))
+    val e = intercept[Throwable] {
+      df.select(Exact.momentGuard(spark, "null_bound_probe", "b",
+        col("b"))(col("v"))).collect()
+    }
+    assert(messages(e).exists(m => m.contains("null_bound_probe") &&
+      m.contains("cannot be proven")))
+    // a NULL value is the empty-corpus case: nothing to corrupt
+    val out = df.select(Exact.momentGuard(spark, "null_bound_probe", "b",
+      col("b"))(lit(null).cast("long"))).collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+
   test("ceiling defaults to 2^62 and a configured value above it is clamped") {
     assert(Exact.MomentCeiling == math.pow(2, 62))
     assert(Exact.ceiling(spark) == Exact.MomentCeiling)

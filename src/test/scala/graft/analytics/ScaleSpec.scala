@@ -2,9 +2,12 @@ package graft.analytics
 
 import graft.SparkSpec
 
-/** Bounds for the sketch query (the driver's check is rows-only since
-  * estimates are engine-specific): HLL++ at rsd=0.02 must land within
-  * 5% of the exact distinct count on every channel.
+/** Sketch-family error bounds. Since round 12 the opaque-sketch
+  * queries emit oracle-checked bound CONTRACTS (exact side + inlined
+  * ppm bound + within-bound booleans — changing their output shape
+  * means changing their DuckDB oracles too); this spec asserts the
+  * flags and numerically cross-checks one raw estimate per sketch so
+  * the flag logic itself can't silently invert.
   */
 class ScaleSpec extends SparkSpec {
 

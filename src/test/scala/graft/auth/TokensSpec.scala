@@ -78,7 +78,13 @@ class TokensSpec extends AnyFunSuite {
     val badClaims = Seq(
       """{"_v":null,"_t":1,"_e":9999999999999,"_i":"u1"}""",
       """{"_v":1,"_t":1,"_e":1704067200000.5,"_i":"u1"}""",
-      """{"_v":abc,"_t":1,"_e":9999999999999,"_i":"u1"}""")
+      """{"_v":abc,"_t":1,"_e":9999999999999,"_i":"u1"}""",
+      // malformed unicode escapes in a validly-signed id claim:
+      // reject, not NumberFormatException (round-12 self-review
+      // finding; the backslash-u is spliced in to dodge scalac's own
+      // source-level unicode-escape processing)
+      "{\"_v\":1,\"_t\":1,\"_e\":9999999999999,\"_i\":\"x\\" + "uZZZZ\"}",
+      "{\"_v\":1,\"_t\":1,\"_e\":9999999999999,\"_i\":\"x\\" + "u12\"}")
     for (j <- badClaims)
       assert(Tokens.verify(signed(j), Tokens.TypeCluster, secret, now).isEmpty,
         s"should reject (not throw) on $j")
