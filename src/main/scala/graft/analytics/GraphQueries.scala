@@ -720,7 +720,12 @@ object GraphQueries extends QuerySuite {
       // loud headroom guard: M·S1 ≤ M²·Dmax², S2² ≤ (M·Dmax)²,
       // M·S3 ≤ M²·Dmax², per-edge da·db ≤ Dmax² — all under (M·Dmax)².
       val asBound = {
-        val md = col("m").cast("double") * col("dmax").cast("double")
+        // coalesce: an empty/edgeless corpus leaves dmax NULL while
+        // the guarded column (m = 0) is not — a NULL bound raises by
+        // design (round-12 momentGuard hardening); 0 is sound (no
+        // edges → no moment products to bound)
+        val md = col("m").cast("double") *
+          coalesce(col("dmax"), lit(0L)).cast("double")
         md * md
       }
       // a degree-REGULAR graph (every node equal degree: one edge, a

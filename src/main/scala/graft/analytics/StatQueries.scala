@@ -126,7 +126,12 @@ object StatQueries extends QuerySuite {
     // contract, enforced. The per-element products xⱼ·xₖ are bounded
     // by the same max², far inside the sum bound. Computed in DOUBLE
     // from wrap-proof n/max.
-    val mmax = greatest(dims.map(j => col(s"m$j").cast("double")): _*)
+    // coalesce: on an EMPTY corpus the maxes are NULL while the
+    // guarded column (n = 0) is not — a NULL bound now raises by
+    // design (round-12 momentGuard hardening), and 0 is the sound
+    // stand-in (no rows → no products to bound)
+    val mmax = coalesce(
+      greatest(dims.map(j => col(s"m$j").cast("double")): _*), lit(0.0))
     val pcaBound = nD * mmax * mmax
     val guardedN =
       if (decimalMoments) col("n")
