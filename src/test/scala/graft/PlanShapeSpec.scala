@@ -126,29 +126,26 @@ class PlanShapeSpec extends SparkSpec {
     // allowlist entry; the sweep keeps watching it.)
 
   test("no single-partition shuffle outside the audited bounded set") {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false") // AQE hides nodes behind QueryStageExec
-    try {
-      val withSingles = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, fn) =>
-          val plan = fn(spark, sf).queryExecution.executedPlan
-          val singles = plan.collect {
-            case e: ShuffleExchangeExec
-                if e.outputPartitioning.numPartitions == 1 &&
-                  !partialFed(e) => e
-          }
-          if (singles.nonEmpty) Some(name) else None
-      }.toSet
-      val offenders = withSingles -- boundedSinglePartition
-      assert(offenders.isEmpty,
-        s"unaudited single-partition exchanges in: ${offenders.toSeq.sorted}")
-      val stale = boundedSinglePartition -- withSingles
-      assert(stale.isEmpty,
-        s"allowlisted but no longer single-partition (remove): ${stale.toSeq.sorted}")
-    } finally prev match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
-    }
+    // AQE off (it hides nodes behind QueryStageExec) on a CLONED
+    // session — the MomentGuardSpec discipline: a shared-session
+    // toggle races concurrently-planning shape-sensitive suites
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val withSingles = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(s2, sf).queryExecution.executedPlan
+        val singles = plan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.numPartitions == 1 &&
+                !partialFed(e) => e
+        }
+        if (singles.nonEmpty) Some(name) else None
+    }.toSet
+    val offenders = withSingles -- boundedSinglePartition
+    assert(offenders.isEmpty,
+      s"unaudited single-partition exchanges in: ${offenders.toSeq.sorted}")
+    val stale = boundedSinglePartition -- withSingles
+    assert(stale.isEmpty,
+      s"allowlisted but no longer single-partition (remove): ${stale.toSeq.sorted}")
   }
 }

@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   * joins row): both sides bucketed on the join key join WITHOUT a
   * shuffle exchange — the physical plan proof that the partitioning
   * strategy holds.
+  *
+  * Conf hygiene: both tests need non-default SQLConf (broadcast off /
+  * a different shuffle partition count), taken on a CLONED session
+  * (`newSession()` — isolated SQLConf, shared context+catalog) so a
+  * concurrently-planning suite never observes the toggle — the
+  * MomentGuardSpec discipline; set-then-restore on the SHARED session
+  * is the cross-suite race the round-12 ADVICE closed in PcaPowerSpec.
   */
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
@@ -26,16 +33,16 @@ class BucketingSpec extends SparkSpec {
 
     // disable broadcast so the join must pick sort-merge — the point is
     // that bucketing removes the Exchange, not that broadcast hides it
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {
-      val joined = spark.table("b_lineitem")
-        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val joined = s2.table("b_lineitem")
+        .join(s2.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
       assert(joined.count() == 2000)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
@@ -45,14 +52,12 @@ class BucketingSpec extends SparkSpec {
     // the runtime re-plan the engine leans on at scale: tiny shuffle
     // outputs collapse below the configured partition count instead of
     // scheduling near-empty reducers
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "64")
-    try {
-      val df = spark.range(1000).groupBy(expr("id % 7").as("k")).count()
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
-        s"expected a runtime-coalesced shuffle read in:\n$plan")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "64")
+    val df = s2.range(1000).groupBy(expr("id % 7").as("k")).count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"expected a runtime-coalesced shuffle read in:\n$plan")
   }
 }

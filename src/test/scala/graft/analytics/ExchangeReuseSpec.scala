@@ -20,41 +20,33 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 class ExchangeReuseSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  // AQE off on a CLONED session (the MomentGuardSpec discipline — a
+  // shared-session toggle races concurrently-planning suites): under
+  // AQE, reuse happens at runtime as query-stage reuse on the same
+  // canonicalized-exchange identity; the static ReuseExchange rule
+  // (AQE off) checks the identical property deterministically at plan
+  // time, so pin it that way.
+  private def aqeOffSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
+
   private def reusedCount(name: String): Int = {
-    // Under AQE, reuse happens at runtime as query-stage reuse on the
-    // same canonicalized-exchange identity; the static ReuseExchange
-    // rule (AQE off) checks the identical property deterministically
-    // at plan time, so pin it that way.
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try {
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan
-      assert(!plan.isInstanceOf[AdaptiveSparkPlanExec])
-      plan.collectWithSubqueries { case r: ReusedExchangeExec => r }.size
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
+    val plan = SparkEntry.queries(name)(aqeOffSession, sf)
+      .queryExecution.executedPlan
+    assert(!plan.isInstanceOf[AdaptiveSparkPlanExec])
+    plan.collectWithSubqueries { case r: ReusedExchangeExec => r }.size
   }
 
   test("coSupplyEdges reuses the pair-count exchange (threshold + filter)") {
     // graph_triangles eagerly localCheckpoints the edge list, so the
     // reuse lives inside that materialization; probe the builder
     // directly (same plan the checkpoint executes)
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try {
-      val plan = GraphQueries.coSupplyEdges(spark, sf)
-        .queryExecution.executedPlan
-      assert(plan.collectWithSubqueries {
-        case r: ReusedExchangeExec => r }.nonEmpty)
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
+    val plan = GraphQueries.coSupplyEdges(aqeOffSession, sf)
+      .queryExecution.executedPlan
+    assert(plan.collectWithSubqueries {
+      case r: ReusedExchangeExec => r }.nonEmpty)
   }
 
   test("graph_common_neighbors reuses the (customer, part) projection exchange") {

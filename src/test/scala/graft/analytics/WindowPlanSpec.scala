@@ -22,26 +22,23 @@ class WindowPlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def assertScaleShape(name: String): Unit = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false") // AQE hides nodes behind QueryStageExec
-    try {
-      val df = WindowQueries.queries(name)(spark, sf)
-      df.collect()
-      val plan: SparkPlan = df.queryExecution.executedPlan
-      val singles = plan.collect {
-        case e: ShuffleExchangeExec
-            if e.outputPartitioning.numPartitions == 1 => e
-      }
-      assert(singles.isEmpty,
-        s"$name funnels through a single-partition Exchange:\n$plan")
-      val windows = plan.collect { case w: WindowExec => w }
-      assert(windows.isEmpty,
-        s"$name still contains a window operator:\n$plan")
-    } finally prev match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    // AQE off (it hides nodes behind QueryStageExec) on a CLONED
+    // session — the MomentGuardSpec discipline: a shared-session
+    // toggle races concurrently-planning shape-sensitive suites
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = WindowQueries.queries(name)(s2, sf)
+    df.collect()
+    val plan: SparkPlan = df.queryExecution.executedPlan
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
     }
+    assert(singles.isEmpty,
+      s"$name funnels through a single-partition Exchange:\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"$name still contains a window operator:\n$plan")
   }
 
   test("window_ntile_orders has no single-partition exchange and no window operator") {

@@ -126,8 +126,16 @@ class ClusterSpec extends SparkSpec {
   }
 
   test("mean-update shuffle carries at most partitions*K rows (executable Lloyd bound)") {
-    reg()
-    import spark.implicits._
+    // AQE off for a traversable plan tree — on a CLONED session (the
+    // MomentGuardSpec discipline: mutating the shared session's conf
+    // races concurrently-planning shape-sensitive suites). Inputs are
+    // rebuilt on the clone so the plan is governed by its SQLConf, and
+    // the kernel is registered on the CLONE's functionRegistry
+    // (registration is per-session).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.plans.NearestCentroidL2.register(s2)
+    import s2.implicits._
     // 4000 corpus rows over `parts` partitions: the per-round update
     // must shuffle only the map-side-combined partials, never the rows
     val parts = 8
@@ -138,30 +146,22 @@ class ClusterSpec extends SparkSpec {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = initCents(q)
     assert(cents.size === KmK)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
-      val sums = (0 until KmDim).map(i =>
-        sum(element_at(col("qv"), i + 1)).as(s"s$i"))
-      val agg = q.withColumn("cluster", assignExpr(cents))
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n"), sums: _*)
-      agg.collect()
-      val partials = agg.queryExecution.executedPlan.collect {
-        case h: HashAggregateExec
-          if h.aggregateExpressions.nonEmpty &&
-            h.aggregateExpressions.forall(_.mode == Partial) => h
-      }
-      assert(partials.nonEmpty, "no partial aggregate found in the plan")
-      val shuffled = partials.map(_.metrics("numOutputRows").value).sum
-      val bound = parts.toLong * KmK
-      assert(shuffled <= bound,
-        s"update shuffled $shuffled rows, bound is $parts*$KmK = $bound")
-    } finally prevAqe match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    val sums = (0 until KmDim).map(i =>
+      sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    val agg = q.withColumn("cluster", assignExpr(cents))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sums: _*)
+    agg.collect()
+    val partials = agg.queryExecution.executedPlan.collect {
+      case h: HashAggregateExec
+        if h.aggregateExpressions.nonEmpty &&
+          h.aggregateExpressions.forall(_.mode == Partial) => h
     }
+    assert(partials.nonEmpty, "no partial aggregate found in the plan")
+    val shuffled = partials.map(_.metrics("numOutputRows").value).sum
+    val bound = parts.toLong * KmK
+    assert(shuffled <= bound,
+      s"update shuffled $shuffled rows, bound is $parts*$KmK = $bound")
   }
 
   test("sf0.001: final assignment matches a driver-side recomputation") {

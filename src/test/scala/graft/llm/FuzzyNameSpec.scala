@@ -87,21 +87,17 @@ class FuzzyNameSpec extends SparkSpec {
   }
 
   test("the blocked join never degenerates to a cartesian product") {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
-      val df = EntityQueries.nearPairs(spark, sf)
-      df.collect()
-      val bad = df.queryExecution.executedPlan.collect {
-        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
-        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-      }
-      assert(bad.isEmpty,
-        s"all-pairs join shape in the blocked plan:\n${bad.mkString("\n")}")
-    } finally prevAqe match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    // AQE off on a CLONED session (the MomentGuardSpec discipline —
+    // a shared-session toggle races concurrently-planning suites)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = EntityQueries.nearPairs(s2, sf)
+    df.collect()
+    val bad = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
+    assert(bad.isEmpty,
+      s"all-pairs join shape in the blocked plan:\n${bad.mkString("\n")}")
   }
 }

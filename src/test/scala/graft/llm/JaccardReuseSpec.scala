@@ -16,17 +16,13 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 class JaccardReuseSpec extends SparkSpec {
 
   test("prefix-filter self-join reuses the posting-index exchange") {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try {
-      val plan = SparkEntry.queries("dedup_ngram_jaccard_pairs")(
-        spark, "/root/testdata/sf0.001").queryExecution.executedPlan
-      assert(plan.collectWithSubqueries {
-        case r: ReusedExchangeExec => r }.nonEmpty)
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
+    // AQE off on a CLONED session (the MomentGuardSpec discipline —
+    // a shared-session toggle races concurrently-planning suites)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = SparkEntry.queries("dedup_ngram_jaccard_pairs")(
+      s2, "/root/testdata/sf0.001").queryExecution.executedPlan
+    assert(plan.collectWithSubqueries {
+      case r: ReusedExchangeExec => r }.nonEmpty)
   }
 }

@@ -20,28 +20,23 @@ class ShuffleVolumeSpec extends SparkSpec {
     val parts = 8
     val k = 5
     val sf = "/root/testdata/sf0.01"
-    val events = Tables.events(spark, sf).repartition(parts)
+    // AQE off for a traversable plan tree (query stages are leaf
+    // wrappers that hide the partial exec from collect()) — on a
+    // CLONED session with the input rebuilt there (the MomentGuardSpec
+    // discipline: shared-session toggles race concurrent suites)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val events = Tables.events(s2, sf).repartition(parts)
     val nInput = events.count()
     val nKeys = events.select("event_type").distinct().count()
-
-    // AQE off for a traversable plan tree (query stages are leaf
-    // wrappers that hide the partial exec from collect())
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    val (plan, partials) =
-      try {
-        val df = TopKPerKey(events, Seq("event_type"),
-          Seq(col("value").desc, col("event_id").asc), k)
-        df.collect()
-        // the partial exec (rank=None) runs below the exchange: its
-        // output row count is exactly what the shuffle carries
-        val p = df.queryExecution.executedPlan
-        (p, p.collect { case e: TopKPerKeyExec if e.rank.isEmpty => e })
-      } finally prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
+    val df = TopKPerKey(events, Seq("event_type"),
+      Seq(col("value").desc, col("event_id").asc), k)
+    df.collect()
+    // the partial exec (rank=None) runs below the exchange: its
+    // output row count is exactly what the shuffle carries
+    val plan = df.queryExecution.executedPlan
+    val partials =
+      plan.collect { case e: TopKPerKeyExec if e.rank.isEmpty => e }
     assert(partials.nonEmpty, s"no partial TopKPerKeyExec in:\n$plan")
     val shuffled = partials.map(_.metrics("numOutputRows").value).sum
     val bound = parts.toLong * nKeys * k
