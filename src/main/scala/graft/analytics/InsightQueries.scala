@@ -224,7 +224,12 @@ object InsightQueries extends QuerySuite {
               col("n").cast("double")).as("chi2"),
           least(col("r") - 1L, col("c") - 1L).as("k"))
         .select(col("n"), col("df"), col("chi2"),
-          sqrt(col("chi2") / (col("n") * col("k")).cast("double"))
+          // a 1-row or 1-column table (k = least(r−1, c−1) = 0) makes
+          // Cramér's V undefined: ANSI abort in Spark, NaN in DuckDB
+          // — NULL in both twins (the sigma = 0 convention)
+          when(col("n") * col("k") === 0L, lit(null).cast("double"))
+            .otherwise(
+              sqrt(col("chi2") / (col("n") * col("k")).cast("double")))
             .as("cramers_v"))
     }),
 
@@ -302,8 +307,13 @@ object InsightQueries extends QuerySuite {
     // buckets, within-bucket cumulative partitioned), one global
     // reduce. Integer headroom: R2⁺ ≤ 2n⁺N < 2⁶³ to ~10⁹ rows.
     "stat_auc_roc" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(cents(col("value")).as("v"),
-        (col("event_type") === "purchase").as("pos"))
+      // a NULL value has no rank: Spark's NULL cents group is dropped
+      // by the bucket equi-join while DuckDB ranks it NULLS LAST —
+      // exclude in BOTH twins (the stat_percentile_cont convention)
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(cents(col("value")).as("v"),
+          (col("event_type") === "purchase").as("pos"))
       val vc = ev.groupBy("v").agg(
         sum(when(col("pos"), 1L).otherwise(0L)).as("np_v"),
         count(lit(1)).as("t_v"))
@@ -1133,12 +1143,22 @@ object InsightQueries extends QuerySuite {
         sum(col("rx") * col("rx")).as("sxx"),
         sum(col("ry") * col("ry")).as("syy"),
         sum(col("rx") * col("ry")).as("sxy"))
+      // zero rank variance on either axis (an all-tied series — e.g.
+      // zero purchase events on every day, or a single active day)
+      // makes the denominator 0.0: under Spark 4's ANSI default even
+      // DOUBLE x/0 ABORTS while DuckDB yields NaN — correlation is
+      // undefined there, so NULL in both twins (the stat_corr_monthly
+      // sigma = 0 convention)
       m.select(col("n").as("n_days"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("double")) *
-           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-             .cast("double")))).as("spearman_rho"))
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L ||
+            col("n") * col("syy") - col("sy") * col("sy") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")))).as("spearman_rho"))
     }),
 
     // Kendall tau-b between the same daily series: exact concordant/
@@ -1171,10 +1191,17 @@ object InsightQueries extends QuerySuite {
         count(lit(1)).as("n0"),
         sum(when(col("tx"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("ty"), 1L).otherwise(0L)).as("n2"))
+      // an all-tied axis (n1 = n0 or n2 = n0: e.g. one event type
+      // absent every day) zeroes the tie-adjusted denominator — ANSI
+      // abort in Spark, NaN in DuckDB; tau-b is undefined, so NULL in
+      // both twins (the spearman/corr sigma = 0 convention)
       agg0.select(col("nc").as("n_concordant"), col("nd").as("n_discordant"),
-        ((col("nc") - col("nd")).cast("double") /
-          (sqrt((col("n0") - col("n1")).cast("double")) *
-            sqrt((col("n0") - col("n2")).cast("double")))).as("kendall_tau_b"))
+        when(col("n0") === col("n1") || col("n0") === col("n2"),
+          lit(null).cast("double"))
+          .otherwise((col("nc") - col("nd")).cast("double") /
+            (sqrt((col("n0") - col("n1")).cast("double")) *
+              sqrt((col("n0") - col("n2")).cast("double"))))
+          .as("kendall_tau_b"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1263,7 +1290,8 @@ object InsightQueries extends QuerySuite {
         |    least(r - 1, c - 1) AS k
         |  FROM t, tot)
         |SELECT n, df, chi2,
-        |  sqrt(chi2 / CAST(n * k AS DOUBLE)) AS cramers_v
+        |  CASE WHEN n * k = 0 THEN NULL
+        |  ELSE sqrt(chi2 / CAST(n * k AS DOUBLE)) END AS cramers_v
         |FROM pre""".stripMargin,
 
     "stat_mann_whitney" ->
@@ -1303,7 +1331,7 @@ object InsightQueries extends QuerySuite {
       s"""WITH ev AS (
          |  SELECT ${centsSql("\"value\"")} AS v,
          |    event_type = 'purchase' AS pos
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |vc AS (
          |  SELECT v,
          |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np_v,
@@ -1925,9 +1953,11 @@ object InsightQueries extends QuerySuite {
         |  CAST(sum(ry * ry) AS BIGINT) AS syy,
         |  CAST(sum(rx * ry) AS BIGINT) AS sxy FROM ranked)
         |SELECT n AS n_days,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |  THEN NULL
+        |  ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS spearman_rho
         |FROM m""".stripMargin,
 
     "stat_kendall_daily" ->
@@ -1955,9 +1985,10 @@ object InsightQueries extends QuerySuite {
         |  CAST(sum(CASE WHEN ty THEN 1 ELSE 0 END) AS BIGINT) AS n2
         |  FROM p)
         |SELECT nc AS n_concordant, nd AS n_discordant,
-        |  CAST(nc - nd AS DOUBLE) /
+        |  CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+        |  ELSE CAST(nc - nd AS DOUBLE) /
         |    (sqrt(CAST(n0 - n1 AS DOUBLE)) *
-        |     sqrt(CAST(n0 - n2 AS DOUBLE))) AS kendall_tau_b
+        |     sqrt(CAST(n0 - n2 AS DOUBLE))) END AS kendall_tau_b
         |FROM m""".stripMargin)
 
 }

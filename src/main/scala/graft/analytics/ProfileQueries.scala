@@ -141,9 +141,14 @@ object ProfileQueries extends QuerySuite {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sx"),
           sum(col("i") * col("n_chars")).as("six"))
         .select(col("source"), col("n_docs"),
+          // a source of only empty documents (Σ n_chars = 0) is
+          // 0.0/0.0: ANSI abort in Spark, NaN in DuckDB — dispersion
+          // of nothing is undefined, NULL in both twins
           ((lit(2L) * col("six") - (col("n_docs") + 1L) * col("sx"))
             .cast("double") /
-            (col("n_docs") * col("sx")).cast("double")).as("gini"))
+            when(col("sx") === 0L, lit(null).cast("long"))
+              .otherwise(col("n_docs") * col("sx")).cast("double"))
+            .as("gini"))
         .orderBy("source")
     }),
 
@@ -527,7 +532,12 @@ object ProfileQueries extends QuerySuite {
     // window equi-joins (calendar gaps break motifs by design) and
     // the per-type argmax runs on the ≤ 4³-motif table.
     "ts_sax_motifs" -> ((s, d) => {
+      // valued events only: an all-NULL PAA window would yield pv =
+      // NULL, fall through every CASE branch, and misclassify a
+      // no-data window as the TOP symbol 'd' — and mixed windows
+      // would deflate hm = sum(non-NULL)/count(all). Both twins.
       val hourly = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("h"),
           Exact.cents(col("value")).as("xc"))
@@ -611,7 +621,10 @@ object ProfileQueries extends QuerySuite {
     // integer epoch arithmetic for the hour bucket; one fact
     // aggregate to the bounded (type, hour) table.
     "ts_seasonality_profile" -> ((s, d) => {
+      // valued events only — NULL values would inflate n while the
+      // mean's numerator skips them (count-vs-sum discipline)
       val byHour = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           (floor(unix_timestamp(col("ts")) / 3600L) % 24L).as("hod"),
           Exact.cents(col("value")).as("xc"))
@@ -727,7 +740,11 @@ object ProfileQueries extends QuerySuite {
     // fact-table aggregate to a k-row moment table; everything after
     // is k-row arithmetic — no window, no join, no second scan.
     "stat_anova_oneway" -> ((s, d) => {
+      // NULL values must not inflate ng while contributing nothing to
+      // the moments (the stat_welch_ttest count-vs-sum discipline):
+      // the statistic is defined over VALUED events in both twins
       val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type"), Exact.cents(col("value")).as("xc"))
       val g = ev.groupBy("event_type").agg(
         count(lit(1)).as("ng"), sum("xc").as("sg"),
@@ -764,7 +781,10 @@ object ProfileQueries extends QuerySuite {
     // aggregate to k rows, a broadcast C(k,2) self-join, k²-sized
     // output — nothing after the first aggregate touches the corpus.
     "stat_tukey_hsd" -> ((s, d) => {
+      // valued events only — the same count-vs-sum discipline as
+      // stat_anova_oneway (the two share the error term by contract)
       val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type"), Exact.cents(col("value")).as("xc"))
       val g = ev.groupBy("event_type").agg(
         count(lit(1)).as("ng"), sum("xc").as("sg"),
@@ -818,7 +838,12 @@ object ProfileQueries extends QuerySuite {
     // DECIMAL swap past ~10⁹ total rows); t³ < 2⁶³ to N ~ 2·10⁶ ties
     // per value.
     "stat_kruskal_wallis" -> ((s, d) => {
+      // a NULL value has no rank (Spark's NULL bucket sorts FIRST in
+      // the bucket-base window, DuckDB's cumulative ranks it LAST —
+      // every doubled midrank would shift differently per engine):
+      // ranks are defined over VALUED events in both twins
       val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type").as("g"), Exact.cents(col("value")).as("v"))
       val gv = ev.groupBy("g", "v").agg(count(lit(1)).as("c"))
       val vc = gv.groupBy("v").agg(sum("c").as("t"))
@@ -872,7 +897,12 @@ object ProfileQueries extends QuerySuite {
     // tree over the k-row table. Scale shape: identical to
     // stat_kruskal_wallis plus a broadcast C(k,2) self-join.
     "stat_dunn_test" -> ((s, d) => {
+      // a NULL value has no rank (Spark's NULL bucket sorts FIRST in
+      // the bucket-base window, DuckDB's cumulative ranks it LAST —
+      // every doubled midrank would shift differently per engine):
+      // ranks are defined over VALUED events in both twins
       val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type").as("g"), Exact.cents(col("value")).as("v"))
       val gv = ev.groupBy("g", "v").agg(count(lit(1)).as("c"))
       val vc = gv.groupBy("v").agg(sum("c").as("t"))
@@ -1054,7 +1084,7 @@ object ProfileQueries extends QuerySuite {
          |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
          |    CAST(sum(${Exact.centsSql("\"value\"")}) // count(*)
          |      AS BIGINT) AS hm
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
          |paa AS (
          |  SELECT event_type, h // $SaxWindowHours AS widx,
          |    CAST(sum(hm) // count(*) AS BIGINT) AS pv
@@ -1110,7 +1140,7 @@ object ProfileQueries extends QuerySuite {
         |      FROM r GROUP BY source)
         |SELECT source, n_docs,
         |  CAST(2 * six - (n_docs + 1) * sx AS DOUBLE) /
-        |    CAST(n_docs * sx AS DOUBLE) AS gini
+        |    CAST(nullif(n_docs * sx, 0) AS DOUBLE) AS gini
         |FROM g ORDER BY source""".stripMargin,
 
     "stat_welch_ttest" ->
@@ -1387,7 +1417,7 @@ object ProfileQueries extends QuerySuite {
          |    CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(${Exact.centsSql("\"value\"")}) AS BIGINT) AS sxc
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
          |pk AS (
          |  SELECT event_type, hod AS peak_hour FROM (
          |    SELECT event_type, hod,
@@ -1466,7 +1496,7 @@ object ProfileQueries extends QuerySuite {
     "stat_anova_oneway" ->
       s"""WITH ev AS (
          |  SELECT event_type, ${Exact.centsSql("\"value\"")} AS xc
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
          |    CAST(sum(xc) AS BIGINT) AS sg,
          |    CAST(sum(xc * xc) AS BIGINT) AS qg
@@ -1496,7 +1526,7 @@ object ProfileQueries extends QuerySuite {
     "stat_tukey_hsd" ->
       s"""WITH ev AS (
          |  SELECT event_type, ${Exact.centsSql("\"value\"")} AS xc
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
          |    CAST(sum(xc) AS BIGINT) AS sg,
          |    CAST(sum(xc * xc) AS BIGINT) AS qg
@@ -1529,7 +1559,7 @@ object ProfileQueries extends QuerySuite {
     "stat_kruskal_wallis" ->
       s"""WITH ev AS (
          |  SELECT event_type AS g, ${Exact.centsSql("\"value\"")} AS v
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
          |  FROM ev GROUP BY g, v),
          |vc AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
@@ -1566,7 +1596,7 @@ object ProfileQueries extends QuerySuite {
     "stat_dunn_test" ->
       s"""WITH ev AS (
          |  SELECT event_type AS g, ${Exact.centsSql("\"value\"")} AS v
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
          |  FROM ev GROUP BY g, v),
          |vc AS (SELECT v, CAST(sum(c) AS BIGINT) AS t

@@ -56,7 +56,11 @@ object StatQueries extends QuerySuite {
     val ep = floor(unix_timestamp(col("ts")) / 3600L).cast("long")
     val dow = (floor(unix_timestamp(col("ts")) / 86400L).cast("long")
       + 4L) % 7L
-    Tables.events(s, d).select(
+    // valued events only: a NULL y would inflate n and the x-only
+    // moments while every y moment skips it — a hash-invisible bias
+    // (both engines would agree on the wrong regression); the
+    // stat_welch_ttest count-vs-sum discipline, applied in both twins
+    Tables.events(s, d).filter(col("value").isNotNull).select(
         (ep % 24L).as("x1"),
         when(dow === 0L || dow === 6L, 1L).otherwise(0L).as("x2"),
         round(col("value"), 0).cast("long").as("y"))
@@ -813,11 +817,17 @@ object StatQueries extends QuerySuite {
       // factor on the floor() long cast — the "2·g³·max|m|² under
       // 2⁶²" contract above, enforced from wrap-proof count/max
       // aggregates.
+      // maxes coalesced to 0: on an all-NULL-value corpus mm/mx are
+      // NULL while the guarded column (g, a count) is not — a NULL
+      // bound raises by design since the round-12 hardening, and 0 is
+      // sound (NULL values contribute NULL products that sums skip)
       val jkBound = greatest(
         lit(2.0) * col("g").cast("double") * col("g").cast("double") *
-          col("g").cast("double") * col("mm").cast("double") *
-          col("mm").cast("double"),
-        lit(2000.0) * col("nn").cast("double") * col("mx").cast("double"))
+          col("g").cast("double") *
+          coalesce(col("mm"), lit(0L)).cast("double") *
+          coalesce(col("mm"), lit(0L)).cast("double"),
+        lit(2000.0) * col("nn").cast("double") *
+          coalesce(col("mx"), lit(0L)).cast("double"))
       md.groupBy("g", "nn", "ss", "mx")
         .agg(count(col("m")).as("gm"), sum("m").as("sm"),
           sum(col("m") * col("m")).as("sm2"),
@@ -1214,7 +1224,7 @@ object StatQueries extends QuerySuite {
         |    CASE WHEN ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
         |      IN (0, 6) THEN 1 ELSE 0 END AS x2,
         |    CAST(round("value") AS BIGINT) AS y
-        |  FROM events),
+        |  FROM events WHERE "value" IS NOT NULL),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
         |    CAST(sum(y) AS BIGINT) AS sy,
@@ -1374,7 +1384,7 @@ object StatQueries extends QuerySuite {
          |    CASE WHEN ((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7)
          |      IN (0, 6) THEN 1 ELSE 0 END AS x2,
          |    CAST(round("value") AS BIGINT) AS y
-         |  FROM events),
+         |  FROM events WHERE "value" IS NOT NULL),
          |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
          |    CAST(sum(y) AS BIGINT) AS sy,
