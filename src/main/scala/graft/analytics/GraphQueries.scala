@@ -131,6 +131,12 @@ object GraphQueries extends QuerySuite {
     // cap drops oversized baskets immediately after collection, the
     // same exposure class the old count-then-join had.
     val pairCnt = Tables.lineitem(s, d)
+      // NULL suppliers excluded in BOTH twins: collect_set DROPS the
+      // NULL before the MaxBasket size check while the SQL twin's
+      // DISTINCT counts it as a value — a 33-supplier basket with one
+      // NULL would be kept by Spark and dropped by the oracle,
+      // forking the edge set of all nine co-supply graph queries
+      .filter(col("l_suppkey").isNotNull)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .groupBy("ok").agg(sort_array(collect_set("sk")).as("ss"))
       .filter(size(col("ss")) <= MaxBasket)
@@ -150,7 +156,7 @@ object GraphQueries extends QuerySuite {
   /** SQL twin of [[coSupplyEdges]] ending in an `edges(u, v)` CTE. */
   private def coSupplyEdgesSqlCtes: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-       |            FROM lineitem),
+       |            FROM lineitem WHERE l_suppkey IS NOT NULL),
        |small AS (SELECT ok FROM li GROUP BY ok
        |          HAVING count(*) <= $MaxBasket),
        |basket AS (SELECT li.ok, li.sk FROM li JOIN small USING (ok)),
@@ -163,6 +169,33 @@ object GraphQueries extends QuerySuite {
        |        FROM pair_cnt),
        |edges AS (SELECT u, v FROM pair_cnt, tot
        |          WHERE cnt * n_pairs > total)""".stripMargin
+
+  /** Degree table + degree-ordered orientation shared by the
+    * triangle-family queries (graph_triangles, graph_local_clustering
+    * — previously two verbatim copies of this ~20-line stage): orient
+    * each edge toward the higher (deg, id) endpoint, carrying the
+    * dst's rank key so wedge endpoints order without another deg
+    * join. The orientation bounds wedge volume at O(m^1.5)
+    * (Ortmann & Brandes WSDM'14). */
+  private def orientedEdges(edges: DataFrame): (DataFrame, DataFrame) = {
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst"),
+      // dst is the higher-(deg,id) endpoint, so its degree is the
+      // max of the two (also right on ties, where both are equal)
+      greatest(col("du"), col("dv")).as("ddst"))
+    (deg, oriented)
+  }
 
   /** Symmetrized distinct edge list (src, dst). */
   /** (node, label) after [[LpaRounds]] synchronous label-propagation
@@ -770,24 +803,7 @@ object GraphQueries extends QuerySuite {
     "graph_triangles" -> ((s, d) => {
       val edges = coSupplyEdges(s, d)
         .truncateLineage() // referenced by deg + orientation + closure
-      val deg = edges.select(col("u").as("node"))
-        .union(edges.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val withDeg = edges
-        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-      // orient toward the higher (deg, id); keep the dst's rank key so
-      // wedge endpoints order without another deg join
-      val oriented = withDeg.select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("dst"),
-        // dst is the higher-(deg,id) endpoint, so its degree is the
-        // max of the two (also right on ties, where both are equal)
-        greatest(col("du"), col("dv")).as("ddst"))
+      val (deg, oriented) = orientedEdges(edges)
       // wedge enumeration stays a self-join on src (NOT the
       // coSupplyEdges combination-explode trick: measured 6.5 -> 10.5 s
       // at sf0.1 — the wedge fan is ~10x the basket fan, and paying a
@@ -808,8 +824,13 @@ object GraphQueries extends QuerySuite {
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
         .crossJoin(wedgeTotal)
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          (col("n_triangles").cast("double") * lit(3.0) /
-            col("n_wedges").cast("double")).as("clustering_coeff"))
+          // a perfect-matching graph (every degree 1) has edges but
+          // ZERO wedges: transitivity is undefined — NULL in both
+          // twins (the local_clustering deg < 2 convention), never an
+          // ANSI divide-by-zero abort
+          when(col("n_wedges") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_triangles").cast("double") * lit(3.0) /
+              col("n_wedges").cast("double")).as("clustering_coeff"))
     }),
 
     // Per-node LOCAL clustering coefficient (Watts & Strogatz, Nature
@@ -826,20 +847,7 @@ object GraphQueries extends QuerySuite {
     "graph_local_clustering" -> ((s, d) => {
       val edges = coSupplyEdges(s, d)
         .truncateLineage() // referenced by deg + orientation + closure
-      val deg = edges.select(col("u").as("node"))
-        .union(edges.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val withDeg = edges
-        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-      val oriented = withDeg.select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("dst"),
-        greatest(col("du"), col("dv")).as("ddst"))
+      val (deg, oriented) = orientedEdges(edges)
       val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.ddst") < col("e2.ddst") ||
@@ -1016,15 +1024,15 @@ object GraphQueries extends QuerySuite {
       }
       val topA = a.orderBy(col("s").desc, col("supp")).limit(10)
         .select(lit("authority").as("kind"), col("supp").as("node"),
-          col("s").as("score_ppb"))
+          col("s").as("score_ppm"))
       val topH = h.orderBy(col("s").desc, col("cust")).limit(10)
         .select(lit("hub").as("kind"), col("cust").as("node"),
-          col("s").as("score_ppb"))
+          col("s").as("score_ppm"))
       topA.unionByName(topH)
         .withColumn("rk", row_number().over(
           Window.partitionBy("kind")
-            .orderBy(col("score_ppb").desc, col("node"))).cast("long"))
-        .select("kind", "rk", "node", "score_ppb")
+            .orderBy(col("score_ppm").desc, col("node"))).cast("long"))
+        .select("kind", "rk", "node", "score_ppm")
         .orderBy("kind", "rk")
     }),
 
@@ -1188,8 +1196,9 @@ object GraphQueries extends QuerySuite {
          |         AS n_wedges FROM deg),
          |ne AS (SELECT count(*) AS n_edges FROM edges)
          |SELECT ne.n_edges, wt.n_wedges, tri.n_triangles,
-         |  3.0 * CAST(tri.n_triangles AS DOUBLE) /
-         |    CAST(wt.n_wedges AS DOUBLE) AS clustering_coeff
+         |  CASE WHEN wt.n_wedges = 0 THEN NULL
+         |  ELSE 3.0 * CAST(tri.n_triangles AS DOUBLE) /
+         |    CAST(wt.n_wedges AS DOUBLE) END AS clustering_coeff
          |FROM ne, wt, tri""".stripMargin,
 
     // Naive id-ordered triple enumeration (u<v<w via three edge
@@ -1382,14 +1391,14 @@ object GraphQueries extends QuerySuite {
          |h0 AS MATERIALIZED (
          |  SELECT DISTINCT cust, CAST($HitsScale AS BIGINT) AS s FROM e),
          |$rounds,
-         |ta AS (SELECT 'authority' AS kind, supp AS node, s AS score_ppb
+         |ta AS (SELECT 'authority' AS kind, supp AS node, s AS score_ppm
          |  FROM a$HitsRounds ORDER BY s DESC, supp LIMIT 10),
-         |th AS (SELECT 'hub' AS kind, cust AS node, s AS score_ppb
+         |th AS (SELECT 'hub' AS kind, cust AS node, s AS score_ppm
          |  FROM h$HitsRounds ORDER BY s DESC, cust LIMIT 10),
          |u AS (SELECT * FROM ta UNION ALL SELECT * FROM th)
          |SELECT kind, CAST(row_number() OVER (PARTITION BY kind
-         |    ORDER BY score_ppb DESC, node) AS BIGINT) AS rk,
-         |  node, score_ppb
+         |    ORDER BY score_ppm DESC, node) AS BIGINT) AS rk,
+         |  node, score_ppm
          |FROM u ORDER BY kind, rk""".stripMargin
     })
 }

@@ -790,9 +790,14 @@ object DedupQueries extends QuerySuite {
     // gets ~99% recall from these same (8,8) parameters.
     "dedup_embedding_lsh" -> ((s, d) => {
       graft.plans.FloatVectorDot.register(s)
+      // zero-norm vectors are excluded (the sim_* cosine convention):
+      // two of them share every SRP band (all dots 0) and the verify
+      // divides by nrm_a*nrm_b = 0 — ANSI abort in Spark while
+      // DuckDB's NaN compares >= threshold and emits phantom pairs
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .filter(col("nrm") > 0.0)
       srpPairs(e, dim = 64, threshold = 0.4)
     }),
 
@@ -808,6 +813,9 @@ object DedupQueries extends QuerySuite {
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", Vectors.normNative(col("embedding")))
+        // zero-norm exclusion: cosine against the zero vector is
+        // 0/0 — ANSI abort vs DuckDB NaN (the sim_* convention)
+        .filter(col("nrm") > 0.0)
       val a = e.select(col("vec_id").as("vec_a"), col("label"),
         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("label"),
@@ -898,7 +906,8 @@ object DedupQueries extends QuerySuite {
     s"""sig AS (
        |  SELECT vec_id, embedding,
        |${(0 until SrpBands).map(k => s"    ${bandValSql(k)} AS band$k").mkString(",\n")}
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE ${Vectors.normSql("embedding")} > 0),
        |bands AS (
        |${(0 until SrpBands).map(k =>
            s"  SELECT vec_id, $k AS band_idx, band$k AS band_val FROM sig")
@@ -1280,15 +1289,17 @@ object DedupQueries extends QuerySuite {
          |  SELECT c.vec_a, c.vec_b,
          |    ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
          |  FROM cand c
-         |  JOIN embeddings a ON a.vec_id = c.vec_a
-         |  JOIN embeddings b ON b.vec_id = c.vec_b)
+         |  JOIN sig a ON a.vec_id = c.vec_a
+         |  JOIN sig b ON b.vec_id = c.vec_b)
          |WHERE cos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_embedding_pairs" ->
-      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH nz AS (SELECT vec_id, label, embedding FROM embeddings
+         |            WHERE ${Vectors.normSql("embedding")} > 0)
+         |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
-         |FROM embeddings a JOIN embeddings b
+         |FROM nz a JOIN nz b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY a.label, vec_a, vec_b""".stripMargin,

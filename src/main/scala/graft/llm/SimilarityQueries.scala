@@ -1104,7 +1104,10 @@ object SimilarityQueries extends QuerySuite {
          |      THEN 1.0 / ($RrfK + rc.r) END, 0.0) +
          |    coalesce(CASE WHEN rd.r <= $RrfCand
          |      THEN 1.0 / ($RrfK + rd.r) END, 0.0) AS rrf
-         |  FROM rc JOIN rd USING (vec_id))
+         |  -- FULL join: the Spark twin fuses the UNION of the two
+         |  -- rankers' key sets; an inner join would return 0 rows
+         |  -- whenever one probe is absent/zero-norm (empty ranking)
+         |  FROM rc FULL JOIN rd USING (vec_id))
          |SELECT vec_id, rank_q0, rank_q1, rrf FROM f
          |WHERE rank_q0 IS NOT NULL OR rank_q1 IS NOT NULL
          |ORDER BY rrf DESC, vec_id LIMIT $RrfTop""".stripMargin,
@@ -1287,14 +1290,14 @@ object SimilarityQueries extends QuerySuite {
          |      ORDER BY cos DESC, vec_id) AS rk
          |  FROM cand),
          |tq AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |       FROM embeddings WHERE vec_id < 10),
+         |       FROM nz WHERE vec_id < 10),
          |truth AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT tq.q_id, e.vec_id,
          |      row_number() OVER (PARTITION BY tq.q_id
          |        ORDER BY ${cosSql("tq.q_emb", "e.embedding")} DESC,
          |          e.vec_id) AS trk
-         |    FROM embeddings e CROSS JOIN tq WHERE e.vec_id <> tq.q_id)
+         |    FROM nz e CROSS JOIN tq WHERE e.vec_id <> tq.q_id)
          |  WHERE trk <= $TopK),
          |hits AS (
          |  SELECT r.nprobe, CAST(count(*) AS BIGINT) AS n_hits
