@@ -235,10 +235,16 @@ object BehaviorQueries extends QuerySuite {
     // Funnel latency quartiles — not just HOW MANY users convert
     // (funnel_stages) but HOW FAST: exact p25/p50/p75 of the
     // stage-to-stage delay, per transition, by rank selection over
-    // the (transition, delay)-count table — the stat_percentile_cont
-    // discipline, so the only windows run over distinct delay values.
-    // Quartile convention: smallest delay whose cumulative count
-    // reaches ⌈n·q⌉ (cum·k ≥ n integer compares — no float ranks).
+    // the (transition, delay)-count table with the two-level bucketed
+    // prefix sum (the agg_percentiles_disc discipline — a cumulative
+    // partitioned only by TRANSITION would hold every distinct delay
+    // of one transition, up to the calendar span in seconds, in one
+    // window task; bucketing by dsec div 1000 caps within-bucket
+    // windows at 1000 rows and the per-transition base window at
+    // domain/1000 rows). Quartile convention: smallest delay whose
+    // cumulative count reaches ⌈n·q⌉ (cum·k ≥ n integer compares —
+    // no float ranks). The oracle keeps the single flat cumulative —
+    // the two-level sum telescopes to the same prefix.
     "funnel_latency_quantiles" -> ((s, d) => {
       val e = ev(s, d)
       val v = e.filter(col("event_type") === "view")
@@ -257,10 +263,17 @@ object BehaviorQueries extends QuerySuite {
           (col("p_sec") - col("c_sec")).as("dsec"))
       val vc = d1.union(d2).groupBy("transition", "dsec")
         .agg(count(lit(1)).as("cnt"))
-      val cum = vc
-        .withColumn("cum", sum("cnt").over(
-          Window.partitionBy("transition").orderBy("dsec")))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("transition")))
+        .withColumn("db", expr("dsec div 1000"))
+      val bases = vc.groupBy("transition", "db").agg(sum("cnt").as("bt"))
+        .withColumn("base", coalesce(sum("bt").over(
+          Window.partitionBy("transition").orderBy("db")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("transition", "db", "base")
+      val nTot = vc.groupBy("transition").agg(sum("cnt").as("n"))
+      val cum = vc.join(broadcast(bases), Seq("transition", "db"))
+        .withColumn("cum", col("base") + sum("cnt").over(
+          Window.partitionBy("transition", "db").orderBy("dsec")))
+        .join(broadcast(nTot), "transition")
       cum.groupBy("transition").agg(
           max("n").as("n_users"),
           min(when(col("cum") * 4 >= col("n"), col("dsec"))).as("p25_sec"),
@@ -357,14 +370,26 @@ object BehaviorQueries extends QuerySuite {
         .agg(count(lit(1)).as("c"))
         .truncateLineage(eager = false)
       val stats = hourly.agg(count(lit(1)).as("n"),
-        sum("c").as("sc"), sum(col("c") * col("c")).as("scc"))
+        sum("c").as("sc"), sum(col("c") * col("c")).as("scc"),
+        max("c").as("cmax"))
       // zero variance (constant traffic) → NULL z, never NaN: Spark's
       // NaN-is-largest ordering would otherwise flag EVERY hour
       val den = sqrt((col("n") * col("scc") - col("sc") * col("sc"))
         .cast("double"))
       hourly.crossJoin(broadcast(stats))
-        .withColumn("z", (col("c") * col("n") - col("sc")).cast("double")
-          / when(den =!= 0.0, den))
+        // integer headroom, ENFORCED: Σc² and n·scc are z-score
+        // moments over DATA-DEPENDENT hourly peaks (a hot hour pulls
+        // Σc² toward n·cmax²; 10¹² events over 10⁵ hours already put
+        // Σc² ≈ 10¹⁹ past BIGINT) — the guarded class per the ledger's
+        // dividing line; bound from the same wrap-proof count/max pass
+        .withColumn("z", Exact.momentGuard(s, "ts_anomalous_hours",
+          "(n_hours*cmax)^2",
+          (col("n").cast("double") *
+            coalesce(col("cmax"), lit(0L)).cast("double")) *
+            (col("n").cast("double") *
+              coalesce(col("cmax"), lit(0L)).cast("double")))(
+          (col("c") * col("n") - col("sc")).cast("double")
+            / when(den =!= 0.0, den)))
         .select(col("h"), col("c").as("n_events"), col("z"),
           (abs(col("z")) >= 3.0).cast("long").as("is_anomaly"))
         .orderBy("h")
@@ -399,15 +424,26 @@ object BehaviorQueries extends QuerySuite {
           sum(col("na")).as("sa"), sum(col("nb")).as("sb"),
           sum(col("na") * col("nb")).as("sab"),
           sum(col("na") * col("na")).as("saa"),
-          sum(col("nb") * col("nb")).as("sbb"))
+          sum(col("nb") * col("nb")).as("sbb"),
+          max(greatest(col("na"), col("nb"))).as("cmax"))
       val da = sqrt((col("n_hours") * col("saa") - col("sa") * col("sa"))
         .cast("double"))
       val db = sqrt((col("n_hours") * col("sbb") - col("sb") * col("sb"))
         .cast("double"))
       val denom = da * db
       stats.select(col("ta"), col("tb"), col("n_hours"),
-        ((col("n_hours") * col("sab") - col("sa") * col("sb")).cast("double")
-          / when(denom =!= 0.0, denom)).as("pearson"))
+        // integer headroom, ENFORCED: the Pearson moments (Σnanb,
+        // n·saa, …) square DATA-DEPENDENT hourly peaks — the same
+        // hot-hour hazard as ts_anomalous_hours, guarded by the same
+        // (n_hours·cmax)² bound from the wrap-proof count/max pass
+        Exact.momentGuard(s, "ts_type_correlation",
+          "(n_hours*cmax)^2",
+          (col("n_hours").cast("double") *
+            coalesce(col("cmax"), lit(0L)).cast("double")) *
+            (col("n_hours").cast("double") *
+              coalesce(col("cmax"), lit(0L)).cast("double")))(
+          (col("n_hours") * col("sab") - col("sa") * col("sb"))
+            .cast("double") / when(denom =!= 0.0, denom)).as("pearson"))
         .orderBy("ta", "tb")
     }),
 
@@ -521,10 +557,11 @@ object BehaviorQueries extends QuerySuite {
     // transition pair. Median by rank selection over the
     // (pair, delay)-count table (the funnel_latency_quantiles
     // convention: smallest delay whose doubled cumulative count
-    // reaches n), so the only windows are the per-user lag (bounded
-    // by a user's own events) and pair-PARTITIONED cumulatives over
-    // distinct delay values — nothing global, nothing raw-row. Mean
-    // is one IEEE divide of exact integer sums.
+    // reaches n), with the same two-level dsec div 1000 bucketing —
+    // the windows are the per-user lag (bounded by a user's own
+    // events), within-bucket cumulatives (≤ 1000 rows), and per-pair
+    // base windows over the delay domain ÷ 1000 — nothing global,
+    // nothing raw-row. Mean is one IEEE divide of exact integer sums.
     "path_transition_latency" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("sec"), col("event_id"))
@@ -536,10 +573,21 @@ object BehaviorQueries extends QuerySuite {
           (col("sec") - col("prev_sec")).as("dsec"))
       val vc = tr.groupBy("prev_type", "curr_type", "dsec")
         .agg(count(lit(1)).as("cnt"))
-      val pair = Window.partitionBy("prev_type", "curr_type")
+        .withColumn("db", expr("dsec div 1000"))
+      val bases = vc.groupBy("prev_type", "curr_type", "db")
+        .agg(sum("cnt").as("bt"))
+        .withColumn("base", coalesce(sum("bt").over(
+          Window.partitionBy("prev_type", "curr_type").orderBy("db")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("prev_type", "curr_type", "db", "base")
+      val nTot = vc.groupBy("prev_type", "curr_type")
+        .agg(sum("cnt").as("n"))
       val cum = vc
-        .withColumn("cum", sum("cnt").over(pair.orderBy("dsec")))
-        .withColumn("n", sum("cnt").over(pair))
+        .join(broadcast(bases), Seq("prev_type", "curr_type", "db"))
+        .withColumn("cum", col("base") + sum("cnt").over(
+          Window.partitionBy("prev_type", "curr_type", "db")
+            .orderBy("dsec")))
+        .join(broadcast(nTot), Seq("prev_type", "curr_type"))
       cum.groupBy("prev_type", "curr_type").agg(
           max("n").as("n_transitions"),
           sum(col("cnt") * col("dsec")).as("total_sec"),

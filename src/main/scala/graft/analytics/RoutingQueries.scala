@@ -339,6 +339,6 @@ object RoutingQueries extends QuerySuite {
       s"""SELECT event_id, 'M' AS op,
          |  (row_number() OVER (PARTITION BY event_type ORDER BY event_id) % 100) AS seq,
          |  event_type AS channel, props AS message,
-         |  'node-' || (user_id % 4) AS sender
+         |  'node-' || (user_id % ${Membership.NumNodes}) AS sender
          |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -482,16 +482,23 @@ object ScaleQueries extends QuerySuite {
           sum(abs(col("n1") * col("tn2") - col("n2") * col("tn1")))
             .as("num"))
         .select(col("event_type"), col("n_early"), col("n_late"),
-          // exact integer num (≤ 2·N1·N2, inside BIGINT to ~10^9 rows
-          // per half) then one float scale — ×10^6 BEFORE the divide
-          // would overflow BIGINT three decades earlier. A type
-          // confined to ONE half (introduced late / retired early)
-          // has no cross-half distance: NULL in both twins, never the
-          // x/0.0 Inf/NaN the engines need not agree on
-          when(col("n_early") === 0L || col("n_late") === 0L,
-            lit(null).cast("double"))
-            .otherwise(col("num").cast("double") * 1000000.0 /
-              (lit(2L) * col("n_early") * col("n_late")).cast("double"))
+          // exact integer num (≤ 2·N1·N2) then one float scale —
+          // ×10^6 BEFORE the divide would overflow BIGINT three
+          // decades earlier. Integer headroom, ENFORCED (round-12
+          // wave 7): the cross-products n1·tn2 wrap past ~3·10⁹ rows
+          // per half — BELOW the 100 TB envelope (~10¹² per half), the
+          // stat_chi_square class — so the 2·N1·N2 bound raises loudly
+          // from the wrap-proof per-type totals. A type confined to
+          // ONE half (introduced late / retired early) has no
+          // cross-half distance: NULL in both twins, never the x/0.0
+          // Inf/NaN the engines need not agree on
+          Exact.momentGuard(s, "dq_distribution_drift", "2*N1*N2",
+            lit(2.0) * col("n_early").cast("double") *
+              col("n_late").cast("double"))(
+            when(col("n_early") === 0L || col("n_late") === 0L,
+              lit(null).cast("double"))
+              .otherwise(col("num").cast("double") * 1000000.0 /
+                (lit(2L) * col("n_early") * col("n_late")).cast("double")))
             .as("tvd_ppm"))
         .orderBy("event_type")
     }),

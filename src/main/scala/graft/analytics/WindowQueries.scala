@@ -150,7 +150,16 @@ object WindowQueries extends QuerySuite {
           sum("rc").over(Window.partitionBy("r_name")))
         .select(col("r_name"), col("n_name"),
           (col("rc") / 100.0).as("revenue"),
-          expr("rc * 1000000 div region_rc").as("share_ppm"))
+          // integer headroom, ENFORCED: rc is a MONEY-CENTS sum
+          // (~10¹⁶ cents per region at 100 TB), so the ppm product is
+          // ~10²² — the char-scale-ppm class, not the exempt
+          // count-only one; bound from the region total (ANSI raises
+          // on the sum itself long before the bound could wrap)
+          Exact.momentGuard(s, "window_share_of_total",
+            "region_rc*1e6",
+            coalesce(col("region_rc"), lit(0L)).cast("double")
+              * lit(1.0e6))(
+            expr("rc * 1000000 div region_rc")).as("share_ppm"))
         .orderBy("r_name", "n_name")
     }),
 

@@ -46,9 +46,15 @@ object BpeQueries extends QuerySuite {
     out.toSeq
   }
 
-  /** Word → initial symbol sequence: characters + end-of-word marker. */
+  /** Word → initial symbol sequence: CODE POINTS + end-of-word marker.
+    * Code points, not UTF-16 chars: the oracle's `wrd[i:i]` slices
+    * VARCHARs by code point, so a `word.map(_.toString)` spelling
+    * would split a non-BMP character into two lone surrogates (each
+    * of which UTF-8-encodes as '?') and fork the twins — the same
+    * collation care [[utf8Lt]] takes for the tie-break. */
   private[llm] def initSyms(word: String): Seq[String] =
-    word.map(_.toString) :+ Eow
+    word.codePoints().toArray.toSeq
+      .map(cp => new String(Character.toChars(cp))) :+ Eow
 
   /** Apply a learned merge list in rank order to one word. */
   private[llm] def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =

@@ -44,8 +44,10 @@ object ClusterQueries extends QuerySuite {
   val KmRounds = 4
   val KmDim = 64
   /** Quantization grid: |x| < 0.6 in this corpus, so |q| < 6·10^5 and
-    * even 100 TB of per-cluster sums stay far inside BIGINT (and the
-    * test-scale ones inside double-exact range for the oracle). */
+    * 100 TB of per-cluster COORDINATE sums stay far inside BIGINT
+    * (and the test-scale ones inside double-exact range for the
+    * oracle). The position-weighted wsum checksum is ~2000× wider and
+    * carries its own momentGuard at the sim_kmeans_train site. */
   val KmQ = 1000000.0
 
   /** float embedding → integer grid point (array<long>). */
@@ -172,9 +174,21 @@ object ClusterQueries extends QuerySuite {
         .agg(count(lit(1)).as("n_members"),
           sum(element_at(col("qv"), 1)).as("sum_d0"),
           sum(element_at(col("qv"), 2)).as("sum_d1"),
-          sum(col("w")).as("wsum"))
+          sum(col("w")).as("wsum"),
+          max(abs(col("w"))).as("wmax"))
         .select(col("cluster").as("c_id"), col("n_members"),
-          col("sum_d0"), col("sum_d1"), col("wsum"))
+          col("sum_d0"), col("sum_d1"),
+          // integer headroom, ENFORCED: the position-weighted checksum
+          // is ~2000× wider than the plain coordinate sums (|w| ≤
+          // |q|max·ΣKmDim·i ≈ 1.2·10⁹/row), so a cluster past ~7.7·10⁹
+          // members — inside a 100 TB corpus at K=8 — wraps it while
+          // sum_d0/d1 are still safe; bound n·max|w| from the same
+          // wrap-proof aggregate pass
+          graft.analytics.Exact.momentGuard(s, "sim_kmeans_train",
+            "n_members*max_abs_w",
+            col("n_members").cast("double") *
+              coalesce(col("wmax"), lit(0L)).cast("double"))(
+            col("wsum")).as("wsum"))
         .orderBy("c_id")
     }),
 

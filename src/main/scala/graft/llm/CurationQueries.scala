@@ -108,7 +108,12 @@ object CurationQueries extends QuerySuite {
     // is a compile-time constant folded into conditional aggregates
     // (no row multiplication), then a 5-row stack un-pivots the
     // single aggregate row — the whole query is map-side until a
-    // scalar aggregate. Integer ppm shares, engine-exact.
+    // scalar aggregate. Integer ppm shares, engine-exact. Integer
+    // headroom, ENFORCED (momentGuard): chars_ppm multiplies the
+    // corpus-wide CHAR sum by 10⁶ — char sums are ~10²× row counts,
+    // so the product crosses 2⁶² at ~4.6·10¹² kept chars (≈ 4.6 TB
+    // of text, well inside the envelope); docs_ppm is count-only
+    // (crosses at ~4.6·10¹² docs — the dq_benford exemption class).
     "text_filter_sweep" -> ((s, d) => {
       val aggs = Seq(count(lit(1)).as("n_all"),
         sum("n_chars").as("c_all")) ++
@@ -131,8 +136,11 @@ object CurationQueries extends QuerySuite {
           when(col("n_all") > 0L,
             expr("n_docs * 1000000 div n_all")).otherwise(0L)
             .as("docs_ppm"),
-          when(coalesce(col("c_all"), lit(0L)) > 0L,
-            expr("n_chars_kept * 1000000 div c_all")).otherwise(0L)
+          graft.analytics.Exact.momentGuard(s, "text_filter_sweep",
+            "c_all*1e6",
+            coalesce(col("c_all"), lit(0L)).cast("double") * lit(1.0e6))(
+            when(coalesce(col("c_all"), lit(0L)) > 0L,
+              expr("n_chars_kept * 1000000 div c_all")).otherwise(0L))
             .as("chars_ppm"))
         .orderBy("min_chars")
     }),
@@ -340,37 +348,18 @@ object CurationQueries extends QuerySuite {
     // trigram with the held-out eval split (the split is the same
     // deterministic md5-bucket function as text_dataset_split, so the
     // eval set is a pure function of doc_id). Scale shape: the eval
-    // side collapses to a DISTINCT shingle set — a fixed small
-    // fraction of the corpus — broadcast into a map-side inner join
-    // against train shingles; per-doc hit counts then partial-agg on
-    // doc_id. At 100 TB the eval shingle set is the only thing that
-    // moves; the train corpus is scanned once, map-only. (In
-    // production the join key would be xxhash64(shingle) to shrink
-    // the broadcast; kept as strings here for cross-engine parity.)
-    "text_decontaminate" -> ((s, d) => {
-      graft.plans.NGramShingles.register(s)
-      val bucket = substring(
-        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-      val sh = Tables.documents(s, d)
-        .withColumn("is_eval", bucket >= "e6")
-        .withColumn("ws", words(col("text")))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), col("is_eval"),
-          shinglesNative(col("ws"), 3).as("sh"))
-      val evalGrams = sh.filter(col("is_eval"))
-        .select(explode(col("sh")).as("g")).distinct()
-      sh.filter(!col("is_eval"))
-        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-          explode(col("sh")).as("g"))
-        .join(broadcast(evalGrams), Seq("g"))
-        .groupBy("doc_id")
-        .agg(max(col("n_shingles")).as("n_shingles"),
-          count(lit(1)).as("n_hits"))
-        .withColumn("contamination",
-          col("n_hits").cast("double") / col("n_shingles").cast("double"))
-        .select("doc_id", "n_shingles", "n_hits", "contamination")
-        .orderBy("doc_id")
-    }),
+    // side collapses to a DISTINCT shingle set and ships BROADCAST
+    // only under [[BroadcastShingleBudget]] (checked via a cheap
+    // 1-row eval k-gram upper bound — the contaminationOverlap
+    // pattern; the eval split is a FRACTION of the corpus, so an
+    // unconditional broadcast hint would ABORT past the 8 GB ceiling
+    // at 100×, the round-12 wave-2 routing lesson); above the budget
+    // the same join degrades to a plain keyed shuffle on the shingle.
+    // Per-doc hit counts then partial-agg on doc_id. (In production
+    // the join key would be xxhash64(shingle) to shrink the shipped
+    // side; kept as strings here for cross-engine parity.)
+    "text_decontaminate" ->
+      ((s, d) => decontaminate(s, d, BroadcastShingleBudget)),
 
     "text_mixture_plan" -> ((s, d) => {
       val bySrc = Tables.documents(s, d)
@@ -379,12 +368,17 @@ object CurationQueries extends QuerySuite {
         .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
       val tot = bySrc.agg(sum("tokens").as("total_tokens"),
         count(lit(1)).as("n_sources"))
+      // same defense-in-depth nullif discipline as
+      // text_mixture_temperature: zero/NULL token sums are unreachable
+      // under the current tokenizer but must degrade to NULL shares,
+      // never to an ANSI DIVIDE_BY_ZERO abort (both twins)
       bySrc.crossJoin(broadcast(tot))
         .withColumn("nat_frac",
-          col("tokens").cast("double") / col("total_tokens").cast("double"))
+          col("tokens").cast("double") /
+            expr("CAST(nullif(total_tokens, 0) AS DOUBLE)"))
         .withColumn("rate", least(lit(1.0),
           expr(s"total_tokens DIV n_sources").cast("double")
-            / col("tokens").cast("double")))
+            / expr("CAST(nullif(tokens, 0) AS DOUBLE)")))
         .withColumn("planned_tokens",
           floor(col("rate") * col("tokens").cast("double")).cast("long"))
         .select("source", "n_docs", "tokens", "nat_frac", "rate",
@@ -547,9 +541,10 @@ object CurationQueries extends QuerySuite {
       val tot = bySrc.agg(sum("tokens").as("total_tokens"),
         count(lit(1)).as("n_sources"))
       val rates = bySrc.crossJoin(broadcast(tot))
+        // nullif defense: see text_mixture_plan
         .withColumn("rate", least(lit(1.0),
           expr("total_tokens DIV n_sources").cast("double")
-            / col("tokens").cast("double")))
+            / expr("CAST(nullif(tokens, 0) AS DOUBLE)")))
         .select("source", "rate")
       val thr = lpad(lower(hex(floor(col("rate") * 4294967296.0)
         .cast("long"))), 8, "0")
@@ -569,26 +564,40 @@ object CurationQueries extends QuerySuite {
     // Token-budget sequence packing: concatenate the corpus in
     // (source, doc_id) order and chunk into SeqLen-token training
     // sequences; each doc reports its global token offset and the
-    // sequence ids it lands in. Offsets are two-stage: a window cumsum
-    // WITHIN each source shard plus a broadcast per-shard base — no
-    // global row ordering ever materializes, so the plan survives any
-    // corpus size (the oracle's single global window is the semantic
-    // twin, not the physical plan).
+    // sequence ids it lands in. Offsets are the two-level bucketed
+    // prefix sum (the sample_pps_systematic decomposition): a window
+    // cumsum WITHIN each (source, ⌈√N⌉-wide doc-id bucket) plus a
+    // broadcast per-bucket base table — a cumsum partitioned only by
+    // SOURCE would put a whole shard (a corpus fraction) in ONE window
+    // task at 100 TB; bucketing keeps both axes at ~√N (the round-12
+    // wave-6 re-plan). No global row ordering ever materializes (the
+    // oracle's single global window is the semantic twin, not the
+    // physical plan); bk is monotone in doc_id, so per-bucket
+    // concatenation in (source, bk, doc_id) order IS the (source,
+    // doc_id) order the contract names.
     "text_pack_sequences" -> ((s, d) => {
       // Same single-tokenization discipline as text_mixture_sample: the
-      // cumsum pass and the per-shard bases both consume this projection.
+      // cumsum pass and the per-bucket bases both consume this
+      // projection, and the 1-row sizing pre-pass populates the cache.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("long").as("n_tokens"))
         .persist()
-      val local = docs.withColumn("local_off",
-        coalesce(sum("n_tokens").over(Window.partitionBy("source")
+      val dim = docs.agg(count(lit(1)).as("n"), max("doc_id").as("mx"))
+        .head()
+      val width = if (dim.isNullAt(1)) 1L
+        else SampleQueries.ppsBucketWidth(dim.getLong(0), dim.getLong(1))
+      val bucketed = docs.withColumn("bk", expr(s"doc_id div $width"))
+      val local = bucketed.withColumn("local_off",
+        coalesce(sum("n_tokens").over(Window.partitionBy("source", "bk")
           .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      val bases = docs.groupBy("source").agg(sum("n_tokens").as("tot"))
-        .withColumn("base", coalesce(sum("tot").over(Window.orderBy("source")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("source", "base")
-      local.join(broadcast(bases), "source")
+      val bases = bucketed.groupBy("source", "bk")
+        .agg(sum("n_tokens").as("tot"))
+        .withColumn("base", coalesce(sum("tot").over(
+          Window.orderBy("source", "bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "bk", "base")
+      local.join(broadcast(bases), Seq("source", "bk"))
         .withColumn("start_off", col("base") + col("local_off"))
         .withColumn("first_seq", expr(s"start_off DIV $SeqLen"))
         .withColumn("last_seq", expr(s"(start_off + n_tokens - 1) DIV $SeqLen"))
@@ -597,6 +606,50 @@ object CurationQueries extends QuerySuite {
           (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
         .orderBy("doc_id")
     }))
+
+  /** Broadcast ceiling for the decontamination eval shingle set —
+    * the MiningQueries.BroadcastFpBudget pattern: 10⁷ rows × ~24 B ≈
+    * 240 MB, inside executor memory and Spark's broadcast limit with
+    * margin; above it the shingle join runs as a keyed shuffle. */
+  val BroadcastShingleBudget = 10000000L
+
+  /** Body of text_decontaminate with the broadcast budget as a
+    * parameter (`private[graft]` so the spec can assert both ship
+    * strategies agree — the contaminationOverlap pattern). */
+  private[graft] def decontaminate(s: SparkSession, d: String,
+      budget: Long): DataFrame = {
+    graft.plans.NGramShingles.register(s)
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val sh = Tables.documents(s, d)
+      .withColumn("is_eval", bucket >= "e6")
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("is_eval"),
+        shinglesNative(col("ws"), 3).as("sh"))
+    // 1-row scalar: upper bound on eval DISTINCT shingles (≤ total
+    // eval trigram positions) from the documents projection alone
+    val evalShingles = Tables.documents(s, d)
+      .filter(bucket >= "e6")
+      .agg(coalesce(sum(greatest(lit(0),
+        size(words(col("text"))) - 2).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val evalGrams = sh.filter(col("is_eval"))
+      .select(explode(col("sh")).as("g")).distinct()
+    val evalSide =
+      if (evalShingles <= budget) broadcast(evalGrams) else evalGrams
+    sh.filter(!col("is_eval"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .join(evalSide, Seq("g"))
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_shingles").cast("double"))
+      .select("doc_id", "n_shingles", "n_hits", "contamination")
+      .orderBy("doc_id")
+  }
 
   /** Pipeline-order ablation query (Spark side): see the entry in
     * [[queries]] registered via [[orderAblation]]. */
@@ -744,7 +797,10 @@ object CurationQueries extends QuerySuite {
          |  CAST(sum(CASE WHEN ql.q = 1 AND c.doc_id IS NOT NULL
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_train_ready
          |FROM documents d
-         |JOIN ql ON ql.doc_id = d.doc_id
+         |-- LEFT join (same rationale as curation_funnel): n_docs must
+         |-- count every document; a NULL-text doc has q NULL, which the
+         |-- sums skip in both engines
+         |LEFT JOIN ql ON ql.doc_id = d.doc_id
          |LEFT JOIN canon c ON c.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
@@ -805,7 +861,11 @@ object CurationQueries extends QuerySuite {
          |  CAST(sum(k.keep) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN k.keep = 1 THEN k.n_words ELSE 0 END)
          |    AS BIGINT) AS tokens_kept
-         |FROM d2 JOIN k ON d2.doc_id = k.doc_id
+         |-- LEFT join: the Spark twin computes keep per ROW, so a
+         |-- NULL-text doc stays in n_raw with keep NULL (the gopher
+         |-- CTE chain drops it from k entirely — an inner join would
+         |-- silently shrink n_raw on NULL-text corpora)
+         |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
          |GROUP BY d2.split, d2.source
          |ORDER BY d2.split, d2.source""".stripMargin,
 
@@ -834,11 +894,12 @@ object CurationQueries extends QuerySuite {
         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
         |             count(*) AS n_sources FROM s)
         |SELECT source, n_docs, tokens,
-        |  CAST(tokens AS DOUBLE) / total_tokens AS nat_frac,
-        |  least(1.0, CAST(total_tokens // n_sources AS DOUBLE) / tokens)
-        |    AS rate,
+        |  CAST(tokens AS DOUBLE) / nullif(total_tokens, 0) AS nat_frac,
+        |  least(1.0, CAST(total_tokens // n_sources AS DOUBLE)
+        |    / nullif(tokens, 0)) AS rate,
         |  CAST(floor(least(1.0,
-        |      CAST(total_tokens // n_sources AS DOUBLE) / tokens) * tokens)
+        |      CAST(total_tokens // n_sources AS DOUBLE)
+        |        / nullif(tokens, 0)) * tokens)
         |    AS BIGINT) AS planned_tokens
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
 
@@ -917,8 +978,8 @@ object CurationQueries extends QuerySuite {
         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
         |             count(*) AS n_sources FROM s),
         |r AS (SELECT source,
-        |        least(1.0, CAST(total_tokens // n_sources AS DOUBLE) / tokens)
-        |          AS rate
+        |        least(1.0, CAST(total_tokens // n_sources AS DOUBLE)
+        |          / nullif(tokens, 0)) AS rate
         |      FROM s CROSS JOIN t),
         |d2 AS (
         |  SELECT d.source, r.rate,

@@ -147,14 +147,26 @@ object MiningQueries extends QuerySuite {
     * k-gram seed-and-extend join, the shape that distributes):
     * [[SubK]]-token seed grams, spans reported at ≥ [[MinSpan]]
     * tokens, and grams appearing in more than [[MaxDf]] distinct
-    * docs excluded as stop-grams. The df cap is the scale guard: a
-    * boilerplate gram shared by a million docs would otherwise emit
-    * a quadratic posting-list self-join; capping df bounds every
-    * block at C(MaxDf,2) pairs, and real span dedup drops those
-    * grams anyway (they are boilerplate, not provenance). */
+    * docs — or more than [[MaxPostings]] total positions — excluded
+    * as stop-grams. The two caps together are the scale guard: a
+    * boilerplate gram shared by a million docs (or repeated a million
+    * times inside two docs) would otherwise emit a quadratic
+    * posting-list self-join; capping BOTH axes bounds every block at
+    * C(MaxPostings, 2) pairs, and real span dedup drops those grams
+    * anyway (they are boilerplate, not provenance). */
   val SubK = 8
   val MinSpan = 12
   val MaxDf = 16L
+
+  /** Total-postings cap per seed gram, closing the hole [[MaxDf]]
+    * alone leaves: df counts DISTINCT docs, so a gram repeated 10⁶
+    * times inside each of two pathological docs ("spam spam spam …")
+    * still passes df = 2 and would emit 10¹² position pairs from ONE
+    * hash. Capping total occurrences bounds every block at
+    * C(MaxPostings, 2) pairs; a gram past the cap is degenerate
+    * repetition, not provenance — the same stop-gram rationale as the
+    * df cap, applied to the other axis. */
+  val MaxPostings = 128L
 
   /** Fixed-point scale for the importance ratio (same convention as
     * [[LmScale]]) and a deterministic clamp on a single feature's
@@ -252,8 +264,10 @@ object MiningQueries extends QuerySuite {
         .select(col("doc_id"), col("pos").cast("long").as("p"),
           xxhash64(col("col")).as("h"))
       val rare = kg.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") <= MaxDf).select("h")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("occ"))
+        .filter(col("df") <= MaxDf && col("occ") <= MaxPostings)
+        .select("h")
       val seeds = kg.join(rare, Seq("h"), "left_semi")
       val m = seeds.select(col("h"), col("doc_id").as("doc_a"),
           col("p").as("pa"))
@@ -359,21 +373,36 @@ object MiningQueries extends QuerySuite {
     // so tercile THRESHOLDS come from exact rank selection over the
     // per-language (score → count) value-count table — the
     // stat_mann_whitney pattern — never an ntile window over raw
-    // docs: the only per-language window runs over distinct score
-    // values (bounded by doc count but tiny rows), and the threshold
-    // table that routes every doc is languages × 2 values, broadcast.
-    // t1/t2 are the smallest scores whose cumulative count reaches
-    // n/3 and 2n/3; buckets are closed on the left at those cuts, so
-    // every engine places boundary docs identically — pure integer
-    // compares end to end.
+    // docs. Since round-12 wave 6 the cumulative itself is the
+    // two-level bucketed prefix sum (the agg_percentiles_disc shape):
+    // a window partitioned only by LANGUAGE holds every distinct
+    // score of that language in ONE task (scores are near-unique per
+    // doc, so that partition is doc-count-sized at 100 TB); bucketing
+    // by s div 10⁶ over the BOUNDED score domain [0, 10⁹] caps every
+    // within-bucket window at 10⁶ rows and the per-language base
+    // window at ~10³ bucket rows — both constants. The per-language
+    // total is an aggregate + broadcast join, not a whole-partition
+    // window. The threshold table that routes every doc is languages
+    // × 2 values, broadcast. t1/t2 are the smallest scores whose
+    // cumulative count reaches n/3 and 2n/3; buckets are closed on
+    // the left at those cuts, so every engine places boundary docs
+    // identically — pure integer compares end to end.
     "text_ccnet_buckets" -> ((s, d) => {
       val sc = lmDocScores(s, d)
         .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
         .withColumn("s", expr("sum_ppm * 1000 div n_bigrams"))
       val vc = sc.groupBy("lang", "s").agg(count(lit(1)).as("cnt"))
-      val cum = vc.withColumn("cum", sum("cnt").over(
-          Window.partitionBy("lang").orderBy("s")))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+        .withColumn("sb", expr("s div 1000000"))
+      val bases = vc.groupBy("lang", "sb").agg(sum("cnt").as("bt"))
+        .withColumn("base", coalesce(sum("bt").over(
+          Window.partitionBy("lang").orderBy("sb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("lang", "sb", "base")
+      val n = vc.groupBy("lang").agg(sum("cnt").as("n"))
+      val cum = vc.join(broadcast(bases), Seq("lang", "sb"))
+        .withColumn("cum", col("base") + sum("cnt").over(
+          Window.partitionBy("lang", "sb").orderBy("s")))
+        .join(broadcast(n), "lang")
       val thr = cum.groupBy("lang").agg(
         min(when(col("cum") * 3 >= col("n"), col("s"))).as("t1"),
         min(when(col("cum") * 3 >= col("n") * 2, col("s"))).as("t2"))
@@ -512,13 +541,18 @@ object MiningQueries extends QuerySuite {
       // 1-row scalar: checkpoint width from the id span. isNullAt
       // guards the empty corpus (max over zero rows is NULL and
       // getLong would NPE - the sample_pps_systematic precedent);
-      // width 1 degrades to the oracle's empty result. The 100.0 IS
-      // [[Checkpoints]], interpolated so tuning the val cannot
-      // silently fork the twins.
+      // width 1 degrades to the oracle's empty result. The literal
+      // IS [[Checkpoints]], interpolated so tuning the val cannot
+      // silently fork the twins. Spelled floor(mx/C)+1 — the SAME
+      // value as ceil((mx+1)/C) for every mx ≥ 0 but overflow-free
+      // (the naive mx+1 wraps for hashed ids near Long.MaxValue and
+      // would collapse the width to 1, the data-sized bucket table
+      // the derivation exists to prevent — the ppsBucketWidth lesson;
+      // the double-division spelling also loses integer precision
+      // past 2^53).
       val mx = docs.agg(max("doc_id")).head
       val w = if (mx.isNullAt(0)) 1L
-        else math.max(1L, math.ceil(
-          (mx.getLong(0) + 1) / Checkpoints.toDouble).toLong)
+        else math.max(1L, mx.getLong(0) / Checkpoints + 1L)
       val lws = TextOps.words(lower(col("text")))
       val tc = docs
         .select(expr(s"doc_id div $w").as("bucket"),
@@ -647,7 +681,8 @@ object MiningQueries extends QuerySuite {
          |  FROM pos),
          |${XxhSql.ctes("sgsrc", Seq("doc_id", "p"), "s0", "sg")},
          |rare AS (SELECT hv FROM sg_out
-         |  GROUP BY hv HAVING count(DISTINCT doc_id) <= $MaxDf),
+         |  GROUP BY hv HAVING count(DISTINCT doc_id) <= $MaxDf
+         |    AND count(*) <= $MaxPostings),
          |sd AS (SELECT k.* FROM sg_out k JOIN rare USING (hv)),
          |m AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -776,8 +811,7 @@ object MiningQueries extends QuerySuite {
 
     "text_heaps_law" ->
       s"""WITH wd AS (
-        |  SELECT greatest(1,
-        |    CAST(ceil((max(doc_id)+1)/$Checkpoints.0) AS BIGINT)) AS w
+        |  SELECT greatest(1, max(doc_id) // $Checkpoints + 1) AS w
         |  FROM documents),
         |tc AS (
         |  SELECT doc_id // (SELECT w FROM wd) AS bucket,

@@ -324,15 +324,31 @@ object Multimodal extends QuerySuite {
     // Inference batch planning: pack media rows into fixed byte-budget
     // batches per mime in stable doc order — the batching step in
     // front of a GPU decode/embed stage (the image analog of
-    // text_pack_sequences). The window cumsum runs inside each mime
-    // shard, never globally; assignment is pure integer arithmetic so
-    // the oracle hash-proves the batch layout.
+    // text_pack_sequences, and since round-12 wave 6 the same
+    // two-level bucketed cumsum: a window partitioned only by MIME
+    // puts a whole modality — a corpus fraction — in one task at
+    // 100 TB, so the cumsum runs within (mime, ⌈√N⌉-wide doc-id
+    // bucket) and per-bucket bases accumulate in a mime-keyed window
+    // over the ~√N bucket table). Assignment is pure integer
+    // arithmetic so the oracle hash-proves the batch layout.
     "multimodal_batch_plan" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("mime")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      mediaTable(s, d)
-        .withColumn("cum", sum(col("n_bytes")).over(w))
+      val dim = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n"), max("doc_id").as("mx")).head()
+      val width = if (dim.isNullAt(1)) 1L
+        else SampleQueries.ppsBucketWidth(dim.getLong(0), dim.getLong(1))
+      val m = mediaTable(s, d).withColumn("bk", expr(s"doc_id div $width"))
+      val local = m.withColumn("lcum",
+        sum(col("n_bytes")).over(Window.partitionBy("mime", "bk")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bases = m.groupBy("mime", "bk").agg(sum("n_bytes").as("tot"))
+        .withColumn("base", coalesce(sum("tot").over(
+          Window.partitionBy("mime").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("mime", "bk", "base")
+      local.join(broadcast(bases), Seq("mime", "bk"))
+        .withColumn("cum", col("base") + col("lcum"))
         .withColumn("batch_id", expr(s"(cum - n_bytes) div $BatchBudget"))
         .groupBy("mime", "batch_id")
         .agg(count(lit(1)).as("n_items"),

@@ -354,16 +354,19 @@ object SampleQueries extends QuerySuite {
 
     "data_fingerprint" ->
       s"""WITH osrc AS (
+         |  -- concat_ws, not ||: Spark's concat_ws SKIPS a NULL field
+         |  -- while || would NULL the whole canonical string — on a
+         |  -- row with any NULL column the two engines would hash
+         |  -- different inputs (n_rows would still match, masking it)
          |  SELECT o_orderkey AS k,
-         |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus ||
-         |      '|' || strftime(o_orderdate, '%Y-%m-%d') AS s0
+         |    concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+         |      strftime(o_orderdate, '%Y-%m-%d')) AS s0
          |  FROM orders),
          |${XxhSql.ctes("osrc", Seq("k"), "s0", "oh")},
          |lsrc AS (
          |  SELECT l_orderkey AS k,
-         |    l_orderkey || '|' || l_linenumber || '|' || l_partkey ||
-         |      '|' || l_suppkey || '|' || l_returnflag || '|' ||
-         |      l_linestatus AS s0
+         |    concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+         |      l_suppkey, l_returnflag, l_linestatus) AS s0
          |  FROM lineitem),
          |${XxhSql.ctes("lsrc", Seq("k"), "s0", "lh")},
          |fp AS (

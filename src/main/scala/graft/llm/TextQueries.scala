@@ -128,8 +128,12 @@ object TextQueries extends QuerySuite {
       val nWords = size(ws).cast("double")
       val stopRatio = markerCount(ws, EnMarkers).cast("double") / nWords
       val vocabRatio = size(array_distinct(ws)).cast("double") / nWords
+      // nullif-fold the zero-char doc (rows present, zero bytes — the
+      // layout_partition_stats class): ANSI aborts on DOUBLE x/0 too,
+      // so a reachable n_chars = 0 must degrade to NULL ratios in
+      // both twins, never to a query abort
       val punct = size(regexp_extract_all(col("text"), lit("""[^\w\s]"""), lit(0)))
-        .cast("double") / col("n_chars").cast("double")
+        .cast("double") / expr("CAST(nullif(n_chars, 0) AS DOUBLE)")
       Tables.documents(s, d).select(
         col("doc_id"),
         stopRatio.as("stop_ratio"),
@@ -263,7 +267,14 @@ object TextQueries extends QuerySuite {
         .crossJoin(broadcast(tot))
         .select(col("vocab_size"), col("total_terms"), col("total_occ"),
           col("covered_occ"),
-          expr("covered_occ * 1000000 div total_occ").as("coverage_ppm"))
+          // integer headroom, ENFORCED: covered_occ·10⁶ is an
+          // OCCURRENCE-scale product (~10¹³ tokens at 100 TB → 10¹⁹,
+          // past 2⁶² at ~4.6·10¹² occurrences); bound from the exact
+          // total_occ sum, which itself stays far under wrap
+          graft.analytics.Exact.momentGuard(s, "text_vocab_coverage",
+            "total_occ*1e6",
+            coalesce(col("total_occ"), lit(0L)).cast("double") * lit(1.0e6))(
+            expr("covered_occ * 1000000 div total_occ")).as("coverage_ppm"))
         .orderBy("vocab_size")
     }),
 
@@ -523,7 +534,16 @@ object TextQueries extends QuerySuite {
           count(lit(1)).as("n_oov_types"))))
         .select(col("n_test_tokens"), col("n_test_types"),
           col("n_oov_tokens"), col("n_oov_types"),
-          expr("n_oov_tokens * 1000000 div n_test_tokens")
+          // integer headroom, ENFORCED: the numerator is an
+          // occurrence-scale sum ×10⁶ — the ~10% test split of a
+          // 100 TB corpus (~1.4·10¹² tokens) leaves only ~3× margin
+          // under 2⁶², so the guard fires before any growth past the
+          // envelope can wrap (bound = the exact test-token sum)
+          graft.analytics.Exact.momentGuard(s, "text_oov_rate",
+            "n_test_tokens*1e6",
+            coalesce(col("n_test_tokens"), lit(0L)).cast("double")
+              * lit(1.0e6))(
+            expr("n_oov_tokens * 1000000 div n_test_tokens"))
             .as("oov_ppm"))
     }),
 
@@ -588,7 +608,17 @@ object TextQueries extends QuerySuite {
           sum("n_chars").as("total_chars"))
         .select(col("lang"), col("n_docs"), col("total_words"),
           col("total_tokens"),
-          expr("total_tokens * 1000000 div total_words")
+          // integer headroom, ENFORCED: both ppm numerators are
+          // token/CHAR-scale sums ×10⁶ (chars ~10¹⁴ at 100 TB →
+          // 10²⁰), crossing 2⁶² at ~4.6·10¹² per language — one
+          // dominant language holds nearly the whole corpus, so this
+          // is inside the envelope; bound = the larger exact sum
+          graft.analytics.Exact.momentGuard(s, "text_fertility_by_lang",
+            "max(total_tokens,total_chars)*1e6",
+            greatest(col("total_tokens"),
+              coalesce(col("total_chars"), lit(0L))).cast("double")
+              * lit(1.0e6))(
+            expr("total_tokens * 1000000 div total_words"))
             .as("fertility_ppm"),
           when(col("total_tokens") === 0L, lit(null).cast("long"))
             .otherwise(expr("total_chars * 1000000 div total_tokens"))
@@ -788,7 +818,7 @@ object TextQueries extends QuerySuite {
          |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
          |      / len(string_split(text, ' ')) AS vocab_ratio,
          |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-         |      / CAST(n_chars AS DOUBLE) AS punct_ratio
+         |      / CAST(nullif(n_chars, 0) AS DOUBLE) AS punct_ratio
          |  FROM documents)
          |SELECT doc_id, stop_ratio, vocab_ratio, punct_ratio,
          |  vocab_ratio * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2

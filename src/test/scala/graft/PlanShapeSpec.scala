@@ -51,8 +51,11 @@ class PlanShapeSpec extends SparkSpec {
     // cumulative window over ≤ ~Checkpoints (100) id-bucket rows —
     // bounded by MiningQueries.Checkpoints, never corpus size
     "text_heaps_law",
-    // per-source base offsets: global window over one row per SOURCE
-    // shard (a handful), the doc-level cumsum is source-partitioned
+    // two-level prefix sum: global window only over the per-(source,
+    // doc-id bucket) base table (~√N rows via ppsBucketWidth); the
+    // doc-level cumsum is (source, bucket)-partitioned — round-12
+    // wave 6 re-planned it off the per-SOURCE window whose partitions
+    // were corpus-fraction-sized
     "text_pack_sequences",
     // lag over the already-aggregated month table — bounded by
     // calendar span, never data volume (WindowQueries.scala:106)

@@ -32,7 +32,23 @@ class MomentGuardSpec extends SparkSpec {
     "q1_pricing_summary", "q5_region_revenue", "q7_nation_volume",
     "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
     "q11_part_value_concentration", "q14_promo_revenue_share",
-    "q15_top_supplier", "q19_disjunct_revenue")
+    "q15_top_supplier", "q19_disjunct_revenue",
+    // char/token-scale ppm products (round-12 wave 6): numerators are
+    // char or occurrence SUMS ×10⁶ — ~10²× wider than the count-only
+    // ppm class the ledger exempts — crossing 2⁶² at ~4.6·10¹² units,
+    // inside the 100 TB envelope; plus the k-means position-weighted
+    // checksum (~1.2·10⁹/row)
+    "text_filter_sweep", "text_vocab_coverage", "text_fertility_by_lang",
+    "text_oov_rate", "sim_kmeans_train",
+    // hourly-count second moments (round-12 wave 7): Σc² / n·saa square
+    // DATA-DEPENDENT hourly peaks — a hot hour pulls the moment toward
+    // n_hours·cmax², past BIGINT at ~10¹² events over 10⁵ hours
+    "ts_anomalous_hours", "ts_type_correlation",
+    // money-cents ppm share (~10¹⁶ cents per region at 100 TB → 10²²)
+    "window_share_of_total",
+    // TVD cross-products n1·tn2 wrap past ~3·10⁹ rows per half —
+    // below the envelope (the stat_chi_square class)
+    "dq_distribution_drift")
 
   private val Sf = "/root/testdata/sf0.001"
 

@@ -301,6 +301,72 @@ class CurationSpec extends SparkSpec {
       s"vocab ranking must not funnel through one partition: $plan")
   }
 
+  test("past BroadcastShingleBudget the decontaminate eval join degrades to a shuffle join with identical rows") {
+    val sf = "/root/testdata/sf0.001"
+    // Plan shapes on a CLONED session with auto-broadcast OFF (both
+    // the static and the AQE threshold): at fixture scale Catalyst's
+    // size estimate would freely broadcast the aggregated eval side
+    // even WITHOUT the hint — which is the desired degrade semantics
+    // (the optimizer decides by size) but makes the two strategies
+    // indistinguishable; killing the threshold isolates what the
+    // budget actually controls, the unconditional hint that would
+    // ABORT past the 8 GB ceiling at 100 TB.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    def rows(budget: Long) =
+      CurationQueries.decontaminate(s2, sf, budget)
+        .collect().map(_.toSeq).toSeq
+    def plan(budget: Long) =
+      CurationQueries.decontaminate(s2, sf, budget)
+        .queryExecution.executedPlan.toString()
+    // key on the shingle join specifically (the g key)
+    val gBroadcast = "BroadcastHashJoin \\[g".r
+    val gShuffle = "(SortMergeJoin|ShuffledHashJoin) \\[g".r
+    val under = plan(CurationQueries.BroadcastShingleBudget)
+    assert(gBroadcast.findFirstIn(under).isDefined,
+      s"under-budget plan must broadcast the eval shingle side:\n$under")
+    val degraded = plan(0L)
+    assert(gBroadcast.findFirstIn(degraded).isEmpty,
+      s"budget-0 plan must not broadcast the shingle join:\n$degraded")
+    assert(gShuffle.findFirstIn(degraded).isDefined,
+      s"budget-0 plan must shuffle-join on the shingle key:\n$degraded")
+    assert(rows(0L) === rows(CurationQueries.BroadcastShingleBudget))
+  }
+
+  test("NULL-text docs stay in n_raw/n_docs but never in the kept sums (oracle LEFT-join twin)") {
+    import spark.implicits._
+    val good = ("the" +: ('a' to 'x').map(c => s"${c}abcd")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulltext").toString
+    Seq((1L, Option(good), "en", "s1", Option(good.length.toLong)),
+        (2L, Option.empty[String], "en", "s1", Option.empty[Long]),
+        (3L, Option(good), "en", "s2", Option(good.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    // curation_funnel: the per-ROW gate keeps the NULL-text doc in
+    // n_raw (keep is NULL, skipped by the sums) — the contract the
+    // oracle's LEFT JOIN now mirrors instead of silently dropping it
+    val funnel = CurationQueries.queries("curation_funnel")(spark, dir)
+      .collect()
+    assert(funnel.map(_.getLong(funnel.head.fieldIndex("n_raw"))).sum === 3L)
+    // curation_quality_dup_matrix: n_docs counts every doc; the
+    // NULL-text doc forms its own NULL-digest canonical group
+    val matrix = CurationQueries
+      .queries("curation_quality_dup_matrix")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(matrix("s1") === ((2L, 1L, 2L)),
+      s"s1 must count the NULL-text doc in n_docs and as a canonical: $matrix")
+    // doc 3 duplicates doc 1's text, so its canonical survivor lives
+    // in s1 — n_canonical 0 here (and the cross-source dedup is
+    // itself part of the pin)
+    assert(matrix("s2") === ((1L, 1L, 0L)))
+    // text_quality_scores must not abort on the NULL-text row either
+    val quality = TextQueries.queries("text_quality_scores")(spark, dir)
+      .collect()
+    assert(quality.length === 3)
+  }
+
   test("filter sweep: one row per threshold, monotone, exact at the extremes") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)

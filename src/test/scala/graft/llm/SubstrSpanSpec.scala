@@ -82,6 +82,21 @@ class SubstrSpanSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, start, start, (MinSpan + 1).toLong)))
   }
 
+  test("degenerate repetition above the postings cap generates no pairs; under it, spans still surface") {
+    // two docs, each one long cyclic repetition of the same SubK
+    // tokens: df = 2 passes the MaxDf gate, but every gram rotation
+    // appears ~R times PER DOC — the posting-list blow-up the
+    // MaxPostings cap exists to stop (C(2R, 2) pairs per hash).
+    def spam(rep: Int) = Seq.fill(rep)(toks("z", SubK)).flatten.mkString(" ")
+    val over = (MiningQueries.MaxPostings / 2 + SubK + 2).toInt
+    val capped = spans(write(Seq(1L -> spam(over), 2L -> spam(over))))
+    assert(capped.isEmpty,
+      s"grams past MaxPostings must be dropped as stop-grams: $capped")
+    // the same shape under the cap still reports shared spans
+    val under = (MiningQueries.MaxPostings / 4).toInt
+    assert(spans(write(Seq(1L -> spam(under), 2L -> spam(under)))).nonEmpty)
+  }
+
   test("identical docs report one full-length span") {
     val t = toks("w", 40).mkString(" ")
     val got = spans(write(Seq(7L -> t, 9L -> t)))
