@@ -78,12 +78,25 @@ case class TopKPerKeyExec(
     val rankAttr = rank
     val outAttrs = output
     val numOutput = longMetric("numOutputRows")
+    // Loud memory bound (the LocalTypeCap discipline): the per-key
+    // heaps are bounded at k rows EACH, but the map holds one heap per
+    // DISTINCT KEY seen in the partition — the operator's O(keys·k)
+    // memory claim. On a low-cardinality key (the design target:
+    // event types, channels, shards) that is trivially small; a
+    // high-cardinality misuse (user_id at 100 TB) must die with an
+    // actionable, operator-named error, not an opaque executor OOM
+    // hours in. Overridable per session for genuinely bigger key
+    // spaces that still fit memory.
+    val maxEntries = conf.getConfString(
+      TopKPerKey.MaxHeapEntriesKey, TopKPerKey.MaxHeapEntriesDefault)
+      .toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLoc, childOut)
       val ord = RowOrdering.create(orderLoc, childOut)
       // max-heap on the sort order: peek() is the worst row kept, so a
       // candidate only enters (and evicts) when it beats the worst
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      var entries = 0L
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
@@ -92,7 +105,18 @@ case class TopKPerKeyExec(
           q = new java.util.PriorityQueue[InternalRow](kLoc + 1, ord.reverse)
           heaps.put(key.copy(), q)
         }
-        if (q.size() < kLoc) q.add(row.copy())
+        if (q.size() < kLoc) {
+          entries += 1
+          if (entries > maxEntries) throw new IllegalStateException(
+            s"TopKPerKey: bounded-heap state exceeded $maxEntries rows " +
+              s"in one partition (distinct keys × k = $kLoc) — the " +
+              "operator is designed for low-cardinality keys; for a " +
+              "high-cardinality key use the window row_number twin " +
+              "(which spills) or raise " +
+              s"${TopKPerKey.MaxHeapEntriesKey} if the state " +
+              "genuinely fits executor memory")
+          q.add(row.copy())
+        }
         else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
       }
       import scala.jdk.CollectionConverters._
@@ -130,6 +154,15 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 object TopKPerKey {
+
+  /** Conf key for the loud per-partition heap-state bound (rows kept
+    * across ALL keys of one partition = distinct keys × k). */
+  val MaxHeapEntriesKey = "graft.topk.maxHeapEntriesPerPartition"
+
+  /** 8M kept rows ≈ low GBs of UnsafeRow copies — inside any sane
+    * executor budget, far above every driver-surface use (≤ ~10 keys
+    * × k ≤ 64). */
+  val MaxHeapEntriesDefault = "8388608"
 
   /** Session-local strategy injection (the production path is
     * `spark.sql.extensions=graft.plans.GraftExtensions`). Idempotent. */

@@ -105,6 +105,35 @@ class TopKPerKeySpec extends SparkSpec {
     assert(e.getMessage.contains("orderBy(...).limit(k)"))
   }
 
+  test("heap state past the per-partition bound dies loudly, naming the conf") {
+    // the operator's O(keys·k) memory is per DISTINCT KEY — a
+    // high-cardinality misuse must fail with an actionable error, not
+    // an opaque executor OOM (the LocalTypeCap discipline). Conf on a
+    // CLONED session; data forced into one partition so the key count
+    // is deterministic.
+    val s2 = spark.newSession()
+    s2.conf.set(TopKPerKey.MaxHeapEntriesKey, "4")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("id", LongType)))
+    val rows = (1 to 10).map(i => Row(s"k$i", i.toLong))
+    val wide = s2.createDataFrame(
+      s2.sparkContext.parallelize(rows, 1), schema)
+    val e = intercept[Throwable] {
+      TopKPerKey(wide, Seq("key"), Seq(col("id").asc), 2).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(m => m.contains("TopKPerKey") &&
+      m.contains(TopKPerKey.MaxHeapEntriesKey)), msgs.mkString(" | "))
+    // the default bound passes the same shape untouched
+    val ok = TopKPerKey(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      Seq("key"), Seq(col("id").asc), 2)
+    assert(ok.count() == 10)
+  }
+
   test("multi-column keys and ascending order work end to end") {
     val multi = Seq(("x", 1, 10L), ("x", 1, 20L), ("x", 2, 30L), ("y", 1, 40L))
       .toDF("k1", "k2", "id")
