@@ -54,10 +54,17 @@ object ScalarQueries extends QuerySuite {
     // Values go text → VARIANT → typed-path extraction → aggregate;
     // the DuckDB oracle recomputes from the JSON text (no VARIANT
     // there), proving the encode→extract roundtrip value-exact.
+    // try_parse_json, not parse_json: an ingest payload column CAN
+    // carry a malformed record, and FAILFAST parse would abort the
+    // whole 100 TB aggregate on one bad row (the zero-content corpus
+    // sweep caught exactly this) — a malformed payload degrades to
+    // NULL k in BOTH twins (the oracle gates on json_valid), the
+    // dq_dead_letter_split channel being where bad payloads get
+    // actively routed.
     "variant_props_stats" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
-          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+          variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum("k").as("sum_k"),
@@ -243,17 +250,29 @@ object ScalarQueries extends QuerySuite {
         |  reverse(p_brand) AS brand_rev
         |FROM part ORDER BY p_partkey""".stripMargin,
 
+    // json_valid gates: Spark's get_json_object is LENIENT (malformed
+    // payload → NULL) while DuckDB's json_extract_string RAISES — on a
+    // corpus with one bad payload the oracle would abort where the
+    // engine degrades; the gate makes both twins NULL
     "scalar_json_suite" ->
-      """SELECT event_id,
-        |  json_extract_string(props, '$.k') AS k_str,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-        |  json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH j AS (
+        |  SELECT event_id,
+        |    CASE WHEN json_valid(props)
+        |         THEN json_extract_string(props, '$.k') END AS k_str,
+        |    CASE WHEN json_valid(props)
+        |         THEN json_extract_string(props, '$.missing') END AS m_str
+        |  FROM events)
+        |SELECT event_id, k_str,
+        |  CAST(k_str AS BIGINT) AS k_int,
+        |  m_str IS NOT NULL AS has_missing,
+        |  CAST(k_str AS BIGINT) % 10 AS k_mod
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "variant_props_stats" ->
       """WITH k AS (SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    CASE WHEN json_valid(props)
+        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS k
         |  FROM events)
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,

@@ -36,6 +36,58 @@ class EmptyCorpusSweepSpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  test("every query survives a zero-content corpus") {
+    // the THIRD degenerate family (ADVICE round-11: "rows present,
+    // zero bytes" — reachable and outside both other sweeps): one row
+    // per table whose CONTENT is degenerate — empty text (n_chars =
+    // 0), zero money/quantities, an unparseable props payload, a
+    // zero-norm embedding. Reaches the divide-by-zero / zero-norm /
+    // empty-token paths that an empty corpus (no rows to divide) and
+    // a single REAL row (plausible values) both miss.
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("zero_content").toString
+    def one(t: String) = spark.read.parquet(s"$src/$t.parquet").limit(1)
+    for (t <- Seq("region", "nation"))
+      one(t).coalesce(1).write.parquet(s"$dir/$t.parquet")
+    one("customer").withColumn("c_acctbal", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    one("supplier").withColumn("s_acctbal", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
+    one("part").withColumn("p_retailprice", lit(0.0))
+      .withColumn("p_size", lit(0))
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+    one("orders").withColumn("o_totalprice", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    one("lineitem").withColumn("l_quantity", lit(0.0))
+      .withColumn("l_extendedprice", lit(0.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    one("events").withColumn("value", lit(0.0))
+      .withColumn("props", lit(""))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    one("documents").withColumn("text", lit(""))
+      .withColumn("n_chars", lit(0L))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    one("embeddings")
+      .withColumn("embedding", expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).collect(); None }
+        catch {
+          case e: Throwable =>
+            val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .map(x => Option(x.getMessage).getOrElse(""))
+              .mkString(" | ").take(200)
+            Some(s"$name -> $m")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries crash on a zero-content corpus:\n" +
+        failures.mkString("\n"))
+  }
+
   test("every query survives a single-row corpus") {
     // one real row per table (limit 1 from the fixtures, so values
     // are plausible but joins mostly miss): exercises the OTHER
