@@ -308,8 +308,14 @@ object StatQueries extends QuerySuite {
     // the hash proves the decomposition.
     "agg_winsorized_mean" -> ((s, d) => {
       import s.implicits._
-      val src = Tables.lineitem(s, d).select(
-        col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("xc"))
+      // value IS NOT NULL in BOTH twins (the agg_percentiles_disc
+      // convention): a NULL price would rank differently per engine
+      // AND break the (String, Long) tuple encoder on the
+      // zipWithIndex path (NULL-content corpus sweep)
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice").isNotNull)
+        .select(
+          col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("xc"))
       val ranked = src.orderBy(col("rf"), col("xc"))
         .as[(String, Long)]
         .rdd.zipWithIndex()
@@ -1074,7 +1080,7 @@ object StatQueries extends QuerySuite {
       s"""WITH src AS (
          |  SELECT l_returnflag AS rf,
          |    ${centsSql("l_extendedprice")} AS xc
-         |  FROM lineitem),
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
          |r AS (
          |  SELECT rf, xc,
          |    row_number() OVER (PARTITION BY rf ORDER BY xc) AS rk,

@@ -494,8 +494,15 @@ object WindowQueries extends QuerySuite {
     // ordering ⇒ no peer groups ⇒ cume_dist = row_number/n exactly.
     "window_dist_ranks" -> ((s, d) => {
       import s.implicits._
-      val src = Tables.orders(s, d).select(
-        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // price IS NOT NULL in BOTH twins (the agg_percentiles_disc
+      // convention): the ASC sort would place a NULL price FIRST in
+      // Spark and LAST in DuckDB — shifting every rank — and the
+      // (Long, String, Double) tuple encoder on the zipWithIndex path
+      // rejects a NULL double outright (NULL-content corpus sweep)
+      val src = Tables.orders(s, d)
+        .filter(col("o_totalprice").isNotNull)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val ranked = src
         .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
         .as[(Long, String, Double)]
@@ -733,7 +740,8 @@ object WindowQueries extends QuerySuite {
         |    ORDER BY o_totalprice, o_orderkey) AS cd,
         |  dense_rank() OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice) AS dr
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     "window_gap_fill" ->
       s"""WITH daily AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,

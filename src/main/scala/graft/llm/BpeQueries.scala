@@ -221,6 +221,11 @@ object BpeQueries extends QuerySuite {
       import s.implicits._
       val merges = trainedMerges(s, d).map(m => (m.left, m.right))
       Tables.documents(s, d)
+        // NULL-text docs drop in BOTH twins: the oracle's unnest of a
+        // NULL word list emits no rows for the doc, and the typed
+        // mapPartitions below would NPE on text.toLowerCase (the
+        // NULL-content corpus sweep caught this)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { iter =>

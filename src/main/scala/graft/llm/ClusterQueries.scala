@@ -54,9 +54,14 @@ object ClusterQueries extends QuerySuite {
   private[llm] def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(KmQ) + lit(0.5)).cast("long"))
 
-  /** Quantized corpus: (vec_id, qv). */
+  /** Quantized corpus: (vec_id, qv). NULL embeddings are excluded —
+    * they cannot participate in clustering (quantize(NULL) is NULL;
+    * assignment would be NULL anyway), and a NULL qv reaching the
+    * stride-sampled initCents collect would NPE the driver on
+    * getSeq (the NULL-content corpus sweep caught exactly this). */
   private def qCorpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
 

@@ -88,6 +88,56 @@ class EmptyCorpusSweepSpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  test("every query survives a NULL-content corpus") {
+    // the FOURTH degenerate family: one row per table whose nullable
+    // PAYLOAD columns are all NULL (keys stay real — NULL keys are a
+    // referential-integrity concern the dq suite audits separately).
+    // The round-11/12 NULL-semantics fixes define every statistic
+    // over VALUED rows in both twins; this sweep machine-checks the
+    // no-crash half of that contract across the whole surface (no
+    // NPE in a kernel fed a NULL array, no ANSI abort on a NULL-fed
+    // denominator, no getString on a NULL slot).
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("null_content").toString
+    def one(t: String) = spark.read.parquet(s"$src/$t.parquet").limit(1)
+    def nullify(t: String, cols: (String, String)*): Unit = {
+      var df = one(t)
+      for ((c, tpe) <- cols) df = df.withColumn(c, lit(null).cast(tpe))
+      df.coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
+    for (t <- Seq("region", "nation"))
+      one(t).coalesce(1).write.parquet(s"$dir/$t.parquet")
+    nullify("customer", "c_acctbal" -> "double", "c_name" -> "string",
+      "c_mktsegment" -> "string")
+    nullify("supplier", "s_acctbal" -> "double", "s_name" -> "string")
+    nullify("part", "p_retailprice" -> "double", "p_name" -> "string",
+      "p_type" -> "string", "p_brand" -> "string")
+    nullify("orders", "o_totalprice" -> "double",
+      "o_orderpriority" -> "string")
+    nullify("lineitem", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string")
+    nullify("events", "value" -> "double", "props" -> "string")
+    nullify("documents", "text" -> "string", "n_chars" -> "bigint",
+      "lang" -> "string")
+    nullify("embeddings", "embedding" -> "array<float>")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).collect(); None }
+        catch {
+          case e: Throwable =>
+            val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .map(x => Option(x.getMessage).getOrElse(""))
+              .mkString(" | ").take(200)
+            Some(s"$name -> $m")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries crash on a NULL-content corpus:\n" +
+        failures.mkString("\n"))
+  }
+
   test("every query survives a single-row corpus") {
     // one real row per table (limit 1 from the fixtures, so values
     // are plausible but joins mostly miss): exercises the OTHER
