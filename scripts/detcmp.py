@@ -29,10 +29,39 @@ for n in names:
     if len(a) != len(b):
         diffs.append((n, f"rows {len(a)} != {len(b)}"))
         continue
+    def cell_eq(x, y):
+        # array/list-typed parquet cells arrive as numpy arrays /
+        # lists: pd.isna on them is ambiguous and == is elementwise,
+        # so compare as tuples (recursively for nested arrays)
+        if isinstance(x, dict) or isinstance(y, dict):
+            # struct-typed cells arrive as dicts: compare key-by-key
+            if not (isinstance(x, dict) and isinstance(y, dict)):
+                return False
+            if set(x.keys()) != set(y.keys()):
+                return False
+            return all(cell_eq(x[k], y[k]) for k in x)
+        if isinstance(x, (list, tuple)) or hasattr(x, "__len__") and \
+                not isinstance(x, (str, bytes)):
+            if not (isinstance(y, (list, tuple)) or hasattr(y, "__len__") and
+                    not isinstance(y, (str, bytes))):
+                return False
+            if len(x) != len(y):
+                return False
+            return all(cell_eq(xi, yi) for xi, yi in zip(x, y))
+        try:
+            if pd.isna(x) and pd.isna(y):
+                return True
+        except (TypeError, ValueError):
+            pass
+        return x == y
+
     for c in a.columns:
         av, bv = a[c].values, b[c].values
-        eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
-        if not eq.all():
+        if a[c].dtype == object or b[c].dtype == object:
+            ok = all(cell_eq(x, y) for x, y in zip(av, bv))
+        else:
+            ok = bool(((av == bv) | (pd.isna(av) & pd.isna(bv))).all())
+        if not ok:
             diffs.append((n, f"column {c} differs (incl. row order)"))
             break
 

@@ -159,7 +159,11 @@ object WindowQueries extends QuerySuite {
             "region_rc*1e6",
             coalesce(col("region_rc"), lit(0L)).cast("double")
               * lit(1.0e6))(
-            expr("rc * 1000000 div region_rc")).as("share_ppm"))
+            // nullif: a region whose revenue legitimately sums to
+            // zero cents (all-zero prices) must degrade to NULL
+            // share_ppm, never an ANSI DIVIDE_BY_ZERO abort — the
+            // text_mixture_plan discipline, mirrored in the oracle
+            expr("rc * 1000000 div nullif(region_rc, 0)")).as("share_ppm"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -648,7 +652,8 @@ object WindowQueries extends QuerySuite {
          |  GROUP BY r_name, n_name)
          |SELECT r_name, n_name, rc / 100.0 AS revenue,
          |  CAST(rc * 1000000 //
-         |    sum(rc) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+         |    nullif(sum(rc) OVER (PARTITION BY r_name), 0)
+         |    AS BIGINT) AS share_ppm
          |FROM bn ORDER BY r_name, n_name""".stripMargin,
 
     "window_ohlc_hourly" ->

@@ -348,18 +348,19 @@ object CurationQueries extends QuerySuite {
     // trigram with the held-out eval split (the split is the same
     // deterministic md5-bucket function as text_dataset_split, so the
     // eval set is a pure function of doc_id). Scale shape: the eval
-    // side collapses to a DISTINCT shingle set and ships BROADCAST
-    // only under [[BroadcastShingleBudget]] (checked via a cheap
-    // 1-row eval k-gram upper bound — the contaminationOverlap
-    // pattern; the eval split is a FRACTION of the corpus, so an
-    // unconditional broadcast hint would ABORT past the 8 GB ceiling
-    // at 100×, the round-12 wave-2 routing lesson); above the budget
-    // the same join degrades to a plain keyed shuffle on the shingle.
+    // side collapses to a DISTINCT shingle set and ships UN-HINTED —
+    // AQE's adaptive broadcast converts the shingle join at runtime
+    // when the aggregated eval side measures small, and degrades to a
+    // plain keyed shuffle when it doesn't (the eval split is a
+    // FRACTION of the corpus, so an unconditional broadcast hint
+    // would ABORT past the 8 GB ceiling at 100×, the round-12 wave-2
+    // routing lesson; and sizing the hint with a plan-time count was
+    // itself an extra full documents pass — dropped round 13).
     // Per-doc hit counts then partial-agg on doc_id. (In production
     // the join key would be xxhash64(shingle) to shrink the shipped
     // side; kept as strings here for cross-engine parity.)
     "text_decontaminate" ->
-      ((s, d) => decontaminate(s, d, BroadcastShingleBudget)),
+      ((s, d) => decontaminate(s, d, hintBroadcast = false)),
 
     "text_mixture_plan" -> ((s, d) => {
       val bySrc = Tables.documents(s, d)
@@ -607,17 +608,18 @@ object CurationQueries extends QuerySuite {
         .orderBy("doc_id")
     }))
 
-  /** Broadcast ceiling for the decontamination eval shingle set —
-    * the MiningQueries.BroadcastFpBudget pattern: 10⁷ rows × ~24 B ≈
-    * 240 MB, inside executor memory and Spark's broadcast limit with
-    * margin; above it the shingle join runs as a keyed shuffle. */
-  val BroadcastShingleBudget = 10000000L
-
-  /** Body of text_decontaminate with the broadcast budget as a
-    * parameter (`private[graft]` so the spec can assert both ship
-    * strategies agree — the contaminationOverlap pattern). */
+  /** Body of text_decontaminate with the eval-side ship strategy as
+    * a parameter (`private[graft]` so the spec can assert both ship
+    * strategies agree — the contaminationOverlap pattern). The
+    * production path passes `hintBroadcast = false`: no plan-time
+    * sizing job runs (an earlier revision counted eval shingles
+    * eagerly at DataFrame-construction time — an extra full pass
+    * over documents at scale just to pick a hint), and no
+    * unconditional broadcast hint can abort past the 8 GB ceiling;
+    * AQE's adaptive broadcast converts the shingle join at runtime
+    * from the aggregated eval side's ACTUAL size. */
   private[graft] def decontaminate(s: SparkSession, d: String,
-      budget: Long): DataFrame = {
+      hintBroadcast: Boolean): DataFrame = {
     graft.plans.NGramShingles.register(s)
     val bucket = substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 2)
@@ -627,17 +629,10 @@ object CurationQueries extends QuerySuite {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), col("is_eval"),
         shinglesNative(col("ws"), 3).as("sh"))
-    // 1-row scalar: upper bound on eval DISTINCT shingles (≤ total
-    // eval trigram positions) from the documents projection alone
-    val evalShingles = Tables.documents(s, d)
-      .filter(bucket >= "e6")
-      .agg(coalesce(sum(greatest(lit(0),
-        size(words(col("text"))) - 2).cast("long")), lit(0L)))
-      .head.getLong(0)
     val evalGrams = sh.filter(col("is_eval"))
       .select(explode(col("sh")).as("g")).distinct()
     val evalSide =
-      if (evalShingles <= budget) broadcast(evalGrams) else evalGrams
+      if (hintBroadcast) broadcast(evalGrams) else evalGrams
     sh.filter(!col("is_eval"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("g"))

@@ -109,7 +109,8 @@ case class TopKPerKeyExec(
           entries += 1
           if (entries > maxEntries) throw new IllegalStateException(
             s"TopKPerKey: bounded-heap state exceeded $maxEntries rows " +
-              s"in one partition (distinct keys × k = $kLoc) — the " +
+              s"in one partition (k=$kLoc, distinct keys so far=" +
+              s"${heaps.size()}, kept rows=$entries) — the " +
               "operator is designed for low-cardinality keys; for a " +
               "high-cardinality key use the window row_number twin " +
               "(which spills) or raise " +

@@ -69,4 +69,32 @@ class RobustWindowSpec extends SparkSpec {
       assert(lo <= med && med <= hi)
     }
   }
+
+  test("window_share_of_total: a zero-revenue region degrades to NULL share_ppm, not a divide abort") {
+    // the path the degenerate sweeps miss: their single-row corpora
+    // never make the orders→customer→nation→region chain JOIN, so
+    // `rc div region_rc` never evaluates against a zero total. Build
+    // a corpus where the chain hits and every price is zero cents.
+    val dir = java.nio.file.Files
+      .createTempDirectory("zero_region_rev").toString
+    val src = "/root/testdata/sf0.001"
+    def one(t: String) = spark.read.parquet(s"$src/$t.parquet").limit(1)
+    one("region").withColumn("r_regionkey", lit(7).cast("int"))
+      .coalesce(1).write.parquet(s"$dir/region.parquet")
+    one("nation").withColumn("n_nationkey", lit(7).cast("int"))
+      .withColumn("n_regionkey", lit(7).cast("int"))
+      .coalesce(1).write.parquet(s"$dir/nation.parquet")
+    one("customer").withColumn("c_custkey", lit(7L))
+      .withColumn("c_nationkey", lit(7).cast("int"))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    one("orders").withColumn("o_custkey", lit(7L))
+      .withColumn("o_totalprice", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val rows = WindowQueries.queries("window_share_of_total")(spark, dir)
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getDouble(rows(0).fieldIndex("revenue")) === 0.0)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("share_ppm")),
+      "zero region revenue must yield NULL share_ppm")
+  }
 }

@@ -301,37 +301,64 @@ class CurationSpec extends SparkSpec {
       s"vocab ranking must not funnel through one partition: $plan")
   }
 
-  test("past BroadcastShingleBudget the decontaminate eval join degrades to a shuffle join with identical rows") {
+  test("decontaminate ships the eval side un-hinted: AQE decides, both ship strategies agree, no plan-time job") {
     val sf = "/root/testdata/sf0.001"
     // Plan shapes on a CLONED session with auto-broadcast OFF (both
     // the static and the AQE threshold): at fixture scale Catalyst's
     // size estimate would freely broadcast the aggregated eval side
     // even WITHOUT the hint — which is the desired degrade semantics
-    // (the optimizer decides by size) but makes the two strategies
-    // indistinguishable; killing the threshold isolates what the
-    // budget actually controls, the unconditional hint that would
-    // ABORT past the 8 GB ceiling at 100 TB.
+    // (the optimizer decides by size at runtime) but makes the two
+    // strategies indistinguishable; killing the threshold isolates
+    // what the production path dropped: the unconditional hint that
+    // would ABORT past the 8 GB ceiling at 100 TB.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    def rows(budget: Long) =
-      CurationQueries.decontaminate(s2, sf, budget)
+    def rows(hint: Boolean) =
+      CurationQueries.decontaminate(s2, sf, hint)
         .collect().map(_.toSeq).toSeq
-    def plan(budget: Long) =
-      CurationQueries.decontaminate(s2, sf, budget)
+    def plan(hint: Boolean) =
+      CurationQueries.decontaminate(s2, sf, hint)
         .queryExecution.executedPlan.toString()
     // key on the shingle join specifically (the g key)
     val gBroadcast = "BroadcastHashJoin \\[g".r
     val gShuffle = "(SortMergeJoin|ShuffledHashJoin) \\[g".r
-    val under = plan(CurationQueries.BroadcastShingleBudget)
-    assert(gBroadcast.findFirstIn(under).isDefined,
-      s"under-budget plan must broadcast the eval shingle side:\n$under")
-    val degraded = plan(0L)
-    assert(gBroadcast.findFirstIn(degraded).isEmpty,
-      s"budget-0 plan must not broadcast the shingle join:\n$degraded")
-    assert(gShuffle.findFirstIn(degraded).isDefined,
-      s"budget-0 plan must shuffle-join on the shingle key:\n$degraded")
-    assert(rows(0L) === rows(CurationQueries.BroadcastShingleBudget))
+    val hinted = plan(true)
+    assert(gBroadcast.findFirstIn(hinted).isDefined,
+      s"hinted plan must broadcast the eval shingle side:\n$hinted")
+    val unhinted = plan(false)
+    assert(gBroadcast.findFirstIn(unhinted).isEmpty,
+      s"un-hinted plan under a dead threshold must not broadcast " +
+        s"the shingle join:\n$unhinted")
+    assert(gShuffle.findFirstIn(unhinted).isDefined,
+      s"un-hinted plan must shuffle-join on the shingle key:\n$unhinted")
+    assert(rows(false) === rows(true))
+    // the regression this revision fixes: CONSTRUCTING the production
+    // query must not execute a Spark job (an earlier version ran an
+    // eager eval-shingle count at plan time — a full documents pass
+    // per plan build at scale)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // baseline: a bare documents read runs exactly one plan-time
+      // job (parquet schema inference) — that's the floor, not the
+      // regression; listener events post asynchronously, so drain
+      // with a sleep before each reading
+      graft.Tables.documents(spark, sf)
+      Thread.sleep(1000)
+      val baseline = jobs.getAndSet(0)
+      CurationQueries.queries("text_decontaminate")(spark, sf)
+      Thread.sleep(1000)
+      assert(jobs.get() <= baseline,
+        s"building the text_decontaminate plan ran ${jobs.get()} jobs " +
+          s"vs $baseline for a bare documents read — an eager sizing " +
+          "scan is back in the plan-construction path")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("NULL-text docs stay in n_raw/n_docs but never in the kept sums (oracle LEFT-join twin)") {
