@@ -67,7 +67,54 @@ object Bench {
     val failed = results.collect { case (k, _, false) => JsonOut.q(k) }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":${JsonOut.q(sfDir)}}""")
+
+    // Machine-generated warm adjudication (the r12 noise lesson —
+    // route_client_fanout read 5.95 s in one sweep vs a 1.31 s warm
+    // truth): any query whose single-shot sweep reading exceeds 2× its
+    // recorded warm minimum (bench_anchors/warm_minima.json) is
+    // re-measured with WarmReps back-to-back runs in the SAME JVM and
+    // the iterations land in the "warm_reruns" key, so the adjudication
+    // is part of the round's bench artifact instead of a manual
+    // AbBench session. Budgeted to the WarmRerunCap worst offenders.
+    // floors are recorded at sf0.1 (the driver's bench scale) — at any
+    // other sfDir they are meaningless and the pass stays off
+    val warmFloors =
+      if (!sfDir.contains("sf0.1")) Map.empty[String, Double]
+      else loadWarmFloors(
+        sys.env.getOrElse("SPARK_GRAFT_WARM_FILE",
+          "bench_anchors/warm_minima.json"))
+    val suspects = results.collect {
+      case (name, v, true) if warmFloors.get(name).exists(w => v > 2 * w)
+        => (name, v / warmFloors(name))
+    }.sortBy(-_._2).take(WarmRerunCap).map(_._1)
+    val warmReruns = suspects.map { name =>
+      val fn = SparkEntry.queries(name)
+      val iters = (1 to WarmReps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      JsonOut.q(name) + ":" + iters.map(num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"warm_reruns":$warmReruns,"sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
+
+  private val WarmReps = 3
+  private val WarmRerunCap = 10
+
+  /** Recorded warm minima (query → seconds); empty when the anchor
+    * file is absent (fresh checkout, non-repo cwd) — the rerun pass
+    * then simply never triggers. Hand-rolled parse: the file is
+    * repo-owned flat {"name": secs} JSON. */
+  private def loadWarmFloors(path: String): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
 }
