@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,98 @@ object GraphQueries extends QuerySuite {
 
   /** Minimum shared parts for a reported customer pair. */
   val MinCommon = 3L
+
+  /** Shared oracle for both assortativity spellings (DuckDB's BIGINT
+    * is exact at fixture scale, so one SQL serves both). */
+  private def assortativitySql: String =
+    s"""$coSupplyEdgesSqlCtes,
+       |sym AS (SELECT u AS a, v AS b FROM edges
+       |        UNION ALL SELECT v AS a, u AS b FROM edges),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS dg
+       |        FROM sym GROUP BY a),
+       |mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(da.dg * db.dg) AS BIGINT) AS s1,
+       |    CAST(sum(da.dg) AS BIGINT) AS s2,
+       |    CAST(sum(da.dg * da.dg) AS BIGINT) AS s3
+       |  FROM sym
+       |  JOIN deg da ON da.node = sym.a
+       |  JOIN deg db ON db.node = sym.b)
+       |SELECT m AS n_edges_sym,
+       |  CASE WHEN m * s3 - s2 * s2 = 0 THEN NULL
+       |  ELSE CAST(m * s1 - s2 * s2 AS DOUBLE) /
+       |    CAST(m * s3 - s2 * s2 AS DOUBLE) END AS assortativity
+       |FROM mom""".stripMargin
+
+  /** Degree-assortativity body, ONE query plan with two moment
+    * spellings (the stat_pca_power template, StatQueries suite
+    * header): do hubs trade with hubs (assortative, r > 0) or with
+    * leaves (disassortative, r < 0)? Decides whether hub-caps / skew
+    * salting will matter downstream. Exact integer moments over the
+    * symmetrized edge list (S1 = Σ j·k, S2 = Σ j, S3 = Σ j²; by
+    * symmetry the j- and k-marginals coincide), ONE double division:
+    * r = (M·S1 − S2²) / (M·S3 − S2²).
+    *
+    * `decimalMoments = false`: every BIGINT product in the tree —
+    * M·S1, S2², M·S3, per-edge da·db — is bounded a-priori by
+    * (M·Dmax)² with Dmax = max endpoint degree, ENFORCED
+    * ([[Exact.momentGuard]]) from the same wrap-proof count/max
+    * aggregate (fine to M ≈ 10⁷ at D ≈ 10⁴; past the ceiling the
+    * query raises loudly and names the swap). `true`: degrees are
+    * cast to DECIMAL(18,0), products land in DECIMAL(37,0) and sums
+    * in DECIMAL(38,0), lifting the headroom to 10³⁸ (M·S1 ≈ 10³² at
+    * M ≈ 10¹², Dmax ≈ 10⁴ — past any physical graph) with no guard;
+    * the final division casts to DOUBLE exactly as the BIGINT path
+    * does, so any moment legal in both spellings converts to the
+    * same correctly-rounded double and the twins are bit-identical.
+    * Shapes (both spellings): one deg aggregate, two keyed joins
+    * edge⋈deg, one scalar aggregate. */
+  private def assortativity(s: SparkSession, d: String,
+      decimalMoments: Boolean): DataFrame = {
+    val e0 = coSupplyEdges(s, d)
+    val sym = e0.select(col("u").as("a"), col("v").as("b"))
+      .union(e0.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("dg"))
+    def x(c: Column): Column =
+      if (decimalMoments) c.cast("decimal(18,0)") else c
+    val mom = sym
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(x(col("da")) * x(col("db"))).as("s1"),
+        sum(x(col("da"))).as("s2"),
+        sum(x(col("da")) * x(col("da"))).as("s3"),
+        greatest(max("da"), max("db")).as("dmax"))
+    // loud headroom guard, BIGINT spelling only: M·S1 ≤ M²·Dmax²,
+    // S2² ≤ (M·Dmax)², M·S3 ≤ M²·Dmax², per-edge da·db ≤ Dmax² — all
+    // under (M·Dmax)².
+    val asBound = {
+      // coalesce: an empty/edgeless corpus leaves dmax NULL while
+      // the guarded column (m = 0) is not — a NULL bound raises by
+      // design (round-12 momentGuard hardening); 0 is sound (no
+      // edges → no moment products to bound)
+      val md = col("m").cast("double") *
+        coalesce(col("dmax"), lit(0L)).cast("double")
+      md * md
+    }
+    val guardedM =
+      if (decimalMoments) col("m")
+      else Exact.momentGuard(s, "graph_assortativity", "(M*Dmax)^2",
+        asBound)(col("m"))
+    // a degree-REGULAR graph (every node equal degree: one edge, a
+    // perfect matching, a cycle) zeroes the variance denominator
+    // M·S3 − S2² — correlation is undefined, so NULL in both twins
+    // (the stat_corr_monthly sigma = 0 convention), never 0/0 NaN
+    mom.select(
+      guardedM.as("n_edges_sym"),
+      when(col("m") * col("s3") - col("s2") * col("s2") === 0L,
+        lit(null).cast("double"))
+        .otherwise(
+          (col("m") * col("s1") - col("s2") * col("s2")).cast("double") /
+            (col("m") * col("s3") - col("s2") * col("s2")).cast("double"))
+        .as("assortativity"))
+  }
 
   /** Strong co-supply edges (u < v): supplier pairs co-occurring in
     * more orders than the global mean pair (strict integer compare
@@ -721,60 +813,23 @@ object GraphQueries extends QuerySuite {
     }),
 
     // Degree assortativity (Newman PRL'02) of the strong co-supply
-    // graph: the Pearson correlation of endpoint degrees over edges —
-    // do hubs trade with hubs (assortative, r > 0) or with leaves
-    // (disassortative, r < 0)? Decides whether hub-caps / skew salting
-    // will matter downstream. Exact integer moments over the
-    // symmetrized edge list (S1 = Σ j·k, S2 = Σ j, S3 = Σ j²; by
-    // symmetry the j- and k-marginals coincide), ONE double division:
-    // r = (M·S1 − S2²) / (M·S3 − S2²). Integer headroom, ENFORCED
-    // ([[Exact.momentGuard]]): every BIGINT product in the tree —
-    // M·S1, S2², M·S3 and the per-edge da·db — is bounded a-priori by
-    // (M·Dmax)² with Dmax = max endpoint degree, computed in DOUBLE
-    // from the same wrap-proof count/max aggregate (fine to M ≈ 10^7
-    // at D ≈ 10^4; past the ceiling the query raises loudly and a
-    // bigger graph moves the moments to ppb fixed point the way
-    // stat_chi_square does). Shapes: one deg aggregate, two keyed
-    // joins edge⋈deg, one scalar aggregate.
-    "graph_assortativity" -> ((s, d) => {
-      val e0 = coSupplyEdges(s, d)
-      val sym = e0.select(col("u").as("a"), col("v").as("b"))
-        .union(e0.select(col("v").as("a"), col("u").as("b")))
-      val deg = sym.groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("dg"))
-      val mom = sym
-        .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
-        .agg(count(lit(1)).as("m"),
-          sum(col("da") * col("db")).as("s1"),
-          sum(col("da")).as("s2"),
-          sum(col("da") * col("da")).as("s3"),
-          greatest(max("da"), max("db")).as("dmax"))
-      // loud headroom guard: M·S1 ≤ M²·Dmax², S2² ≤ (M·Dmax)²,
-      // M·S3 ≤ M²·Dmax², per-edge da·db ≤ Dmax² — all under (M·Dmax)².
-      val asBound = {
-        // coalesce: an empty/edgeless corpus leaves dmax NULL while
-        // the guarded column (m = 0) is not — a NULL bound raises by
-        // design (round-12 momentGuard hardening); 0 is sound (no
-        // edges → no moment products to bound)
-        val md = col("m").cast("double") *
-          coalesce(col("dmax"), lit(0L)).cast("double")
-        md * md
-      }
-      // a degree-REGULAR graph (every node equal degree: one edge, a
-      // perfect matching, a cycle) zeroes the variance denominator
-      // M·S3 − S2² — correlation is undefined, so NULL in both twins
-      // (the stat_corr_monthly sigma = 0 convention), never 0/0 NaN
-      mom.select(
-        Exact.momentGuard(s, "graph_assortativity", "(M*Dmax)^2",
-          asBound)(col("m")).as("n_edges_sym"),
-        when(col("m") * col("s3") - col("s2") * col("s2") === 0L,
-          lit(null).cast("double"))
-          .otherwise(
-            (col("m") * col("s1") - col("s2") * col("s2")).cast("double") /
-              (col("m") * col("s3") - col("s2") * col("s2")).cast("double"))
-          .as("assortativity"))
-    }),
+    // graph: the Pearson correlation of endpoint degrees over edges.
+    // Body, scale rationale, and the two moment spellings in
+    // [[assortativity]].
+    "graph_assortativity" ->
+      ((s, d) => assortativity(s, d, decimalMoments = false)),
+
+    // The DECIMAL(38,0) re-spelling the graph_assortativity guard
+    // message names as its escape hatch, live and oracle-verified
+    // (the stat_pca_power_decimal pattern): identical plan shape and
+    // bit-identical output wherever both spellings are legal, with
+    // the moment headroom moved from 2⁶² to 10³⁸ — and this query is
+    // the EMPIRICALLY tightest guard on the board: the round-13
+    // scaling-curve run tripped the BIGINT guard at a mere ×10
+    // amplification of sf0.1 ((M·Dmax)² ≈ 5.3·10¹⁸ > 2⁶²), so a real
+    // deployment needs this swap first.
+    "graph_assortativity_decimal" ->
+      ((s, d) => assortativity(s, d, decimalMoments = true)),
 
     "graph_degree_census" -> ((s, d) => {
       val edges = coSupplyEdges(s, d)
@@ -1141,25 +1196,10 @@ object GraphQueries extends QuerySuite {
          |FROM d$MaxPeelRounds WHERE dg >= $KCoreK ORDER BY node""".stripMargin
     },
 
-    "graph_assortativity" ->
-      s"""$coSupplyEdgesSqlCtes,
-         |sym AS (SELECT u AS a, v AS b FROM edges
-         |        UNION ALL SELECT v AS a, u AS b FROM edges),
-         |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS dg
-         |        FROM sym GROUP BY a),
-         |mom AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS m,
-         |    CAST(sum(da.dg * db.dg) AS BIGINT) AS s1,
-         |    CAST(sum(da.dg) AS BIGINT) AS s2,
-         |    CAST(sum(da.dg * da.dg) AS BIGINT) AS s3
-         |  FROM sym
-         |  JOIN deg da ON da.node = sym.a
-         |  JOIN deg db ON db.node = sym.b)
-         |SELECT m AS n_edges_sym,
-         |  CASE WHEN m * s3 - s2 * s2 = 0 THEN NULL
-         |  ELSE CAST(m * s1 - s2 * s2 AS DOUBLE) /
-         |    CAST(m * s3 - s2 * s2 AS DOUBLE) END AS assortativity
-         |FROM mom""".stripMargin,
+    "graph_assortativity" -> assortativitySql,
+    // the DECIMAL(38,0) spelling is bit-identical wherever both are
+    // legal, so it replays the SAME oracle
+    "graph_assortativity_decimal" -> assortativitySql,
 
     "graph_degree_census" ->
       s"""$coSupplyEdgesSqlCtes,

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QuerySuite, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -726,7 +726,18 @@ object SimilarityQueries extends QuerySuite {
         .orderBy("label")),
 
     // see [[centroidDrift]]
-    "sim_centroid_drift" -> ((s, d) => centroidDrift(s, d)))
+    "sim_centroid_drift" -> ((s, d) => centroidDrift(s, d)),
+
+    // The DECIMAL(38,0) re-spelling the sim_centroid_drift guard
+    // message names as its escape hatch, live and oracle-verified
+    // (the stat_pca_power_decimal pattern): this guard is the
+    // ledger's tightest analytic bound (D·max(|s1|,|s2|)² at ~10⁵
+    // vectors per label), so a hot label hits it first — the decimal
+    // moments lift the headroom from 2⁶² to 10³⁸ (≈10¹⁵ vectors per
+    // label at |m| ≤ 1000, D = 64) with the identical plan shape and
+    // bit-identical doubles wherever both spellings are legal.
+    "sim_centroid_drift_decimal" ->
+      ((s, d) => centroidDrift(s, d, decimalMoments = true)))
 
   /** Embedding-drift monitor body (sim_centroid_drift): cosine
     * between the per-label centroids of two interleaved snapshot
@@ -751,8 +762,14 @@ object SimilarityQueries extends QuerySuite {
     * to DECIMAL(38,0) (StatQueries note). The inner per-(label, dim)
     * sums s1, s2 themselves wrap only at ~9·10¹⁵ vectors per label
     * (|m| ≤ 1000) — past any corpus, so maxing them is wrap-proof at
-    * every scale the guard can reach. */
-  private[llm] def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    * every scale the guard can reach. `decimalMoments = true` is the
+    * swap that guard names (the stat_pca_power template): s1/s2 cast
+    * to DECIMAL(18,0) before the quadratic products, sums land in
+    * DECIMAL(38,0), no guard needed; the final division casts to
+    * DOUBLE identically, so the twins are bit-identical wherever
+    * both spellings are legal. */
+  private[llm] def centroidDrift(s: SparkSession, d: String,
+      decimalMoments: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("label"), (col("vec_id") % 2).as("grp"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -761,10 +778,12 @@ object SimilarityQueries extends QuerySuite {
     val sums = e.groupBy("label", "pos").agg(
       sum(when(col("grp") === 0L, col("m")).otherwise(0L)).as("s1"),
       sum(when(col("grp") === 1L, col("m")).otherwise(0L)).as("s2"))
+    def x(c: Column): Column =
+      if (decimalMoments) c.cast("decimal(18,0)") else c
     val mom = sums.groupBy("label").agg(
-      sum(col("s1") * col("s2")).as("num"),
-      sum(col("s1") * col("s1")).as("q1"),
-      sum(col("s2") * col("s2")).as("q2"),
+      sum(x(col("s1")) * x(col("s2"))).as("num"),
+      sum(x(col("s1")) * x(col("s1"))).as("q1"),
+      sum(x(col("s2")) * x(col("s2"))).as("q2"),
       count(lit(1)).as("nd"),
       max(abs(col("s1"))).as("a1"),
       max(abs(col("s2"))).as("a2"))
@@ -776,8 +795,9 @@ object SimilarityQueries extends QuerySuite {
       greatest(col("a1"), col("a2")).cast("double")
     mom.join(cnt, "label")
       .select(col("label"),
-        graft.analytics.Exact.momentGuard(s, "sim_centroid_drift",
-          "D*max(|s1|,|s2|)^2", driftBound)(col("n_a")).as("n_a"),
+        (if (decimalMoments) col("n_a")
+         else graft.analytics.Exact.momentGuard(s, "sim_centroid_drift",
+           "D*max(|s1|,|s2|)^2", driftBound)(col("n_a"))).as("n_a"),
         col("n_b"),
         when(col("q1") === 0L || col("q2") === 0L,
           lit(null).cast("double"))
@@ -1437,35 +1457,41 @@ object SimilarityQueries extends QuerySuite {
     // zipped unnest pairs each dim with its subscript; the subscript
     // is only a group key, so the 1-based/0-based difference vs
     // Spark's posexplode never reaches the output
-    "sim_centroid_drift" ->
-      """WITH e AS (
-        |  SELECT label, vec_id % 2 AS grp,
-        |    unnest(range(1, len(embedding) + 1)) AS pos,
-        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
-        |      AS BIGINT) AS m
-        |  FROM embeddings),
-        |sums AS (
-        |  SELECT label, pos,
-        |    CAST(sum(CASE WHEN grp = 0 THEN m ELSE 0 END) AS BIGINT) AS s1,
-        |    CAST(sum(CASE WHEN grp = 1 THEN m ELSE 0 END) AS BIGINT) AS s2
-        |  FROM e GROUP BY label, pos),
-        |mom AS (
-        |  SELECT label, CAST(sum(s1*s2) AS BIGINT) AS num,
-        |    CAST(sum(s1*s1) AS BIGINT) AS q1,
-        |    CAST(sum(s2*s2) AS BIGINT) AS q2
-        |  FROM sums GROUP BY label),
-        |cnt AS (
-        |  SELECT label,
-        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_a,
-        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_b
-        |  FROM embeddings GROUP BY label)
-        |SELECT mom.label, n_a, n_b,
-        |  CASE WHEN q1 = 0 OR q2 = 0 THEN NULL
-        |       ELSE CAST(num AS DOUBLE) /
-        |            (sqrt(CAST(q1 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE)))
-        |  END AS centroid_cos
-        |FROM mom JOIN cnt ON mom.label = cnt.label
-        |ORDER BY mom.label""".stripMargin)
+    "sim_centroid_drift" -> centroidDriftSql,
+    // bit-identical wherever both spellings are legal → same oracle
+    "sim_centroid_drift_decimal" -> centroidDriftSql)
+
+  /** Shared oracle for both centroid-drift spellings (DuckDB's BIGINT
+    * is exact at fixture scale, so one SQL serves both). */
+  private def centroidDriftSql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id % 2 AS grp,
+      |    unnest(range(1, len(embedding) + 1)) AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+      |      AS BIGINT) AS m
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT label, pos,
+      |    CAST(sum(CASE WHEN grp = 0 THEN m ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN grp = 1 THEN m ELSE 0 END) AS BIGINT) AS s2
+      |  FROM e GROUP BY label, pos),
+      |mom AS (
+      |  SELECT label, CAST(sum(s1*s2) AS BIGINT) AS num,
+      |    CAST(sum(s1*s1) AS BIGINT) AS q1,
+      |    CAST(sum(s2*s2) AS BIGINT) AS q2
+      |  FROM sums GROUP BY label),
+      |cnt AS (
+      |  SELECT label,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_b
+      |  FROM embeddings GROUP BY label)
+      |SELECT mom.label, n_a, n_b,
+      |  CASE WHEN q1 = 0 OR q2 = 0 THEN NULL
+      |       ELSE CAST(num AS DOUBLE) /
+      |            (sqrt(CAST(q1 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE)))
+      |  END AS centroid_cos
+      |FROM mom JOIN cnt ON mom.label = cnt.label
+      |ORDER BY mom.label""".stripMargin
 }

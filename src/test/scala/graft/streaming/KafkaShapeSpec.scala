@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The Kafka wire contract, tested without a broker (VERDICT r12
+  * task 4): BASELINE's "Structured Streaming ingestion + Kafka
+  * semantics" as executable specs instead of a mapping note.
+  *
+  * The fixture schema below is the EXACT relation
+  * `spark.readStream.format("kafka")` produces with
+  * includeHeaders=true — column names, types, and order per the
+  * Structured Streaming + Kafka integration guide: key BINARY,
+  * value BINARY, topic STRING, partition INT, offset LONG,
+  * timestamp TIMESTAMP, timestampType INT,
+  * headers ARRAY<STRUCT<key STRING, value BINARY>>. If
+  * [[Ingest.parseFrames]] consumes this relation, the connector jar
+  * plugs in unchanged; the MemoryStream is the transport stand-in,
+  * never the semantics.
+  */
+case class KafkaHeader(key: String, value: Array[Byte])
+case class KafkaFullRecord(key: Array[Byte], value: Array[Byte],
+    topic: String, partition: Int, offset: Long, timestamp: Timestamp,
+    timestampType: Int, headers: Array[KafkaHeader])
+
+class KafkaShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(partition: Int, offset: Long, frame: String,
+      tsMillis: Long = 1000L, topic: String = "quty-frames") =
+    KafkaFullRecord(s"k$offset".getBytes("UTF-8"),
+      frame.getBytes("UTF-8"), topic, partition, offset,
+      new Timestamp(tsMillis), 0 /* CreateTime */,
+      Array(KafkaHeader("origin", "edge-7".getBytes("UTF-8"))))
+
+  test("parseFrames consumes the full connector relation (headers + timestampType present)") {
+    val df = Seq(
+      rec(0, 0L, """J|{"c":"news","cid":"41","s":"node-1"}"""),
+      rec(1, 7L, """M|{"c":"news","m":"breaking","s":"pub-1"}""", 2000L),
+      rec(0, 1L, "garbage-no-pipe")).toDF()
+    // pin the fixture against the documented connector schema FIRST —
+    // if this line drifts, the test is no longer testing the contract
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "key" -> "binary", "value" -> "binary", "topic" -> "string",
+      "partition" -> "int", "offset" -> "bigint",
+      "timestamp" -> "timestamp", "timestampType" -> "int",
+      "headers" -> "array<struct<key:string,value:binary>>"))
+    val parsed = Ingest.parseFrames(df)
+    val rows = parsed.orderBy("partition", "offset").collect()
+    assert(rows.length == 3)
+    assert(parsed.columns.toSeq == Seq("topic", "partition", "offset",
+      "kafka_ts", "key", "op", "seq", "channel", "message", "sender",
+      "cid"))
+    val joinRow = rows(0)
+    assert(joinRow.getAs[String]("op") == "J")
+    assert(joinRow.getAs[String]("channel") == "news")
+    assert(joinRow.getAs[String]("key") == "k0") // binary key → string
+    val msgRow = rows(2)
+    assert(msgRow.getAs[String]("op") == "M")
+    assert(msgRow.getAs[String]("message") == "breaking")
+    // the malformed frame survives the parse with a null op (the
+    // filter lives downstream in channelEvents)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("op")))
+  }
+
+  test("dedupeByOffset: broker re-delivery of (topic, partition, offset) is dropped within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KafkaFullRecord]
+    val name = s"kafka_dedup_${graft.SparkSpec.streamCounter.incrementAndGet()}"
+    val q = Ingest.dedupeByOffset(Ingest.parseFrames(input.toDF()))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val m1 = rec(0, 0L, """M|{"c":"a","m":"x"}""", 1000L)
+      val m2 = rec(0, 1L, """M|{"c":"a","m":"y"}""", 2000L)
+      input.addData(Seq(m1, m2))
+      q.processAllAvailable()
+      // the at-least-once case: the broker (or a restarted source)
+      // hands the SAME records again, plus one genuinely new one —
+      // same topic+partition+offset must not re-emit
+      val m3 = rec(1, 0L, """M|{"c":"a","m":"z"}""", 3000L)
+      input.addData(Seq(m1, m2, m3))
+      q.processAllAvailable()
+      val out = spark.table(name).select("topic", "partition", "offset")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(out == Seq(("quty-frames", 0, 0L), ("quty-frames", 0, 1L),
+        ("quty-frames", 1, 0L)),
+        s"re-delivered offsets must be dropped exactly once: $out")
+    } finally q.stop()
+  }
+
+  test("wire round-trip: re-delivered frames produce exactly one delivery each (dedupe → route → idempotent sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("kafka_shape_sink").toString
+    val input = MemoryStream[KafkaFullRecord]
+    // full pipeline: parse → offset-dedupe → channel events → stateful
+    // routing → the batchId-idempotent parquet sink
+    val deliveries = ChannelStream.deliveries(Ingest.channelEvents(
+      Ingest.dedupeByOffset(Ingest.parseFrames(input.toDF()))))
+    val q = Ingest.deliverToParquet(deliveries,
+        s"$root/out", s"$root/ckpt").start()
+    try {
+      val join = rec(0, 0L, """J|{"c":"news","cid":"5","s":"node-1"}""",
+        1000L)
+      input.addData(Seq(join))
+      q.processAllAvailable()
+      val msg = rec(0, 1L, """M|{"c":"news","m":"hello","s":"pub-1"}""",
+        2000L)
+      // the message arrives TWICE in one batch (broker re-delivery)…
+      input.addData(Seq(msg, msg))
+      q.processAllAvailable()
+      // …and AGAIN in the next batch
+      input.addData(Seq(msg))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$root/out")
+        .select("cid", "message").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((5L, "hello")),
+        s"exactly one delivery expected across re-deliveries: $rows")
+    } finally q.stop()
+  }
+}
