@@ -102,6 +102,70 @@ object StatQueries extends QuerySuite {
     * path does, and since any sum inside 2⁶² converts to the SAME
     * correctly-rounded double from either type, the eigenpair is
     * bit-identical wherever both spellings are legal. */
+  /** Pearson correlation of quantity vs price per (returnflag, month)
+    * slice — ONE plan, two moment spellings (suite header; the
+    * pcaPower pattern). BIGINT spelling guards every cross form at
+    * n²·max(|x|,|y|)² per slice; the DECIMAL(18,0)-input spelling
+    * lifts the moment headroom to 10³⁸ with no guard, casting to
+    * DOUBLE identically, so the twins are bit-identical wherever both
+    * are legal. */
+  /** Shared oracle for both corr_monthly spellings (DuckDB BIGINT is
+    * exact at fixture scale). */
+  private def corrMonthlySql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS rf, strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT rf, month, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+      |    CAST(sum(x*y) AS BIGINT) AS sxy
+      |  FROM li GROUP BY rf, month)
+      |SELECT rf, month, n,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+      |       THEN NULL
+      |       ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+      |            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+      |               * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END
+      |    AS corr_qty_price
+      |FROM m ORDER BY rf, month""".stripMargin
+
+  private def corrMonthly(s: SparkSession, d: String,
+      decimalMoments: Boolean): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("rf"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice"), 0).cast("long").as("y"))
+    def q(c: Column): Column =
+      if (decimalMoments) c.cast("decimal(18,0)") else c
+    val m = li.groupBy("rf", "month").agg(
+      count(lit(1)).as("n"),
+      sum(q(col("x"))).as("sx"), sum(q(col("y"))).as("sy"),
+      sum(q(col("x")) * q(col("x"))).as("sxx"),
+      sum(q(col("y")) * q(col("y"))).as("syy"),
+      sum(q(col("x")) * q(col("y"))).as("sxy"),
+      greatest(max(abs(col("x"))), max(abs(col("y")))).as("mxy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    // loud headroom guard, BIGINT spelling only (suite header): every
+    // cross form here is bounded by n²·max(|x|,|y|)² per slice.
+    val hotD = col("n").cast("double") * col("n").cast("double") *
+      col("mxy").cast("double") * col("mxy").cast("double")
+    val corr = when(vx === 0L || vy === 0L, lit(null).cast("double"))
+      .otherwise(cov.cast("double") /
+        (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+    m.select(col("rf"), col("month"), col("n"),
+      (if (decimalMoments) corr
+       else momentGuard(s, "stat_corr_monthly",
+         "slice n^2*max(|x|,|y|)^2", hotD)(corr))
+        .as("corr_qty_price"))
+      .orderBy("rf", "month")
+  }
+
   private def pcaPower(s: SparkSession, d: String,
       decimalMoments: Boolean): DataFrame = {
     val dims = 1 to 4
@@ -267,35 +331,17 @@ object StatQueries extends QuerySuite {
     // the fact table; everything after is arithmetic on the
     // group-count-sized table. Degenerate slices (σ=0 on either
     // variable) emit NULL, the SQL corr() convention.
-    "stat_corr_monthly" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        col("l_returnflag").as("rf"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
-        col("l_quantity").cast("long").as("x"),
-        round(col("l_extendedprice"), 0).cast("long").as("y"))
-      val m = li.groupBy("rf", "month").agg(
-        count(lit(1)).as("n"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"),
-        greatest(max(abs(col("x"))), max(abs(col("y")))).as("mxy"))
-      val vx = col("n") * col("sxx") - col("sx") * col("sx")
-      val vy = col("n") * col("syy") - col("sy") * col("sy")
-      val cov = col("n") * col("sxy") - col("sx") * col("sy")
-      // loud headroom guard (suite header): every cross form here is
-      // bounded by n²·max(|x|,|y|)² per (rf, month) slice.
-      val hotD = col("n").cast("double") * col("n").cast("double") *
-        col("mxy").cast("double") * col("mxy").cast("double")
-      m.select(col("rf"), col("month"), col("n"),
-        momentGuard(s, "stat_corr_monthly", "slice n^2*max(|x|,|y|)^2",
-          hotD)(
-          when(vx === 0L || vy === 0L, lit(null).cast("double"))
-            .otherwise(cov.cast("double") /
-              (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
-          .as("corr_qty_price"))
-        .orderBy("rf", "month")
-    }),
+    "stat_corr_monthly" ->
+      ((s, d) => corrMonthly(s, d, decimalMoments = false)),
+
+    // The DECIMAL(38,0) re-spelling the stat_corr_monthly guard names
+    // (stat_pca_power template): the round-13 scaling harness tripped
+    // the BIGINT guard at a ×10 amplification of sf0.1 (slice
+    // n²·max(|x|,|y|)² ≈ 5.9·10¹⁸ > 2⁶²), so this swap is the live
+    // path one decade up — bit-identical rows, unchanged plan shape
+    // (DecimalTwinSpec).
+    "stat_corr_monthly_decimal" ->
+      ((s, d) => corrMonthly(s, d, decimalMoments = true)),
 
     // Winsorized mean of line value per returnflag: exact p05/p95
     // DISC cutpoints, map-side clamp, integer-cents mean. Scale
@@ -1055,26 +1101,9 @@ object StatQueries extends QuerySuite {
          |FROM e JOIN m USING (event_type, day)
          |ORDER BY event_id""".stripMargin,
 
-    "stat_corr_monthly" ->
-      """WITH li AS (
-        |  SELECT l_returnflag AS rf, strftime(l_shipdate, '%Y-%m') AS month,
-        |    CAST(l_quantity AS BIGINT) AS x,
-        |    CAST(round(l_extendedprice) AS BIGINT) AS y
-        |  FROM lineitem),
-        |m AS (
-        |  SELECT rf, month, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
-        |    CAST(sum(x*y) AS BIGINT) AS sxy
-        |  FROM li GROUP BY rf, month)
-        |SELECT rf, month, n,
-        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
-        |       THEN NULL
-        |       ELSE CAST(n*sxy - sx*sy AS DOUBLE)
-        |            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-        |               * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END
-        |    AS corr_qty_price
-        |FROM m ORDER BY rf, month""".stripMargin,
+    "stat_corr_monthly" -> corrMonthlySql,
+    // bit-identical wherever both spellings are legal → same oracle
+    "stat_corr_monthly_decimal" -> corrMonthlySql,
 
     "agg_winsorized_mean" ->
       s"""WITH src AS (

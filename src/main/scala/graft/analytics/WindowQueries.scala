@@ -34,6 +34,64 @@ object WindowQueries extends QuerySuite {
   val HampelHalf = 3
   val HampelK = 3L
 
+  /** RATIO_TO_REPORT body, ONE plan with two moment spellings (the
+    * stat_pca_power template). BIGINT spelling: rc is a MONEY-CENTS
+    * sum (~10¹⁶ cents per region at 100 TB), so the ppm product is
+    * ~10²² — the char-scale-ppm class, not the exempt count-only one;
+    * guarded at region_rc·10⁶ (ANSI raises on the sum itself long
+    * before the bound could wrap). DECIMAL spelling: the ppm product
+    * runs in DECIMAL(38,0) (headroom 10³⁸, no guard); `div` on
+    * decimals returns the same BIGINT integral quotient, and
+    * share_ppm ≤ 10⁶ always fits, so the twins are bit-identical
+    * wherever both are legal. */
+  /** Shared oracle for both share-of-total spellings (DuckDB BIGINT
+    * is exact at fixture scale). */
+  private def shareOfTotalSql: String =
+    s"""WITH bn AS (
+       |  SELECT r_name, n_name,
+       |    CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rc
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name, n_name)
+       |SELECT r_name, n_name, rc / 100.0 AS revenue,
+       |  CAST(rc * 1000000 //
+       |    nullif(sum(rc) OVER (PARTITION BY r_name), 0)
+       |    AS BIGINT) AS share_ppm
+       |FROM bn ORDER BY r_name, n_name""".stripMargin
+
+  private def shareOfTotal(s: SparkSession, d: String,
+      decimalMoments: Boolean): DataFrame = {
+    val byNation = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("rc"))
+    // nullif: a region whose revenue legitimately sums to zero cents
+    // (all-zero prices) must degrade to NULL share_ppm, never an ANSI
+    // DIVIDE_BY_ZERO abort — the text_mixture_plan discipline,
+    // mirrored in the oracle
+    val ppm =
+      if (decimalMoments)
+        expr("CAST(rc AS DECIMAL(38,0)) * 1000000 div " +
+          "nullif(CAST(region_rc AS DECIMAL(38,0)), 0)")
+      else Exact.momentGuard(s, "window_share_of_total",
+        "region_rc*1e6",
+        coalesce(col("region_rc"), lit(0L)).cast("double")
+          * lit(1.0e6))(
+        expr("rc * 1000000 div nullif(region_rc, 0)"))
+    byNation
+      .withColumn("region_rc",
+        sum("rc").over(Window.partitionBy("r_name")))
+      .select(col("r_name"), col("n_name"),
+        (col("rc") / 100.0).as("revenue"),
+        ppm.as("share_ppm"))
+      .orderBy("r_name", "n_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXACT trailing-7-day distinct active users per day — the
     // sliding COUNT(DISTINCT) every engine punts to sketches, kept
@@ -137,35 +195,18 @@ object WindowQueries extends QuerySuite {
     // the raw facts reduce FIRST, so the window never sees fact rows
     // at any scale. Shares in integer ppm over exact cents; revenue
     // surfaced via one /100.0.
-    "window_share_of_total" -> ((s, d) => {
-      val byNation = Tables.orders(s, d)
-        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
-        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(cents(col("o_totalprice"))).as("rc"))
-      byNation
-        .withColumn("region_rc",
-          sum("rc").over(Window.partitionBy("r_name")))
-        .select(col("r_name"), col("n_name"),
-          (col("rc") / 100.0).as("revenue"),
-          // integer headroom, ENFORCED: rc is a MONEY-CENTS sum
-          // (~10¹⁶ cents per region at 100 TB), so the ppm product is
-          // ~10²² — the char-scale-ppm class, not the exempt
-          // count-only one; bound from the region total (ANSI raises
-          // on the sum itself long before the bound could wrap)
-          Exact.momentGuard(s, "window_share_of_total",
-            "region_rc*1e6",
-            coalesce(col("region_rc"), lit(0L)).cast("double")
-              * lit(1.0e6))(
-            // nullif: a region whose revenue legitimately sums to
-            // zero cents (all-zero prices) must degrade to NULL
-            // share_ppm, never an ANSI DIVIDE_BY_ZERO abort — the
-            // text_mixture_plan discipline, mirrored in the oracle
-            expr("rc * 1000000 div nullif(region_rc, 0)")).as("share_ppm"))
-        .orderBy("r_name", "n_name")
-    }),
+    "window_share_of_total" ->
+      ((s, d) => shareOfTotal(s, d, decimalMoments = false)),
+
+    // The DECIMAL(38,0) re-spelling the window_share_of_total guard
+    // names (stat_pca_power template): the round-13 scaling harness
+    // tripped the BIGINT guard at a ×10 amplification of sf0.1
+    // (region_rc·10⁶ ≈ 7.4·10¹⁸ > 2⁶²) — the ppm numerator of a
+    // money-cents sum crosses 2⁶² around sf1, so a real deployment
+    // needs this swap early. Bit-identical rows, unchanged plan shape
+    // (DecimalTwinSpec).
+    "window_share_of_total_decimal" ->
+      ((s, d) => shareOfTotal(s, d, decimalMoments = true)),
 
     // OHLC downsampling — the canonical time-series resample (open /
     // high / low / close per bucket) that turns a raw tick stream
@@ -641,20 +682,9 @@ object WindowQueries extends QuerySuite {
          |FROM spine s LEFT JOIN ud e
          |  ON e.day BETWEEN s.day - ${TrailingWindowDays - 1} AND s.day
          |GROUP BY s.day ORDER BY s.day""".stripMargin,
-    "window_share_of_total" ->
-      s"""WITH bn AS (
-         |  SELECT r_name, n_name,
-         |    CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rc
-         |  FROM orders
-         |  JOIN customer ON o_custkey = c_custkey
-         |  JOIN nation ON c_nationkey = n_nationkey
-         |  JOIN region ON n_regionkey = r_regionkey
-         |  GROUP BY r_name, n_name)
-         |SELECT r_name, n_name, rc / 100.0 AS revenue,
-         |  CAST(rc * 1000000 //
-         |    nullif(sum(rc) OVER (PARTITION BY r_name), 0)
-         |    AS BIGINT) AS share_ppm
-         |FROM bn ORDER BY r_name, n_name""".stripMargin,
+    "window_share_of_total" -> shareOfTotalSql,
+    // bit-identical wherever both spellings are legal → same oracle
+    "window_share_of_total_decimal" -> shareOfTotalSql,
 
     "window_ohlc_hourly" ->
       """WITH ev AS (

@@ -111,6 +111,10 @@ object DedupQueries extends QuerySuite {
   val SrpBands = 8
   val SrpR = 8
 
+  /** Hot-bucket occupancy cap for SRP candidate generation (the
+    * [[MaxBucket]] twin for the embedding path). */
+  val SrpMaxBucket = 64
+
   /** Semantic-dedup centroid rule (every SemStride-th vector) and
     * within-cluster near-duplicate threshold. */
   val SemStride = 50
@@ -187,14 +191,40 @@ object DedupQueries extends QuerySuite {
     * nrm): map-only band signatures -> bucket self-join -> exact
     * cosine verify on candidates only. Extracted so specs can plant
     * fixtures. */
-  private[llm] def srpPairs(e: DataFrame, dim: Int, threshold: Double): DataFrame = {
-    val bands = srpBands(e, dim)
-    val cands = bands.as("x").join(bands.as("y"),
+  /** SRP candidate pairs under the hot-bucket cap (the
+    * cappedBandPairs discipline, round-13): the SRP band space is
+    * FIXED at SrpBands × 2^SrpR buckets, so bucket occupancy grows
+    * with corpus density and uncapped within-bucket pairing is
+    * Θ(n²/2^SrpR) — the round-13 scaling harness measured exponent
+    * 1.96 on the ×10 clone (44M candidate rows at 20k vectors)
+    * before this cap. Buckets above [[SrpMaxBucket]] are dropped
+    * from candidate generation: volume is then bounded by
+    * bands · buckets · C(cap,2) + linear verify work. Recall trade:
+    * a hot bucket means the hyperplanes can't separate that region —
+    * its pairs are better served by the centroid-blocked SemDeDup
+    * path; at fixture scales the cap never binds (occupancy ≤ 8), so
+    * both oracle twins are unchanged where hashes are compared.
+    * Exposed so ShuffleVolumeSpec can bound the candidate stage on
+    * an all-clones corpus. */
+  private[llm] def srpCappedBands(e: DataFrame, dim: Int): DataFrame =
+    srpBands(e, dim)
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= SrpMaxBucket)
+      .select("vec_id", "band_idx", "band_val")
+
+  private[llm] def srpCandidates(e: DataFrame, dim: Int): DataFrame = {
+    val bands = srpCappedBands(e, dim)
+    bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+  }
+
+  private[llm] def srpPairs(e: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val cands = srpCandidates(e, dim)
     cands
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
         col("nrm").as("nrm_a")), "vec_a")
@@ -1280,9 +1310,15 @@ object DedupQueries extends QuerySuite {
 
     "dedup_embedding_lsh" ->
       s"""WITH $srpBandsSqlCte,
+         |bands_c AS (
+         |  SELECT vec_id, band_idx, band_val FROM (
+         |    SELECT vec_id, band_idx, band_val,
+         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+         |    FROM bands)
+         |  WHERE bn <= $SrpMaxBucket),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bands x JOIN bands y
+         |  FROM bands_c x JOIN bands_c y
          |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
          |   AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, cos FROM (

@@ -119,6 +119,10 @@ object Multimodal extends QuerySuite {
     * 4 bands × 16 bits: any pair within distance 3 shares at least
     * one untouched band (pigeonhole), so band-blocking is COMPLETE. */
   val PhashBands = 4
+
+  /** Hot-bucket occupancy cap for dHash-band candidate generation
+    * (the DedupQueries.SrpMaxBucket twin for the image path). */
+  val PhashMaxBucket = 64
   val MaxPhashDist = 3L
   /** Planted near-duplicate rows live above this id offset. */
   val PlantBase = 1000000000L
@@ -201,12 +205,26 @@ object Multimodal extends QuerySuite {
     * (an edit to the band shape lands in both or neither). Returns
     * raw (doc_a, doc_b, hamming) pairs; callers filter/distinct. */
   private def phashCandidates(sigs: DataFrame): DataFrame = {
+    // hot-bucket cap (the DedupQueries.cappedBandPairs discipline,
+    // round-13): the band space is FIXED at PhashBands × 2¹⁶ buckets,
+    // so bucket occupancy grows with corpus density and uncapped
+    // within-bucket pairing goes quadratic — the round-13 scaling
+    // harness measured exponent 1.66 on the ×10 clone before this
+    // cap. Buckets above [[PhashMaxBucket]] (a dHash region too dense
+    // for banding to discriminate) are dropped from candidate
+    // generation; at fixture scales the cap never binds, so both
+    // oracle twins are unchanged where hashes are compared.
     val banded = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until PhashBands).map(b =>
         struct(lit(b).as("band_idx"),
           bandVal(col("phash"), b).as("band_val"))): _*)).as("bd"))
       .select(col("doc_id"), col("phash"),
         col("bd.band_idx"), col("bd.band_val"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= PhashMaxBucket)
+      .drop("bucket_n")
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -555,16 +573,32 @@ object Multimodal extends QuerySuite {
     // MultimodalSpec proves the blocking equivalence executably).
     "multimodal_phash_cand_hist" ->
       s"""WITH $phashSigsSql,
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_idx, b0 AS band_val FROM sigs
+         |  UNION ALL SELECT doc_id, 1, b1 FROM sigs
+         |  UNION ALL SELECT doc_id, 2, b2 FROM sigs
+         |  UNION ALL SELECT doc_id, 3, b3 FROM sigs),
+         |banded_c AS (
+         |  SELECT doc_id, band_idx, band_val FROM (
+         |    SELECT doc_id, band_idx, band_val,
+         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+         |    FROM banded)
+         |  WHERE bn <= $PhashMaxBucket),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded_c x JOIN banded_c y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |candh AS (
+         |  SELECT c.doc_a, c.doc_b,
          |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
          |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
          |      AS BIGINT) AS hamming
-         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
-         |        OR a.b3 = b.b3))
+         |  FROM cand c
+         |  JOIN sigs a ON a.doc_id = c.doc_a
+         |  JOIN sigs b ON b.doc_id = c.doc_b)
          |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM cand GROUP BY hamming ORDER BY hamming""".stripMargin,
+         |FROM candh GROUP BY hamming ORDER BY hamming""".stripMargin,
 
     "multimodal_phash_dups" ->
       s"""WITH $phashSigsSql

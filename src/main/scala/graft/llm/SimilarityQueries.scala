@@ -170,7 +170,12 @@ object SimilarityQueries extends QuerySuite {
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", Vectors.normNative(col("embedding")))
         .filter(col("nrm") > 0) // cos undefined on zero vectors
-      val bands = DedupQueries.srpBands(e, dim = 64)
+      // hot-bucket-capped bands (round-13: this duplicated the
+      // UNcapped SRP join and measured exponent 1.98 on the ×10
+      // clone — same Θ(n²/2^SrpR) failure srpPairs had; the cap
+      // never binds at fixture scale, so the oracle is unchanged
+      // where hashes are compared)
+      val bands = DedupQueries.srpCappedBands(e, dim = 64)
       val cands = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -1034,9 +1039,15 @@ object SimilarityQueries extends QuerySuite {
       s"""WITH ${DedupQueries.srpBandsSqlCte},
          |nz AS (SELECT vec_id, embedding FROM embeddings
          |       WHERE ${Vectors.normSql("embedding")} > 0),
+         |bands_c AS (
+         |  SELECT vec_id, band_idx, band_val FROM (
+         |    SELECT vec_id, band_idx, band_val,
+         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+         |    FROM bands)
+         |  WHERE bn <= ${DedupQueries.SrpMaxBucket}),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
-         |  FROM bands x JOIN bands y
+         |  FROM bands_c x JOIN bands_c y
          |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
          |   AND x.vec_id <> y.vec_id),
          |scored AS (

@@ -4,17 +4,19 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 
 /** The round-13 DECIMAL(38,0) fallback twins (VERDICT r12 task 6):
-  * the two tightest guards on the headroom ledger get live escape
+  * the tightest guards on the headroom ledger get live escape
   * hatches, each pinned the PcaPowerSpec way — bit-identical rows and
   * an unchanged distributed plan shape, so the swap the guard message
   * prescribes changes ONLY the moments' storage type.
   *
-  * graph_assortativity earned its twin empirically: the round-13
-  * scaling-curve run tripped its BIGINT guard at a ×10 amplification
-  * of sf0.1 ((M·Dmax)² ≈ 5.3·10¹⁸ > 2⁶²), and the decimal spelling
-  * completes on that same corpus (BENCH_NOTES r13).
-  * sim_centroid_drift carries the ledger's tightest analytic bound
-  * (~10⁵ vectors per label).
+  * Three of the four earned their twins empirically: the round-13
+  * scaling-curve run tripped the BIGINT guards of
+  * graph_assortativity ((M·Dmax)² ≈ 5.3·10¹⁸), stat_corr_monthly
+  * (slice n²·max² ≈ 5.9·10¹⁸), and window_share_of_total
+  * (region_rc·10⁶ ≈ 7.4·10¹⁸) at a mere ×10 amplification of sf0.1,
+  * and the decimal spellings complete on that same corpus
+  * (BENCH_NOTES r13). sim_centroid_drift carries the ledger's
+  * tightest analytic bound (~10⁵ vectors per label).
   */
 class DecimalTwinSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
@@ -63,5 +65,13 @@ class DecimalTwinSpec extends SparkSpec {
 
   test("sim_centroid_drift_decimal: bit-identical, same plan shape") {
     pinTwin("sim_centroid_drift", graft.llm.SimilarityQueries.queries)
+  }
+
+  test("stat_corr_monthly_decimal: bit-identical, same plan shape") {
+    pinTwin("stat_corr_monthly", StatQueries.queries)
+  }
+
+  test("window_share_of_total_decimal: bit-identical, same plan shape") {
+    pinTwin("window_share_of_total", WindowQueries.queries)
   }
 }

@@ -69,4 +69,31 @@ class ShuffleVolumeSpec extends SparkSpec {
     // on the all-clones corpus the hot-bucket guard drops everything
     assert(out == 0L, s"expected zero surviving candidates, got $out")
   }
+
+  test("capped SRP join stays under the linear candidate bound on embedding clones") {
+    // the embedding twin of the text-LSH bound above (round-13: the
+    // scaling harness measured exponent 1.96 on srpPairs before its
+    // hot-bucket cap — a fixed SrpBands × 2^SrpR bucket space makes
+    // uncapped within-bucket pairing Θ(n²/2^SrpR)). Worst case: 2000
+    // identical unit vectors — every band of every vector lands in
+    // ONE bucket, so the uncapped join would emit ~2e6 pairs per band.
+    graft.plans.FloatVectorDot.register(spark)
+    val dim = 16
+    val clones = spark.range(1, 2001)
+      .select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), i -> CAST(0.25 AS FLOAT))")
+          .as("embedding"))
+      .withColumn("nrm", graft.llm.Vectors.normNative(col("embedding")))
+    val nVecs = 2000L
+    val linearBound =
+      nVecs * DedupQueries.SrpBands * DedupQueries.SrpMaxBucket
+    val emitted = DedupQueries.srpCandidates(clones, dim).count()
+    assert(emitted <= linearBound,
+      s"SRP candidate join emitted $emitted pairs, " +
+        s"linear bound $linearBound")
+    // on the all-clones corpus every bucket is hot: the guard drops
+    // everything, like the text-LSH twin above
+    assert(emitted == 0L,
+      s"expected zero surviving candidates on all-clones, got $emitted")
+  }
 }
