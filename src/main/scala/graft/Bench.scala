@@ -90,11 +90,20 @@ object Bench {
     val warmReruns = suspects.map { name =>
       val fn = SparkEntry.queries(name)
       val iters = (1 to WarmReps).map { _ =>
+        // same discipline as the sweep loop: a failed rerun reports
+        // -1, never a fast-looking elapsed time (a crashed iteration
+        // must not read as "warm truth is fast"), and the cache clear
+        // stays OUTSIDE the timed region like the floors it is
+        // adjudicated against
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) elapsed else -1.0
       }
       JsonOut.q(name) + ":" + iters.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")

@@ -74,10 +74,13 @@ object FaultProbe {
     // be reached via the module (injectOnce), not a captured val — a
     // captured AtomicBoolean is serialized per task, so every retry
     // would get its own pristine copy and throw forever.
-    val failOnce = SparkEntry.queries("graph_kcore")(spark, Sf)
+    // ONE construction: building graph_kcore eagerly runs the whole
+    // lineage-truncating peel loop, so a second build just for the
+    // schema would double the scenario's cost
+    val kcoreDf = SparkEntry.queries("graph_kcore")(spark, Sf)
+    val failOnce = kcoreDf
       .mapPartitions { it => FaultProbe.injectOnce(); it }(
-        org.apache.spark.sql.Encoders.row(
-          SparkEntry.queries("graph_kcore")(spark, Sf).schema))
+        org.apache.spark.sql.Encoders.row(kcoreDf.schema))
       .collect().map(_.toString).sorted.toSeq
     check("fail_once_retry",
       thrown.get() && failOnce == baseline,

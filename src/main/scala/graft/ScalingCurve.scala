@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.{ExecSubqueryExpression, SparkPlan}
+import org.apache.spark.sql.execution.{ExecSubqueryExpression, ReusedSubqueryExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
@@ -50,6 +50,10 @@ object ScalingCurve {
       case a: AdaptiveSparkPlanExec => go(a.executedPlan)
       case q: QueryStageExec => go(q.plan)
       case _: ReusedExchangeExec => ()
+      // a reused subquery executed once — counted at the original,
+      // like a reused exchange (else every referencing operator
+      // re-descends the same plan and inflates the exponent)
+      case _: ReusedSubqueryExec => ()
       case n =>
         n.metrics.get("numOutputRows").foreach { m =>
           total += m.value
@@ -156,14 +160,19 @@ object ScalingCurve {
       }
     }
 
+    // Locale.ROOT (the Bench.num lesson): a comma-decimal default
+    // locale would write "0,123" and break the JSON
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        Double.box(v))
     def jArr[T](xs: Seq[T])(f: T => String) =
       xs.map(f).mkString("[", ",", "]")
-    def jD(d: Double) = if (d.isNaN) "null" else f"$d%.4f"
+    def jD(d: Double) = if (d.isNaN) "null" else num(d, 4)
     val body = results.map {
       case (name, (dirs, secs, totals, scans, eFit, eLast, eSecs)) =>
         s"${JsonOut.q(name)}: {" +
           s""""scales": ${jArr(dirs)(JsonOut.q)}, """ +
-          s""""secs": ${jArr(secs)(s => f"$s%.3f")}, """ +
+          s""""secs": ${jArr(secs)(s => num(s, 3))}, """ +
           s""""total_rows": ${jArr(totals)(_.toString)}, """ +
           s""""scan_rows": ${jArr(scans)(_.toString)}, """ +
           s""""exp_rows_fit": ${jD(eFit)}, """ +

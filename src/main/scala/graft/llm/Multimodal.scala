@@ -117,7 +117,10 @@ object Multimodal extends QuerySuite {
   /** Perceptual-hash geometry: 9×8 grayscale grid → 64 gradient bits;
     * pairs within [[MaxPhashDist]] bits are near-duplicate images.
     * 4 bands × 16 bits: any pair within distance 3 shares at least
-    * one untouched band (pigeonhole), so band-blocking is COMPLETE. */
+    * one untouched band (pigeonhole), so band-blocking is COMPLETE —
+    * among buckets under [[PhashMaxBucket]]; pairs whose every shared
+    * band lands in a hot bucket are the documented recall trade of
+    * the cap (both oracle twins apply it identically). */
   val PhashBands = 4
 
   /** Hot-bucket occupancy cap for dHash-band candidate generation
@@ -190,8 +193,9 @@ object Multimodal extends QuerySuite {
 
   /** Banded near-duplicate pairs over a (doc_id, phash) frame: each
     * hash emits its 4 16-bit bands, candidates share a band value at
-    * the same index (complete for distance ≤ 3 by pigeonhole), and
-    * only candidates pay the exact popcount verify — never an
+    * the same index (complete for distance ≤ 3 by pigeonhole, among
+    * non-hot buckets — see [[PhashBands]] on the cap's recall trade),
+    * and only candidates pay the exact popcount verify — never an
     * all-pairs scan. */
   private[llm] def phashPairs(sigs: DataFrame): DataFrame =
     phashCandidates(sigs)
@@ -435,10 +439,12 @@ object Multimodal extends QuerySuite {
 
     // IMAGE near-duplicate detection — the multimodal twin of the
     // text dedup family: banded blocking over the dHash (complete for
-    // hamming ≤ 3 by pigeonhole), exact popcount verify on candidates
-    // only. The planted retouched twins (id+1e9) are the guaranteed
-    // true positives; MultimodalSpec proves the blocked output equals
-    // the brute-force pair scan.
+    // hamming ≤ 3 by pigeonhole among non-hot buckets; the
+    // PhashMaxBucket cap is mirrored in the oracle), exact popcount
+    // verify on candidates only. The planted retouched twins (id+1e9)
+    // are the guaranteed true positives; MultimodalSpec proves the
+    // blocked output equals the brute-force pair scan at fixture
+    // scale, where the cap never binds.
     "multimodal_phash_dups" -> ((s, d) =>
       phashPairs(phashTable(s, d))),
 
@@ -600,14 +606,35 @@ object Multimodal extends QuerySuite {
          |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM candh GROUP BY hamming ORDER BY hamming""".stripMargin,
 
+    // same banded + hot-bucket-capped candidate pipeline as the Spark
+    // side (a brute-force pair scan here would diverge the moment a
+    // band bucket exceeds PhashMaxBucket — the r13 review catch)
     "multimodal_phash_dups" ->
-      s"""WITH $phashSigsSql
+      s"""WITH $phashSigsSql,
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_idx, b0 AS band_val FROM sigs
+         |  UNION ALL SELECT doc_id, 1, b1 FROM sigs
+         |  UNION ALL SELECT doc_id, 2, b2 FROM sigs
+         |  UNION ALL SELECT doc_id, 3, b3 FROM sigs),
+         |banded_c AS (
+         |  SELECT doc_id, band_idx, band_val FROM (
+         |    SELECT doc_id, band_idx, band_val,
+         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+         |    FROM banded)
+         |  WHERE bn <= $PhashMaxBucket),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded_c x JOIN banded_c y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-         |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
          |      AS BIGINT) AS hamming
-         |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id)
+         |  FROM cand c
+         |  JOIN sigs a ON a.doc_id = c.doc_a
+         |  JOIN sigs b ON b.doc_id = c.doc_b)
          |WHERE hamming <= $MaxPhashDist
          |ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -343,17 +343,32 @@ class CurationSpec extends SparkSpec {
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
     }
+    // deterministic listener drain: listenerBus.waitUntilEmpty() is
+    // private[spark] (= public in bytecode), so reflection reaches it;
+    // a fixed sleep is only the fallback — under CI load a sleep can
+    // both false-fail (baseline event lands late) and false-pass (a
+    // re-introduced sizing job's event lands late)
+    def drainBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" &&
+            m.getParameterCount == 0) match {
+          case Some(m) => m.invoke(bus)
+          case None => Thread.sleep(1000)
+        }
+      } catch { case _: Throwable => Thread.sleep(1000) }
     spark.sparkContext.addSparkListener(listener)
     try {
       // baseline: a bare documents read runs exactly one plan-time
       // job (parquet schema inference) — that's the floor, not the
-      // regression; listener events post asynchronously, so drain
-      // with a sleep before each reading
+      // regression
       graft.Tables.documents(spark, sf)
-      Thread.sleep(1000)
+      drainBus()
       val baseline = jobs.getAndSet(0)
       CurationQueries.queries("text_decontaminate")(spark, sf)
-      Thread.sleep(1000)
+      drainBus()
       assert(jobs.get() <= baseline,
         s"building the text_decontaminate plan ran ${jobs.get()} jobs " +
           s"vs $baseline for a bare documents read — an eager sizing " +
