@@ -53,7 +53,13 @@ for n in names:
                 return True
         except (TypeError, ValueError):
             pass
-        return x == y
+        # asymmetric scalar-vs-array (a NULL against a list cell —
+        # exactly the diff class this script must REPORT, not crash
+        # on): == would be elementwise and its truth test ambiguous
+        try:
+            return bool(x == y)
+        except (TypeError, ValueError):
+            return False
 
     for c in a.columns:
         av, bv = a[c].values, b[c].values

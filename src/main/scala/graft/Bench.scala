@@ -77,9 +77,12 @@ object Bench {
     // is part of the round's bench artifact instead of a manual
     // AbBench session. Budgeted to the WarmRerunCap worst offenders.
     // floors are recorded at sf0.1 (the driver's bench scale) — at any
-    // other sfDir they are meaningless and the pass stays off
+    // other sfDir they are meaningless and the pass stays off; exact
+    // basename match, not substring (an amplified clone named
+    // .../sf0.1x10 must not inherit sf0.1 floors)
+    val sfBase = new java.io.File(sfDir).getName
     val warmFloors =
-      if (!sfDir.contains("sf0.1")) Map.empty[String, Double]
+      if (sfBase != "sf0.1") Map.empty[String, Double]
       else loadWarmFloors(
         sys.env.getOrElse("SPARK_GRAFT_WARM_FILE",
           "bench_anchors/warm_minima.json"))

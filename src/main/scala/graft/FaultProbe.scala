@@ -95,9 +95,15 @@ object FaultProbe {
         // let the first stages run; kill ONE task once iterations are
         // under way (the 4th distinct stage of this run)
         if (stagesSeen.size >= 4 && killed.compareAndSet(0, 1)) {
-          try sc.killTaskAttempt(ts.taskInfo.taskId, interruptThread = true,
-            reason = "injected fault: task lost mid-iteration")
-          catch { case _: Throwable => killed.set(0) } // raced: task done
+          // killTaskAttempt returns FALSE (no exception) when the
+          // attempt can no longer be killed — re-arm in both cases or
+          // the scenario passes without any injection having happened
+          try {
+            if (!sc.killTaskAttempt(ts.taskInfo.taskId,
+                interruptThread = true,
+                reason = "injected fault: task lost mid-iteration"))
+              killed.set(0)
+          } catch { case _: Throwable => killed.set(0) } // raced: done
         }
       }
     }

@@ -43,7 +43,20 @@ object ScalingCurve {
     * executed plan, descending through AQE wrappers, query stages,
     * and subquery expressions; reused exchanges count once (at the
     * original). Nodes without a numOutputRows metric contribute 0. */
-  def rowVolumes(plan: SparkPlan): (Long, Long) = {
+  def rowVolumes(plan: SparkPlan): (Long, Long) =
+    rowVolumes(plan, java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]()))
+
+  /** `seenCaches` dedupes descents into cached-plan trees: a
+    * persist() materializes its child plan ONCE (under the first
+    * action), and that child's metrics hang off the InMemoryRelation,
+    * not any QueryExecution — without the descent, a query whose
+    * expensive stage feeds a persist reports near-zero volume (the
+    * dedup_components case: the whole Jaccard verify join hid in the
+    * cache build); without the dedupe, every scan of the same cache
+    * would re-count it. */
+  def rowVolumes(plan: SparkPlan,
+      seenCaches: java.util.Set[SparkPlan]): (Long, Long) = {
     var total = 0L
     var scan = 0L
     def go(p: SparkPlan): Unit = p match {
@@ -54,6 +67,11 @@ object ScalingCurve {
       // like a reused exchange (else every referencing operator
       // re-descends the same plan and inflates the exponent)
       case _: ReusedSubqueryExec => ()
+      case imts: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec =>
+        imts.metrics.get("numOutputRows").foreach(m => total += m.value)
+        val cached = imts.relation.cachedPlan
+        if (seenCaches.add(cached)) go(cached)
       case n =>
         n.metrics.get("numOutputRows").foreach { m =>
           total += m.value
@@ -93,21 +111,71 @@ object ScalingCurve {
     math.log(y2.toDouble / y1) / math.log(x2.toDouble / x1)
   }
 
-  /** One query at one scale: (wall secs, total rows, scan rows). */
+  /** One query at one scale: (wall secs, total rows, scan rows).
+    *
+    * Volumes come from TWO sources, both required for an honest
+    * exponent: the final plan (walked directly — `toRdd` is an
+    * RDD-level action no listener sees), plus every EAGER
+    * sub-execution fired during DataFrame CONSTRUCTION, captured via
+    * a QueryExecutionListener. The iterative families
+    * (graph_kcore/label_prop/dedup_components …) run one
+    * QueryExecution per lineage-truncated round at build time; their
+    * final plan is just a checkpoint read + tail, so walking it alone
+    * would hide a quadratic term inside the loop rounds — the r13
+    * review catch. */
   def measure(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame, dir: String)
       : (Double, Long, Long) = {
-    val t0 = System.nanoTime()
-    val df = fn(spark, dir)
-    // drive THIS QueryExecution (a .write would wrap the plan in a
-    // fresh one whose metrics we'd never see): count() fully consumes
-    // every partition, like Bench's noop sink
-    val qe = df.queryExecution
-    qe.toRdd.count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val (total, scan) = rowVolumes(qe.executedPlan)
-    spark.catalog.clearCache()
-    (secs, total, scan)
+    val subTotal = new java.util.concurrent.atomic.AtomicLong(0)
+    val subScan = new java.util.concurrent.atomic.AtomicLong(0)
+    val subSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    // ONE cache-dedup set per measurement, shared by the
+    // sub-execution walks and the final walk: a persist's build is
+    // counted exactly once however many plans scan it
+    val seenCaches = java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]()))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val (t, s) = rowVolumes(qe.executedPlan, seenCaches)
+        subTotal.addAndGet(t)
+        subScan.addAndGet(s)
+        subSeen.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      // drive THIS QueryExecution (a .write would wrap the plan in a
+      // fresh one whose metrics we'd never see): count() fully
+      // consumes every partition, like Bench's noop sink
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events dispatch asynchronously; poll until the
+      // sub-execution count is stable (construction finished before
+      // the final action, so this settles fast)
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 3000) {
+        val now = subSeen.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100)
+        waited += 100
+      }
+      val (total, scan) = rowVolumes(qe.executedPlan, seenCaches)
+      spark.catalog.clearCache()
+      System.err.println(s"[curve]   subs=${subSeen.get()} " +
+        s"subTotal=${subTotal.get()} subScan=${subScan.get()}")
+      (secs, total + subTotal.get(), scan + subScan.get())
+    } finally spark.listenerManager.unregister(listener)
   }
 
   def main(args: Array[String]): Unit = {

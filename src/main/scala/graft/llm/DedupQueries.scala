@@ -115,6 +115,23 @@ object DedupQueries extends QuerySuite {
     * [[MaxBucket]] twin for the embedding path). */
   val SrpMaxBucket = 64
 
+  /** The ONE SQL spelling of the hot-bucket occupancy cap, shared by
+    * every banded oracle twin (dedup_embedding_lsh, sim_knn_graph,
+    * both multimodal phash oracles) so an engine-side cap change
+    * lands in all of them or none — the r13 review found exactly the
+    * drift this prevents (one oracle still brute-force after its
+    * engine path was capped). `src` must expose ($idCol, band_idx,
+    * band_val); emits CTE `$out` with the same columns, hot buckets
+    * (> cap members) dropped. */
+  private[llm] def cappedBandsSqlCte(out: String, src: String,
+      idCol: String, cap: Long): String =
+    s"""$out AS (
+       |  SELECT $idCol, band_idx, band_val FROM (
+       |    SELECT $idCol, band_idx, band_val,
+       |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+       |    FROM $src)
+       |  WHERE bn <= $cap)""".stripMargin
+
   /** Semantic-dedup centroid rule (every SemStride-th vector) and
     * within-cluster near-duplicate threshold. */
   val SemStride = 50
@@ -1310,12 +1327,7 @@ object DedupQueries extends QuerySuite {
 
     "dedup_embedding_lsh" ->
       s"""WITH $srpBandsSqlCte,
-         |bands_c AS (
-         |  SELECT vec_id, band_idx, band_val FROM (
-         |    SELECT vec_id, band_idx, band_val,
-         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
-         |    FROM bands)
-         |  WHERE bn <= $SrpMaxBucket),
+         |${cappedBandsSqlCte("bands_c", "bands", "vec_id", SrpMaxBucket)},
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM bands_c x JOIN bands_c y

@@ -584,12 +584,8 @@ object Multimodal extends QuerySuite {
          |  UNION ALL SELECT doc_id, 1, b1 FROM sigs
          |  UNION ALL SELECT doc_id, 2, b2 FROM sigs
          |  UNION ALL SELECT doc_id, 3, b3 FROM sigs),
-         |banded_c AS (
-         |  SELECT doc_id, band_idx, band_val FROM (
-         |    SELECT doc_id, band_idx, band_val,
-         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
-         |    FROM banded)
-         |  WHERE bn <= $PhashMaxBucket),
+         |${DedupQueries.cappedBandsSqlCte("banded_c", "banded",
+              "doc_id", PhashMaxBucket)},
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM banded_c x JOIN banded_c y
@@ -616,12 +612,8 @@ object Multimodal extends QuerySuite {
          |  UNION ALL SELECT doc_id, 1, b1 FROM sigs
          |  UNION ALL SELECT doc_id, 2, b2 FROM sigs
          |  UNION ALL SELECT doc_id, 3, b3 FROM sigs),
-         |banded_c AS (
-         |  SELECT doc_id, band_idx, band_val FROM (
-         |    SELECT doc_id, band_idx, band_val,
-         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
-         |    FROM banded)
-         |  WHERE bn <= $PhashMaxBucket),
+         |${DedupQueries.cappedBandsSqlCte("banded_c", "banded",
+              "doc_id", PhashMaxBucket)},
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM banded_c x JOIN banded_c y

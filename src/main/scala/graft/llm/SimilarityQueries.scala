@@ -1039,12 +1039,8 @@ object SimilarityQueries extends QuerySuite {
       s"""WITH ${DedupQueries.srpBandsSqlCte},
          |nz AS (SELECT vec_id, embedding FROM embeddings
          |       WHERE ${Vectors.normSql("embedding")} > 0),
-         |bands_c AS (
-         |  SELECT vec_id, band_idx, band_val FROM (
-         |    SELECT vec_id, band_idx, band_val,
-         |      count(*) OVER (PARTITION BY band_idx, band_val) AS bn
-         |    FROM bands)
-         |  WHERE bn <= ${DedupQueries.SrpMaxBucket}),
+         |${DedupQueries.cappedBandsSqlCte("bands_c", "bands", "vec_id",
+                DedupQueries.SrpMaxBucket)},
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
          |  FROM bands_c x JOIN bands_c y

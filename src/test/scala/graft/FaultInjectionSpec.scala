@@ -17,17 +17,24 @@ import scala.sys.process._
 class FaultInjectionSpec extends AnyFunSuite {
 
   test("reliable-checkpoint fault probe: all scenarios OK") {
-    val java = s"${sys.props("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(java) ++ addOpens ++ Seq(
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    // inherit the parent test JVM's --add-opens (build.sbt's
+    // jdk17AddOpens) instead of a hand-copied list that would drift
+    // when a Spark/JDK upgrade adds a required open; sbt forks with
+    // the two-token form ("--add-opens", "pkg=ALL-UNNAMED"), plain
+    // java may use the one-token "--add-opens=pkg=..." form
+    import scala.jdk.CollectionConverters._
+    val args = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val addOpens = args.zipWithIndex.flatMap {
+      case ("--add-opens", i) if i + 1 < args.size =>
+        Seq("--add-opens", args(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Nil
+    }
+    assert(addOpens.nonEmpty,
+      "no --add-opens inherited from the test JVM — fork would fail")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx4g", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"), "graft.FaultProbe")
