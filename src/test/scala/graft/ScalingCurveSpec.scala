@@ -47,6 +47,11 @@ class ScalingCurveSpec extends AnyFunSuite {
     Rep("dedup_ngram_jaccard_pairs", 1.25, "prefix-filtered join"),
     Rep("text_gopher_filter", 1.15, "per-row gates"),
     Rep("text_decontaminate", 1.30, "shingle join, hit-count output"),
+    // iterative family: loop rounds execute at build time and are
+    // captured by the measure() sub-execution listener (wave-2 fix) —
+    // this rep pins that an added quadratic term INSIDE a round fails
+    // the budget, the blind spot the r13 review found
+    Rep("graph_kcore", 1.30, "peel-to-fixpoint; loop rounds counted"),
     Rep("route_client_fanout", 2.05,
       "OUTPUT-BOUND fan-out: msgs × subscribers/channel"),
   )
