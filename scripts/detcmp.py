@@ -45,9 +45,15 @@ for n in names:
             if not (isinstance(y, (list, tuple)) or hasattr(y, "__len__") and
                     not isinstance(y, (str, bytes))):
                 return False
-            if len(x) != len(y):
-                return False
-            return all(cell_eq(xi, yi) for xi, yi in zip(x, y))
+            # a 0-d numpy array has __len__ on its type but len()
+            # raises TypeError — fall through to the scalar path
+            # instead of crashing the comparator
+            try:
+                if len(x) != len(y):
+                    return False
+                return all(cell_eq(xi, yi) for xi, yi in zip(x, y))
+            except TypeError:
+                pass
         try:
             if pd.isna(x) and pd.isna(y):
                 return True

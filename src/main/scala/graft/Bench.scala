@@ -126,7 +126,22 @@ object Bench {
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Exception => Map.empty }
+      // accepts scientific notation; anchored so a nested object's
+      // key:value pairs (not the flat top-level format this file is
+      // contracted to be) don't silently mis-parse as floors
+      val floors =
+        "\"([^\"]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\\s*[,}]"
+          .r.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (floors.isEmpty && text.trim.length > 2)
+        System.err.println(s"[bench] WARN warm-floor file $path " +
+          "exists but parsed to zero entries — malformed?")
+      floors
+    } catch {
+      case _: java.nio.file.NoSuchFileException => Map.empty
+      case e: Exception =>
+        System.err.println(s"[bench] WARN warm-floor file $path " +
+          s"unreadable (${e.getClass.getSimpleName}): floors disabled")
+        Map.empty
+    }
 }

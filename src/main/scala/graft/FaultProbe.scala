@@ -111,9 +111,19 @@ object FaultProbe {
     val killRun =
       try rows("graph_kcore")
       finally sc.removeSparkListener(killer)
+    // scenario validity gate: the kill only arms on the 4th distinct
+    // stage, so a future plan change that collapses the run below 4
+    // stages would de-arm the injection SILENTLY — fail loudly on the
+    // window itself, separately from the reschedule assertion, so
+    // "injection never happened" cannot masquerade as (or hide
+    // behind) a reschedule failure
+    check("task_kill_window_opened",
+      stagesSeen.size >= 4,
+      s"distinctStages=${stagesSeen.size} (need >=4 to arm the kill)")
     check("task_kill_reschedule",
       killed.get() == 1 && killRun == baseline,
-      s"killed=${killed.get()} match=${killRun == baseline}")
+      s"killed=${killed.get()} match=${killRun == baseline} " +
+        s"distinctStages=${stagesSeen.size}")
 
     // ── 3. reliable run leaves no single-copy executor state ─────────
     // Under localCheckpoint every iteration parks its ONLY copy of

@@ -170,6 +170,12 @@ object ScalingCurve {
         Thread.sleep(100)
         waited += 100
       }
+      // a silent timeout here would DEFLATE the fitted exponent (the
+      // exact blind spot the listener closes) — make it visible
+      if (stable < 2)
+        System.err.println(s"[curve]   WARN sub-execution count did " +
+          s"not stabilize in ${waited}ms (subs=${subSeen.get()}, " +
+          s"last=$last): row volume may be undercounted")
       val (total, scan) = rowVolumes(qe.executedPlan, seenCaches)
       spark.catalog.clearCache()
       System.err.println(s"[curve]   subs=${subSeen.get()} " +

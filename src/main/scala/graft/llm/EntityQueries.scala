@@ -54,8 +54,10 @@ object EntityQueries extends QuerySuite {
       (sn - digit(i) - digit(j)) + lit((i * SuffixLen + j) * 1000000000L)): _*)
   }
 
-  /** Blocked candidate pairs (k1 < k2), hamming-verified. */
-  private[llm] def nearPairs(s: SparkSession, d: String): DataFrame = {
+  /** Registry records exploded to their 36 block keys:
+    * (k, pfx, sn, bkey). Shared by the census and the top-k twin so
+    * the domain gates can never drift apart. */
+  private def keyedRegistry(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
       .select(col("c_custkey").cast("long").as("k"), col("c_name").as("name"))
       .filter(length(col("name")) === NameLen)
@@ -67,8 +69,13 @@ object EntityQueries extends QuerySuite {
       // the verify step downstream touches only integers, never strings
       .filter(col("sfx").rlike("^[0-9]+$"))
       .withColumn("sn", col("sfx").cast("long"))
-    val keyed = c.select(col("k"), col("pfx"), col("sn"),
+    c.select(col("k"), col("pfx"), col("sn"),
       explode(masks(col("sn"))).as("bkey"))
+  }
+
+  /** Blocked candidate pairs (k1 < k2), hamming-verified. */
+  private[llm] def nearPairs(s: SparkSession, d: String): DataFrame = {
+    val keyed = keyedRegistry(s, d)
     val a = keyed.select(col("bkey"), col("k").as("k1"),
       col("pfx").as("p1"), col("sn").as("sn1"))
     val b = keyed.select(col("bkey"), col("k").as("k2"),
@@ -88,6 +95,21 @@ object EntityQueries extends QuerySuite {
       .select("k1", "k2").distinct()
   }
 
+  /** How many best matches per name the bounded twin keeps. */
+  val TopK = 3
+
+  /** Digit-wise hamming distance between two 9-digit ids held as
+    * LONGs — 9 integer digit compares, codegen arithmetic only. Runs
+    * AFTER the pair dedup, so it prices per surviving pair, not per
+    * block-mate candidate (the census hot path stays free of it). */
+  private def digitHamming(x: Column, y: Column): Column = {
+    def dig(c: Column, i: Int): Column =
+      (c.divide(math.pow(10, i).toLong).cast("long") % 10)
+    (0 until SuffixLen)
+      .map(i => when(dig(x, i) =!= dig(y, i), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-entity near-duplicate census: how many registry names sit
     // within hamming ≤ 2 of each, and the smallest such neighbor key
@@ -103,7 +125,48 @@ object EntityQueries extends QuerySuite {
           struct(col("k2").as("k"), col("k1").as("nbr")))).as("e"))
         .groupBy(col("e.k").as("c_custkey"))
         .agg(count(lit(1)).as("n_near"), min(col("e.nbr")).as("min_nbr"))
-        .orderBy("c_custkey")))
+        .orderBy("c_custkey")),
+
+    // The BOUNDED production twin (round-13 verdict task): the k best
+    // matches per name by (hamming, neighbor key) through the
+    // two-phase TopKPerKey operator, so output is ≤ n·k rows and the
+    // top-k exchange moves ≤ partitions·keys·k rows no matter how
+    // dense the registry is. The census above stays as the unbounded
+    // audit query (its output on a dense sequential registry is
+    // inherently ~quadratic in the transition decades — though even
+    // that saturates: a block fixes 7 of 9 digits, so any id has at
+    // most 36·99 + 9·9 ≈ 3.6k verified neighbors once every digit
+    // position is populated). This twin is EXACT — no hot-bucket cap
+    // is needed because the mask construction structurally bounds a
+    // block at 100 members (two free digit positions) — and the
+    // brute-force oracle agrees row-for-row.
+    "dedup_fuzzy_names_topk" -> ((s, d) => {
+      val keyed = keyedRegistry(s, d)
+      val a = keyed.select(col("bkey"), col("k").as("k1"),
+        col("pfx").as("p1"), col("sn").as("sn1"))
+      val b = keyed.select(col("bkey"), col("k").as("k2"),
+        col("pfx").as("p2"), col("sn").as("sn2"))
+      // same join + verify as nearPairs, but carrying the two id
+      // LONGs through the pair dedup (same cardinality — sn is a
+      // function of k) so the distance prices per UNIQUE pair after
+      // it, never per block-mate candidate
+      val pairs = a.join(b, Seq("bkey"))
+        .filter(col("k1") < col("k2") && col("p1") === col("p2"))
+        .select("k1", "k2", "sn1", "sn2").distinct()
+        .withColumn("dist", digitHamming(col("sn1"), col("sn2")))
+      val edges = pairs.select(explode(array(
+          struct(col("k1").as("c_custkey"), col("k2").as("nbr"), col("dist")),
+          struct(col("k2").as("c_custkey"), col("k1").as("nbr"), col("dist"))))
+          .as("e"))
+        .select(col("e.c_custkey").as("c_custkey"), col("e.nbr").as("nbr"),
+          col("e.dist").as("dist"))
+      // (dist, nbr) is a TOTAL order per key (nbr unique), so ranks
+      // are deterministic and the window row_number twin is exactly
+      // equal — FuzzyNameSpec pins that executably
+      graft.plans.TopKPerKey(edges, Seq("c_custkey"),
+          Seq(col("dist").asc, col("nbr").asc), TopK, "rk")
+        .orderBy("c_custkey", "rk")
+    }))
 
   def oracles: Map[String, String] = Map(
     // the oracle is the honest brute force — DuckDB pays the all-pairs
@@ -123,5 +186,33 @@ object EntityQueries extends QuerySuite {
          |                  substr(b.c_name, ${PrefixLen + 1}, $SuffixLen))
          |       <= $MaxHamming)
          |SELECT k AS c_custkey, count(*) AS n_near, min(nbr) AS min_nbr
-         |FROM pairs GROUP BY k ORDER BY c_custkey""".stripMargin)
+         |FROM pairs GROUP BY k ORDER BY c_custkey""".stripMargin,
+
+    // same brute force, ranked: row_number over the total (dist, nbr)
+    // order replays TopKPerKey's rank contract exactly
+    "dedup_fuzzy_names_topk" ->
+      s"""WITH pairs AS (
+         |  SELECT a.c_custkey AS k, b.c_custkey AS nbr,
+         |    mismatches(substr(a.c_name, ${PrefixLen + 1}, $SuffixLen),
+         |               substr(b.c_name, ${PrefixLen + 1}, $SuffixLen))
+         |      AS dist
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey <> b.c_custkey
+         |   AND len(a.c_name) = $NameLen AND len(b.c_name) = $NameLen
+         |   AND regexp_matches(substr(a.c_name, ${PrefixLen + 1}, $SuffixLen),
+         |         '^[0-9]+$$')
+         |   AND regexp_matches(substr(b.c_name, ${PrefixLen + 1}, $SuffixLen),
+         |         '^[0-9]+$$')
+         |   AND substr(a.c_name, 1, $PrefixLen) = substr(b.c_name, 1, $PrefixLen)
+         |   AND mismatches(substr(a.c_name, ${PrefixLen + 1}, $SuffixLen),
+         |                  substr(b.c_name, ${PrefixLen + 1}, $SuffixLen))
+         |       <= $MaxHamming),
+         |ranked AS (
+         |  SELECT k, nbr, dist,
+         |    row_number() OVER (PARTITION BY k ORDER BY dist, nbr) AS rk
+         |  FROM pairs)
+         |SELECT k AS c_custkey, nbr, CAST(dist AS BIGINT) AS dist,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= $TopK
+         |ORDER BY c_custkey, rk""".stripMargin)
 }

@@ -571,12 +571,15 @@ object Multimodal extends QuerySuite {
         .stripMargin,
 
     // The pair query under the SAME pixel-formula replay: every band
-    // of every candidate fingerprint is predicted in DuckDB, pairs by
-    // banded XOR popcount. The oracle may spell it as the plain
-    // all-pairs filter: hamming ≤ $MaxPhashDist over 4 bands
-    // guarantees a shared band by pigeonhole, so the blocked Spark
-    // plan and this brute-force SQL are equal BY THEOREM (and
-    // MultimodalSpec proves the blocking equivalence executably).
+    // of every candidate fingerprint is predicted in DuckDB, then the
+    // oracle replays the Spark side's capped banded pipeline exactly
+    // (cappedBandsSqlCte with the same PhashMaxBucket). Pigeonhole
+    // (hamming ≤ $MaxPhashDist over 4 bands ⇒ a shared band) still
+    // guarantees completeness within NON-hot buckets, but once hot
+    // buckets are dropped the brute-force all-pairs spelling would
+    // diverge — so both sides must spell the cap identically (the
+    // r13 review catch; MultimodalSpec pins the blocking equivalence
+    // on the uncapped regime executably).
     "multimodal_phash_cand_hist" ->
       s"""WITH $phashSigsSql,
          |banded AS (

@@ -77,6 +77,35 @@ object Ingest {
       .as[ChannelStream.ChannelEvent]
   }
 
+  /** Producer relation (O2 outbound — the sink-side twin of
+    * [[parseFrames]]): serialize deliveries into the EXACT input
+    * relation `df.writeStream.format("kafka")` consumes per the
+    * Structured Streaming + Kafka integration guide — topic STRING,
+    * key BINARY, value BINARY, headers
+    * ARRAY&lt;STRUCT&lt;key STRING, value BINARY&gt;&gt;. The optional
+    * `partition` INT column is deliberately omitted: the producer's
+    * key-hash partitioner decides, and keying on `channel` gives
+    * per-channel ordering at the broker — the delivery-order unit the
+    * reference's hub loop guarantees (`lib/ChannelHub.js:258-272`).
+    * With the connector jar on the classpath this plugs in unchanged:
+    * `toKafkaRecords(d, "t").writeStream.format("kafka")...`.
+    *
+    * `seq` is the frame's mod-100 `_q` counter (`lib/util.js:13`);
+    * the default is streaming-safe (no window functions are allowed
+    * on an unaggregated stream), batch callers can pass the true
+    * per-sender `row_number() % 100` window instead. */
+  def toKafkaRecords(deliveries: Dataset[ChannelStream.Delivery],
+      topic: String,
+      seq: org.apache.spark.sql.Column = pmod(col("tsMillis"), lit(100)))
+      : DataFrame =
+    deliveries.select(
+      lit(topic).as("topic"),
+      col("channel").cast("binary").as("key"),
+      Frames.serializeFrame(lit("M"), col("channel"), col("message"),
+        col("sid"), seq).cast("binary").as("value"),
+      array(struct(lit("origin").as("key"),
+        col("origin").cast("binary").as("value"))).as("headers"))
+
   /** Sink: deliveries → parquet partitioned by (batch_id, channel)
     * (the fan-out write a downstream consumer tails). foreachBatch is
     * AT-LEAST-once — a crash between the parquet commit and the

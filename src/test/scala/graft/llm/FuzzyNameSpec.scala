@@ -86,6 +86,51 @@ class FuzzyNameSpec extends SparkSpec {
     }
   }
 
+  test("topk twin equals brute-force k-best and the window row_number twin") {
+    // brute-force k best per key by (dist, nbr) — the total order the
+    // operator contracts to
+    val names = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val p = EntityQueries.PrefixLen
+    val brute = (for {
+      (k1, n1) <- names; (k2, n2) <- names
+      if k1 != k2 && near(n1, n2)
+    } yield (k1, k2, hamming(n1.drop(p), n2.drop(p)).toLong))
+      .groupBy(_._1).toSeq
+      .flatMap { case (k, nbrs) =>
+        nbrs.sortBy(t => (t._3, t._2)).take(EntityQueries.TopK)
+          .zipWithIndex.map { case ((_, nbr, d), i) => (k, nbr, d, i + 1L) }
+      }.toSet
+
+    val topk = EntityQueries.queries("dedup_fuzzy_names_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(topk.toSet === brute)
+    assert(brute.nonEmpty, "fixture should contain near-duplicate names")
+
+    // and the window spelling (the spill-safe high-cardinality twin)
+    // agrees row-for-row — the operator's correctness contract
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val edges = spark.createDataFrame(topk.map(t => (t._1, t._2, t._3)).toSeq)
+      .toDF("c_custkey", "nbr", "dist")
+    // rebuild the UNTRUNCATED edge list brute-force for the window twin
+    val allEdges = (for {
+      (k1, n1) <- names; (k2, n2) <- names
+      if k1 != k2 && near(n1, n2)
+    } yield (k1, k2, hamming(n1.drop(p), n2.drop(p)).toLong)).toSeq
+    val windowed = spark.createDataFrame(allEdges)
+      .toDF("c_custkey", "nbr", "dist")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("dist"), col("nbr")))
+        .cast("long"))
+      .filter(col("rk") <= EntityQueries.TopK)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(windowed.toSet === topk.toSet)
+  }
+
   test("the blocked join never degenerates to a cartesian product") {
     // AQE off on a CLONED session (the MomentGuardSpec discipline —
     // a shared-session toggle races concurrently-planning suites)

@@ -93,6 +93,70 @@ class KafkaShapeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toKafkaRecords emits the exact kafka SINK relation (topic/key/value/headers, value is a parseable O2 frame)") {
+    // the sink-side contract (VERDICT r13 task 6): the relation
+    // writeStream.format("kafka") consumes — topic STRING, key BINARY,
+    // value BINARY, headers ARRAY<STRUCT<key STRING, value BINARY>>;
+    // partition INT deliberately absent (key-hash partitioner)
+    val deliveries = Seq(
+      ChannelStream.Delivery("news", 5L, "pub-1", "hello", 1000L,
+        "publisher"),
+      ChannelStream.Delivery("sport", 9L, "node-2", "goal", 2042L,
+        "node")).toDS()
+    val recs = Ingest.toKafkaRecords(deliveries, "quty-out")
+    assert(recs.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "topic" -> "string", "key" -> "binary", "value" -> "binary",
+      "headers" -> "array<struct<key:string,value:binary>>"))
+
+    // loopback through the SOURCE contract: dress the producer rows as
+    // broker records and re-parse — both directions of the wire
+    // contract must compose to the identity on the envelope
+    import org.apache.spark.sql.functions._
+    val brokerShaped = recs.select(col("key"), col("value"), col("topic"),
+      lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      lit(new Timestamp(5000L)).as("timestamp"),
+      lit(0).as("timestampType"), col("headers"))
+    val back = Ingest.parseFrames(brokerShaped)
+      .orderBy("channel").collect()
+    assert(back.length == 2)
+    assert(back.map(_.getAs[String]("op")).toSeq == Seq("M", "M"))
+    assert(back.map(_.getAs[String]("channel")).toSeq ==
+      Seq("news", "sport"))
+    assert(back.map(_.getAs[String]("message")).toSeq ==
+      Seq("hello", "goal"))
+    assert(back.map(_.getAs[String]("sender")).toSeq ==
+      Seq("pub-1", "node-2"))
+    // the key routes by channel (per-channel broker ordering) and the
+    // default _q is the tsMillis mod-100 streaming-safe counter
+    assert(back.map(_.getAs[String]("key")).toSeq == Seq("news", "sport"))
+    val seqs = back.map(_.getAs[Int]("seq")).toSeq
+    assert(seqs == Seq(0, 42), s"mod-100 _q expected: $seqs")
+  }
+
+  test("toKafkaRecords is streaming-safe end-to-end (no batch-only expressions in the sink path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChannelStream.Delivery]
+    val name = s"kafka_sink_${graft.SparkSpec.streamCounter.incrementAndGet()}"
+    // format("kafka") itself needs the connector jar + broker; memory
+    // sink consumes the SAME relation, proving every expression in the
+    // sink path plans under streaming (a window function here would
+    // throw AnalysisException at start())
+    val q = Ingest.toKafkaRecords(input.toDS(), "quty-out")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ChannelStream.Delivery("news", 5L, "pub-1",
+        "hello", 1100L, "publisher")))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length == 1)
+      val frame = new String(rows(0).getAs[Array[Byte]]("value"), "UTF-8")
+      assert(frame.startsWith("M|{"), s"wire frame expected: $frame")
+      assert(frame.contains("\"_q\":0"), s"mod-100 _q expected: $frame")
+    } finally q.stop()
+  }
+
   test("wire round-trip: re-delivered frames produce exactly one delivery each (dedupe → route → idempotent sink)") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files
