@@ -108,6 +108,107 @@ class StreamingSoakSpec extends SparkSpec {
       s"deliveries = ${got.size}")
   }
 
+  test(s"ChannelProcessor: $Batches-batch churn with a restart every 50 batches, twin-exact across restarts") {
+    // The rolling-upgrade scenario (VERDICT r13 task 4): same seeded
+    // churn as the uninterrupted soak, but the query is STOPPED and
+    // restarted from its RocksDB checkpoint every ~50 batches — with
+    // more churn arriving while it is down. Needs a file source
+    // (MemoryStream offsets die with the query) and the parquet sink
+    // (whose _spark_metadata log makes output exactly-once across
+    // restarts). Asserts the cumulative delivery log is twin-exact
+    // and the per-channel state bound holds in EVERY query
+    // generation. Twin validity across regrouped micro-batches (a
+    // restart's first trigger drains all downtime files in one
+    // batch): ts is globally unique and increasing, and applyEvents
+    // sorts each batch by (ts, op, cid), so the fold is
+    // batch-boundary-invariant here.
+    val rng = new Random(47)
+    val channels = (0 until 40).map(i => s"ch$i")
+    var ts = 0L
+    def ev(op: String, ch: String, cid: Long, msg: String = "") = {
+      ts += 1
+      ChannelStream.ChannelEvent(ts, op, ch, cid, s"node-${cid % 5}",
+        "publisher", msg)
+    }
+    def churn(b: Int): Seq[ChannelStream.ChannelEvent] =
+      (0 until 8).map { _ =>
+        val ch = channels(rng.nextInt(channels.size))
+        val cid = rng.nextInt(200).toLong
+        rng.nextInt(10) match {
+          case x if x < 4 => ev("J", ch, cid)
+          case x if x < 7 => ev("L", ch, cid)
+          case x if x < 9 => ev("M", ch, cid, s"m$b")
+          case _          => ev("K", ch, cid)
+        }
+      }
+
+    withRocksDbProvider {
+      val root = java.nio.file.Files
+        .createTempDirectory("soak_restart").toString
+      val schema =
+        implicitly[org.apache.spark.sql.Encoder[ChannelStream.ChannelEvent]]
+          .schema
+      def writeBatch(b: Seq[ChannelStream.ChannelEvent]): Unit =
+        b.toDS().repartition(1).write.mode("append").json(s"$root/in")
+      def startQuery(): StreamingQuery =
+        ChannelProcessor.deliveries(
+            spark.readStream.schema(schema).json(s"$root/in")
+              .as[ChannelStream.ChannelEvent])
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode(OutputMode.Append).start()
+
+      val all = mutable.ArrayBuffer.empty[Seq[ChannelStream.ChannelEvent]]
+      var peak = 0L
+      var restarts = 0
+      // the file source needs the input dir to exist at start()
+      val first = churn(0); all += first; writeBatch(first)
+      var q = startQuery()
+      try {
+        q.processAllAvailable()
+        for (b <- 1 until Batches) {
+          if (b % 50 == 0) {
+            // stop; two batches of churn land while the query is down
+            q.stop(); restarts += 1
+            for (_ <- 0 until 2) {
+              val down = churn(b); all += down; writeBatch(down)
+            }
+            q = startQuery()
+          }
+          val batch = churn(b); all += batch; writeBatch(batch)
+          q.processAllAvailable()
+          for (p <- Option(q.lastProgress); so <- p.stateOperators)
+            peak = math.max(peak, so.numRowsTotal)
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(restarts == 5, s"expected 5 restarts, got $restarts")
+      assert(peak <= channels.size,
+        s"state rows $peak exceeded the ${channels.size}-channel bound")
+
+      // twin fold over the full written sequence
+      val state = mutable.Map.empty[String, Map[Long, String]]
+        .withDefaultValue(Map.empty)
+      val want = Seq.newBuilder[ChannelStream.Delivery]
+      for (b <- all; (ch, evs) <- b.groupBy(_.channel)) {
+        val (m, out) = ChannelStream.applyEvents(ch, state(ch),
+          evs.iterator, systemMessages = false)
+        if (m.isEmpty) state.remove(ch) else state(ch) = m
+        want ++= out
+      }
+      val wantSeq = want.result()
+      val got = spark.read.parquet(s"$root/out")
+        .as[ChannelStream.Delivery].collect().toSeq
+      assert(got.nonEmpty && got.size == wantSeq.size,
+        s"${got.size} deliveries vs twin ${wantSeq.size}")
+      assert(got.sortBy(d => (d.tsMillis, d.cid)) ==
+        wantSeq.sortBy(d => (d.tsMillis, d.cid)))
+      info(s"restart soak: 5 restarts, peak state rows = $peak, " +
+        s"deliveries = ${got.size}")
+    }
+  }
+
   test(s"DedupStream: $Batches-batch churn, state bounded by distinct digests, twin-exact") {
     val rng = new Random(17)
     val texts = (0 until 150).map(i => s"Document  body ${i} variant")
