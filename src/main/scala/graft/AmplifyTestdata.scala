@@ -125,14 +125,28 @@ object AmplifyTestdata {
 
     val embeddings = raw("embeddings")
     val vBase = keyBase(embeddings, "vec_id")
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    require(factor <= 2 * dim,
+      s"embedding replica transforms are distinct only up to 2*dim = " +
+        s"${2 * dim} (rotation × sign); factor $factor would stack " +
+        "replicas back onto the same points")
     write(replicate(embeddings)((df, r) => {
+      val k = r % dim
       val rotated =
         if (r == 0) df
-        else df.withColumn("embedding",
-          // cyclic dim-rotation by r: norm-preserving, replica points
-          // land elsewhere in space instead of stacking per centroid
-          expr(s"concat(slice(embedding, ${r + 1}, " +
-            s"size(embedding) - $r), slice(embedding, 1, $r))"))
+        else {
+          // cyclic dim-rotation by r mod dim: norm-preserving, replica
+          // points land elsewhere in space instead of stacking per
+          // centroid; past one full wrap (r >= dim — the ×100 clone)
+          // the second cycle is additionally NEGATED, still
+          // norm-preserving and distinct from every first-cycle replica
+          val rot =
+            if (k == 0) col("embedding")
+            else expr(s"concat(slice(embedding, ${k + 1}, " +
+              s"size(embedding) - $k), slice(embedding, 1, $k))")
+          df.withColumn("embedding",
+            if (r / dim % 2 == 1) transform(rot, x => -x) else rot)
+        }
       rotated.withColumn("vec_id", col("vec_id") + lit(r * vBase))
     }), "embeddings")
   }

@@ -848,6 +848,36 @@ object DedupQueries extends QuerySuite {
       srpPairs(e, dim = 64, threshold = 0.4)
     }),
 
+    // No-silent-caps audit (round 14): the SRP band space is FIXED at
+    // SrpBands × 2^SrpR values, so its carrying capacity is
+    // SrpMaxBucket · 2^SrpR ≈ 16k vectors per band — past that the
+    // buckets saturate and the hot-bucket cap starts dropping REAL
+    // near-dup mass (the ×100 amplification decade measured the LSH
+    // pipeline returning EMPTY at 200k vectors: linear volume, zero
+    // recall). This census makes that trade visible as a hash-checked
+    // query — per band: bucket count, hot buckets, rows kept/dropped
+    // by candidate generation — the operational signal to raise SrpR
+    // (bits per band ≳ log2(n / SrpMaxBucket)) before recall dies,
+    // the dedup_lsh_bucket_stats twin for the embedding path.
+    "dedup_srp_bucket_stats" -> ((s, d) => {
+      graft.plans.FloatVectorDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", Vectors.normNative(col("embedding")))
+        .filter(col("nrm") > 0.0)
+      srpBands(e, dim = 64)
+        .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+        .groupBy("band_idx").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") > SrpMaxBucket, 1L).otherwise(0L))
+            .as("n_hot_buckets"),
+          sum(when(col("n") <= SrpMaxBucket, col("n")).otherwise(0L))
+            .as("rows_kept"),
+          sum(when(col("n") > SrpMaxBucket, col("n")).otherwise(0L))
+            .as("rows_dropped"))
+        .orderBy("band_idx")
+    }),
+
     // Embedding-cosine near-dup pairs (same-label blocking), exact;
     // threshold 0.35 sits in the top tail of this synthetic corpus
     // (random embeddings peak near cosine 0.47) so the check is
@@ -1341,6 +1371,22 @@ object DedupQueries extends QuerySuite {
          |  JOIN sig b ON b.vec_id = c.vec_b)
          |WHERE cos >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // same band replay as the LSH oracle, aggregated to the census
+    "dedup_srp_bucket_stats" ->
+      s"""WITH $srpBandsSqlCte,
+         |bc AS (
+         |  SELECT band_idx, band_val, CAST(count(*) AS BIGINT) AS n
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT band_idx,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(CASE WHEN n > $SrpMaxBucket THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hot_buckets,
+         |  CAST(sum(CASE WHEN n <= $SrpMaxBucket THEN n ELSE 0 END)
+         |    AS BIGINT) AS rows_kept,
+         |  CAST(sum(CASE WHEN n > $SrpMaxBucket THEN n ELSE 0 END)
+         |    AS BIGINT) AS rows_dropped
+         |FROM bc GROUP BY band_idx ORDER BY band_idx""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""WITH nz AS (SELECT vec_id, label, embedding FROM embeddings

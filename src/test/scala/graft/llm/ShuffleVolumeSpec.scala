@@ -96,4 +96,54 @@ class ShuffleVolumeSpec extends SparkSpec {
     assert(emitted == 0L,
       s"expected zero surviving candidates on all-clones, got $emitted")
   }
+
+  test("route fan-out shuffles scan-linearly while its output grows quadratically (output-bound, as machine truth)") {
+    // The r13 ladder measured exp ~2.0 for the route family on the
+    // fixed-channel clone and BENCH_NOTES argued "output-bound by
+    // semantics: the shuffle is scan-linear, only the DELIVERY rows
+    // are quadratic" (the same rows the reference's per-message loop
+    // emits, lib/ChannelHub.js:267-273). This pins the argument to
+    // exchange metrics: on a one-channel corpus where both messages
+    // and membership scale with n, the rows ENTERING the fan-out
+    // join's exchanges are exactly msgs + members (linear) while the
+    // join's output is exactly msgs × members (quadratic) — measured
+    // at n and 4n, under the sort-merge regime a 100 TB membership
+    // table plans.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def volumes(nMsgs: Long, nMembers: Long): (Long, Long) = {
+      // AQE off for a traversable plan; broadcast off for the
+      // shuffle regime (the MomentGuardSpec cloned-session discipline)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the channel must be DERIVED from data (id % 1 = 0 for every
+      // row), not a literal: a foldable join key lets the optimizer
+      // rewrite the equi-join into a cartesian product with no
+      // exchange at all — which is exactly the plan shape this spec
+      // exists to rule out at scale
+      val msgs = s2.range(nMsgs)
+        .select(col("id").as("event_id"),
+          concat(lit("hot"), (col("id") % 1).cast("string")).as("channel"))
+      val members = s2.range(nMembers)
+        .select(concat(lit("hot"), (col("id") % 1).cast("string"))
+          .as("channel"), col("id").as("cid"))
+      val df = graft.route.Router.clientFanout(msgs, members)
+      val qe = df.queryExecution
+      val out = qe.toRdd.count()
+      val shuffled = qe.executedPlan.collect {
+        case e: ShuffleExchangeExec =>
+          e.metrics("shuffleRecordsWritten").value
+      }.sum
+      (shuffled, out)
+    }
+    val (sh1, out1) = volumes(2000L, 500L)
+    val (sh4, out4) = volumes(8000L, 2000L)
+    // exact, not approximate: the fan-out join shuffles each input
+    // row once and emits the full cross-section of the channel
+    assert(sh1 == 2000L + 500L && sh4 == 8000L + 2000L,
+      s"shuffle rows not scan-linear: $sh1, $sh4")
+    assert(out1 == 2000L * 500L && out4 == 8000L * 2000L,
+      s"output rows not msgs*members: $out1, $out4")
+    assert(sh4 == 4 * sh1 && out4 == 16 * out1)
+  }
 }
