@@ -159,19 +159,51 @@ object DedupQueries extends QuerySuite {
     * embeddings frame — the map-only SRP routing step, shared with the
     * similarity suite's LSH ANN search. 64 plane dots per row through
     * the codegen'd native kernel. */
-  private[llm] def srpBands(e: DataFrame, dim: Int): DataFrame = {
+  private[llm] def srpBands(e: DataFrame, dim: Int): DataFrame =
+    srpBandsWith(e, dim, SrpBands, SrpR)
+
+  /** [[srpBands]] generalized to an arbitrary (bands, rBits) split —
+    * the saturation remedy dedup_srp_bucket_stats points at: band
+    * carrying capacity is cap·2^rBits, so past ~16k vectors the
+    * driver surface's (8, 8) split needs wider bands
+    * (rBits ≳ log2(n / cap)) or the hot-bucket cap drops all mass.
+    * Same deterministic planes, same codegen'd dot kernel, same
+    * bucket math — SrpSaturationSpec proves the recovery executably
+    * at saturation scale. The driver queries stay pinned at
+    * (SrpBands, SrpR) so every oracle twin is unchanged. */
+  private[llm] def srpBandsWith(e: DataFrame, dim: Int, bands: Int,
+      rBits: Int): DataFrame = {
+    require(rBits >= 1 && rBits <= 62 && bands >= 1,
+      s"unsupported band split: $bands x $rBits")
     graft.plans.FloatVectorDot.register(e.sparkSession)
-    val dots = (0 until SrpBits).map(b =>
+    val dots = (0 until bands * rBits).map(b =>
       Vectors.dotNative(col("embedding"), typedLit(plane(b, dim))))
-    def bandVal(k: Int) = (0 until SrpR).map(j =>
-      when(dots(k * SrpR + j) > 0, lit(1L << j)).otherwise(0L))
+    def bandVal(k: Int) = (0 until rBits).map(j =>
+      when(dots(k * rBits + j) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     e.select(col("vec_id"),
-        explode(array((0 until SrpBands).map(k =>
+        explode(array((0 until bands).map(k =>
           struct(lit(k).as("band_idx"), bandVal(k).as("band_val"))): _*))
           .as("band"))
       .select(col("vec_id"), col("band.band_idx").as("band_idx"),
         col("band.band_val").as("band_val"))
+  }
+
+  /** Capped candidate pairs under an arbitrary band split — the
+    * generalized twin of [[srpCandidates]] for the saturation spec. */
+  private[llm] def srpCandidatesWith(e: DataFrame, dim: Int, bands: Int,
+      rBits: Int, cap: Long): DataFrame = {
+    val b = srpBandsWith(e, dim, bands, rBits)
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= cap)
+      .select("vec_id", "band_idx", "band_val")
+    b.as("x").join(b.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
   }
 
   /** Hamming≤1 pairs from a (doc_id, sig) fingerprint frame via
