@@ -122,7 +122,7 @@ object Bench {
     * file is absent (fresh checkout, non-repo cwd) — the rerun pass
     * then simply never triggers. Hand-rolled parse: the file is
     * repo-owned flat {"name": secs} JSON. */
-  private def loadWarmFloors(path: String): Map[String, Double] =
+  private[graft] def loadWarmFloors(path: String): Map[String, Double] =
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
