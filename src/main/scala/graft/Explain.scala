@@ -20,6 +20,7 @@ object Explain {
     "dedup_segment_scrub", "sim_pq_codes", "sim_pq_adc_topk",
     "sim_ivfpq_topk", "text_bpe_encode", "multimodal_decoded_dims",
     "sim_kmeans_train", "sim_ivf_trained_topk", "dedup_fuzzy_names",
+    "dedup_fuzzy_names_topk", "dedup_srp_bucket_stats",
     "graph_pagerank_top", "multimodal_phash_dups", "cdc_point_in_time",
     "window_session_native", "ts_ewma_user", "dq_key_skew",
     "q9_profit_by_nation_year", "q18_large_volume_customers",
