@@ -46,14 +46,19 @@ for n in names:
                     not isinstance(y, (str, bytes))):
                 return False
             # a 0-d numpy array has __len__ on its type but len()
-            # raises TypeError — fall through to the scalar path
-            # instead of crashing the comparator
+            # raises TypeError — fall through to the scalar path.
+            # Only the len() probes sit inside the guard: a TypeError
+            # raised by the RECURSIVE element compare must propagate,
+            # not silently reroute two genuinely sequence-valued cells
+            # to the scalar path (a wrong verdict, not a crash).
             try:
-                if len(x) != len(y):
+                lx, ly = len(x), len(y)
+            except TypeError:
+                lx = ly = None
+            if lx is not None:
+                if lx != ly:
                     return False
                 return all(cell_eq(xi, yi) for xi, yi in zip(x, y))
-            except TypeError:
-                pass
         try:
             if pd.isna(x) and pd.isna(y):
                 return True

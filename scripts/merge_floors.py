@@ -2,19 +2,24 @@
 """Merge an AbBench sweep log into bench_anchors/warm_minima.json.
 
 Floor per query = min over the sweep's reps; where a floor already
-exists (earlier quiet-host sessions) the merged value is the MIN of
-old and new — a floor only ever ratchets down. Queries whose code
-changed take the new value by being absent from the old file or by
-the new min undercutting it; a RENAMED query's stale floor is dropped
-only when --prune is passed (the default keeps it, so a partial sweep
-can't silently shrink coverage).
+exists (earlier quiet-host sessions) the merged value is by default
+the MIN of old and new — a floor only ever ratchets down. The ratchet
+has a cost (ADVICE r14): a query that LEGITIMATELY got slower keeps
+its stale lower floor, permanently reads as a warm-rerun suspect, and
+burns one of Bench's WarmRerunCap slots every run. When a sweep is
+trusted (quiet host, reps >= 3), pass --overwrite so queries PRESENT
+in the sweep take the new value outright; queries absent from the
+sweep keep their old floor either way. A RENAMED query's stale floor
+is dropped only when --prune is passed (the default keeps it, so a
+partial sweep can't silently shrink coverage).
 
-Usage: merge_floors.py <ab_log> [--prune]
+Usage: merge_floors.py <ab_log> [--prune] [--overwrite]
 """
 import json, re, sys
 
 log_path = sys.argv[1]
 prune = "--prune" in sys.argv[2:]
+overwrite = "--overwrite" in sys.argv[2:]
 anchor = "bench_anchors/warm_minima.json"
 
 new = {}
@@ -32,7 +37,7 @@ except FileNotFoundError:
 merged = {}
 for k in set(old) | set(new):
     if k in old and k in new:
-        merged[k] = min(old[k], new[k])
+        merged[k] = new[k] if overwrite else min(old[k], new[k])
     elif k in new:
         merged[k] = new[k]
     elif not prune:

@@ -108,10 +108,27 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }
+      name -> iters
+    }
+    val warmRerunsJson = warmReruns.map { case (name, iters) =>
       JsonOut.q(name) + ":" + iters.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"warm_reruns":$warmReruns,"sf":${JsonOut.q(sfDir)}}""")
+    // Self-adjudicated headline (r14 VERDICT task 5): three rounds
+    // running, the dry sweep's "value" needed manual adjudication
+    // against warm anchors to separate host-window noise from real
+    // movement. warm_total does that adjudication inside the
+    // artifact: per query, min(dry reading, best successful warm
+    // rerun) — identical to "value" for the un-rerun majority, the
+    // same-JVM warm truth for the suspects the floor check flagged.
+    val rerunBest = warmReruns.toMap.map { case (name, iters) =>
+      name -> iters.filter(_ >= 0) }
+    val warmTotal = results.collect { case (name, v, true) =>
+      rerunBest.get(name).filter(_.nonEmpty)
+        .fold(v)(good => math.min(v, good.min))
+    }.sum
+
+    println(s"""{"metric":"total","value":${num(total)},"warm_total":${num(warmTotal)},"unit":"sec","queries":$qs,"failed":$failed,"warm_reruns":$warmRerunsJson,"sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 
@@ -126,9 +143,20 @@ object Bench {
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      // accepts scientific notation; anchored so a nested object's
-      // key:value pairs (not the flat top-level format this file is
-      // contracted to be) don't silently mis-parse as floors
+      // The file is contracted to be FLAT {"name": secs} JSON, and
+      // that contract is enforced here rather than assumed: the
+      // [,}]-anchor alone would still match a nested object's inner
+      // numeric pairs ("reps": 3, — ADVICE r14), so any brace inside
+      // the top-level body disables floors loudly instead of
+      // injecting phantom entries that mis-adjudicate warm reruns.
+      val body = text.trim.stripPrefix("{").stripSuffix("}")
+      if (body.exists(c => c == '{' || c == '}')) {
+        System.err.println(s"[bench] WARN warm-floor file $path is " +
+          "not flat {name: secs} JSON — floors disabled")
+        return Map.empty
+      }
+      // accepts scientific notation; [,}]-anchored against trailing
+      // garbage on a value
       val floors =
         "\"([^\"]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\\s*[,}]"
           .r.findAllMatchIn(text)

@@ -122,8 +122,12 @@ object SkewProbe {
     * skew split may reorder; the oracle sweep already pins ordered
     * output on the uniform corpus. */
   private def digest(df: DataFrame): (Long, Long) = {
+    // coalesce: sum() is NULL on zero rows — an empty result must
+    // surface as a (0, 0) digest mismatch in the FAIL line, not an
+    // NPE out of getLong (ADVICE r14)
     val r = df.agg(count(lit(1)),
-      sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000000007L))))
+      coalesce(sum(pmod(xxhash64(df.columns.map(col): _*),
+        lit(1000000007L))), lit(0L)))
       .collect()(0)
     (r.getLong(0), r.getLong(1))
   }

@@ -150,12 +150,20 @@ object RoutingQueries extends QuerySuite {
     // operational row — ready flag + distinct node/channel/client
     // counts — the query every deployment hits daily. The streaming
     // twin (query progress) is graft.streaming.StatusSnapshot.
+    // Round 15: the row also carries the SRP-LSH kept/dropped
+    // candidate mass (the no-silent-caps census headline) — a
+    // monitor that only ever polls status now sees dedup recall
+    // dying (dropped ≈ kept) without scheduling the full
+    // dedup_srp_bucket_stats census. Both one-row aggregates
+    // broadcast into the cross join: no data-sized shuffle is added
+    // to the status path, just the map-only banding scan.
     "status_snapshot" -> ((s, d) =>
       cc(s, d).agg(
         countDistinct("sid").as("n_nodes"),
         countDistinct("channel").as("n_channels"),
         countDistinct("cid").as("n_clients"))
-        .withColumn("ready", lit(true))),
+        .withColumn("ready", lit(true))
+        .crossJoin(broadcast(graft.llm.DedupQueries.srpKeptMass(s, d)))),
 
     // Sender echo (lib/ChannelHub.js:275-277): the hub echoes
     // channel.message to the sender iff the sender is STILL subscribed.
@@ -213,9 +221,44 @@ object RoutingQueries extends QuerySuite {
           col("p.channel").as("channel"), col("p.message").as("message"),
           col("p.sender").as("sender"))
         .orderBy("event_id")
+    }),
+
+    // O36 util.randomString (lib/util.js:33-47): mint one random
+    // 16-char alphanumeric id per document and audit the CONTRACT —
+    // cardinality (one id per row), uniqueness (62^16 space: a single
+    // collision in this corpus has odds ~1e-41 and fails the hash),
+    // alphabet- and length-exactness. The ids themselves are
+    // irreproducible by design (the reference uses crypto randomness
+    // for minting), so the oracle pins the audited invariants rather
+    // than replaying values — the strongest check a random generator
+    // admits; per-value semantics are spec'd in RandomStringSpec
+    // (seeded determinism, alphabet, abs-length quirk).
+    "util_random_ids" -> ((s, d) => {
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.functions.RandomId.randomString().as("rid"))
+        .agg(
+          count(lit(1)).as("n_ids"),
+          countDistinct(col("rid")).as("n_distinct"),
+          coalesce(min(length(col("rid")) ===
+            graft.functions.RandomId.DefaultLength), lit(false))
+            .as("len_ok"),
+          coalesce(min(col("rid").rlike("^[A-Za-z0-9]+$")), lit(false))
+            .as("alnum_ok"))
     }))
 
   def oracles: Map[String, String] = Map(
+    // contract audit (see the query comment): n_distinct = n is the
+    // uniqueness claim — DuckDB states the expected invariants from
+    // the same row count, so a collision, a short id, or an
+    // out-of-alphabet char on the Spark side hash-mismatches
+    "util_random_ids" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_ids,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  true AS len_ok, true AS alnum_ok
+         |FROM documents""".stripMargin,
+
     "route_delivery_gini" ->
       s"""WITH chc AS (
          |  SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS m
@@ -306,12 +349,15 @@ object RoutingQueries extends QuerySuite {
          |ORDER BY channel, sid""".stripMargin,
 
     "status_snapshot" ->
-      s"""WITH cc AS ($ccSql)
+      s"""WITH cc AS ($ccSql),
+         |${graft.llm.DedupQueries.srpKeptMassSqlCtes}
          |SELECT count(DISTINCT sid) AS n_nodes,
          |       count(DISTINCT channel) AS n_channels,
          |       count(DISTINCT cid) AS n_clients,
-         |       true AS ready
-         |FROM cc""".stripMargin,
+         |       true AS ready,
+         |       km.srp_rows_kept, km.srp_rows_dropped
+         |FROM cc CROSS JOIN km
+         |GROUP BY km.srp_rows_kept, km.srp_rows_dropped""".stripMargin,
 
     "route_sender_echo" ->
       s"""WITH cc AS ($ccSql)

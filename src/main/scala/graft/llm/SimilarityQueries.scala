@@ -162,8 +162,11 @@ object SimilarityQueries extends QuerySuite {
     // carries ≤ partitions·nodes·k rows however many candidates a
     // hub node collects (the per-node-window twin would sort whole
     // partitions). Directed by construction (x's top-k need not
-    // contain y back); recall is governed by the same (8,8) band
-    // parameters the LSH near-dup pipeline documents.
+    // contain y back); recall is governed by the same corpus-derived
+    // band parameters the LSH near-dup pipeline documents
+    // (srpDerivedRBits — round 15 closed the r14 cliff where the
+    // fixed (8,8) split saturated and this query went EMPTY at 200k
+    // vectors).
     "sim_knn_graph" -> ((s, d) => {
       graft.plans.FloatVectorDot.register(s)
       val e = Tables.embeddings(s, d)

@@ -90,10 +90,18 @@ object Ingest {
     * With the connector jar on the classpath this plugs in unchanged:
     * `toKafkaRecords(d, "t").writeStream.format("kafka")...`.
     *
-    * `seq` is the frame's mod-100 `_q` counter (`lib/util.js:13`);
-    * the default is streaming-safe (no window functions are allowed
-    * on an unaggregated stream), batch callers can pass the true
-    * per-sender `row_number() % 100` window instead. */
+    * `seq` is the frame's mod-100 `_q` counter (`lib/util.js:13`).
+    * ==DEFAULT DEVIATES FROM THE REFERENCE== The default
+    * `pmod(tsMillis, 100)` is streaming-safe (no window functions are
+    * allowed on an unaggregated stream) but NON-SEQUENTIAL: a consumer
+    * using `_q` for gap/ordering detection will see jumps. It is the
+    * right default only because the streaming path has no alternative;
+    * BATCH callers must not ship it accidentally (ADVICE r14) — pass
+    * the true per-sender counter instead:
+    * {{{
+    * toKafkaRecords(d, t, seq = pmod(row_number().over(
+    *   Window.partitionBy($"sid").orderBy($"tsMillis")), lit(100)))
+    * }}} */
   def toKafkaRecords(deliveries: Dataset[ChannelStream.Delivery],
       topic: String,
       seq: org.apache.spark.sql.Column = pmod(col("tsMillis"), lit(100)))

@@ -27,22 +27,22 @@ class WarmFloorSpec extends AnyFunSuite {
       "q_a" -> 0.81, "q_b" -> 12.0, "q_c" -> 0.0012, "q_d" -> 250.0))
   }
 
-  test("a nested object's pairs do not leak in as floors") {
-    // the anchored regex requires the value to close an entry ( , or
-    // } follows) at the FLAT level; a nested warm_reruns-style array
-    // or object must not contribute phantom floors
+  test("a nested object disables floors entirely (flat-file contract enforced, r15)") {
+    // round-14's anchor alone still let a nested object's inner pairs
+    // ("reps": 3,) match the flat shape — a phantom floor colliding
+    // with a query name would mis-adjudicate warm reruns. The parser
+    // now REJECTS any file with braces inside the top-level body:
+    // floors off loudly beats floors subtly wrong.
     val floors = Bench.loadWarmFloors(write(
       """{
         | "q_a": 1.5,
         | "meta": {"reps": 3, "cap": 10},
         | "q_b": 2.25
         |}""".stripMargin))
-    assert(floors.get("q_a").contains(1.5))
-    assert(floors.get("q_b").contains(2.25))
-    // inner pairs DO match the flat shape ("reps": 3,) — what matters
-    // for the adjudication is they never collide with query names;
-    // the real-file contract (flat only) is what merge_floors.py
-    // writes. Pin at least that array values don't parse:
+    assert(floors.isEmpty,
+      s"nested file must disable floors, parsed $floors")
+    // brace-free non-floor values (arrays) stay skipped entry-wise —
+    // the file is still flat, so the parse survives
     val arr = Bench.loadWarmFloors(write(
       """{"q_x": [1.0, 2.0], "q_y": 3.5}"""))
     assert(arr.get("q_y").contains(3.5) && !arr.contains("q_x"))

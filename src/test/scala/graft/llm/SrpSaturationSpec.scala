@@ -40,12 +40,27 @@ class SrpSaturationSpec extends SparkSpec {
       .repartition(8)
   }
 
-  test("8-bit bands saturate at 100k vectors; 16-bit bands recover the planted twins inside the linear bound") {
+  test("the derived-rBits ladder widens exactly at the carrying-capacity boundaries") {
+    // capacity of an r-bit band is SrpMaxBucket · 2^r; the ladder
+    // must hold the historical (8, 8) split through the last corpus
+    // an 8-bit band can carry, and widen at capacity + 1 — an
+    // off-by-one here would desync the engine from the oracle's
+    // count(*) CASE at exactly one corpus size
+    val cap = DedupQueries.SrpMaxBucket.toLong
+    assert(DedupQueries.srpDerivedRBits(1L) == 8)
+    assert(DedupQueries.srpDerivedRBits(cap << 8) == 8)
+    assert(DedupQueries.srpDerivedRBits((cap << 8) + 1) == 16)
+    assert(DedupQueries.srpDerivedRBits(cap << 16) == 16)
+    assert(DedupQueries.srpDerivedRBits((cap << 16) + 1) == 32)
+    assert(DedupQueries.srpDerivedRBits(Long.MaxValue) == 32)
+  }
+
+  test("8-bit bands saturate at 100k vectors; the PRODUCTION derived split recovers the planted twins inside the linear bound") {
     val e = corpus.cache()
     try {
       val twinPairs = (0L until Twins).map(i => (i, 1000000L + i)).toSet
 
-      // the driver surface's split: 2^8 values per band, capacity
+      // the pre-round-15 fixed split: 2^8 values per band, capacity
       // cap·2^8 ≈ 16k ≪ 100k — occupancy ~390 per bucket, only the
       // exponentially-rare tail band values stay under the cap
       val c8 = DedupQueries.srpCandidatesWith(e, Dim,
@@ -56,18 +71,22 @@ class SrpSaturationSpec extends SparkSpec {
       assert(found8 < Twins / 2,
         s"expected saturation to lose most twins at 8 bits, found $found8")
 
-      // the remedy: same 64-plane budget split 4 × 16 bits — 2^16
-      // values per band, occupancy ~0.5, nothing hot
-      val c16 = DedupQueries.srpCandidatesWith(e, Dim,
-        bands = 4, rBits = 16, cap = DedupQueries.SrpMaxBucket)
-      val cand16 = c16.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val found16 = twinPairs.count(cand16.contains)
-      assert(found16 == Twins,
-        s"wide bands must recover every identical twin: $found16/$Twins")
+      // the production path (round 15): srpCandidates derives the
+      // split from the corpus count — 100,050 vectors land on the
+      // 16-bit rung (4 bands × 2^16 values, occupancy ~0.5, nothing
+      // hot), so what the fixed split silently dropped is recovered
+      // by the same query a user actually runs
+      assert(DedupQueries.srpDerivedRBits(N + Twins) == 16,
+        "the saturation corpus must sit on the 16-bit rung")
+      val cand = DedupQueries.srpCandidates(e, Dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = twinPairs.count(cand.contains)
+      assert(found == Twins,
+        s"derived bands must recover every identical twin: $found/$Twins")
       // and the volume stays inside the linear candidate bound
       val bound = (N + Twins) * 4 * DedupQueries.SrpMaxBucket
-      assert(cand16.size <= bound,
-        s"wide-band candidates ${cand16.size} exceed linear bound $bound")
+      assert(cand.size <= bound,
+        s"derived-band candidates ${cand.size} exceed linear bound $bound")
     } finally e.unpersist()
   }
 }
