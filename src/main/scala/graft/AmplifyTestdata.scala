@@ -44,8 +44,36 @@ object AmplifyTestdata {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, src, out, factor)
+    // "documents" as 4th arg: documents-only clone — the phash/text
+    // scaling ladders read only `documents`, and a full ×1000 clone
+    // would carry ~17 GB of unused fact tables
+    if (args.lift(3).contains("documents"))
+      amplifyDocuments(spark, src, out, factor)
+    else amplify(spark, src, out, factor)
     spark.stop()
+  }
+
+  /** Documents-only ×factor clone (same replica salting as
+    * [[amplify]], which delegates here for the documents table). */
+  def amplifyDocuments(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val documents = spark.read.parquet(s"$src/documents.parquet")
+    val dBase =
+      documents.agg(max(col("doc_id").cast("long"))).head.getLong(0) + 1L
+    (0 until factor).map { r =>
+      val salted =
+        if (r == 0) documents
+        else documents
+          // suffix every whitespace token: replica vocabularies are
+          // disjoint, so no cross-replica shingle/near-dup structure
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", "$1~x" + r))
+          .withColumn("n_chars",
+            coalesce(length(col("text")).cast("long"), lit(0L)))
+      salted.withColumn("doc_id", col("doc_id") + lit(r * dBase))
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
   def amplify(spark: SparkSession, src: String, out: String,
@@ -108,20 +136,7 @@ object AmplifyTestdata {
       .withColumn("user_id", col("user_id") + lit(r * uBase))),
       "events", parts = 16)
 
-    val documents = raw("documents")
-    val dBase = keyBase(documents, "doc_id")
-    write(replicate(documents)((df, r) => {
-      val salted =
-        if (r == 0) df
-        else df
-          // suffix every whitespace token: replica vocabularies are
-          // disjoint, so no cross-replica shingle/near-dup structure
-          .withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", "$1~x" + r))
-          .withColumn("n_chars",
-            coalesce(length(col("text")).cast("long"), lit(0L)))
-      salted.withColumn("doc_id", col("doc_id") + lit(r * dBase))
-    }), "documents")
+    amplifyDocuments(spark, src, out, factor)
 
     val embeddings = raw("embeddings")
     val vBase = keyBase(embeddings, "vec_id")

@@ -6,9 +6,17 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.functions._
 
-/** Skew-resilience probe for the routing family (VERDICT r13 task 1)
-  * — the one classic 100 TB scale-killer the uniform amplified ladder
-  * cannot see. Real pub/sub traffic is zipf: one hot channel carries
+/** Skew-resilience probe: routing family (VERDICT r13 task 1), plus
+  * the text token-groupBy and graph hub-node families (r14 task 3) —
+  * the classic 100 TB scale-killers the uniform amplified ladder
+  * cannot see. Per family, the probe asserts the mechanism that
+  * actually bounds the straggler: AQE's skew-join split for the
+  * route fan-outs and the degraded PageRank contribution join
+  * (join-key skew in shuffle INPUT), and partial aggregation + the
+  * distinct-agg rewrite for token groupBys (where no input-skewed
+  * exchange exists to split).
+  *
+  * Real pub/sub traffic is zipf: one hot channel carries
   * most messages (the reference's per-message subscriber loop,
   * `lib/ChannelHub.js:258-272`). The fan-out joins shuffle by
   * `channel` once membership outgrows the broadcast ceiling (the
@@ -138,6 +146,12 @@ object SkewProbe {
       skewHandling: Boolean): SparkSession = {
     val s2 = base.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "32")
+    // parallel scans: the corpus files are sub-MB, and the default
+    // 128 MB split size would funnel a whole table through ONE map
+    // task — a tiny-scale artifact that reads as a straggler on the
+    // first shuffle write (at 100 TB the same default yields
+    // thousands of mappers)
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "262144")
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "true")
     s2.conf.set("spark.sql.adaptive.skewJoin.enabled", skewHandling.toString)
@@ -208,7 +222,89 @@ object SkewProbe {
     dfCtl.queryExecution.toRdd.count()
     check("default_thresholds_quiet", skewJoins(dfCtl) == 0, "")
 
+    // 4. TEXT family (VERDICT r14 task 3): token groupBys under a
+    // token that is 70% of ALL occurrences. An aggregation's hot key
+    // is NOT a join's hot key: partial aggregation combines the hot
+    // token map-side and the distinct-agg rewrite keys its first
+    // exchange on (token, doc_id) — so the family's term-stat
+    // groupBys (text_top_terms, the tf-idf df counts) carry no
+    // straggler AT ALL on a corpus this skewed. The probe proves
+    // that bound as machine truth (plus plan-shape-independent
+    // digests at 32 vs 4 reducers) instead of asserting a skew split
+    // that has nothing to split. (The text family's OTHER skew — a
+    // boilerplate fingerprint's join FANOUT, small input partition,
+    // huge output — is invisible to input-sized skew detection by
+    // construction; the family's posting caps own it: MaxFpSources,
+    // MaxDf/MaxPostings. See BENCH_NOTES r15.)
+    val tokDir = java.nio.file.Files
+      .createTempDirectory("graft_zipf_tokens").toString
+    ZipfTestdata.zipfifyTokens(spark, "/root/testdata/sf0.1", tokDir,
+      hotPct = 70)
+    def tokenAgg(s: SparkSession): DataFrame =
+      Tables.documents(s, tokDir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("occ"),
+          countDistinct("doc_id").as("df"))
+    val ts = sortMergeSession(spark, skewHandling = true)
+    val dfTok = tokenAgg(ts)
+    val shareTok = maxTaskShare(ts, dfTok)
+    val fr = dfTok.agg(
+      coalesce(sum(when(col("w") === "zzhot", col("occ"))), lit(0L)),
+      sum(col("occ"))).collect()(0)
+    val hotFrac = fr.getLong(0).toDouble / fr.getLong(1)
+    val ts4 = sortMergeSession(spark, skewHandling = true)
+    ts4.conf.set("spark.sql.shuffle.partitions", "4")
+    val sameTok = digest(tokenAgg(ts4)) == digest(dfTok)
+    check("text_token_groupby",
+      hotFrac >= 0.6 && shareTok <= 0.2 && sameTok,
+      f"hot_frac=$hotFrac%.3f max_share=$shareTok%.3f " +
+        s"digest_match=$sameTok")
+
+    // 5. GRAPH family: PageRank's per-round contribution join under a
+    // hub node owning ~90% of edge endpoints (the celebrity-account
+    // shape), forced past BroadcastNodeBudget — per-round keyed
+    // shuffle on src, where the hub is ONE straggler partition whose
+    // per-dst partial aggregation cannot shrink (every hub
+    // contribution targets a distinct neighbor).
+    val graphDir = java.nio.file.Files
+      .createTempDirectory("graft_zipf_graph").toString
+    ZipfTestdata.zipfifyGraph(spark, srcSf, graphDir, hotPct = 90)
+    probeFamily(spark, "graph_pagerank_top",
+      s => graft.analytics.GraphQueries.pagerankTop(s, graphDir,
+        forceShuffle = true),
+      offMin = 0.5, onMax = 0.35, check)
+
     spark.stop()
     if (failed) sys.exit(1)
+  }
+
+  /** The scenario-2 discipline generalized (text/graph families): the
+    * straggler exists with handling off, AQE's skew split bounds it
+    * with an identical output digest, and the family's own control —
+    * default 256 MB thresholds on the SAME zipf corpus — stays quiet
+    * (the mechanism is skew-driven, not config-driven). */
+  private def probeFamily(spark: SparkSession, name: String,
+      mk: SparkSession => DataFrame, offMin: Double, onMax: Double,
+      check: (String, Boolean, String) => Unit): Unit = {
+    val off = sortMergeSession(spark, skewHandling = false)
+    val on = sortMergeSession(spark, skewHandling = true)
+    val dfOff = mk(off)
+    val dfOn = mk(on)
+    val shareOff = maxTaskShare(off, dfOff)
+    val shareOn = maxTaskShare(on, dfOn)
+    val splits = skewJoins(dfOn)
+    val same = digest(dfOn) == digest(dfOff)
+    check(name,
+      splits >= 1 && shareOff >= offMin && shareOn <= onMax &&
+        shareOn < shareOff / 2 && same,
+      f"off_share=$shareOff%.3f on_share=$shareOn%.3f " +
+        s"skew_joins=$splits digest_match=$same")
+    val ctl = spark.newSession()
+    ctl.conf.set("spark.sql.shuffle.partitions", "32")
+    ctl.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ctl.conf.set("spark.sql.adaptive.enabled", "true")
+    val dfCtl = mk(ctl)
+    dfCtl.queryExecution.toRdd.count()
+    check(s"${name}_default_thresholds_quiet", skewJoins(dfCtl) == 0, "")
   }
 }

@@ -58,4 +58,56 @@ object ZipfTestdata {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
+
+  /** Write `out`/documents.parquet: `hotPct`% of every document's
+    * TOKEN OCCURRENCES replaced by the single hot token `zzhot`
+    * (per-position xxhash64 — deterministic) — the one-dominant-token
+    * shape of a 100 TB token distribution (zipf's law makes "the"
+    * ~7% of English; a markup-heavy corpus is far worse). The
+    * token-groupBy skew corpus (VERDICT r14 task 3). */
+  def zipfifyTokens(spark: SparkSession, src: String, out: String,
+      hotPct: Int): Unit = {
+    require(hotPct > 0 && hotPct < 100, s"hotPct out of range: $hotPct")
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text", array_join(
+        expr(s"""transform(split(text, ' '),
+                |  (w, i) -> CASE WHEN pmod(xxhash64(doc_id, i), 100)
+                |    < $hotPct THEN 'zzhot' ELSE w END)""".stripMargin),
+        " "))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Synthetic supplier key space for the hub-graph clone: wide
+    * enough that the hub's lineitems land on ~all-distinct suppliers
+    * (so hub DEGREE, not just hub row count, dominates the edge
+    * list — the `distinct()` in the edge build would collapse a
+    * narrow key space back to uniform). */
+  val HubSupplierSpread = 500000
+
+  /** Write `out`/{orders,lineitem}.parquet: `hotPct`% of orders
+    * reassigned to customer 1 (xxhash64 of o_orderkey) and every
+    * l_suppkey respread over [[HubSupplierSpread]] synthetic
+    * suppliers — customer 1 becomes a hub whose degree is ~hotPct%
+    * of all edges, the one-celebrity-account shape of a real graph
+    * at 100 TB. The graph-family skew corpus (VERDICT r14 task 3). */
+  def zipfifyGraph(spark: SparkSession, src: String, out: String,
+      hotPct: Int): Unit = {
+    require(hotPct > 0 && hotPct < 100, s"hotPct out of range: $hotPct")
+    val o = spark.read.parquet(s"$src/orders.parquet")
+    val custType = o.schema("o_custkey").dataType
+    o.withColumn("o_custkey",
+        when(pmod(xxhash64(col("o_orderkey")), lit(100)) < hotPct,
+          lit(1).cast(custType))
+          .otherwise(col("o_custkey")))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val l = spark.read.parquet(s"$src/lineitem.parquet")
+    val suppType = l.schema("l_suppkey").dataType
+    l.withColumn("l_suppkey",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(HubSupplierSpread)).cast(suppType))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
 }

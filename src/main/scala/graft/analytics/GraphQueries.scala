@@ -391,15 +391,56 @@ object GraphQueries extends QuerySuite {
        |FROM rnk WHERE rn <= 20 ORDER BY rk""".stripMargin
   }
 
+  /** Body of graph_pagerank_top with the ship strategy overridable —
+    * `forceShuffle = true` pins the past-[[BroadcastNodeBudget]]
+    * degraded path (per-round keyed shuffle join on src), the shape
+    * the zipf hub-node skew probe must exercise: under broadcast
+    * there is no exchange for a hub to straggle
+    * (`private[graft]`, the contaminationOverlap pattern). */
+  private[graft] def pagerankTop(s: SparkSession, d: String,
+      forceShuffle: Boolean = false): DataFrame = {
+    val e = edges(s, d)
+    // node-sized; materialized once — deg is referenced by every
+    // round plus the init, and each reference would otherwise
+    // re-aggregate the full edge list
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+      .truncateLineage()
+    // one O(partitions) count over the checkpointed node table
+    // decides the per-round ship strategy (see BroadcastNodeBudget)
+    val bcast = !forceShuffle && deg.count() <= BroadcastNodeBudget
+    var mass = deg.select(col("node"), lit(InitMass).as("mass"))
+    for (_ <- 1 to Rounds) mass = step(e, deg, mass, bcast)
+    // top-k FIRST (TakeOrderedAndProject — per-partition heads, no
+    // node-sized single-partition window), then rank the 20
+    // survivors; the residual unpartitioned window is 20 rows
+    mass.orderBy(col("mass").desc, col("node")).limit(20)
+      .withColumn("kind",
+        when(col("node") < SuppBase, "customer").otherwise("supplier"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mass").desc, col("node"))).cast("long"))
+      .select("rk", "node", "kind", "mass")
+      .orderBy("rk")
+  }
+
   /** One damped round: mass_r+1 = base + (85·incoming) div 100.
     * `bcast` picks the mass⋈deg ship strategy (see class doc);
     * `private[graft]` so GraphPlanSpec can assert both plan shapes. */
   private[graft] def step(e: DataFrame, deg: DataFrame, mass: DataFrame,
       bcast: Boolean = true): DataFrame = {
     val base = (15L * InitMass) / 100L
-    val md = mass.join(deg, "node")
-    val contrib = e.join(if (bcast) broadcast(md) else md,
-        col("src") === col("node"))
+    val md0 = mass.join(deg, "node")
+    // Degraded (past-budget) path: materialize the node-sized mass⋈deg
+    // product per round — the iterative-checkpoint discipline
+    // (dedup_components), and deliberately ALSO the skew guard: left
+    // chained, md arrives at the contribution join CO-PARTITIONED on
+    // node, and AQE's skew split bails without a fresh exchange on
+    // both sides — a hub node owning most edge endpoints then rides
+    // one straggler task (SkewProbe measured share 0.822 on the zipf
+    // hub clone before this, 0.053 after, digests identical). The
+    // broadcast path needs neither: no exchange exists to straggle.
+    val md = if (bcast) broadcast(md0) else md0.truncateLineage()
+    val contrib = e.join(md, col("src") === col("node"))
       .select(col("dst"), expr("mass div out_deg").as("c"))
       .groupBy(col("dst").as("node")).agg(sum("c").as("in_mass"))
     deg.select("node").join(contrib, Seq("node"), "left")
@@ -430,9 +471,10 @@ object GraphQueries extends QuerySuite {
   private[graft] def stepWeighted(e: DataFrame, deg: DataFrame,
       mass: DataFrame, bcast: Boolean = true): DataFrame = {
     val base = (15L * InitMass) / 100L
-    val md = mass.join(deg, "node")
-    val contrib = e.join(if (bcast) broadcast(md) else md,
-        col("src") === col("node"))
+    val md0 = mass.join(deg, "node")
+    // same degraded-path checkpoint + skew-split enablement as step()
+    val md = if (bcast) broadcast(md0) else md0.truncateLineage()
+    val contrib = e.join(md, col("src") === col("node"))
       .select(col("dst"), expr("(mass * w) div w_src").as("c"))
       .groupBy(col("dst").as("node")).agg(sum("c").as("in_mass"))
     deg.select("node").join(contrib, Seq("node"), "left")
@@ -1008,30 +1050,7 @@ object GraphQueries extends QuerySuite {
     }),
 
     // Top-20 nodes after three damped rounds, integer masses only.
-    "graph_pagerank_top" -> ((s, d) => {
-      val e = edges(s, d)
-      // node-sized; materialized once — deg is referenced by every
-      // round plus the init, and each reference would otherwise
-      // re-aggregate the full edge list
-      val deg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("out_deg"))
-        .truncateLineage()
-      // one O(partitions) count over the checkpointed node table
-      // decides the per-round ship strategy (see BroadcastNodeBudget)
-      val bcast = deg.count() <= BroadcastNodeBudget
-      var mass = deg.select(col("node"), lit(InitMass).as("mass"))
-      for (_ <- 1 to Rounds) mass = step(e, deg, mass, bcast)
-      // top-k FIRST (TakeOrderedAndProject — per-partition heads, no
-      // node-sized single-partition window), then rank the 20
-      // survivors; the residual unpartitioned window is 20 rows
-      mass.orderBy(col("mass").desc, col("node")).limit(20)
-        .withColumn("kind",
-          when(col("node") < SuppBase, "customer").otherwise("supplier"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("mass").desc, col("node"))).cast("long"))
-        .select("rk", "node", "kind", "mass")
-        .orderBy("rk")
-    }),
+    "graph_pagerank_top" -> ((s, d) => pagerankTop(s, d)),
 
     // HITS hubs & authorities (Kleinberg, JACM 1999) on the DIRECTED
     // customer→supplier trade graph — the bipartite companion of

@@ -203,6 +203,59 @@ object Multimodal extends QuerySuite {
       .distinct()
       .orderBy("doc_a", "doc_b")
 
+  /** The SATURATION-FREE spelling of [[phashPairs]] (round 15): the
+    * 4 × 16-bit band space carries at most PhashBands-independent
+    * [[PhashMaxBucket]]·2¹⁶ ≈ 4.2M fingerprints per band — the same
+    * carrying-capacity cliff the SRP dedup path hit one decade
+    * earlier (r14), one decade above the measured amp1000 point.
+    * Unlike SRP, the bands here CANNOT simply widen: the hamming ≤
+    * [[MaxPhashDist]] = 3 completeness proof is pigeonhole over 4
+    * bands. This variant trades band width for probes instead —
+    * 2 bands × 32 bits (capacity [[PhashMaxBucket]]·2³² ≈ 2.7e11)
+    * joined MULTI-PROBE: each fingerprint probes its band value plus
+    * every 1-bit flip (33 probes/band — the simhashRadiusPairs
+    * pattern, Lv et al. VLDB'07) against the BARE capped identity
+    * bands. Pigeonhole still closes: 3 flips over 2 bands leave one
+    * band differing ≤ 1 bit, which the identity-or-flip probes cover.
+    * Volume: 66·n probe rows, each meeting ≤ cap identity rows —
+    * ≤ 66·cap·n candidates, linear to 10¹¹ fingerprints. The exact
+    * popcount verify runs on candidates only, so over-probing can
+    * only cost, never corrupt. A pair is lost only when BOTH its
+    * identity buckets are hot in every ≤1-bit band — the cap's
+    * documented indistinguishable-pile trade. */
+  private[llm] def phashPairsWide(sigs: DataFrame): DataFrame = {
+    val wideBands = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 2).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("phash"), 32 * b)
+            .bitwiseAND(lit(0xffffffffL)).as("band_val"))): _*))
+        .as("bd"))
+      .select(col("doc_id"), col("phash"),
+        col("bd.band_idx"), col("bd.band_val"))
+    val ids = wideBands
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= PhashMaxBucket)
+      .select(col("doc_id").as("id_b"), col("phash").as("hash_b"),
+        col("band_idx"), col("band_val").as("probe"))
+    val probes = wideBands.select(col("doc_id").as("id_a"),
+        col("phash").as("hash_a"), col("band_idx"), col("band_val"),
+        explode(array((-1 until 32).map(lit(_)): _*)).as("j"))
+      .select(col("id_a"), col("hash_a"), col("band_idx"),
+        expr("band_val ^ CASE WHEN j < 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), j) END").as("probe"))
+    probes.join(ids, Seq("band_idx", "probe"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(hash_a ^ hash_b) AS BIGINT)"))
+      .filter(col("hamming") <= MaxPhashDist)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The banded candidate join itself — ONE definition shared by the
     * dup query above and its calibration histogram, so the pigeonhole
     * completeness proof can never silently desynchronize between them
@@ -448,6 +501,13 @@ object Multimodal extends QuerySuite {
     "multimodal_phash_dups" -> ((s, d) =>
       phashPairs(phashTable(s, d))),
 
+    // The scale-path twin (see [[phashPairsWide]]): same planted
+    // twins, same hamming contract, a band space four orders of
+    // magnitude deeper — the query a >4M-image corpus must run
+    // (PhashSaturationSpec proves the handover executably).
+    "multimodal_phash_dups_wide" -> ((s, d) =>
+      phashPairsWide(phashTable(s, d))),
+
     // Candidate-distance histogram — the banding calibration audit
     // for the image index: among band-mate CANDIDATE pairs (no
     // accept-threshold filter), how are XOR-popcount distances
@@ -621,6 +681,43 @@ object Multimodal extends QuerySuite {
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM banded_c x JOIN banded_c y
          |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |      AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN sigs a ON a.doc_id = c.doc_a
+         |  JOIN sigs b ON b.doc_id = c.doc_b)
+         |WHERE hamming <= $MaxPhashDist
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The wide multi-probe pipeline's EXACT semantics spelled
+    // declaratively (the r13 both-sides-spell-the-cap rule): a pair
+    // is a candidate iff some 32-bit band differs by <= 1 bit AND at
+    // least one side's identity bucket is non-hot (probe sides are
+    // uncapped; probe(a) hits id(b) iff b's bucket survives, and
+    // vice versa). The <=1-bit band join is an inequality join —
+    // quadratic-within-band, an ORACLE-ONLY spelling the engine's
+    // linear 33-probe equijoin replaces at scale.
+    "multimodal_phash_dups_wide" ->
+      s"""WITH $phashSigsSql,
+         |wband AS (
+         |  SELECT doc_id, 0 AS band_idx,
+         |    CAST(b0 + b1 * 65536 AS BIGINT) AS band_val FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1, CAST(b2 + b3 * 65536 AS BIGINT) FROM sigs),
+         |wbn AS (
+         |  SELECT doc_id, band_idx, band_val,
+         |    count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+         |  FROM wband),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM wbn x JOIN wbn y
+         |    ON x.band_idx = y.band_idx
+         |   AND bit_count(xor(x.band_val, y.band_val)) <= 1
+         |   AND (x.bn <= $PhashMaxBucket OR y.bn <= $PhashMaxBucket)
          |   AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT c.doc_a, c.doc_b,

@@ -97,6 +97,38 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"expected zero surviving candidates on all-clones, got $emitted")
   }
 
+  test("phash dup volume IS the capped candidate volume at full bucket occupancy (tight case of the linear bound)") {
+    // VERDICT r14 task 2: tie multimodal_phash_dups' pair volume to
+    // the capped candidate count executably. Corpus: G groups of
+    // EXACTLY PhashMaxBucket identical fingerprints, group values
+    // distinct in every band — every (band, value) bucket sits AT the
+    // cap, the worst corpus the cap admits. All pairs are hamming 0,
+    // so the dup output equals the candidate set exactly:
+    // G·C(cap, 2) pairs, inside the n·bands·(cap−1)/2 linear bound.
+    // One more clone per bucket and the guard drops everything.
+    val g = 20
+    val cap = Multimodal.PhashMaxBucket.toInt
+    def corpus(groupSize: Int) = spark.range(g.toLong * groupSize)
+      .select(col("id").as("doc_id"),
+        // group index replicated into all four 16-bit bands
+        expr(s"CAST((id div $groupSize) * ${0x0001000100010001L}" +
+          " AS BIGINT)").as("phash"))
+    val atCap = Multimodal.phashPairs(corpus(cap)).count()
+    val expected = g.toLong * cap * (cap - 1) / 2
+    val bound = (g.toLong * cap) * Multimodal.PhashBands * (cap - 1) / 2
+    assert(atCap == expected,
+      s"full-occupancy dup pairs $atCap != capped candidate volume $expected")
+    assert(atCap <= bound, s"$atCap exceeds linear bound $bound")
+    val overCap = Multimodal.phashPairs(corpus(cap + 1)).count()
+    assert(overCap == 0L,
+      s"hot buckets must be dropped entirely, got $overCap pairs")
+    // the wide multi-probe twin obeys the same cap with the same
+    // tight volume (identity probes carry the clones; flip probes
+    // land on empty buckets)
+    assert(Multimodal.phashPairsWide(corpus(cap)).count() == expected)
+    assert(Multimodal.phashPairsWide(corpus(cap + 1)).count() == 0L)
+  }
+
   test("route fan-out shuffles scan-linearly while its output grows quadratically (output-bound, as machine truth)") {
     // The r13 ladder measured exp ~2.0 for the route family on the
     // fixed-channel clone and BENCH_NOTES argued "output-bound by

@@ -17,7 +17,7 @@ import scala.sys.process._
   */
 class SkewSpec extends AnyFunSuite {
 
-  test("routing-family skew probe: straggler proven, skew split bounds it, outputs identical") {
+  test("skew probe (route + text + graph families): stragglers proven, the per-family mechanism bounds them, outputs identical") {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     import scala.jdk.CollectionConverters._
     val jvmArgs = java.lang.management.ManagementFactory
@@ -43,7 +43,8 @@ class SkewSpec extends AnyFunSuite {
     assert(rc == 0, s"probe JVM exited $rc:\n${lines.mkString("\n")}")
     for (scenario <- Seq("straggler_exists", "route_client_fanout",
         "route_delivery_gate", "route_enriched_deliveries",
-        "default_thresholds_quiet"))
+        "default_thresholds_quiet", "text_token_groupby",
+        "graph_pagerank_top", "graph_pagerank_top_default_thresholds_quiet"))
       assert(lines.exists(l => l.contains(scenario) && l.contains("OK")),
         s"scenario $scenario not OK:\n${lines.mkString("\n")}")
     lines.foreach(l => info(l))
