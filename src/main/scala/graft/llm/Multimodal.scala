@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Lineage.LineageOps
 import graft.{QuerySuite, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -291,6 +292,45 @@ object Multimodal extends QuerySuite {
           .as("hamming"))
   }
 
+  /** Cluster-form image dedup — the spelling that survives the
+    * identical-pile regime BOTH pairwise variants measured dying at
+    * the ×1000 docs decade (1.14M sigs collapse to 5,365 distinct
+    * fingerprints, ~213-image piles: every bucket of ANY band split
+    * is hot, the cap drops all mass, and honest pair emission would
+    * be Θ(pile²) anyway). Distinct-first: (1) groupBy the 64-bit
+    * fingerprint — the exact-dedup hash-groupBy shape, map-side
+    * combined, linear at any corpus size — yielding one row per
+    * distinct fingerprint with its canonical doc and member count;
+    * (2) run the capped banded join on the DISTINCT fingerprint set
+    * only (bucket occupancy is now distinct-values-per-band, not
+    * images-per-band — the pile skew is gone before banding sees
+    * it); (3) count near fingerprints (hamming ≤ [[MaxPhashDist]])
+    * per cluster. A consumer reconstructs near-dup doc pairs only
+    * where it chooses to pay for them — the query itself never
+    * multiplies piles. */
+  private[llm] def phashClusters(sigs: DataFrame): DataFrame = {
+    // distinct-fingerprint-sized and read TWICE (band join + final
+    // join) — without the checkpoint each reference replays the full
+    // decode+groupBy over the corpus (the ×1000 ladder measured the
+    // scan doubling: 10M rows read for a 5M-doc corpus)
+    val clusters = sigs.groupBy("phash").agg(
+      min("doc_id").as("canonical_doc"),
+      count(lit(1)).as("n_members"))
+      .truncateLineage()
+    val asDocs = clusters.select(
+      col("canonical_doc").as("doc_id"), col("phash"))
+    val near = phashCandidates(asDocs)
+      .filter(col("hamming") <= MaxPhashDist)
+      .distinct()
+    val nearCounts = near.select(col("doc_a").as("canonical_doc"))
+      .unionAll(near.select(col("doc_b").as("canonical_doc")))
+      .groupBy("canonical_doc").agg(count(lit(1)).as("n_near_fps"))
+    clusters.join(nearCounts, Seq("canonical_doc"), "left")
+      .select(col("canonical_doc"), col("n_members"),
+        coalesce(col("n_near_fps"), lit(0L)).as("n_near_fps"))
+      .orderBy("canonical_doc")
+  }
+
   /** documents.text reinterpreted as the media payload (UTF-8 bytes). */
   private def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -501,12 +541,20 @@ object Multimodal extends QuerySuite {
     "multimodal_phash_dups" -> ((s, d) =>
       phashPairs(phashTable(s, d))),
 
-    // The scale-path twin (see [[phashPairsWide]]): same planted
+    // The deep-band twin (see [[phashPairsWide]]): same planted
     // twins, same hamming contract, a band space four orders of
-    // magnitude deeper — the query a >4M-image corpus must run
-    // (PhashSaturationSpec proves the handover executably).
+    // magnitude deeper — the pairwise query for DISPERSED
+    // fingerprint spaces past 4.2M images (PhashSaturationSpec
+    // proves the handover executably).
     "multimodal_phash_dups_wide" -> ((s, d) =>
       phashPairsWide(phashTable(s, d))),
+
+    // The cluster-form production query (see [[phashClusters]]): the
+    // spelling that stays linear AND non-empty in the identical-pile
+    // regime where any pairwise banding saturates — measured at the
+    // ×1000 docs decade (bench_anchors/r15_phash_exponents.json).
+    "multimodal_phash_dup_clusters" -> ((s, d) =>
+      phashClusters(phashTable(s, d))),
 
     // Candidate-distance histogram — the banding calibration audit
     // for the image index: among band-mate CANDIDATE pairs (no
@@ -729,6 +777,48 @@ object Multimodal extends QuerySuite {
          |  JOIN sigs b ON b.doc_id = c.doc_b)
          |WHERE hamming <= $MaxPhashDist
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // distinct-first replay: clusters from the predicted sigs, then
+    // the SAME capped banded pipeline as the pair oracles — but over
+    // canonical fingerprints only (one doc_id per distinct phash)
+    "multimodal_phash_dup_clusters" ->
+      s"""WITH $phashSigsSql,
+         |cl AS (
+         |  SELECT min(doc_id) AS canonical_doc,
+         |    CAST(count(*) AS BIGINT) AS n_members, b0, b1, b2, b3
+         |  FROM sigs GROUP BY b0, b1, b2, b3),
+         |banded AS (
+         |  SELECT canonical_doc AS doc_id, 0 AS band_idx,
+         |    b0 AS band_val FROM cl
+         |  UNION ALL SELECT canonical_doc, 1, b1 FROM cl
+         |  UNION ALL SELECT canonical_doc, 2, b2 FROM cl
+         |  UNION ALL SELECT canonical_doc, 3, b3 FROM cl),
+         |${DedupQueries.cappedBandsSqlCte("banded_c", "banded",
+              "doc_id", PhashMaxBucket)},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded_c x JOIN banded_c y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |near AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT c.doc_a, c.doc_b,
+         |      CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |         + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |        AS BIGINT) AS hamming
+         |    FROM cand c
+         |    JOIN cl a ON a.canonical_doc = c.doc_a
+         |    JOIN cl b ON b.canonical_doc = c.doc_b)
+         |  WHERE hamming <= $MaxPhashDist),
+         |nc AS (
+         |  SELECT canonical_doc, CAST(count(*) AS BIGINT) AS n_near_fps
+         |  FROM (SELECT doc_a AS canonical_doc FROM near
+         |        UNION ALL SELECT doc_b FROM near)
+         |  GROUP BY canonical_doc)
+         |SELECT cl.canonical_doc, cl.n_members,
+         |  coalesce(nc.n_near_fps, 0) AS n_near_fps
+         |FROM cl LEFT JOIN nc USING (canonical_doc)
+         |ORDER BY canonical_doc""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'application/x-' || source AS mime,

@@ -66,4 +66,38 @@ class PhashSaturationSpec extends SparkSpec {
         s"wide output ${wide.size} exceeds linear bound $bound")
     } finally s.unpersist()
   }
+
+  test("identical-pile regime: BOTH pairwise variants drop to zero; the cluster form keeps every pile and its near links") {
+    // The regime the ×1000 docs decade measured (1.14M sigs → 5,365
+    // distinct fingerprints, ~213-image piles,
+    // bench_anchors/r15_phash_exponents.json): when fingerprints
+    // repeat in PILES, every bucket of ANY band split is hot and
+    // pairwise banding — narrow or wide — correctly refuses the
+    // Θ(pile²) output. The production answer is distinct-first
+    // (phashClusters): groupBy the fingerprint, then band only the
+    // distinct values. Corpus: 100 piles of 100 identical
+    // fingerprints; piles 2k and 2k+1 differ in bit 0 only while
+    // sharing their 16-bit band at index 1, so each cluster has at
+    // least one hamming-1 neighbor findable through a non-hot
+    // distinct-set bucket.
+    val pileSize = 100
+    val piles = 100
+    val sigs = spark.range(pileSize.toLong * piles)
+      .select(col("id").as("doc_id"),
+        // pile p: phash = (p div 2)·2¹⁶ + (p mod 2) — pairs share
+        // band 1, differ in bit 0; bands 2/3 are zero for everyone
+        expr(s"CAST((id div ${2 * pileSize}) * 65536 " +
+          s"+ (id div $pileSize) % 2 AS BIGINT)").as("phash"))
+      .repartition(8)
+    assert(Multimodal.phashPairs(sigs).count() == 0L,
+      "4x16 pairs must drop the all-hot pile corpus")
+    assert(Multimodal.phashPairsWide(sigs).count() == 0L,
+      "wide pairs must drop the all-hot pile corpus")
+    val cl = Multimodal.phashClusters(sigs).collect()
+    assert(cl.length == piles, s"expected $piles clusters, ${cl.length}")
+    assert(cl.forall(_.getLong(1) == pileSize),
+      "every cluster must carry its full pile membership")
+    assert(cl.forall(_.getLong(2) >= 1L),
+      "every cluster must see its planted hamming-1 neighbor")
+  }
 }

@@ -32,13 +32,17 @@ class StreamingSoakSpec extends SparkSpec {
   private val Batches = 300
 
   /** Drive `batches` through a streaming query one micro-batch at a
-    * time, returning every memory-sink row plus the PEAK state row
-    * count observed across all progress events. */
+    * time, returning every memory-sink row, the PEAK state row count,
+    * per-batch row counts, and the maxima of the memory/disk state
+    * metrics (`mem` = stateOperators.memoryUsedBytes, `sst` = the
+    * RocksDB on-disk SST bytes custom metric) observed across all
+    * progress events. */
   private def soak[I, O](batches: Seq[Seq[I]])(
       wire: org.apache.spark.sql.Dataset[I] =>
         org.apache.spark.sql.Dataset[O])(
       implicit ienc: org.apache.spark.sql.Encoder[I],
-      oenc: org.apache.spark.sql.Encoder[O]): (Seq[O], Long, Seq[Long]) =
+      oenc: org.apache.spark.sql.Encoder[O])
+      : (Seq[O], Long, Seq[Long], Map[String, Long]) =
     withRocksDbProvider {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[I]
@@ -49,16 +53,21 @@ class StreamingSoakSpec extends SparkSpec {
       val perBatchRows = mutable.ArrayBuffer.empty[Long]
       try {
         var peak = 0L
+        var maxMem = 0L
+        var maxSst = 0L
         for (b <- batches) {
           input.addData(b)
           q.processAllAvailable()
           for (p <- Option(q.lastProgress); so <- p.stateOperators) {
             peak = math.max(peak, so.numRowsTotal)
             perBatchRows += so.numRowsTotal
+            maxMem = math.max(maxMem, so.memoryUsedBytes)
+            maxSst = math.max(maxSst, Option(so.customMetrics
+              .get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L))
           }
         }
         (spark.table(name).as[O].collect().toSeq, peak,
-          perBatchRows.toSeq)
+          perBatchRows.toSeq, Map("mem" -> maxMem, "sst" -> maxSst))
       } finally q.stop()
     }
 
@@ -83,7 +92,7 @@ class StreamingSoakSpec extends SparkSpec {
         }
       }
     }
-    val (got, peak, perBatch) = soak(batches)(ds =>
+    val (got, peak, perBatch, _) = soak(batches)(ds =>
       ChannelProcessor.deliveries(ds))
     // bound: one state row per NON-EMPTY channel, at every batch
     assert(peak <= channels.size,
@@ -219,7 +228,7 @@ class StreamingSoakSpec extends SparkSpec {
         (docId, texts(rng.nextInt(texts.size)))
       }
     }
-    val (got, peak, _) = soak(batches)(ds => DedupStream.dedup(ds))
+    val (got, peak, _, _) = soak(batches)(ds => DedupStream.dedup(ds))
     assert(peak <= texts.size,
       s"state rows $peak exceeded the ${texts.size}-digest bound")
     // twin: same normalization + md5 as the wiring, folded through the
@@ -259,7 +268,7 @@ class StreamingSoakSpec extends SparkSpec {
         KmvStream.HashEvent(keys(rng.nextInt(keys.size)), rng.nextLong())
       }
     }
-    val (got, peak, _) = soak(batches)(ds =>
+    val (got, peak, _, _) = soak(batches)(ds =>
       KmvStream.sketches(ds, k))
     assert(peak <= keys.size,
       s"state rows $peak exceeded the ${keys.size}-key bound")
@@ -278,5 +287,69 @@ class StreamingSoakSpec extends SparkSpec {
     assert(got.sortBy(r => (r.key, r.version)) ==
       wantSeq.sortBy(r => (r.key, r.version)))
     info(s"kmv soak: peak state rows = $peak, sketch rows = ${got.size}")
+  }
+
+  test("DedupStream: state churned past 100k keys (RocksDB on disk), memory bounded, twin-exact") {
+    // The memory-bound decade (VERDICT r14 task 6): the 300-batch
+    // soaks hold state at its DESIGNED bound (40/150/20 rows) — this
+    // variant grows the key space itself into the hundreds of
+    // thousands, where RocksDB's working set no longer fits a
+    // memtable: digests land in SST files on disk, and the JVM's
+    // share must stay bounded (block cache + memtable), NOT O(keys).
+    // Same twin-exact fold as the designed-bound soak — paging must
+    // not cost a row.
+    val rng = new Random(31)
+    val BigBatches = 60
+    val perBatch = 2500
+    var docId = 0L
+    val batches = (0 until BigBatches).map { _ =>
+      (0 until perBatch).map { _ =>
+        docId += 1
+        // ~90% unique bodies (fresh digests), ~10% recycled dups
+        val t =
+          if (rng.nextInt(10) == 0)
+            s"Recycled body ${rng.nextInt(1000)} variant"
+          else s"unique document body number $docId payload"
+        (docId, t)
+      }
+    }
+    val (got, peak, _, mx) =
+      soak(batches)(ds => DedupStream.dedup(ds))
+    assert(peak >= 100000L,
+      s"this soak must drive state past 100k rows, peaked at $peak")
+    // the state actually lives on disk...
+    assert(mx("sst") > 0L,
+      s"expected SST files on disk at ${peak} keys, sst=${mx("sst")}")
+    // ...and the in-memory share stays far below the raw state size
+    // (a leak of the full key set into the JVM would show here)
+    val memCap = 256L * 1024 * 1024
+    assert(mx("mem") <= memCap,
+      s"state memory ${mx("mem")} exceeded the $memCap bound")
+    // twin-exact at 150k keys: same fold as the designed-bound soak
+    def digest(t: String): String = {
+      val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    val state = mutable.Map.empty[String, Long]
+    val want = Seq.newBuilder[DedupStream.Decision]
+    for (b <- batches) {
+      val rows = b.map { case (id, t) =>
+        DedupStream.DocEvent(id, digest(t)) }
+      for ((dg, evs) <- rows.groupBy(_.digest)) {
+        val (out, canonical) =
+          DedupStream.advance(dg, state.get(dg), evs)
+        state(dg) = canonical
+        want ++= out
+      }
+    }
+    val wantSeq = want.result()
+    assert(got.size == wantSeq.size && got.nonEmpty)
+    assert(got.sortBy(_.doc_id) == wantSeq.sortBy(_.doc_id))
+    info(f"big-key soak: peak state rows = $peak, " +
+      f"mem = ${mx("mem") / 1024.0 / 1024}%.1f MiB, " +
+      f"sst = ${mx("sst") / 1024.0 / 1024}%.1f MiB, " +
+      s"decisions = ${got.size}")
   }
 }
