@@ -29,7 +29,10 @@ object Explain {
     "sim_ivf_probe_sweep", "dq_rate_limit_audit", "text_source_overlap",
     "join_semijoin_reduction", "graph_modularity", "text_mattr",
     "stat_permutation_test", "dq_join_fanout_estimate",
-    "sim_centroid_drift", "ts_holt_winters")
+    "sim_centroid_drift", "ts_holt_winters",
+    "multimodal_phash_dups_wide", "multimodal_phash_dup_clusters",
+    "util_random_ids", "dedup_embedding_lsh", "sim_knn_graph",
+    "status_snapshot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
