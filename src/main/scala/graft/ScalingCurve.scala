@@ -111,7 +111,8 @@ object ScalingCurve {
     math.log(y2.toDouble / y1) / math.log(x2.toDouble / x1)
   }
 
-  /** One query at one scale: (wall secs, total rows, scan rows).
+  /** One query at one scale: (wall secs, total rows, scan rows,
+    * output rows).
     *
     * Volumes come from TWO sources, both required for an honest
     * exponent: the final plan (walked directly — `toRdd` is an
@@ -125,7 +126,7 @@ object ScalingCurve {
     * review catch. */
   def measure(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame, dir: String)
-      : (Double, Long, Long) = {
+      : (Double, Long, Long, Long) = {
     val subTotal = new java.util.concurrent.atomic.AtomicLong(0)
     val subScan = new java.util.concurrent.atomic.AtomicLong(0)
     val subSeen = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -156,7 +157,7 @@ object ScalingCurve {
       // fresh one whose metrics we'd never see): count() fully
       // consumes every partition, like Bench's noop sink
       val qe = df.queryExecution
-      qe.toRdd.count()
+      val outRows = qe.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       // listener events dispatch asynchronously; poll until the
       // sub-execution count is stable (construction finished before
@@ -180,7 +181,12 @@ object ScalingCurve {
       spark.catalog.clearCache()
       System.err.println(s"[curve]   subs=${subSeen.get()} " +
         s"subTotal=${subTotal.get()} subScan=${subScan.get()}")
-      (secs, total + subTotal.get(), scan + subScan.get())
+      // outRows disambiguates a saturated run: AQE's empty-relation
+      // propagation REPLACES executed stages when a runtime stat hits
+      // zero, zeroing the metric walk — "total_rows 0" alone cannot
+      // distinguish "did no work" from "worked and emitted nothing"
+      // (the r15 phash ×1000 decade hit exactly this ambiguity)
+      (secs, total + subTotal.get(), scan + subScan.get(), outRows)
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -214,19 +220,22 @@ object ScalingCurve {
         if (ampSkip.exists(name.startsWith)) scales.dropRight(1) else scales
       try {
         val rows = dirs.map { d =>
-          val (secs, total, scan) = measure(spark, fn, d)
+          val (secs, total, scan, out) = measure(spark, fn, d)
           System.err.println(f"[curve] $name%-34s $d%-28s " +
-            f"${secs}%7.2fs total=$total%12d scan=$scan%10d")
-          (secs, total, scan)
+            f"${secs}%7.2fs total=$total%12d scan=$scan%10d " +
+            f"out=$out%10d")
+          (secs, total, scan, out)
         }
         val secs = rows.map(_._1)
         val totals = rows.map(_._2)
         val scans = rows.map(_._3)
+        val outs = rows.map(_._4)
         val eFit = logSlope(scans, totals)
         val eLast = lastPairSlope(scans, totals)
         val eSecs = lastPairSlope(scans,
           secs.map(s => math.max(1L, (s * 1e6).toLong)))
-        Some(name -> ((dirs, secs, totals, scans, eFit, eLast, eSecs)))
+        Some(name -> ((dirs, secs, totals, scans, outs, eFit, eLast,
+          eSecs)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[curve] $name FAILED: ${e.getMessage}")
@@ -243,12 +252,14 @@ object ScalingCurve {
       xs.map(f).mkString("[", ",", "]")
     def jD(d: Double) = if (d.isNaN) "null" else num(d, 4)
     val body = results.map {
-      case (name, (dirs, secs, totals, scans, eFit, eLast, eSecs)) =>
+      case (name,
+          (dirs, secs, totals, scans, outs, eFit, eLast, eSecs)) =>
         s"${JsonOut.q(name)}: {" +
           s""""scales": ${jArr(dirs)(JsonOut.q)}, """ +
           s""""secs": ${jArr(secs)(s => num(s, 3))}, """ +
           s""""total_rows": ${jArr(totals)(_.toString)}, """ +
           s""""scan_rows": ${jArr(scans)(_.toString)}, """ +
+          s""""out_rows": ${jArr(outs)(_.toString)}, """ +
           s""""exp_rows_fit": ${jD(eFit)}, """ +
           s""""exp_rows_last": ${jD(eLast)}, """ +
           s""""exp_secs_last": ${jD(eSecs)}}"""
@@ -257,11 +268,11 @@ object ScalingCurve {
 
     // human-readable tail: queries ranked by row exponent, worst first
     val ranked = results
-      .filter { case (_, r) => !r._6.isNaN }
-      .sortBy { case (_, r) => -r._6 }
+      .filter { case (_, r) => !r._7.isNaN }
+      .sortBy { case (_, r) => -r._7 }
     println(f"${"query"}%-36s ${"exp_rows_last"}%13s " +
       f"${"exp_rows_fit"}%12s ${"exp_secs_last"}%13s")
-    ranked.foreach { case (name, (_, _, _, _, eFit, eLast, eSecs)) =>
+    ranked.foreach { case (name, (_, _, _, _, _, eFit, eLast, eSecs)) =>
       println(f"$name%-36s ${jD(eLast)}%13s ${jD(eFit)}%12s " +
         f"${jD(eSecs)}%13s")
     }

@@ -65,8 +65,8 @@ class ScalingCurveSpec extends AnyFunSuite {
     val spark = SparkSpec.session
     val failures = Reps.flatMap { rep =>
       val fn = SparkEntry.queries(rep.name)
-      val (_, totLo, scanLo) = ScalingCurve.measure(spark, fn, Lo)
-      val (_, totHi, scanHi) = ScalingCurve.measure(spark, fn, Hi)
+      val (_, totLo, scanLo, _) = ScalingCurve.measure(spark, fn, Lo)
+      val (_, totHi, scanHi, _) = ScalingCurve.measure(spark, fn, Hi)
       val e = ScalingCurve.lastPairSlope(
         Seq(scanLo, scanHi), Seq(totLo, totHi))
       if (e.isNaN)
