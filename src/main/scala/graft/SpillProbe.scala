@@ -62,12 +62,16 @@ object SpillProbe {
     *   - dedup_fuzzy_names — the edit-distance census' banded join
     *     (23.6M rows; ~0.9 GB spill),
     *   - route_delivery_gate — the fan-out family's gated delivery
-    *     join on its shuffle path (18.7M rows). */
+    *     join on its shuffle path (18.7M rows),
+    *   - dedup_components — the iterative family: path-halving
+    *     rounds whose per-round localCheckpoint blocks must ALSO
+    *     survive the starved storage pool (MEMORY_AND_DISK paging),
+    *     on top of each round's join/agg spilling. */
   val Probed: Seq[String] =
     sys.env.get("SPILL_QUERIES").map(_.split(",").toSeq).getOrElse(
       Seq("graph_triangles", "basket_pair_lift",
         "dedup_ngram_jaccard_pairs", "dedup_fuzzy_names",
-        "route_delivery_gate"))
+        "route_delivery_gate", "dedup_components"))
 
   /** Order-free content digest (count, modular xxhash sum — raw sum
     * overflows LONG under ANSI; the SkewProbe digest). Order-free
