@@ -116,7 +116,12 @@ object SpillProbe {
       // the first probe iteration measured exactly that failure
       // (UnsafeSorterSpillReader heap-OOM at 40+ files × 1 MB × 4
       // tasks under a 1 GB heap).
-      .config("spark.memory.fraction", "0.05")
+      // SPILL_FRACTION override: the ×10-decade ladder runs the SAME
+      // binary at the default fraction to produce the unconstrained
+      // twin digests the starved run must match (SpillSpec's shared
+      // session plays that role at sf0.1)
+      .config("spark.memory.fraction",
+        sys.env.getOrElse("SPILL_FRACTION", "0.05"))
       // auto page sizing targets memory/cores/16 and would clamp to
       // its floor anyway; pin it so the first page allocation always
       // succeeds and pressure exercises spilling, not allocation
