@@ -307,6 +307,12 @@ object GraphQueries extends QuerySuite {
           col("src") === col("node"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
+      // per-node argmax stays the row_number window: the tempting
+      // min(struct(-cnt, label)) hash-aggregate respelling was
+      // MEASURED 3-8x SLOWER here (struct-buffer min falls off the
+      // primitive hash-agg fast path onto ObjectHashAggregate /
+      // sort-based fallback; 2.7 s -> 9-26 s at sf0.1) — kept the
+      // window (r15 optimization round A/B)
       labels = nbr.withColumn("rn", row_number().over(
           Window.partitionBy("node")
             .orderBy(col("cnt").desc, col("label"))))

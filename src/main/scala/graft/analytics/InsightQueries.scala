@@ -91,18 +91,36 @@ object InsightQueries extends QuerySuite {
     // pair-count table (pair-count-sized, not lineitem-sized). Counts
     // are exact integers; lift/confidence are single final divisions.
     "basket_pair_lift" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
+      // Pair generation by per-order combination explode (the
+      // coSupplyEdges / graph_resource_alloc trick): ONE orderkey
+      // shuffle builds the deduped, sorted basket (collect_set
+      // replaces the old distinct + count + semi-join chain), the
+      // C(k,2) fan-out streams map-side inside the ≤ MaxBasket cap
+      // with part_a < part_b by construction (sorted array), and
+      // supports, basket count and pair counts all flow into
+      // map-side-combined aggregates — no k²-row self-join, no
+      // second pass over lineitem (guide §2.3/§2.4).
+      // NULL handling pinned to the oracle: SQL's DISTINCT keeps a
+      // NULL partkey as a basket member (it counts toward the
+      // MaxBasket size and the order still counts toward n_orders)
+      // while collect_set silently drops it — so the dropped NULL is
+      // added back to the size check explicitly (the coSupplyEdges
+      // NULL-fork lesson, resolved toward the oracle this time
+      // because the oracle SQL has no IS NOT NULL gate).
+      val baskets = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val okBaskets = items.groupBy("o").agg(count(lit(1)).as("k"))
-        .filter(col("k") <= MaxBasket).select("o")
-      val it = items.join(okBaskets, Seq("o"), "left_semi")
-      val nOrders = it.select(countDistinct("o").as("n_orders"))
-      val supp = it.groupBy("p").agg(count(lit(1)).as("c"))
-      val pairs = it.select(col("o"), col("p").as("part_a"))
-        .join(it.select(col("o"), col("p").as("part_b")), Seq("o"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_orders"))
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"),
+          max(col("p").isNull).as("has_null"))
+        .filter(size(col("ps")) + col("has_null").cast("int") <= MaxBasket)
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val supp = baskets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+      val pairs = baskets.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.u").as("part_a"), col("pr.v").as("part_b"))
+        .agg(count(lit(1)).as("pair_orders"))
         .filter(col("pair_orders") >= MinPairSupport)
       pairs
         .join(supp.select(col("p").as("part_a"), col("c").as("orders_a")),

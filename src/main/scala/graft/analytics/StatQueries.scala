@@ -345,36 +345,41 @@ object StatQueries extends QuerySuite {
 
     // Winsorized mean of line value per returnflag: exact p05/p95
     // DISC cutpoints, map-side clamp, integer-cents mean. Scale
-    // shape: the per-group rank comes from the window_dist_ranks
-    // decomposition (parallel sort + zipWithIndex + broadcast
-    // per-group offsets), NOT a per-flag window — a 3-value partition
-    // key would funnel the fact table through 3 tasks. The cutpoint
-    // pick is the agg_percentiles_disc rank-selection formula; the
+    // shape: the cutpoints come from the agg_percentiles_disc
+    // two-level VALUE-COUNT decomposition — the fact table collapses
+    // map-side to (rf, value) counts, windows run over the bounded
+    // count table, and the pick is value-at-rank via cumulative
+    // counts (smallest value whose cum reaches the oracle's rank
+    // greatest(1, ceil(n·p)), ceil computed in DOUBLE exactly like
+    // both twins). NOT a per-flag window over raw rows (a 3-value
+    // partition key would funnel the fact table through 3 tasks) and
+    // NOT the old global orderBy + RDD zipWithIndex rank (a full
+    // range exchange of the fact table, an InternalRow→Tuple2
+    // conversion per row, and two extra jobs — guide §1.4/§2.4). The
     // DuckDB oracle spells the same thing with window functions, so
     // the hash proves the decomposition.
     "agg_winsorized_mean" -> ((s, d) => {
-      import s.implicits._
       // value IS NOT NULL in BOTH twins (the agg_percentiles_disc
       // convention): a NULL price would rank differently per engine
-      // AND break the (String, Long) tuple encoder on the
-      // zipWithIndex path (NULL-content corpus sweep)
       val src = Tables.lineitem(s, d)
         .filter(col("l_extendedprice").isNotNull)
         .select(
           col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("xc"))
-      val ranked = src.orderBy(col("rf"), col("xc"))
-        .as[(String, Long)]
-        .rdd.zipWithIndex()
-        .map { case ((rf, xc), i) => (rf, xc, i) }
-        .toDF("rf", "xc", "gid")
-      val stats = ranked.groupBy("rf")
-        .agg(min("gid").as("base"), count(lit(1)).as("n"))
-      val r2 = ranked.join(broadcast(stats), "rf")
-        .withColumn("rk", col("gid") - col("base") + lit(1L))
-      val cuts = r2.groupBy("rf").agg(
-        min(when(col("rk") === greatest(lit(1L), ceil(col("n") * 0.05)),
+      val vc = src.groupBy("rf", "xc").agg(count(lit(1)).as("c"))
+        .withColumn("b", expr("xc div 1000L"))
+      val bases = vc.groupBy("rf", "b").agg(sum("c").as("bt"))
+        .withColumn("base", coalesce(sum("bt").over(
+          Window.partitionBy("rf").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("rf", "b", "base")
+      val cum = vc.join(broadcast(bases), Seq("rf", "b"))
+        .withColumn("cum", col("base") + sum("c").over(
+          Window.partitionBy("rf", "b").orderBy("xc")))
+      val n = vc.groupBy("rf").agg(sum("c").as("n"))
+      val cuts = cum.join(broadcast(n), "rf").groupBy("rf").agg(
+        min(when(col("cum") >= greatest(lit(1L), ceil(col("n") * 0.05)),
           col("xc"))).as("lo"),
-        min(when(col("rk") === greatest(lit(1L), ceil(col("n") * 0.95)),
+        min(when(col("cum") >= greatest(lit(1L), ceil(col("n") * 0.95)),
           col("xc"))).as("hi"))
       src.join(broadcast(cuts), "rf")
         .select(col("rf"), col("lo"), col("hi"),

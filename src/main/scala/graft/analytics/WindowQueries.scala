@@ -500,6 +500,11 @@ object WindowQueries extends QuerySuite {
       val n = src.count() // one scalar scan; drives the tile bounds
       val tileSz = n / 4
       val rem = n % 4
+      // (r15 optimization A/B: the window_dist_ranks value-count
+      // decomposition was tried here and measured 40% SLOWER — this
+      // query's zipWithIndex ships a single bare Long per row, so the
+      // RDD conversion the decomposition saves is already cheap and
+      // the extra aggregate + join are pure overhead. Kept.)
       val ranked = src.orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey")).as[Long]
         .rdd.zipWithIndex()
@@ -527,50 +532,65 @@ object WindowQueries extends QuerySuite {
     // both engines compute identical rational cume_dist values (k/n
     // with exact IEEE division); dense_rank orders by price ALONE
     // (true dense semantics — a price tiebroken by a unique key would
-    // degenerate dense_rank into row_number). SCALE SHAPE: o_orderstatus has 3 values,
-    // so `PARTITION BY o_orderstatus` funnels the fact table through
-    // 3 tasks no matter the cluster size. Decomposed instead: one
-    // parallel sort + zipWithIndex gives a global id; a 3-row
-    // (min-id, count) table per status — broadcast — converts it to
-    // the within-status rank, and cume_dist = rank/n. dense_rank
-    // comes from the same trick over the DISTINCT (status, price)
-    // table, joined back on the (status, price) key — a key-
-    // partitioned shuffle join, never a per-status funnel. Unique
-    // ordering ⇒ no peer groups ⇒ cume_dist = row_number/n exactly.
+    // degenerate dense_rank into row_number). SCALE SHAPE:
+    // o_orderstatus has 3 values, so `PARTITION BY o_orderstatus`
+    // would funnel the fact table through 3 tasks no matter the
+    // cluster size. Decomposed instead with the agg_percentiles_disc
+    // two-level VALUE-COUNT trick (which replaced this query's old
+    // global orderBy + RDD zipWithIndex spelling — that one paid a
+    // full range exchange, an InternalRow→tuple conversion per row
+    // and two sequential extra jobs, guide §1.4/§2.4): the
+    // (status, price)-count table is bucketed by price div $16, so
+    // every within-bucket window is bounded by the price DOMAIN
+    // (cent values per bucket), never data volume; per-status bucket
+    // bases come from one window over the bucket census; the rows
+    // strictly below a price and the price's dense index fall out of
+    // the same pass. Per-row ranks then need only a row_number within
+    // each exact (status, price) tie group (peer-group-sized
+    // partitions) and one keyed join back on (status, price).
+    // cume_dist = (rows_below + tie_rn)/n and dense_rank =
+    // bucket_dense_base + within-bucket index, all exact integers
+    // until the single final division.
     "window_dist_ranks" -> ((s, d) => {
-      import s.implicits._
       // price IS NOT NULL in BOTH twins (the agg_percentiles_disc
       // convention): the ASC sort would place a NULL price FIRST in
-      // Spark and LAST in DuckDB — shifting every rank — and the
-      // (Long, String, Double) tuple encoder on the zipWithIndex path
-      // rejects a NULL double outright (NULL-content corpus sweep)
+      // Spark and LAST in DuckDB — shifting every rank
       val src = Tables.orders(s, d)
         .filter(col("o_totalprice").isNotNull)
         .select(
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val ranked = src
-        .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-        .as[(Long, String, Double)]
-        .rdd.zipWithIndex()
-        .map { case ((k, st, p), i) => (k, st, p, i) }
-        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "gid")
-      val stats = ranked.groupBy("o_orderstatus")
-        .agg(min("gid").as("base"), count(lit(1)).as("n_part"))
-      val dense = src.select("o_orderstatus", "o_totalprice").distinct()
-        .orderBy("o_orderstatus", "o_totalprice")
-        .as[(String, Double)]
-        .rdd.zipWithIndex()
-        .map { case ((st, p), i) => (st, p, i) }
-        .toDF("o_orderstatus", "o_totalprice", "dgid")
-      val dstats = dense.groupBy("o_orderstatus").agg(min("dgid").as("dbase"))
-      ranked
-        .join(broadcast(stats), "o_orderstatus")
-        .join(dense.join(broadcast(dstats), "o_orderstatus"),
-          Seq("o_orderstatus", "o_totalprice"))
+      val vc = src.groupBy("o_orderstatus", "o_totalprice")
+        .agg(count(lit(1)).as("c"))
+        // truncating div is monotone in the price, which is all a
+        // bucket id needs; $16 buckets keep the per-bucket distinct
+        // cent-value count ≤ 1600 (domain-bounded)
+        .withColumn("b", expr("cast(floor(o_totalprice) AS BIGINT) div 16"))
+      val bases = vc.groupBy("o_orderstatus", "b")
+        .agg(sum("c").as("bt"), count(lit(1)).as("bd"))
+        .withColumn("base", coalesce(sum("bt").over(
+          Window.partitionBy("o_orderstatus").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("dbase", coalesce(sum("bd").over(
+          Window.partitionBy("o_orderstatus").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("o_orderstatus", "b", "base", "dbase")
+      val wb = Window.partitionBy("o_orderstatus", "b")
+        .orderBy("o_totalprice")
+      val cumv = vc.join(broadcast(bases), Seq("o_orderstatus", "b"))
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          (col("base") + sum("c").over(wb) - col("c")).as("below"),
+          (col("dbase") + row_number().over(wb)).as("dr"))
+      val n = vc.groupBy("o_orderstatus").agg(sum("c").as("n_part"))
+      src
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")))
+        .join(cumv, Seq("o_orderstatus", "o_totalprice"))
+        .join(broadcast(n), "o_orderstatus")
         .select(col("o_orderkey"), col("o_orderstatus"),
-          ((col("gid") - col("base") + lit(1L)).cast("double") /
+          ((col("below") + col("rn")).cast("double") /
             col("n_part").cast("double")).as("cd"),
-          (col("dgid") - col("dbase") + lit(1L)).as("dr"))
+          col("dr").cast("long").as("dr"))
         .orderBy("o_orderkey")
     }),
 

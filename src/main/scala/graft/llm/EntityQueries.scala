@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * (FuzzyNameSpec proves equality to the brute-force join on real
   * data). Cost is O(n·36) emitted keys and block-local pairing; a
   * constant mask position yields an agree-everywhere block (exact
-  * duplicates only), never an all-pairs bomb, and the verify step —
-  * 9 integer digit compares on a precomputed LONG, no string
-  * allocation, no HOF, no UDF — runs on candidates only.
+  * duplicates only), never an all-pairs bomb, and verification is
+  * free: blocks are staged by EXACT distance (equi-join / 1-wildcard /
+  * 2-wildcard with the masked digits carried on the block key), so
+  * block-mates need at most two integer compares and each matching
+  * pair is emitted exactly once — no candidate-sized DISTINCT.
   */
 object EntityQueries extends QuerySuite {
 
@@ -39,19 +41,51 @@ object EntityQueries extends QuerySuite {
   // as a per-pair tautology — see the block-mate comment in nearPairs;
   // FuzzyNameSpec pins the brute-force predicate, hamming included.)
 
-  /** The 36 two-wildcard masks of the suffix, encoded as LONG block
-    * keys: for wildcard digit positions (i, j) (powers of ten), the
-    * key is (i*9+j)*10^9 + the id with digits i and j zeroed. Encoding
-    * the mask arithmetically instead of as a 9-char template string
-    * keeps the 36-per-row block-key emission pure codegen integer math
-    * (no string allocation) and shuffles 8-byte keys instead of
-    * 9-char strings — same blocks, same completeness argument. */
-  private def masks(sn: Column): Column = {
+  /** The 9 single-wildcard masks of the suffix, encoded as LONG block
+    * keys: for wildcard digit position i (a power of ten), the key is
+    * i*10^9 + the id with digit i zeroed. Encoding the mask
+    * arithmetically instead of as a 9-char template string keeps the
+    * per-row block-key emission pure codegen integer math (no string
+    * allocation) and shuffles 8-byte keys instead of 9-char strings. */
+  private def masks1(sn: Column): Column =
+    array((0 until SuffixLen).map { i =>
+      (sn - (sn.divide(math.pow(10, i).toLong).cast("long") % 10) *
+        math.pow(10, i).toLong) + lit(i * 1000000000L)
+    }: _*)
+
+  /** The 36 two-wildcard masks of the suffix, bare LONG block keys
+    * (tag (i*9+j)*10^9 + the id with digits i and j zeroed) — the
+    * narrow spelling for consumers whose candidate volume is small
+    * enough that a per-candidate hamming walk is cheaper than
+    * carrying wildcard digits through the explode (the top-k twin's
+    * stage 2, where earlier stages have already satisfied almost
+    * every key: A/B showed the wide struct emission costing more
+    * than the 18 div/mods it saved there). */
+  private def masksBare(sn: Column): Column = {
     def digit(i: Int): Column =
       (sn.divide(math.pow(10, i).toLong).cast("long") % 10) *
         math.pow(10, i).toLong
     array((for { i <- 0 until SuffixLen; j <- i + 1 until SuffixLen } yield
       (sn - digit(i) - digit(j)) + lit((i * SuffixLen + j) * 1000000000L)): _*)
+  }
+
+  /** The 36 two-wildcard masks of the suffix — same LONG block-key
+    * encoding, tag (i*9+j)*10^9 — each CARRYING the two digits the
+    * mask zeroed (di, dj). Block-mates agree on every non-wildcard
+    * digit, so the pair's hamming distance is exactly the number of
+    * differing carried digits: the exact-distance filters downstream
+    * are two integer compares computed once per EMISSION (36·n rows),
+    * never a 9-digit div/mod walk per CANDIDATE (the block-mate
+    * volume, ~40× larger on a dense sequential registry). */
+  private def masks2(sn: Column): Column = {
+    def dig(i: Int): Column =
+      sn.divide(math.pow(10, i).toLong).cast("long") % 10
+    array((for { i <- 0 until SuffixLen; j <- i + 1 until SuffixLen } yield
+      struct(
+        ((sn - dig(i) * math.pow(10, i).toLong
+          - dig(j) * math.pow(10, j).toLong)
+          + lit((i * SuffixLen + j) * 1000000000L)).as("bkey"),
+        dig(i).as("di"), dig(j).as("dj"))): _*)
   }
 
   /** The domain-gated registry: (k, pfx, sn) — name length, equal
@@ -71,36 +105,64 @@ object EntityQueries extends QuerySuite {
       .withColumn("sn", col("sfx").cast("long"))
       .select("k", "pfx", "sn")
 
-  /** Blocked candidate pairs (k1 < k2), hamming-verified. */
+  /** Blocked candidate pairs (k1 < k2), hamming-verified — spelled as
+    * EXACT-DISTANCE STAGES so every matching pair streams out of its
+    * join exactly once and the pair-census-sized DISTINCT exchange the
+    * old single 36-mask join needed (23.6M candidate rows at sf0.1,
+    * the query's heaviest shuffle in the round-15 spill probe) does
+    * not exist anywhere (guide §2.3/§2.4 — aggregate-before-shuffle
+    * instead of dedup-after-shuffle):
+    *
+    *   dist 0 — plain (pfx, sn) equi-join: identical ids meet once;
+    *   dist 1 — 9 single-wildcard blocks, sn1 ≠ sn2: block-mates agree
+    *            on the 8 non-wildcard digits, so ≠ means exactly
+    *            dist 1, and the pair appears only in the block naming
+    *            its one differing digit;
+    *   dist 2 — 36 two-wildcard blocks, both carried wildcard digits
+    *            differing: exactly dist 2, only in the block naming
+    *            its two differing positions.
+    *
+    * Union of the stages = every hamming ≤ 2 pair exactly once
+    * (FuzzyNameSpec pins equality to the brute-force predicate on
+    * real, clone-degenerate, and random registries). Joins key on
+    * (pfx, bkey) so cross-prefix block-mates never materialize. */
   private[llm] def nearPairs(s: SparkSession, d: String): DataFrame = {
-    val keyed = registry(s, d).select(col("k"), col("pfx"), col("sn"),
-      explode(masks(col("sn"))).as("bkey"))
-    val a = keyed.select(col("bkey"), col("k").as("k1"),
-      col("pfx").as("p1"), col("sn").as("sn1"))
-    val b = keyed.select(col("bkey"), col("k").as("k2"),
-      col("pfx").as("p2"), col("sn").as("sn2"))
-    // verify BEFORE dedup, streaming straight out of the join — the
-    // only shuffled dedup state is the surviving bare (k1, k2) pairs.
-    // No hamming re-check on block-mates: sharing the (i, j) mask key
-    // means the ids' digits outside {i, j} are EQUAL (the key is the
-    // id with those two digits zeroed plus the (i, j) tag, and the
-    // tag·10^9 offset cannot collide with a 9-digit id), so hamming
-    // ≤ 2 holds by construction — the old digitHamming filter was a
-    // per-pair tautology costing 18 div/mods on the join's hottest
-    // path (FuzzyNameSpec still pins equality to the brute-force
-    // predicate, hamming check included, on real data).
-    a.join(b, Seq("bkey"))
-      .filter(col("k1") < col("k2") && col("p1") === col("p2"))
-      .select("k1", "k2").distinct()
+    val base = registry(s, d)
+    val c0 = base.select(col("pfx"), col("sn"), col("k").as("k1"))
+      .join(base.select(col("pfx"), col("sn"), col("k").as("k2")),
+        Seq("pfx", "sn"))
+      .filter(col("k1") < col("k2"))
+      .select("k1", "k2")
+    val a1 = base.select(col("pfx"), col("k").as("k1"),
+      col("sn").as("sn1"), explode(masks1(col("sn"))).as("bkey"))
+    val b1 = base.select(col("pfx"), col("k").as("k2"),
+      col("sn").as("sn2"), explode(masks1(col("sn"))).as("bkey"))
+    val c1 = a1.join(b1, Seq("pfx", "bkey"))
+      .filter(col("k1") < col("k2") && col("sn1") =!= col("sn2"))
+      .select("k1", "k2")
+    val a2 = base.select(col("pfx"), col("k").as("k1"),
+        explode(masks2(col("sn"))).as("m"))
+      .select(col("pfx"), col("k1"), col("m.bkey").as("bkey"),
+        col("m.di").as("di1"), col("m.dj").as("dj1"))
+    val b2 = base.select(col("pfx"), col("k").as("k2"),
+        explode(masks2(col("sn"))).as("m"))
+      .select(col("pfx"), col("k2"), col("m.bkey").as("bkey"),
+        col("m.di").as("di2"), col("m.dj").as("dj2"))
+    val c2 = a2.join(b2, Seq("pfx", "bkey"))
+      .filter(col("k1") < col("k2") &&
+        col("di1") =!= col("di2") && col("dj1") =!= col("dj2"))
+      .select("k1", "k2")
+    c0.unionByName(c1).unionByName(c2)
   }
 
   /** How many best matches per name the bounded twin keeps. */
   val TopK = 3
 
   /** Digit-wise hamming distance between two 9-digit ids held as
-    * LONGs — 9 integer digit compares, codegen arithmetic only. Runs
-    * AFTER the pair dedup, so it prices per surviving pair, not per
-    * block-mate candidate (the census hot path stays free of it). */
+    * LONGs — 9 integer digit compares, codegen arithmetic only. Used
+    * by the top-k twin's stage 2, where candidates are few (see the
+    * masksBare note); the census's high-volume path carries the
+    * wildcard digits on the mask instead. */
   private def digitHamming(x: Column, y: Column): Column = {
     def dig(c: Column, i: Int): Column =
       (c.divide(math.pow(10, i).toLong).cast("long") % 10)
@@ -155,9 +217,6 @@ object EntityQueries extends QuerySuite {
     // partial caps each (partition, key) at k before the exchange).
     "dedup_fuzzy_names_topk" -> ((s, d) => {
       val base = registry(s, d)
-      def wmask1(sn: Column, i: Int): Column =
-        (sn - (sn.divide(math.pow(10, i).toLong).cast("long") % 10) *
-          math.pow(10, i).toLong) + lit(i * 1000000000L)
       def pairCols(dist: Int)(df: DataFrame): DataFrame =
         df.select(col("k1").as("c_custkey"), col("k2").as("nbr"),
           lit(dist.toLong).as("dist"))
@@ -177,28 +236,29 @@ object EntityQueries extends QuerySuite {
       // shares all 9 blocks, a dist-1 pair exactly one
       val need1 = base.join(sat0, Seq("k"), "left_anti")
       val a1 = need1.select(col("pfx"), col("k").as("k1"),
-        col("sn").as("sn1"),
-        explode(array((0 until SuffixLen)
-          .map(i => wmask1(col("sn"), i)): _*)).as("bkey"))
+        col("sn").as("sn1"), explode(masks1(col("sn"))).as("bkey"))
       val b1 = base.select(col("pfx"), col("k").as("k2"),
-        col("sn").as("sn2"),
-        explode(array((0 until SuffixLen)
-          .map(i => wmask1(col("sn"), i)): _*)).as("bkey"))
+        col("sn").as("sn2"), explode(masks1(col("sn"))).as("bkey"))
       val c1 = a1.join(b1, Seq("pfx", "bkey"))
         .filter(col("k1") =!= col("k2") && col("sn1") =!= col("sn2"))
 
       // stage 2: keys still short probe the census's 36 two-wildcard
       // blocks; hamming = 2 keeps exactly-dist-2 (a dist-2 pair
-      // shares exactly the block naming its two differing digits)
+      // shares exactly the block naming its two differing digits).
+      // Bare mask keys + per-candidate hamming here, NOT the census's
+      // digit-carrying masks2: stage 2's probe side is the handful of
+      // keys stages 0-1 left short, so candidates are few and the
+      // wide struct emission on the full build side costs more than
+      // the hamming walk it saves (measured, r15 optimization round)
       val n01 = pairCols(0)(c0).select("c_custkey")
         .unionAll(pairCols(1)(c1).select("c_custkey"))
         .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= TopK).select("k")
       val need2 = base.join(n01, Seq("k"), "left_anti")
       val a2 = need2.select(col("pfx"), col("k").as("k1"),
-        col("sn").as("sn1"), explode(masks(col("sn"))).as("bkey"))
+        col("sn").as("sn1"), explode(masksBare(col("sn"))).as("bkey"))
       val b2 = base.select(col("pfx"), col("k").as("k2"),
-        col("sn").as("sn2"), explode(masks(col("sn"))).as("bkey"))
+        col("sn").as("sn2"), explode(masksBare(col("sn"))).as("bkey"))
       val c2 = a2.join(b2, Seq("pfx", "bkey"))
         .filter(col("k1") =!= col("k2") &&
           digitHamming(col("sn1"), col("sn2")) === 2L)
