@@ -230,8 +230,24 @@ object GraphQueries extends QuerySuite {
       // forking the edge set of all nine co-supply graph queries
       .filter(col("l_suppkey").isNotNull)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      // hash-repartition on the grouping key BEFORE the set-building
+      // aggregate: the testdata parquet is one row group, so the scan
+      // is one real task and the map-side partial collect_set ran
+      // single-core (measured 1.5-1.8 s in every coSupplyEdges
+      // consumer). The explicit hash exchange satisfies the groupBy's
+      // distribution, so the plan still has exactly ONE exchange on
+      // ok — it just moves raw 16-byte pairs instead of set buffers
+      // (≈ the same bytes: per-order grouping means map partitions
+      // hold ~4 rows per order, so partial aggregation compressed
+      // almost nothing) and the heavy aggregate runs post-shuffle on
+      // every core.
+      .transform(graft.Spread.fanoutBy(_, col("ok")))
       .groupBy("ok").agg(sort_array(collect_set("sk")).as("ss"))
       .filter(size(col("ss")) <= MaxBasket)
+      // ... and the C(k,2) pair explosion runs right there in the
+      // same wide stage (byte-sized AQE coalescing would otherwise
+      // have squeezed the basket frame onto a few cores and run the
+      // explode nearly serial — measured 1.9 s on 4 of 32 cores)
       .select(explode(expr(
         """flatten(transform(ss, (x, i) ->
           |  transform(slice(ss, i + 2, size(ss)),
@@ -286,6 +302,16 @@ object GraphQueries extends QuerySuite {
       // dst is the higher-(deg,id) endpoint, so its degree is the
       // max of the two (also right on ties, where both are equal)
       greatest(col("du"), col("dv")).as("ddst"))
+      // spread the O(m^1.5) wedge fan-out: the oriented edge list is
+      // tiny in BYTES, so AQE coalesces it to one post-shuffle
+      // partition and the broadcast-probe wedge self-join plus
+      // closure runs single-task (measured 6.3 s of CPU on 1 of 32
+      // cores at sf0.1 — the whole stage-26 pipeline of
+      // graph_local_clustering). AQE sizes partitions by input bytes
+      // and cannot see the wedge multiplier; one round-robin exchange
+      // of the edge-sized frame spreads the enumeration (the
+      // withWordsFrame parallelism-not-bytes precedent).
+      .transform(graft.Spread.fanout)
     (deg, oriented)
   }
 
@@ -590,6 +616,12 @@ object GraphQueries extends QuerySuite {
       // pairs stream out map-side instead of the k² self-join rows
       // the old filter discarded half of (the coSupplyEdges trick)
       val pairs = cs.join(fanOk, Seq("sp"), "left_semi")
+        // hash-spread on the wedge center BEFORE the collect (the
+        // coSupplyEdges note): the explicit exchange satisfies the
+        // groupBy, pins the stage wide against byte-sized AQE
+        // coalescing, and the C(k,2) explode runs in the same wide
+        // stage (it ran on 4 of 32 cores before)
+        .transform(graft.Spread.fanoutBy(_, col("sp")))
         .groupBy("sp").agg(sort_array(collect_list("c")).as("cc"))
         .select(explode(expr(
           """flatten(transform(cc, (x, i) ->
@@ -1077,6 +1109,10 @@ object GraphQueries extends QuerySuite {
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
         .truncateLineage() // read 2·HitsRounds times
+      // (r15 optimization A/B: checkpointing one shared distinct for
+      // the budget count + round-0 scores measured ~1 s SLOWER than
+      // letting ReuseExchange share the two distinct computations —
+      // the localCheckpoint materialization costs more than it saves)
       val bcast = e.select("cust").distinct().count() <=
         BroadcastNodeBudget
       def ship(df: DataFrame) = if (bcast) broadcast(df) else df

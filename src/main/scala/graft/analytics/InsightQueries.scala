@@ -109,6 +109,10 @@ object InsightQueries extends QuerySuite {
       // because the oracle SQL has no IS NOT NULL gate).
       val baskets = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        // hash-spread on the order key (the coSupplyEdges note): one
+        // exchange satisfying the groupBy, pinned wide so the set
+        // build and the pair explode below run on every core
+        .transform(graft.Spread.fanoutBy(_, col("o")))
         .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"),
           max(col("p").isNull).as("has_null"))
         .filter(size(col("ps")) + col("has_null").cast("int") <= MaxBasket)
@@ -556,6 +560,11 @@ object InsightQueries extends QuerySuite {
       val fanOk = cs.groupBy("sp").agg(count(lit(1)).as("nf"))
         .filter(col("nf") <= GraphQueries.MaxFanout).select("sp")
       cs.join(fanOk, Seq("sp"), "left_semi")
+        // hash-spread on the wedge center BEFORE the collect (the
+        // coSupplyEdges note): one exchange, pinned wide against
+        // byte-sized AQE coalescing, with the C(k,2) explode running
+        // in the same wide stage
+        .transform(graft.Spread.fanoutBy(_, col("sp")))
         .groupBy("sp").agg(sort_array(collect_list("c")).as("cc"))
         .select(expr("1000000000L div size(cc)").as("inv_ppb"),
           explode(expr(

@@ -37,8 +37,12 @@ object ScalarQueries extends QuerySuite {
 
     // JSON family over events.props (the reference's dynamic payloads,
     // lib/util.js:234-240).
+    // Spread.fanout: the per-row JSON parse dwarfs the exchange of
+    // the skinny projection, and the single-row-group scan would run
+    // it serial (graft.Spread doc)
     "scalar_json_suite" -> ((s, d) =>
-      Tables.events(s, d).select(
+      graft.Spread.fanout(Tables.events(s, d).select("event_id", "props"))
+        .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_int"),
@@ -61,6 +65,10 @@ object ScalarQueries extends QuerySuite {
     // NULL k in BOTH twins (the oracle gates on json_valid), the
     // dq_dead_letter_split channel being where bad payloads get
     // actively routed.
+    // (r15 A/B: a Spread.fanout before the parse measured flat here
+    // and would ship raw props through an extra exchange — the
+    // parse-then-partial-aggregate shape already collapses this query
+    // map-side, guide §2.3. Kept as is.)
     "variant_props_stats" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
@@ -86,7 +94,10 @@ object ScalarQueries extends QuerySuite {
         struct(Exact.cents(col("value")).as("cents"),
           col("event_type").as("t")).as("m"),
         array(col("event_id") % 5L, col("event_id") % 3L).as("arr"))))
-      Tables.events(s, d).select(
+      // Spread.fanout before the encode→parse→extract roundtrip
+      // (scalar_json_suite note)
+      graft.Spread.fanout(Tables.events(s, d)
+          .select("event_id", "user_id", "value", "event_type")).select(
         col("event_id"),
         variant_get(v, "$.u", "bigint").as("u"),
         variant_get(v, "$.m.cents", "bigint").as("cents"),
@@ -226,11 +237,27 @@ object ScalarQueries extends QuerySuite {
     // job — division by zero, an unparseable cast, and a valid cast on
     // the same row (both branches exercised). The DuckDB twin spells
     // the same semantics with CASE/TRY_CAST.
+    //
+    // The always-failing bad_cast column is GATED behind a cheap
+    // validity regexp: try_cast's NULL-on-failure is implemented by
+    // throwing and catching a per-row NumberFormatException, which
+    // measured ~3.3 s of this query's 3.6 s at sf0.1 (~20 µs/row on a
+    // column where every value fails). The gate is a NECESSARY
+    // condition for ANSI string→int acceptance — optional ≤0x20
+    // whitespace padding (exactly what UTF8String.trimAll strips),
+    // optional sign, ASCII digits — so gated-off rows are precisely
+    // the rows try_cast would NULL anyway, and gated-on rows still run
+    // the real try_cast (overflow → NULL preserved).
+    // TryCastGateSpec pins value equality against raw try_cast on a
+    // 30-case adversarial corpus (fractions, overflow, unicode digits,
+    // control-char padding, NBSP, empty, bare signs, NULL).
     "scalar_try_suite" -> ((s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"),
         expr("try_divide(o_totalprice, o_custkey % 3)").as("div_mod3"),
-        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        when(col("o_orderpriority")
+            .rlike("^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$"),
+          expr("try_cast(o_orderpriority AS INT)")).as("bad_cast"),
         expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
           .as("prio_num"))
         .orderBy("o_orderkey")))

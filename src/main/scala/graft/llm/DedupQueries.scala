@@ -86,7 +86,11 @@ object DedupQueries extends QuerySuite {
     * cannot go quadratic. The bucket-size count shuffles only the slim
     * (doc_id, band) tuples, never text or signatures. */
   private[llm] def cappedBandPairs(docs: DataFrame): DataFrame = {
-    val capped = bandBuckets(docs)
+    // hash-spread on the bucket key: the explicit exchange satisfies
+    // the occupancy window AND both self-join sides, and pins the
+    // stage wide against byte-sized AQE coalescing (graft.Spread doc)
+    val capped = graft.Spread.fanoutBy(bandBuckets(docs),
+        col("band_idx"), col("band_hash"))
       .withColumn("bucket_n", count(lit(1)).over(
         Window.partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_n") <= MaxBucket)
@@ -343,7 +347,10 @@ object DedupQueries extends QuerySuite {
     val tok = docs.select(col("doc_id"), col("source"),
       size(col("sh")).as("sz"), explode(col("sh")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    tok.join(freq, "t")
+    // hash-spread on doc_id before the rarest-first rank window: the
+    // exchange satisfies the window's distribution and keeps the
+    // per-doc sort wide under byte-sized AQE coalescing (Spread doc)
+    graft.Spread.fanoutBy(tok.join(freq, "t"), col("doc_id"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
       .filter(col("pos") <=
@@ -362,7 +369,10 @@ object DedupQueries extends QuerySuite {
     // (doc_id, source, t) frame is the classic inverted-index build —
     // at full scale this is the one intermediate worth a disk-backed
     // materialization.
-    val prefix = jaccardPrefixIndex(docs)
+    // hash-spread on the posting key: one exchange serving the cap
+    // window AND both prefix self-join sides (Spread doc)
+    val prefix = graft.Spread.fanoutBy(jaccardPrefixIndex(docs),
+        col("source"), col("t"))
       .withColumn("plist_n", count(lit(1)).over(
         Window.partitionBy(col("source"), col("t"))))
       .filter(col("plist_n") <= MaxPosting)

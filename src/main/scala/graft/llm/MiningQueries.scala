@@ -107,7 +107,10 @@ object MiningQueries extends QuerySuite {
     * tie (robust winnowing), one shuffle over the fan. Used by
     * text_winnowing and text_contamination_overlap. */
   private def winnowed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
+    // spread the single-split documents scan before the k-gram +
+    // window-fan explosion: the per-row hash/fan work dwarfs the
+    // proxy-sized exchange (the withWordsFrame precedent; Spread doc)
+    val docs = graft.Spread.fanout(Tables.documents(s, d))
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
     val kg = docs
       .select(col("doc_id"), posexplode(expr(
@@ -254,7 +257,7 @@ object MiningQueries extends QuerySuite {
     // builds is a single-machine structure; the seed-and-extend join
     // is the shape that survives a 1000-executor shuffle.
     "dedup_substr_spans" -> ((s, d) => {
-      val kg = Tables.documents(s, d)
+      val kg = graft.Spread.fanout(Tables.documents(s, d))
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         .select(col("doc_id"), posexplode(expr(
           s"""CASE WHEN size(ws) >= $SubK THEN
@@ -298,6 +301,9 @@ object MiningQueries extends QuerySuite {
     // aggregate — every shuffle keys on the hash or doc_id; the text
     // never shuffles. Fixed-point ppm keeps both engines integral.
     "text_ngram_novelty" -> ((s, d) => {
+      // (r15 A/B: the Spread.fanout pre-explode spread tried here
+      // regressed ~0.7 s — the distinct's exchange already follows
+      // immediately and the added exchange outweighed the map spread)
       val kg = Tables.documents(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         .select(col("doc_id"), explode(expr(

@@ -45,8 +45,45 @@ class WindowPlanSpec extends SparkSpec {
     assertScaleShape("window_ntile_orders")
   }
 
-  test("window_dist_ranks has no single-partition exchange and no window operator") {
-    assertScaleShape("window_dist_ranks")
+  // window_dist_ranks was re-spelled in the r15 optimization round:
+  // the global ranks now come from the agg_percentiles_disc two-level
+  // VALUE-COUNT decomposition instead of zipWithIndex, so windows ARE
+  // present again — but every one is either over the bucketed
+  // value-count table (partitioned by (status, bucket) / by status
+  // over BUCKET rows, both bounded by the price DOMAIN) or over exact
+  // (status, price) tie groups (peer-group-sized). The scale property
+  // to pin is therefore: no single-partition exchange, and no window
+  // whose partition spec could funnel the raw fact table — i.e. no
+  // UNPARTITIONED window, and no fact-table window partitioned by the
+  // 3-value status alone.
+  test("window_dist_ranks has no single-partition exchange and no " +
+      "fact-table funnel window") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = WindowQueries.queries("window_dist_ranks")(s2, sf)
+    df.collect()
+    val plan: SparkPlan = df.queryExecution.executedPlan
+    val singles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(singles.isEmpty,
+      s"window_dist_ranks funnels through a single-partition Exchange:\n$plan")
+    val badWindows = plan.collect {
+      // unpartitioned => single task over everything
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+      // a window over fact-table rows (they carry o_orderkey) must
+      // partition by the exact (status, price) tie group, never by
+      // the 3-value status alone; windows over the bucketed
+      // value-count table (no o_orderkey in their child output) are
+      // domain-bounded by construction
+      case w: WindowExec
+          if w.child.output.exists(_.name == "o_orderkey") &&
+            !w.partitionSpec.flatMap(_.references.toSeq)
+              .exists(_.name == "o_totalprice") => w
+    }
+    assert(badWindows.isEmpty,
+      s"window_dist_ranks has a funnel-shaped window:\n$badWindows")
   }
 
   test("decomposed quartiles equal the window-function spelling on sf0.001") {
