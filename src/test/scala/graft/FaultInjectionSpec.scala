@@ -16,7 +16,7 @@ import scala.sys.process._
   */
 class FaultInjectionSpec extends AnyFunSuite {
 
-  test("reliable-checkpoint fault probe: all scenarios OK") {
+  test("reliable-checkpoint fault probe: all scenarios OK", org.scalatest.tagobjects.Slow) {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     // inherit the parent test JVM's --add-opens (build.sbt's
     // jdk17AddOpens) instead of a hand-copied list that would drift

@@ -61,7 +61,7 @@ class ScalingCurveSpec extends AnyFunSuite {
       "staged-escalation top-k; no census-sized distinct"),
   )
 
-  test("family representatives hold their documented row-volume exponents (sf0.01 → sf0.1)") {
+  test("family representatives hold their documented row-volume exponents (sf0.01 → sf0.1)", org.scalatest.tagobjects.Slow) {
     val spark = SparkSpec.session
     val failures = Reps.flatMap { rep =>
       val fn = SparkEntry.queries(rep.name)

@@ -19,7 +19,7 @@ import scala.sys.process._
   */
 class SpillSpec extends SparkSpec {
 
-  test("heaviest shuffles complete under a starved heap by spilling, digests identical to the unconstrained run") {
+  test("heaviest shuffles complete under a starved heap by spilling, digests identical to the unconstrained run", org.scalatest.tagobjects.Slow) {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     import scala.jdk.CollectionConverters._
     val jvmArgs = java.lang.management.ManagementFactory

@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * ~3.3 s of the query's 3.6 s at sf0.1 before the gate).
   *
   * The corpus covers the acceptance grammar's edges: ≤0x20
-  * control/space padding (accepted — UTF8String.trimAll strips it),
+  * control/space padding and 0x7F DEL (accepted — UTF8String's
+  * numeric parse trims bytes via isWhitespaceOrISOControl, which
+  * includes DEL; ADVICE r15),
   * NBSP and unicode/fullwidth/arabic digits (rejected), fractions and
   * scientific notation (rejected by integral casts), INT min/max and
   * one-past overflow, bare signs, empty/blank, embedded text, NULL.
   */
 class TryCastGateSpec extends SparkSpec {
 
-  private val gateRe = "^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$"
+  private val gateRe = "^[\\x00-\\x20\\x7F]*[+-]?[0-9]+[\\x00-\\x20\\x7F]*$"
 
   test("gated try_cast equals raw try_cast on the adversarial corpus") {
     val tricky = Seq(
@@ -25,6 +27,7 @@ class TryCastGateSpec extends SparkSpec {
       "2147483647", "2147483648", "-2147483648", "-2147483649",
       "", " ", "--1", "++1", "+-1", "12abc", "abc12", "1_000",
       "\t42\n", "\u000b7\u000c", "\u001f42", "\u00a042",
+      "\u007f42", "42\u007f", "\u007f", "\u008042",
       "0x1A", "9999999999999999999999", "+", "-", "1-URGENT",
       "٣٤", "４２", null.asInstanceOf[String])
     val df = spark.createDataFrame(tricky.map(Tuple1(_))).toDF("s")

@@ -21,21 +21,33 @@ import org.apache.spark.sql.execution.window.WindowExec
 class WindowPlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  private def assertScaleShape(name: String): Unit = {
-    // AQE off (it hides nodes behind QueryStageExec) on a CLONED
-    // session — the MomentGuardSpec discipline: a shared-session
-    // toggle races concurrently-planning shape-sensitive suites
+  /** Executed plan with AQE off (it hides nodes behind QueryStageExec)
+    * on a CLONED session — the MomentGuardSpec discipline: a
+    * shared-session toggle races concurrently-planning shape-sensitive
+    * suites. */
+  private def executedPlan(name: String): SparkPlan = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     val df = WindowQueries.queries(name)(s2, sf)
     df.collect()
-    val plan: SparkPlan = df.queryExecution.executedPlan
+    df.queryExecution.executedPlan
+  }
+
+  /** Shared across both shape tests (ADVICE r15: the check was
+    * duplicated inline). */
+  private def assertNoSinglePartitionExchange(plan: SparkPlan,
+      name: String): Unit = {
     val singles = plan.collect {
       case e: ShuffleExchangeExec
           if e.outputPartitioning.numPartitions == 1 => e
     }
     assert(singles.isEmpty,
       s"$name funnels through a single-partition Exchange:\n$plan")
+  }
+
+  private def assertScaleShape(name: String): Unit = {
+    val plan = executedPlan(name)
+    assertNoSinglePartitionExchange(plan, name)
     val windows = plan.collect { case w: WindowExec => w }
     assert(windows.isEmpty,
       s"$name still contains a window operator:\n$plan")
@@ -58,32 +70,46 @@ class WindowPlanSpec extends SparkSpec {
   // 3-value status alone.
   test("window_dist_ranks has no single-partition exchange and no " +
       "fact-table funnel window") {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val df = WindowQueries.queries("window_dist_ranks")(s2, sf)
-    df.collect()
-    val plan: SparkPlan = df.queryExecution.executedPlan
-    val singles = plan.collect {
-      case e: ShuffleExchangeExec
-          if e.outputPartitioning.numPartitions == 1 => e
+    val plan = executedPlan("window_dist_ranks")
+    assertNoSinglePartitionExchange(plan, "window_dist_ranks")
+    val windows = plan.collect { case w: WindowExec => w }
+    // no unpartitioned window anywhere => no single task over
+    // everything
+    assert(!windows.exists(_.partitionSpec.isEmpty),
+      s"window_dist_ranks has an unpartitioned window:\n$plan")
+    // POSITIVE pin (ADVICE r15: the old name-based *exclusion* went
+    // vacuous under a rename instead of failing): exactly one window
+    // runs over fact-table rows (they carry o_orderkey), and it is
+    // partitioned by BOTH o_orderstatus and o_totalprice — the exact
+    // tie group, never the 3-value status alone. A renamed or
+    // re-derived column now breaks this test loudly.
+    val factWindows = windows.filter(
+      _.child.output.exists(_.name == "o_orderkey"))
+    assert(factWindows.size == 1,
+      s"expected exactly one fact-table window, got:\n$windows")
+    val partNames = factWindows.head.partitionSpec
+      .flatMap(_.references.toSeq).map(_.name).toSet
+    assert(partNames == Set("o_orderstatus", "o_totalprice"),
+      s"fact-table window must partition by (o_orderstatus, " +
+        s"o_totalprice), got $partNames:\n${factWindows.head}")
+    // every other window runs over the bucketed value-count table —
+    // domain-bounded by construction — and says so by partitioning on
+    // the price or bucket axis
+    val vcWindows = windows.filterNot(factWindows.contains)
+    assert(vcWindows.nonEmpty,
+      s"expected value-count-table windows in the decomposition:\n$plan")
+    vcWindows.foreach { w =>
+      val partNs = w.partitionSpec.flatMap(_.references.toSeq)
+        .map(_.name).toSet
+      val childNs = w.child.output.map(_.name).toSet
+      // either partitioned on the bucket/price axis (per-value pass)
+      // or running over bucket-census rows (carry `b`, one row per
+      // (status, bucket)) — both bounded by the price DOMAIN
+      assert(partNs.contains("b") || partNs.contains("o_totalprice") ||
+          childNs.contains("b"),
+        s"window neither bucket-partitioned nor over the bucket " +
+          s"census (partition=$partNs, child=$childNs):\n$w")
     }
-    assert(singles.isEmpty,
-      s"window_dist_ranks funnels through a single-partition Exchange:\n$plan")
-    val badWindows = plan.collect {
-      // unpartitioned => single task over everything
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-      // a window over fact-table rows (they carry o_orderkey) must
-      // partition by the exact (status, price) tie group, never by
-      // the 3-value status alone; windows over the bucketed
-      // value-count table (no o_orderkey in their child output) are
-      // domain-bounded by construction
-      case w: WindowExec
-          if w.child.output.exists(_.name == "o_orderkey") &&
-            !w.partitionSpec.flatMap(_.references.toSeq)
-              .exists(_.name == "o_totalprice") => w
-    }
-    assert(badWindows.isEmpty,
-      s"window_dist_ranks has a funnel-shaped window:\n$badWindows")
   }
 
   test("decomposed quartiles equal the window-function spelling on sf0.001") {

@@ -17,7 +17,7 @@ import scala.sys.process._
   */
 class SkewSpec extends AnyFunSuite {
 
-  test("skew probe (route + text + graph families): stragglers proven, the per-family mechanism bounds them, outputs identical") {
+  test("skew probe (route + text + graph families): stragglers proven, the per-family mechanism bounds them, outputs identical", org.scalatest.tagobjects.Slow) {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     import scala.jdk.CollectionConverters._
     val jvmArgs = java.lang.management.ManagementFactory

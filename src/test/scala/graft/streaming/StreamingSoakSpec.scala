@@ -289,7 +289,7 @@ class StreamingSoakSpec extends SparkSpec {
     info(s"kmv soak: peak state rows = $peak, sketch rows = ${got.size}")
   }
 
-  test("DedupStream: state churned past 100k keys (RocksDB on disk), memory bounded, twin-exact") {
+  test("DedupStream: state churned past 100k keys (RocksDB on disk), memory bounded, twin-exact", org.scalatest.tagobjects.Slow) {
     // The memory-bound decade (VERDICT r14 task 6): the 300-batch
     // soaks hold state at its DESIGNED bound (40/150/20 rows) — this
     // variant grows the key space itself into the hundreds of
