@@ -36,6 +36,35 @@ Test / testOptions ++= (
   if (sys.env.contains("GRAFT_SLOW_TESTS")) Seq.empty
   else Seq(Tests.Argument(TestFrameworks.ScalaTest,
     "-l", "org.scalatest.tags.Slow")))
+// Suites share one SparkSession per JVM (SparkSpec), so in-JVM
+// parallel suites would race the session-conf toggles
+// (withRocksDbProvider et al). Instead, spread the suites across a
+// few forked JVMs — each gets its own session — so `sbt test` wall
+// time is bounded by the largest group, not the sum of all suites.
+// The known-heavy suites are seeded round-robin so they never share
+// a group; GRAFT_TEST_GROUPS=1 restores a single JVM.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val n = sys.env.get("GRAFT_TEST_GROUPS").flatMap(v =>
+    scala.util.Try(v.toInt).toOption).filter(_ > 0).getOrElse(4)
+  // measured heavyweights (seconds, -oD run): keep them apart
+  val heavy = Seq("graft.EmptyCorpusSweepSpec", "graft.llm.DedupSpec",
+    "graft.PlanShapeSpec", "graft.analytics.EmptyInputSpec",
+    "graft.analytics.MomentGuardSpec", "graft.ReliableCheckpointSpec",
+    "graft.llm.SrpSaturationSpec", "graft.streaming.StreamingSoakSpec",
+    "graft.SpillSpec", "graft.route.SkewSpec")
+  val (big, rest) = tests.partition(t => heavy.contains(t.name))
+  val ordered = big.sortBy(t => heavy.indexOf(t.name)) ++
+    rest.sortBy(_.name)
+  ordered.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1).map {
+    case (i, ts) => Tests.Group(s"g$i", ts.map(_._1),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+// allow the forked groups to actually run concurrently
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4), Tags.limitAll(8))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -41,7 +41,7 @@ object ScalarQueries extends QuerySuite {
     // the skinny projection, and the single-row-group scan would run
     // it serial (graft.Spread doc)
     "scalar_json_suite" -> ((s, d) =>
-      graft.Spread.fanout(Tables.events(s, d).select("event_id", "props"))
+      graft.Spread.fanoutScan(Tables.events(s, d).select("event_id", "props"))
         .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
@@ -96,7 +96,7 @@ object ScalarQueries extends QuerySuite {
         array(col("event_id") % 5L, col("event_id") % 3L).as("arr"))))
       // Spread.fanout before the encode→parse→extract roundtrip
       // (scalar_json_suite note)
-      graft.Spread.fanout(Tables.events(s, d)
+      graft.Spread.fanoutScan(Tables.events(s, d)
           .select("event_id", "user_id", "value", "event_type")).select(
         col("event_id"),
         variant_get(v, "$.u", "bigint").as("u"),

@@ -481,27 +481,26 @@ object DedupQueries extends QuerySuite {
       // the component, so the monotone-sum convergence check is
       // unchanged. localCheckpoint(true) is the round's single action;
       // it truncates lineage so plan depth stays constant per round.
-      // One SCHEDULED JOB per round (VERDICT r15 item 6 — the fixed
-      // per-round scheduling constant dominates when the near-dup
-      // graph is small): `next` is persisted lazily and the monotone
-      // convergence aggregate below is the round's single action — it
-      // materializes the cache and reduces it in the same job, where
-      // the previous spelling paid a localCheckpoint job AND an
-      // aggregate job. Lineage is truncated every few rounds instead
-      // of every round so plan depth stays bounded without a
-      // per-round checkpoint job.
-      val halved = propagated.as("a")
+      // (r16 optimization A/B: replacing this round's eager
+      // localCheckpoint with a lazy persist materialized by the
+      // convergence aggregate — one scheduled job per round instead of
+      // two — measured 4x SLOWER (7.2 s -> 27+ s at sf0.1): the loop's
+      // per-round unpersist of the PARENT frames interacts with the
+      // dependent cache chain and the round's work is recomputed from
+      // lineage. The checkpoint spelling decouples each round's data
+      // from its parents, which is exactly what lets the unpersists be
+      // free. Kept. The same one-job respelling IS kept in the BFS
+      // loops (GraphQueries), which never unpersist mid-loop.)
+      val next = propagated.as("a")
         .join(propagated.select(col("doc_id").as("comp"),
           col("comp").as("comp2")).as("b"), Seq("comp"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-      val next =
-        if (rounds % 4 == 3) halved.truncateLineage(true)
-        else halved.persist()
+        .truncateLineage(true)
       // Convergence via a monotone invariant: labels only ever
       // decrease, so sum(comp) is strictly smaller while anything
-      // changed — one aggregate over the just-materialized partitions,
-      // not a recompute.
+      // changed — one aggregate over the just-checkpointed (in-memory)
+      // partitions, not a recompute.
       val nextSum = next.agg(coalesce(sum("comp"), lit(0L)))
         .head().getLong(0)
       changed = if (nextSum == lastSum) 0L else 1L

@@ -117,7 +117,7 @@ object MiningQueries extends QuerySuite {
     // branch instead — the k-gram hash/fan pipeline, where the per-row
     // work dwarfs the exchange — so the plan carries a single spread
     // exchange; nk is a cheap projection and reads the scan directly.
-    val docs = graft.Spread.fanout(ws0)
+    val docs = graft.Spread.fanoutScan(ws0)
     val kg = docs
       .select(col("doc_id"), posexplode(expr(
         s"""CASE WHEN size(ws) >= $WinK THEN
@@ -263,7 +263,7 @@ object MiningQueries extends QuerySuite {
     // builds is a single-machine structure; the seed-and-extend join
     // is the shape that survives a 1000-executor shuffle.
     "dedup_substr_spans" -> ((s, d) => {
-      val kg = graft.Spread.fanout(Tables.documents(s, d))
+      val kg = graft.Spread.fanoutScan(Tables.documents(s, d))
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         .select(col("doc_id"), posexplode(expr(
           s"""CASE WHEN size(ws) >= $SubK THEN

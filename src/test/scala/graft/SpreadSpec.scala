@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins [[Spread.partitions]] (VERDICT r15 item 7 — the scaladoc's
   * bytes-aware production sizing is now code, not prose — plus the
-  * ADVICE defensive-parse item for `graft.fanoutPartitions`). */
+  * ADVICE defensive-parse item for `graft.fanoutPartitions`) and the
+  * `graft.scanFanout` payload-site switch. */
 class SpreadSpec extends AnyFunSuite {
   private val MB128 = Spread.TargetPartitionBytes
 
@@ -32,5 +33,24 @@ class SpreadSpec extends AnyFunSuite {
       BigInt(100L) * 1024 * 1024 * 1024 * 1024 / 1) === Spread.MaxSpread)
     // degenerate parallelism never yields a non-positive count
     assert(Spread.partitions(None, 0, BigInt(0)) === 1)
+  }
+}
+
+/** Session-level pin for [[Spread.fanoutScan]]: `graft.scanFanout =
+  * false` (the many-split-deployment setting) must make the payload
+  * scan spreads an exact no-op, and the default must spread. */
+class SpreadScanSpec extends SparkSpec {
+  test("fanoutScan honors graft.scanFanout") {
+    val s2 = spark.newSession()
+    val df = s2.range(10).toDF("x")
+    s2.conf.set("graft.scanFanout", "false")
+    assert(Spread.fanoutScan(df).queryExecution.logical
+      eq df.queryExecution.logical)
+    s2.conf.set("graft.scanFanout", "true")
+    assert(Spread.fanoutScan(df).queryExecution.logical
+      ne df.queryExecution.logical)
+    s2.conf.unset("graft.scanFanout")
+    assert(Spread.fanoutScan(df).queryExecution.logical
+      ne df.queryExecution.logical)
   }
 }
